@@ -1,0 +1,127 @@
+"""Per-turn extraction dispatch + the Arrow-batch (pandas) entry point.
+
+:func:`extract_turn` is the scalar oracle: one raw payload in, one
+extraction record out.  :func:`extract_batch` is the batch twin that the
+Spark ``mapInPandas`` operator calls — sniffing is fully vectorized, the
+``plain`` class (the bulk of real transcripts) is handled with vectorized
+pandas ``.str`` ops, and the structured classes run their (regex-driven,
+allocation-light) extractors over just their class subset.  No per-row
+Python ever crosses the JVM boundary: the whole batch is one Arrow
+record batch (north-rule requirement).
+
+Pipeline stages fused here (reference ``Source/TaskProcessor.cpp:178-373``
+``doTask`` chain): sniff (S6 codec choice) → class extractor (X1 detect +
+X2 recognize) → empty-cascade prune (F8) → span assembly (C5/W1/W3).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+
+from . import assemble, boilerplate, markdown, segment, sniff, tooljson
+from .assemble import Block, Segment
+from .secondpass import extract_two_pass
+
+OUTPUT_COLUMNS = [
+    "payload_class", "extracted_text", "spans", "n_blocks", "n_spans",
+    "confidence", "parse_failed", "empty_after_strip",
+]
+
+
+def extract_plain(raw: str) -> list[Block]:
+    """Identity extraction: the trimmed payload as one full-range span."""
+    s, e = assemble.trim_span(raw, 0, len(raw))
+    if s >= e:
+        return []
+    return [Block(segments=[Segment(text=raw[s:e], start=s, end=e, glue="")],
+                  kind="text", detector="integrated", recognizer="identity")]
+
+
+def extract_turn(text: str | None) -> dict[str, Any]:
+    """Scalar oracle: classify + extract one turn payload."""
+    raw = text if isinstance(text, str) else ""
+    cls = sniff.sniff(raw)
+    parse_failed = False
+    confidence = 1.0
+    if cls == "plain":
+        blocks = extract_plain(raw)
+    elif cls == "html":
+        blocks = boilerplate.extract_html(raw)
+    elif cls == "pdf_layout":
+        blocks = segment.extract_pdf_layout(raw)
+    elif cls == "markdown":
+        blocks = markdown.extract_markdown(raw)
+    elif cls == "tool_json":
+        blocks, parse_failed = tooljson.extract_tool_json(raw)
+    else:  # two_pass
+        blocks, confidence = extract_two_pass(raw)
+
+    blocks, _dropped = assemble.prune_empty(blocks)
+    extracted, spans = assemble.assemble(blocks)
+    if cls != "two_pass":
+        confidence = assemble.mean_confidence(blocks)
+    return {
+        "payload_class": cls,
+        "extracted_text": extracted,
+        "spans": [{"start": a, "end": b} for a, b in spans],
+        "n_blocks": len(blocks),
+        "n_spans": len(spans),
+        "confidence": confidence,
+        "parse_failed": parse_failed,
+        "empty_after_strip": (not extracted) and bool(raw.strip()),
+    }
+
+
+def _empty_record(cls: str = "plain") -> dict[str, Any]:
+    return {"payload_class": cls, "extracted_text": "", "spans": [],
+            "n_blocks": 0, "n_spans": 0, "confidence": 1.0,
+            "parse_failed": False, "empty_after_strip": False}
+
+
+def extract_batch(texts: pd.Series) -> pd.DataFrame:
+    """Batch twin of :func:`extract_turn` (same index as ``texts``).
+
+    Vectorized sniff; vectorized ``plain`` path; per-class dispatch for the
+    structured payloads.  Agreement with the scalar oracle is tested
+    row-by-row in tests/test_extract.py.
+    """
+    s = texts.fillna("").astype(str)
+    classes = sniff.sniff_series(s)
+    out = pd.DataFrame(index=s.index, columns=OUTPUT_COLUMNS, dtype=object)
+    out["payload_class"] = classes
+
+    plain_mask = classes == "plain"
+    if plain_mask.any():
+        p = s[plain_mask]
+        stripped = p.str.strip()
+        lead = p.str.len() - p.str.lstrip().str.len()
+        n = stripped.str.len()
+        nonempty = n > 0
+        out.loc[plain_mask, "extracted_text"] = stripped
+        out.loc[plain_mask, "spans"] = pd.Series(
+            [[{"start": int(a), "end": int(a + ln)}] if ne else []
+             for a, ln, ne in zip(lead, n, nonempty)],
+            index=p.index, dtype=object,
+        )
+        out.loc[plain_mask, "n_blocks"] = nonempty.astype(int)
+        out.loc[plain_mask, "n_spans"] = nonempty.astype(int)
+        out.loc[plain_mask, "confidence"] = 1.0
+        out.loc[plain_mask, "parse_failed"] = False
+        out.loc[plain_mask, "empty_after_strip"] = False
+
+    rest = s.index[~plain_mask]
+    if len(rest):
+        recs = [extract_turn(s.at[i]) for i in rest]
+        rec_df = pd.DataFrame(recs, index=rest)
+        for col in OUTPUT_COLUMNS:
+            out.loc[rest, col] = rec_df[col]
+
+    out["n_blocks"] = out["n_blocks"].astype("int32")
+    out["n_spans"] = out["n_spans"].astype("int32")
+    out["confidence"] = out["confidence"].astype("float64")
+    out["parse_failed"] = out["parse_failed"].astype(bool)
+    out["empty_after_strip"] = out["empty_after_strip"].astype(bool)
+    out["extracted_text"] = out["extracted_text"].astype(str)
+    return out

@@ -1,0 +1,190 @@
+"""Two-pass extraction: low-confidence region re-extraction + overlap merge.
+
+Re-expresses FrogOCR's optional second OCR pass over 1-D character
+intervals.  Reference semantics preserved exactly (thresholds included):
+
+- J1  quad↔word coverage join: for each candidate region, mean confidence
+      of first-pass words with mutual ``coverage > 0.75`` (either
+      direction) — ``Source/TaskProcessor.cpp:154-176`` (predicate ``:165``).
+- J3  semi-join gate: keep only regions whose J1 mean confidence is
+      ``< 0.7`` — ``Source/TaskProcessor.cpp:256-262``.
+- A4  majority-vote relaxation: if more than half of the second-pass
+      results are confident (``> 0.95``), relax the acceptance threshold to
+      ``0.7`` — ``Source/TaskProcessor.cpp:386-401`` (thresholds ``:390,397``).
+- J2  word-erasure: a first-pass word with ``conf <= 0.5`` overlapped
+      (coverage > 0.75 either direction) by an accepted second-pass word is
+      deleted — ``Source/TaskProcessor.cpp:279-331`` (gate ``:287-289``,
+      overlap ``:296``); reimplemented declaratively (keep word unless
+      gated ∧ overlapped) instead of the reference's in-place erase loop.
+- J4  union + A6 confidence average — ``Source/Document.hpp:95-101``.
+- U3  coverage = intersection length / own length —
+      ``Source/Core/Quad.hpp:49-59`` re-expressed for intervals.
+
+Payload model (FIXTURES.md §2.6): regions wrapped in
+``[[LOWCONF]]…[[/LOWCONF]]`` carry REVERSED true text (the deterministic
+stand-in for a garbled OCR read).  First pass reads the garbled text at
+confidence 0.30; the second-pass recognizer reverses it back at confidence
+0.96 (or 0.80 for "hard" regions containing ``?``).  Second-pass word spans
+map through the reversal: corrected chars ``[p,q)`` of region ``raw[a:b]``
+→ raw interval ``[b-q, b-p)`` (provenance exact; the raw slice is the
+reversed text — documented exception to the raw-slice invariant).
+
+Confidence arithmetic stays in float32 like the reference
+(``Source/Confidence.hpp:30``) so oracle/Spark parity is bit-exact.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+from .assemble import Block, GLUE_SPACE, Segment
+from .sniff import LOWCONF_CLOSE, LOWCONF_OPEN
+
+COVERAGE_THR = 0.75   # J1/J2 overlap predicate   (TaskProcessor.cpp:165,296)
+WORD_GATE = 0.5       # J2 erasure gate           (TaskProcessor.cpp:287-289)
+QUAD_GATE = 0.7       # J3 region gate            (TaskProcessor.cpp:256-262)
+MAJORITY_STRICT = 0.95  # A4                      (TaskProcessor.cpp:390)
+MAJORITY_RELAXED = 0.7  # A4                      (TaskProcessor.cpp:397)
+
+FIRSTPASS_CONF = np.float32(0.92)
+GARBLED_CONF = np.float32(0.30)
+SECONDPASS_CONF = np.float32(0.96)
+SECONDPASS_HARD_CONF = np.float32(0.80)
+
+_REGION_RE = re.compile(
+    re.escape(LOWCONF_OPEN) + r"(.*?)" + re.escape(LOWCONF_CLOSE), re.DOTALL
+)
+
+
+@dataclass
+class Word:
+    text: str
+    start: int
+    end: int
+    conf: float
+    # reading-order key: equals ``start`` for first-pass words; for
+    # second-pass words it is region_start + corrected-text offset, so the
+    # corrected sequence reads forward even though the provenance spans are
+    # mirrored through the reversal (module doc).
+    order_key: int = -1
+
+    def __post_init__(self) -> None:
+        if self.order_key < 0:
+            self.order_key = self.start
+
+
+def interval_coverage(a: tuple[int, int], b: tuple[int, int]) -> float:
+    """|a∩b| / |a| — Quad::coverage re-expressed for char intervals."""
+    inter = min(a[1], b[1]) - max(a[0], b[0])
+    own = a[1] - a[0]
+    if own <= 0 or inter <= 0:
+        return 0.0
+    return inter / own
+
+
+def overlaps_either(a: tuple[int, int], b: tuple[int, int],
+                    thr: float = COVERAGE_THR) -> bool:
+    """Mutual-coverage predicate: either direction above ``thr``
+    (TaskProcessor.cpp:165 checks both orders)."""
+    return interval_coverage(a, b) > thr or interval_coverage(b, a) > thr
+
+
+def majority_vote_relaxation(confidences: list[float],
+                             strict: float = MAJORITY_STRICT,
+                             relaxed: float = MAJORITY_RELAXED) -> float:
+    """A4: if more than half the candidates are confident (> strict),
+    return the relaxed acceptance threshold, else the strict one."""
+    n_confident = sum(1 for c in confidences if c > strict)
+    return relaxed if 2 * n_confident > len(confidences) else strict
+
+
+def _words_of(text: str, base: int, conf: np.float32) -> list[Word]:
+    words: list[Word] = []
+    for m in re.finditer(r"\S+", text):
+        words.append(Word(m.group(), base + m.start(), base + m.end(),
+                          float(conf)))
+    return words
+
+
+def first_pass(raw: str) -> tuple[list[Word], list[tuple[int, int]]]:
+    """Read everything; garbled regions at GARBLED_CONF.  Returns the word
+    list plus the candidate region intervals (detector output, X1 analog)."""
+    words: list[Word] = []
+    regions: list[tuple[int, int]] = []
+    pos = 0
+    for m in _REGION_RE.finditer(raw):
+        words.extend(_words_of(raw[pos:m.start()], pos, FIRSTPASS_CONF))
+        a, b = m.start(1), m.end(1)
+        regions.append((a, b))
+        words.extend(_words_of(raw[a:b], a, GARBLED_CONF))
+        pos = m.end()
+    words.extend(_words_of(raw[pos:], pos, FIRSTPASS_CONF))
+    return words, regions
+
+
+def second_pass_recognize(raw: str, region: tuple[int, int]) -> list[Word]:
+    """Recognize one region: reverse the garbled slice back to true text;
+    word spans mapped through the reversal (see module doc)."""
+    a, b = region
+    corrected = raw[a:b][::-1]
+    conf = SECONDPASS_HARD_CONF if "?" in corrected else SECONDPASS_CONF
+    out: list[Word] = []
+    for m in re.finditer(r"\S+", corrected):
+        p, q = m.start(), m.end()
+        out.append(Word(m.group(), b - q, b - p, float(conf), order_key=a + p))
+    return out
+
+
+def extract_two_pass(raw: str) -> tuple[list[Block], float]:
+    """Full two-pass flow; returns (blocks, doc_confidence)."""
+    fp_words, regions = first_pass(raw)
+    fp_mean = np.float32(np.mean([w.conf for w in fp_words], dtype=np.float32)
+                         if fp_words else 1.0)
+
+    # J1 + J3: regions where the first pass did badly
+    kept_regions: list[tuple[int, int]] = []
+    for r in regions:
+        covered = [w.conf for w in fp_words
+                   if overlaps_either((w.start, w.end), r)]
+        mean = np.float32(np.mean(covered, dtype=np.float32)) if covered else np.float32(1.0)
+        if mean < QUAD_GATE:
+            kept_regions.append(r)
+
+    sp_words: list[Word] = []
+    if kept_regions:
+        candidates = [second_pass_recognize(raw, r) for r in kept_regions]
+        # A4: acceptance threshold from the majority vote over region confs
+        region_confs = [ws[0].conf if ws else 0.0 for ws in candidates]
+        threshold = majority_vote_relaxation(region_confs)
+        for ws, conf in zip(candidates, region_confs):
+            if conf > threshold:
+                sp_words.extend(ws)
+
+    # J2: declarative erase — keep fp word unless low-conf AND overlapped
+    sp_intervals = [(w.start, w.end) for w in sp_words]
+    merged = [
+        w for w in fp_words
+        if not (w.conf <= WORD_GATE
+                and any(overlaps_either((w.start, w.end), s)
+                        for s in sp_intervals))
+    ]
+    # J4 union, then W1 stable order on interval start
+    merged.extend(sp_words)
+    merged.sort(key=lambda w: (w.order_key, w.start, w.end))
+
+    if sp_words:
+        sp_mean = np.float32(np.mean([w.conf for w in sp_words],
+                                     dtype=np.float32))
+        doc_conf = float((fp_mean + sp_mean) / np.float32(2.0))  # A6
+    else:
+        doc_conf = float(fp_mean)
+
+    segs = [Segment(text=w.text, start=w.start, end=w.end,
+                    glue=GLUE_SPACE if i else "", confidence=w.conf)
+            for i, w in enumerate(merged)]
+    blocks = [Block(segments=segs, kind="merged",
+                    detector="lowconf", recognizer="twopass")] if segs else []
+    return blocks, doc_conf

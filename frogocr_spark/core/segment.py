@@ -1,0 +1,108 @@
+"""Layout segmentation + reading-order recovery for ``pdf_layout`` payloads.
+
+Payload format (FIXTURES.md §2.2): whitespace-separated tokens
+``@x,y,w,h|text`` emitted in arbitrary order (two-column layouts, running
+headers/footers).  The extractor must rebuild reading order.
+
+Reference semantics re-expressed:
+
+- Reading-order sort W1: sort quads by ``(y, x)`` then one bubble pass that
+  swaps adjacent quads whose ``y`` differs by < 10 units but whose ``x`` is
+  out of order — reference ``Source/Paddle/PaddleTextDetector.cpp:337-352``
+  (the 10px tie-band), reimplemented verbatim in :func:`reading_order`.
+- Geometry filter F5: drop boxes with a side < 4 units — reference
+  ``Source/Paddle/PaddleTextDetector.cpp:234-238``.
+- Candidate cap W6: at most 1000 boxes considered — reference
+  ``Source/Paddle/PaddleTextDetector.cpp:161-162,168``.
+- Header/footer strip: boxes in the top band (``y < HEADER_Y``) or bottom
+  band (``y >= FOOTER_Y``) are boilerplate (running header / page number) —
+  the transcript analog of crop-projection F4
+  (``Source/IntegratedTextDetector.cpp:6-33``).
+- Line grouping: after ordering, consecutive boxes within the same y-band
+  form one line (words joined by a space); lines joined by newline —
+  block/line/word assembly analog
+  (``Source/Tesseract/TesseractTextRecognizer.cpp:169-207``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from .assemble import Block, GLUE_LINE, GLUE_SPACE, Segment
+
+BAND_PX = 10          # W1 tie-band           (PaddleTextDetector.cpp:345)
+MIN_SIDE = 4          # F5 min box side       (PaddleTextDetector.cpp:234-238)
+MAX_BOXES = 1000      # W6 candidate cap      (PaddleTextDetector.cpp:161-162)
+HEADER_Y = 50         # header band limit (engine constant, see module doc)
+FOOTER_Y = 750        # footer band limit
+
+_TOKEN_RE = re.compile(r"@(\d+),(\d+),(\d+),(\d+)\|(\S+)")
+
+
+@dataclass
+class Box:
+    x: int
+    y: int
+    w: int
+    h: int
+    text: str
+    start: int  # char offset of `text` in the raw payload
+    end: int
+
+
+def parse_layout(raw: str) -> list[Box]:
+    """Tokenize ``@x,y,w,h|text`` runs with raw char offsets."""
+    boxes: list[Box] = []
+    for m in _TOKEN_RE.finditer(raw):
+        x, y, w, h = (int(m.group(i)) for i in range(1, 5))
+        boxes.append(Box(x, y, w, h, m.group(5), m.start(5), m.end(5)))
+    return boxes
+
+
+def reading_order(boxes: list[Box], band: int = BAND_PX) -> list[Box]:
+    """W1: stable ``(y, x)`` sort + single adjacent-swap pass inside y-bands.
+
+    Exactly the reference algorithm (PaddleTextDetector.cpp:337-352): after
+    the primary sort, one forward bubble pass swaps ``boxes[i]`` and
+    ``boxes[i+1]`` when ``|y_i - y_{i+1}| < band`` and ``x_{i+1} < x_i``.
+    """
+    out = sorted(boxes, key=lambda b: (b.y, b.x))
+    for i in range(len(out) - 1):
+        if abs(out[i + 1].y - out[i].y) < band and out[i + 1].x < out[i].x:
+            out[i], out[i + 1] = out[i + 1], out[i]
+    return out
+
+
+def filter_boxes(boxes: list[Box]) -> list[Box]:
+    """F5 min-side filter + header/footer strip + W6 cap (in that order)."""
+    kept = [b for b in boxes if b.w >= MIN_SIDE and b.h >= MIN_SIDE]
+    kept = [b for b in kept if HEADER_Y <= b.y < FOOTER_Y]
+    return kept[:MAX_BOXES]
+
+
+def group_lines(ordered: list[Box], band: int = BAND_PX) -> list[list[Box]]:
+    """Consecutive ordered boxes within ``band`` vertical distance = one line."""
+    lines: list[list[Box]] = []
+    for b in ordered:
+        if lines and abs(b.y - lines[-1][-1].y) < band:
+            lines[-1].append(b)
+        else:
+            lines.append([b])
+    return lines
+
+
+def extract_pdf_layout(raw: str) -> list[Block]:
+    """Full pdf_layout extraction → one Block per line of reading order."""
+    boxes = filter_boxes(parse_layout(raw))
+    ordered = reading_order(boxes)
+    blocks: list[Block] = []
+    for line in group_lines(ordered):
+        segs = [
+            Segment(text=b.text, start=b.start, end=b.end,
+                    glue=GLUE_SPACE if i else GLUE_LINE)
+            for i, b in enumerate(line)
+        ]
+        blocks.append(Block(segments=segs, kind="line",
+                            detector="xycut", recognizer="layout"))
+    return blocks

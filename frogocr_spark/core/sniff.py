@@ -1,0 +1,87 @@
+"""Payload-format sniffing.
+
+FrogOCR picks an image codec by file content (``pixReadMem`` sniffs magic
+bytes — reference ``Source/TaskProcessor.cpp:213-226``).  For transcript
+payloads the analog is classifying the raw ``text`` of a turn into one of
+the payload classes of FIXTURES.md §2, with a fixed, deterministic
+precedence.  The vectorized variant (:func:`sniff_series`) is the hot path
+used inside the Spark batch extractor; :func:`sniff` is the scalar oracle.
+
+Classes (precedence order — first match wins):
+
+1. ``two_pass``   — contains the low-confidence region marker
+                    ``[[LOWCONF]]`` (FIXTURES.md §2.6)
+2. ``tool_json``  — stripped text starts with ``{`` (a truncated object is
+                    still classified here so the parse-failure counter F2
+                    fires in the extractor, not the sniffer)
+3. ``pdf_layout`` — first non-empty line starts with ``@x,y,w,h|`` token
+4. ``html``       — contains an HTML tag (``<tag ...>`` / ``</tag>``)
+5. ``markdown``   — contains a markdown marker (fence, heading, link,
+                    emphasis, blockquote)
+6. ``plain``      — fallback (including empty/whitespace-only payloads)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+LOWCONF_OPEN = "[[LOWCONF]]"
+LOWCONF_CLOSE = "[[/LOWCONF]]"
+
+_PDF_TOKEN_RE = re.compile(r"^\s*@\d+,\d+,\d+,\d+\|")
+_HTML_TAG_RE = re.compile(r"</?[a-zA-Z][a-zA-Z0-9]*(?:\s[^<>]*)?>")
+_MD_MARKER_RE = re.compile(
+    r"(?:^```)|(?:^#{1,6}\s)|(?:^>\s)|(?:\[[^\]\n]+\]\([^)\n]+\))"
+    r"|(?:\*\*[^*\n]+\*\*)|(?:^[-*]\s)",
+    re.MULTILINE,
+)
+
+CLASSES = ("two_pass", "tool_json", "pdf_layout", "html", "markdown", "plain")
+
+
+def sniff(text: str | None) -> str:
+    """Classify one payload. Scalar oracle for :func:`sniff_series`."""
+    if text is None:
+        return "plain"
+    stripped = text.strip()
+    if not stripped:
+        return "plain"
+    if LOWCONF_OPEN in text:
+        return "two_pass"
+    if stripped.startswith("{"):
+        return "tool_json"
+    if _PDF_TOKEN_RE.match(stripped):
+        return "pdf_layout"
+    if _HTML_TAG_RE.search(text):
+        return "html"
+    if _MD_MARKER_RE.search(text):
+        return "markdown"
+    return "plain"
+
+
+def sniff_series(texts: pd.Series) -> pd.Series:
+    """Vectorized sniffing over a whole Arrow batch (pandas ``.str`` ops).
+
+    Must agree with :func:`sniff` on every input (tested in
+    tests/test_sniff.py via hypothesis + fixtures).
+    """
+    s = texts.fillna("")
+    stripped = s.str.strip()
+    out = pd.Series("plain", index=s.index, dtype=object)
+
+    nonempty = stripped.str.len() > 0
+    is_md = nonempty & s.str.contains(_MD_MARKER_RE, regex=True)
+    is_html = nonempty & s.str.contains(_HTML_TAG_RE, regex=True)
+    is_pdf = nonempty & stripped.str.match(_PDF_TOKEN_RE)
+    is_json = nonempty & stripped.str.startswith("{")
+    is_twopass = nonempty & s.str.contains(LOWCONF_OPEN, regex=False)
+
+    # apply in reverse precedence so higher-priority classes overwrite
+    out[is_md] = "markdown"
+    out[is_html] = "html"
+    out[is_pdf] = "pdf_layout"
+    out[is_json] = "tool_json"
+    out[is_twopass] = "two_pass"
+    return out

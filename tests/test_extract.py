@@ -1,0 +1,85 @@
+"""Dispatch + batch/scalar parity over the full generated corpus."""
+
+import pandas as pd
+import pytest
+
+from frogocr_spark.core import extract
+from frogocr_spark.sources import payloadgen as pg
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return pg.gen_transcripts(n_convs=150)
+
+
+def test_batch_matches_scalar_oracle(corpus):
+    texts = pd.Series([r["text"] for r in corpus])
+    batch = extract.extract_batch(texts)
+    assert len(batch) == len(corpus)
+    for i, r in enumerate(corpus):
+        rec = extract.extract_turn(r["text"])
+        row = batch.iloc[i]
+        assert rec["payload_class"] == row["payload_class"]
+        assert rec["extracted_text"] == row["extracted_text"]
+        assert rec["spans"] == row["spans"]
+        assert rec["confidence"] == row["confidence"]
+        assert rec["parse_failed"] == row["parse_failed"]
+        assert rec["empty_after_strip"] == row["empty_after_strip"]
+
+
+def test_span_raw_slice_invariant(corpus):
+    """For html/pdf/markdown/plain every span slices the raw payload to the
+    exact segment text (assemble.py contract)."""
+    checked = 0
+    for r in corpus:
+        rec = extract.extract_turn(r["text"])
+        if rec["payload_class"] in ("two_pass", "tool_json"):
+            continue
+        raw = r["text"]
+        for spn in rec["spans"]:
+            piece = raw[spn["start"]:spn["end"]]
+            assert piece.strip(), (rec["payload_class"], spn)
+            assert piece in rec["extracted_text"]
+            checked += 1
+    assert checked > 500
+
+
+def test_empty_and_whitespace_inputs():
+    for raw in ("", "   ", None, "\n\t"):
+        rec = extract.extract_turn(raw)
+        assert rec["extracted_text"] == ""
+        assert rec["spans"] == []
+        assert not rec["empty_after_strip"]  # nothing was there to strip
+
+
+def test_empty_after_strip_counter():
+    rec = extract.extract_turn('{"status": "ok", "exit_code": 0}')
+    assert rec["extracted_text"] == "" and rec["empty_after_strip"]
+
+
+def test_plain_identity_with_padding():
+    rec = extract.extract_turn("  some words  ")
+    assert rec["extracted_text"] == "some words"
+    assert rec["spans"] == [{"start": 2, "end": 12}]
+
+
+def test_deterministic_generator():
+    a = pg.gen_transcripts(20)
+    b = pg.gen_transcripts(20)
+    assert a == b
+    assert pg.gen_turn(3, 1) == pg.gen_turn(3, 1)
+
+
+def test_generator_skew_knob():
+    rows = pg.gen_transcripts(5, skew_conv_turns=100)
+    counts = {}
+    for r in rows:
+        counts[r["conv_id"]] = counts.get(r["conv_id"], 0) + 1
+    assert counts["conv_00000000"] == 100
+    assert all(v <= 16 for k, v in counts.items() if k != "conv_00000000")
+
+
+def test_all_payload_classes_represented(corpus):
+    seen = {extract.extract_turn(r["text"])["payload_class"] for r in corpus}
+    assert seen == {"plain", "markdown", "html", "pdf_layout",
+                    "tool_json", "two_pass"}
