@@ -1,0 +1,158 @@
+"""Deduplication operators for training-data pipelines.
+
+Four strategies, all shuffle-disciplined for 100 TB operation:
+
+- exact         hash-groupBy on a content digest (one shuffle on the digest)
+- ngram_jaccard exact n-gram/word-set Jaccard on candidate pairs
+                (fully relational: explode → equi-join → count — no UDF)
+- minhash_lsh   MinHash signatures + banded LSH: near-dup candidates meet
+                only inside tiny hash buckets (shuffle keyed on band hash,
+                never all-pairs)
+- simhash       64-bit SimHash fingerprint + Hamming-band grouping
+
+MinHash uses ``F.xxhash64(token, seed_i)`` per permutation — JVM-side,
+codegen'd, no Python.  The blessing/curse of approximation is tested
+against exact Jaccard in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) distinct pairs — the shared shingle relation."""
+    return (df.select(id_col,
+                      F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT))
+                      .alias("token"))
+            .where("token <> ''")
+            .dropDuplicates([id_col, "token"]))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups: md5 digest → groupBy → keep min id.
+    Output: (digest, keep_id, n_dupes) for groups with more than one row."""
+    return (df.withColumn("digest", F.md5(F.col(text_col)))
+            .groupBy("digest")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_dupes"))
+            .where("n_dupes > 1"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        threshold: float = 0.6) -> DataFrame:
+    """Exact word-set Jaccard ≥ threshold via the relational identity
+    J = |A∩B| / (|A| + |B| - |A∩B|); intersection sizes come from one
+    self-equi-join on token (shuffle keyed on token — frequent-token skew
+    is bounded because tokens are deduped per doc)."""
+    toks = _tokens(df, id_col, text_col)
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.select(F.col(id_col).alias("id_a"), "token")
+    b = toks.select(F.col(id_col).alias("id_b"), "token")
+    inter = (a.join(b, "token")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.col("n_inter")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 32) -> DataFrame:
+    """(id, sig array<long>): per-permutation min of xxhash64(token, seed)."""
+    toks = _tokens(df, id_col, text_col)
+    mins = [F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    sig = toks.groupBy(id_col).agg(*mins)
+    return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)])
+                      .alias("signature"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 32, bands: int = 8,
+                      threshold: float = 0.6) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidates; estimated
+    Jaccard = fraction of matching minhash components; keep ≥ threshold.
+    Shuffles: tokenize-agg (on id), band explode join (on band hash) —
+    never an all-pairs product."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes).cache()
+    banded = sig.select(
+        id_col, "signature",
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.col("signature")[i]
+                         for i in range(b * rows_per_band,
+                                        (b + 1) * rows_per_band)])
+            for b in range(bands)
+        ])).alias("band", "band_hash"))
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("signature").alias("sig_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col("signature").alias("sig_b"), "band", "band_hash")
+    cand = (a.join(b, ["band", "band_hash"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, x: acc + x) / F.lit(float(rows_per_band * bands))
+    return (cand.withColumn("est_jaccard", est)
+            .where(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, sum of per-bit votes, sign →
+    bit.  Fully JVM-side: explode → per-bit vote aggregate → bit-OR fold."""
+    toks = _tokens(df, id_col, text_col).withColumn(
+        "th", F.xxhash64(F.col("token")))
+    votes = toks.groupBy(id_col).agg(*[
+        F.sum(F.when(F.col("th").bitwiseAND(F.lit(1 << i)) != 0, 1)
+              .otherwise(-1)).alias(f"b{i}")
+        for i in range(bits)
+    ])
+    fingerprint = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
+    return votes.select(id_col, fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3, blocks: int = 4) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via the
+    pigeonhole block trick: split the 64-bit fingerprint into ``blocks``
+    chunks; any pair within distance must share ≥1 exact chunk → candidates
+    meet in chunk-keyed buckets (equi-join), then exact Hamming filter."""
+    assert max_hamming < blocks, "pigeonhole requires max_hamming < blocks"
+    sh = simhash(df, id_col, text_col).cache()
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    chunked = sh.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(blocks)
+        ])).alias("chunk_idx", "chunk"))
+    a = chunked.select(F.col(id_col).alias("id_a"),
+                       F.col("simhash").alias("sh_a"), "chunk_idx", "chunk")
+    b = chunked.select(F.col(id_col).alias("id_b"),
+                       F.col("simhash").alias("sh_b"), "chunk_idx", "chunk")
+    cand = (a.join(b, ["chunk_idx", "chunk"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,70 @@
+"""The fused extraction operator: one ``mapInPandas`` pass per Arrow batch.
+
+Fuses the reference's per-task chain (sniff → detect → recognize →
+second-pass merge → prune → assemble; ``Source/TaskProcessor.cpp:178-373``)
+into a single pipelined physical operator.  Catalyst plans the scan /
+anti-join / repartition around it; inside, the whole Arrow record batch is
+processed by ``frogocr_spark.core.extract.extract_batch`` (vectorized
+sniff + class dispatch — no per-row Python crossing the JVM boundary).
+
+Column pruning matters at 100 TB: the operator selects only the columns it
+consumes plus the requested passthrough keys before the UDF, so the Arrow
+transfer width stays minimal (SURVEY §4 "column pruning").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.extract import extract_batch
+
+SPAN_TYPE = T.ArrayType(T.StructType([
+    T.StructField("start", T.IntegerType(), False),
+    T.StructField("end", T.IntegerType(), False),
+]))
+
+EXTRACTION_FIELDS = [
+    T.StructField("payload_class", T.StringType(), False),
+    T.StructField("extracted_text", T.StringType(), False),
+    T.StructField("spans", SPAN_TYPE, False),
+    T.StructField("n_blocks", T.IntegerType(), False),
+    T.StructField("n_spans", T.IntegerType(), False),
+    T.StructField("confidence", T.DoubleType(), False),
+    T.StructField("parse_failed", T.BooleanType(), False),
+    T.StructField("empty_after_strip", T.BooleanType(), False),
+]
+
+
+def extract_turns(df: DataFrame, *, text_col: str = "text",
+                  passthrough: tuple[str, ...] = ("conv_id", "turn_idx", "role"),
+                  with_partition_id: bool = True) -> DataFrame:
+    """raw transcripts → extraction results (1 row in = 1 row out).
+
+    ``with_partition_id`` stamps ``F.spark_partition_id()`` *before* the UDF
+    so the lineage sidecar can group by physical partition (A10/§2.10).
+    """
+    cols = [*passthrough, text_col]
+    narrow = df.select(*cols)
+    if with_partition_id:
+        narrow = narrow.withColumn("partition_id", F.spark_partition_id())
+        cols = [*cols, "partition_id"]
+
+    in_fields = [narrow.schema[c] for c in cols if c != text_col]
+    out_schema = T.StructType(in_fields + EXTRACTION_FIELDS)
+    pass_cols = [c for c in cols if c != text_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            res = extract_batch(pdf[text_col])
+            out = pd.concat([pdf[pass_cols].reset_index(drop=True),
+                             res.reset_index(drop=True)], axis=1)
+            yield out
+
+    return narrow.mapInPandas(run, schema=out_schema)

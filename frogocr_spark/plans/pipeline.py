@@ -1,0 +1,70 @@
+"""The batch extraction pipeline (SURVEY §3.1 Spark lifecycle).
+
+    read(transcripts)
+      → F1 anti-join committed keys           (resume)
+      → conv_id-salted repartition + secondary sort   (skew + ordering)
+      → fused mapInPandas extraction          (one Arrow pass)
+      → idempotent run_id append              (exactly-once)
+      → lineage/metrics sidecar from the committed output (single
+        extraction pass: the sidecar aggregates the written parquet, so
+        extraction is never recomputed)
+
+Scale notes: every step before the UDF is Catalyst-planned (scan with
+column pruning, anti-join broadcast/shuffle via AQE); the UDF itself is
+embarrassingly parallel; the only shuffles are the anti-join (resume runs
+only) and the salted repartition — both keyed, skew-safe, and independent
+of total table size per-partition.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.extraction import extract_turns
+from ..operators.resume import filter_unprocessed
+from ..operators.skew import DEFAULT_SALT_BUCKETS, salted_repartition
+from ..sources.catalog import Table
+from .metrics import build_sidecar
+
+
+@dataclass
+class PipelineConfig:
+    output_dir: str
+    run_id: str = "r0"
+    num_partitions: int | None = None
+    salt_buckets: int = DEFAULT_SALT_BUCKETS
+    resume: bool = True
+    stage_settings: dict = field(default_factory=dict)
+
+
+def run_extraction(spark: SparkSession, transcripts: DataFrame,
+                   cfg: PipelineConfig) -> dict:
+    """Execute the pipeline; returns run stats from the sidecar."""
+    out_table = Table(spark, os.path.join(cfg.output_dir, "extractions"))
+    side_table = Table(spark, os.path.join(cfg.output_dir, "metrics"))
+
+    todo = transcripts
+    if cfg.resume:
+        processed = out_table.processed_keys("conv_id", "turn_idx")
+        todo = filter_unprocessed(todo, processed)
+
+    distributed = salted_repartition(todo, cfg.num_partitions, cfg.salt_buckets)
+    extracted = extract_turns(distributed)
+    out_table.append(extracted, cfg.run_id)
+
+    this_run = spark.read.parquet(
+        os.path.join(out_table.data_dir, f"run_id={cfg.run_id}"))
+    sidecar = build_sidecar(this_run, cfg.run_id, cfg.stage_settings)
+    side_table.append(sidecar, cfg.run_id)
+
+    agg = sidecar.groupBy().sum("rows_in", "rows_out",
+                                "empty_after_strip", "parse_failures").collect()
+    if agg and agg[0][0] is not None:
+        r = agg[0]
+        return {"rows_in": r[0], "rows_out": r[1],
+                "empty_after_strip": r[2], "parse_failures": r[3]}
+    return {"rows_in": 0, "rows_out": 0,
+            "empty_after_strip": 0, "parse_failures": 0}

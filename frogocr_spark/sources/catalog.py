@@ -1,0 +1,65 @@
+"""Table IO: Iceberg when available, parquet + manifest otherwise.
+
+The sandbox image has no Iceberg runtime jar, so the default backend is a
+parquet directory with identical *semantics* behind one interface
+(SURVEY §7 hard part 4):
+
+- ``append(df, run_id)``  — idempotent append: rows land under
+  ``data/run_id=<id>/`` so a re-run of the same run_id overwrites its own
+  files instead of duplicating them (the Iceberg
+  snapshot-per-commit analog; FrogOCR's at-most-once fetch-then-delete —
+  reference ``Source/Application.cpp:62-64,518-521`` — becomes
+  exactly-once: checkpointed keys + idempotent writes, SURVEY §2.8 T6).
+- ``read()``              — full table scan.
+- ``processed_keys()``    — the committed key set used by the resume
+  anti-join (output-exists skip F1 — reference
+  ``Source/TaskProcessor.cpp:191-209``).
+
+At 100 TB the backend would be a real Iceberg catalog; every call site
+only touches this class, so the swap is one module.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Table:
+    """One logical table rooted at ``path`` (parquet backend)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+
+    def exists(self) -> bool:
+        if not os.path.isdir(self.data_dir):
+            return False
+        for _root, _dirs, files in os.walk(self.data_dir):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def append(self, df: DataFrame, run_id: str) -> None:
+        """Idempotent append: one directory per run_id; re-running a failed
+        run_id replaces only that run's files (dynamic partition overwrite)."""
+        out = os.path.join(self.data_dir, f"run_id={run_id}")
+        df.write.mode("overwrite").parquet(out)
+
+    def overwrite(self, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(self.data_dir, "run_id=all"))
+
+    def read(self) -> DataFrame:
+        # basePath keeps the run_id partition column out of the schema
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(
+            self.data_dir
+        )
+
+    def processed_keys(self, *key_cols: str) -> DataFrame | None:
+        """Committed keys for the F1 resume anti-join (column-pruned scan —
+        only the key columns are read from parquet)."""
+        if not self.exists():
+            return None
+        return self.read().select(*key_cols)
