@@ -1,0 +1,107 @@
+"""Multimodal payload plumbing: opaque binary columns + typed metadata.
+
+The reference decodes images via leptonica (``pixReadMem`` —
+``Source/TaskProcessor.cpp:213-226``).  This container has no image/audio
+libraries, so per the build contract the DECODE step is stubbed while the
+Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
+signatures — is real and tested:
+
+- :func:`attach_binary_payload` builds a deterministic fake ``binary``
+  column + metadata struct from text rows (stands in for real blobs).
+- :func:`decode_features` is the ``mapInPandas`` feature extractor: it
+  sniffs the magic bytes (real logic), routes to a decoder, and the
+  decoder itself raises ``NotImplementedError`` unless
+  ``fake_decode=True`` (deterministic fake features for tests/bench).
+
+At 100 TB the binary column rides the same salted-repartition path as
+text: blobs stay partition-local (never collected), metadata is a narrow
+struct so scans that only need metadata never read blob bytes (parquet
+column pruning).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = {b"\x89PNG": "png", b"\xff\xd8\xff": "jpeg", b"RIFF": "wav"}
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), False),
+    T.StructField("n_bytes", T.IntegerType(), False),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def attach_binary_payload(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Deterministic fake blob: md5-seeded bytes with a real magic header
+    chosen by id; metadata struct alongside."""
+    kind = F.pmod(F.col(id_col), F.lit(3))
+    header = (F.when(kind == 0, F.lit(b"\x89PNG"))
+              .when(kind == 1, F.lit(b"\xff\xd8\xff"))
+              .otherwise(F.lit(b"RIFF")))
+    body = F.encode(F.md5(F.col(text_col)), "utf-8").cast("binary")
+    return (df
+            .withColumn("payload", F.concat(header, body))
+            .withColumn("media_meta", F.struct(
+                F.when(kind == 0, "image/png")
+                 .when(kind == 1, "image/jpeg")
+                 .otherwise("audio/wav").alias("mime"),
+                (F.length(F.col(text_col)) % 1024).alias("width"),
+                F.lit(512).alias("height"),
+            )))
+
+
+def sniff_magic(blob: bytes) -> str:
+    for magic, name in MAGIC.items():
+        if blob[:len(magic)] == magic:
+            return name
+    return "unknown"
+
+
+def _decode_real(blob: bytes, media: str) -> np.ndarray:
+    """Real decoder slot — image/audio libs are not in this container."""
+    raise NotImplementedError(
+        f"{media} decode requires PIL/libsndfile (not installed); "
+        "run with fake_decode=True or install codecs on the cluster image")
+
+
+def _decode_fake(blob: bytes, media: str, dim: int = 8) -> np.ndarray:
+    """Deterministic fake features: md5-seeded floats (test/bench path)."""
+    digest = hashlib.md5(blob).digest()
+    return np.frombuffer((digest * ((dim * 4) // 16 + 1))[:dim * 4],
+                         dtype=np.uint32).astype(np.float32) / np.float32(2**32)
+
+
+def decode_features(df: DataFrame, id_col: str = "doc_id",
+                    blob_col: str = "payload",
+                    fake_decode: bool = False, dim: int = 8) -> DataFrame:
+    """Arrow-batched decode/feature-extract over binary payloads."""
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                blob = bytes(blob)
+                media = sniff_magic(blob)
+                feat, err = None, None
+                try:
+                    vec = (_decode_fake(blob, media, dim) if fake_decode
+                           else _decode_real(blob, media))
+                    feat = [float(x) for x in vec]
+                except NotImplementedError as e:
+                    err = str(e)
+                out.append((int(doc_id), media, len(blob), feat, err))
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA])
+
+    return narrow.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,75 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.  All pure column expressions (JVM-side,
+whole-stage codegen) — deliberately SQL-expressible so every one has a
+DuckDB oracle in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword models (n-gram-heuristic stand-ins)
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "that", "it", "for")
+NO_STOPWORDS = ("og", "i", "det", "som", "på", "til", "er", "av", "for", "med")
+
+_WS = r"\s+"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish regex split; empty → 0)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, _WS)))
+
+
+def _stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
+    lowered = F.lower(text)
+    hits = None
+    for w in words:
+        # word-boundary count via split-length trick (portable to DuckDB)
+        n = F.size(F.split(F.concat(F.lit(" "), lowered, F.lit(" ")),
+                           f"\\s{w}\\s")) - 1
+        hits = n if hits is None else hits + n
+    return hits
+
+
+def language_id(text: Column) -> Column:
+    """Heuristic language ID: argmax stopword-hit ratio over tiny models;
+    'xx' when no model clears 2% of tokens."""
+    toks = token_count(text)
+    en = _stopword_hits(text, EN_STOPWORDS)
+    no = _stopword_hits(text, NO_STOPWORDS)
+    return (F.when(toks == 0, F.lit("xx"))
+            .when((en >= no) & (en * 50 >= toks), F.lit("en"))
+            .when((no > en) & (no * 50 >= toks), F.lit("no"))
+            .otherwise(F.lit("xx")))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: length term, alpha ratio, mean word
+    length sanity — rounded to 6 dp for cross-engine stability."""
+    t = F.trim(text)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    toks = token_count(t)
+    len_term = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    mean_wl = F.when(toks > 0, n_chars / toks).otherwise(F.lit(0.0))
+    wl_term = F.when((mean_wl >= 3) & (mean_wl <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_term + alpha_ratio + wl_term) / F.lit(3.0), 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text (portable across engines)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), _WS, " ")
+    return F.md5(norm)
+
+
+def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return (df
+            .withColumn("n_tokens", token_count(c))
+            .withColumn("lang_id", language_id(c))
+            .withColumn("quality", quality_score(c))
+            .withColumn("fingerprint", fingerprint(c)))

@@ -1,0 +1,82 @@
+"""Dedup operators: exact groups, relational Jaccard vs Python, MinHash-LSH
+and SimHash recall against exact ground truth."""
+
+import itertools
+
+import pytest
+
+from frogocr_spark.operators import dedup
+
+
+def _corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old barn"
+    rows = [
+        (0, base),
+        (1, base),                                    # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),          # near dup
+        (3, base + " tonight"),                       # near dup
+        (4, "completely different words about spark shuffles and parquet"),
+        (5, "another unrelated sentence mentioning catalysts and codegen"),
+        (6, base.replace("quick", "swift").replace("dog", "hound")),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+
+def _exact_jaccard(a: str, b: str) -> float:
+    sa, sb = set(a.split()), set(b.split())
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(spark):
+    df, _ = _corpus(spark)
+    got = dedup.exact_dedup(df, "doc_id", "text").collect()
+    assert len(got) == 1 and got[0].keep_id == 0 and got[0].n_dupes == 2
+
+
+def test_ngram_jaccard_matches_python(spark):
+    df, rows = _corpus(spark)
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", 0.5).collect()}
+    expect = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        j = _exact_jaccard(ta, tb)
+        if j >= 0.5:
+            expect[(ia, ib)] = j
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert got[k] == pytest.approx(v, abs=1e-12)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df, rows = _corpus(spark)
+    got = {(r.id_a, r.id_b)
+           for r in dedup.minhash_lsh_pairs(df, "doc_id", "text",
+                                            num_hashes=32, bands=8,
+                                            threshold=0.5).collect()}
+    # the exact duplicate pair must always be found (identical signatures)
+    assert (0, 1) in got
+    # every reported pair must be genuinely similar (estimator sanity):
+    texts = dict(rows)
+    for ia, ib in got:
+        assert _exact_jaccard(texts[ia], texts[ib]) >= 0.3
+
+
+def test_minhash_signature_deterministic(spark):
+    df, _ = _corpus(spark)
+    s1 = dedup.minhash_signatures(df, "doc_id", "text", 8).collect()
+    s2 = dedup.minhash_signatures(df, "doc_id", "text", 8).collect()
+    assert sorted(map(str, s1)) == sorted(map(str, s2))
+
+
+def test_simhash_near_pairs(spark):
+    df, rows = _corpus(spark)
+    sh = {r.doc_id: r.simhash
+          for r in dedup.simhash(df, "doc_id", "text").collect()}
+    assert sh[0] == sh[1]  # identical text → identical fingerprint
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.simhash_near_pairs(df, "doc_id", "text",
+                                             max_hamming=3).collect()}
+    assert got.get((0, 1)) == 0
+    # verify reported hamming against python popcount
+    for (ia, ib), h in got.items():
+        assert bin(sh[ia] ^ sh[ib]).count("1") == h <= 3
