@@ -73,6 +73,9 @@ def as_of_join(left: DataFrame, right: DataFrame, keys: list[str],
           .withColumn("_side", F.lit(0)))
     for c in right_cols:
         lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
+    for c in left.columns:
+        if c not in keys:
+            rt = rt.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
     unioned = lt.unionByName(rt.select(*lt.columns))
 
     if direction == "backward":
