@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full extraction pipeline operator chain on
+a deterministic synthetic transcripts table at sf0.001 scale.
+
+``queries()`` — one entry per implemented operator from SURVEY.md §2 plus
+the training-data-pipeline operators (dedup / similarity / text analysis /
+multimodal).  Each callable takes (spark, sf_dir) and returns a DataFrame.
+
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents for every
+SQL-expressible query (same column names, same rounding).  Queries without
+an oracle entry (extraction mapInPandas chain, xxhash64-based sketches,
+multimodal UDF plumbing) get the driver's rows-only check and are instead
+byte-verified against the pure-Python oracle in tests/.
 """
 
 from __future__ import annotations
@@ -12,27 +19,625 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Extraction pipeline at sf0.001: generate transcripts → salted
+    repartition + secondary sort → fused mapInPandas extraction."""
+    from frogocr_spark.operators.extraction import extract_turns
+    from frogocr_spark.operators.skew import salted_repartition
+    from frogocr_spark.sources import transcripts
+
+    tdf = transcripts.generate_for_sf(spark, "/root/testdata/sf0.001")
+    return extract_turns(salted_repartition(tdf, num_partitions=8))
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _q_pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction over synthetic transcripts (non-SQL; oracle =
+    pure-Python extractor, verified in tests/test_pipeline.py)."""
+    from frogocr_spark.operators.extraction import extract_turns
+    from frogocr_spark.operators.skew import salted_repartition
+    from frogocr_spark.sources import transcripts
+
+    tdf = transcripts.generate_for_sf(spark, sf_dir)
+    out = extract_turns(salted_repartition(tdf))
+    return out.select("conv_id", "turn_idx", "payload_class",
+                      "extracted_text", "n_spans", "parse_failed",
+                      "empty_after_strip")
+
+
+def _q_extract_plain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL mapInPandas extractor over documents.text (plain prose) —
+    hash-checked against a SQL trim oracle: proves the UDF path itself."""
+    from frogocr_spark.operators.extraction import extract_turns
+
+    docs = _read(spark, sf_dir, "documents")
+    shaped = docs.select(F.col("doc_id"), F.col("text"))
+    out = extract_turns(shaped, passthrough=("doc_id",),
+                        with_partition_id=False)
+    return out.select(
+        "doc_id", "extracted_text",
+        F.element_at("spans", 1)["start"].alias("span_start"),
+        F.element_at("spans", 1)["end"].alias("span_end"),
+        F.col("n_spans"))
+
+
+def _q_w2_priority_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frogocr_spark.operators.windows import priority_limit
+    orders = _read(spark, sf_dir, "orders")
+    return priority_limit(orders, "o_totalprice", 10, tiebreak="o_orderkey") \
+        .select("o_orderkey", "o_totalprice")
+
+
+def _q_w3_positional_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frogocr_spark.operators.windows import positional_ids
+    docs = _read(spark, sf_dir, "documents")
+    return positional_ids(docs, ["source"], ["doc_id"]) \
+        .select("doc_id", "source", "pos_id")
+
+
+def _q_w1_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frogocr_spark.operators.windows import reading_order_rank
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.floor("value").cast("long").alias("y"),
+        F.col("user_id").alias("x"))
+    return reading_order_rank(ev, ["event_type"], "y", "x",
+                              tiebreak="event_id") \
+        .select("event_id", "event_type", "read_rank")
+
+
+def _q_f1_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    processed = docs.where("doc_id % 3 = 0").select("doc_id")
+    return docs.join(processed, "doc_id", "left_anti") \
+        .select("doc_id", "n_chars")
+
+
+def _q_f9_settings_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (ev.where(F.col("event_type").endswith("ck"))
+            .select("event_id",
+                    F.get_json_object("props", "$.k").cast("int").alias("k_val")))
+
+
+def _q_a1_avg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.avg("value"), 6).alias("avg_value")))
+
+
+def _q_a3_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frogocr_spark.operators.windows import mode_per_group
+    ev = _read(spark, sf_dir, "events")
+    return mode_per_group(ev, ["user_id"], "event_type", "mode_value")
+
+
+def _q_a4_majority_relaxation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 as a relational two-pass agg: strict count decides the threshold,
+    then accepted = count above the chosen threshold."""
+    ev = _read(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("value") > 95, 1)).alias("n_confident"),
+        F.count(F.when(F.col("value") > 70, 1)).alias("n_above_relaxed"))
+    relaxed = (F.col("n_confident") * 2) > F.col("n_total")
+    return agg.select(
+        "event_type", "n_total", "n_confident",
+        relaxed.alias("relaxed"),
+        F.when(relaxed, F.col("n_above_relaxed"))
+         .otherwise(F.col("n_confident")).alias("n_accepted"))
+
+
+def _q_a5_bbox_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+                 F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+                 F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+                 F.round(F.max("l_extendedprice"), 2).alias("max_price")))
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 0).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 0).alias("sum_base_price"),
+                 F.round(F.sum(disc), 0).alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def _q_tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey")
+            .agg(F.round(F.sum(rev), 0).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10))
+
+
+def _q_j1_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 as an interval-overlap join: per-user 1-hour activity intervals
+    (event ts .. ts+3600s) overlapping with coverage > 0.75."""
+    from frogocr_spark.operators.joins import interval_overlap_join
+    # ts is TIMESTAMP_NTZ in the parquet: NTZ→long is disallowed, so go
+    # through session-TZ timestamp (UTC) — matches DuckDB's naive epoch()
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("t0"))
+    left = ev.select("user_id", F.col("event_id").alias("id_a"),
+                     F.col("t0").alias("ls"), (F.col("t0") + 3600).alias("le"))
+    right = ev.select("user_id", F.col("event_id").alias("id_b"),
+                      F.col("t0").alias("rs"), (F.col("t0") + 3600).alias("re"))
+    out = interval_overlap_join(left, right, ["user_id"],
+                                "ls", "le", "rs", "re",
+                                coverage=0.75, bucket_width=4096)
+    return (out.where(F.col("id_a") < F.col("id_b"))
+            .select("user_id", "id_a", "id_b"))
+
+
+def _q_j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frogocr_spark.operators.joins import as_of_join
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.where("event_type = 'error'").select(
+        "user_id", "event_id", "ts")
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"))
+    out = as_of_join(errors, clicks, ["user_id"], "ts", "cts", ["click_id"])
+    return out.select("event_id", "click_id")
+
+
+def _q_j7_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frogocr_spark.operators.joins import nearest_neighbor_join
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.where("event_type = 'error'").select(
+        "user_id", "event_id", "value")
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", F.col("value").alias("cv"))
+    out = nearest_neighbor_join(errors, clicks.withColumn("nn_value", F.col("cv")),
+                                ["user_id"], ["event_id"], "value", "cv",
+                                ["nn_value"])
+    return out.select("event_id", "nn_value")
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 analog: 30-min-gap sessionization via lag + cumulative sum."""
+    from pyspark.sql import Window
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tsec = F.col("ts").cast("timestamp").cast("long")
+    gap = (tsec - F.lag(tsec).over(w)) > 1800
+    sess = F.sum(F.when(gap, 1).otherwise(0)).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0))
+    return (ev.withColumn("session_id", sess)
+            .groupBy("user_id")
+            .agg((F.max("session_id") + 1).alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (docs.withColumn("digest", F.md5("text"))
+            .groupBy("digest")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_dupes")))
+
+
+def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frogocr_spark.operators.dedup import ngram_jaccard_pairs
+    docs = _read(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (xxhash64-based — no portable SQL
+    oracle; accuracy tested vs exact Jaccard in tests/test_dedup.py)."""
+    from frogocr_spark.operators.dedup import minhash_lsh_pairs
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text",
+                             num_hashes=32, bands=8, threshold=0.5) \
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frogocr_spark.operators.dedup import simhash_near_pairs
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frogocr_spark.operators.textstats import with_textstats
+    docs = _read(spark, sf_dir, "documents")
+    return with_textstats(docs).select(
+        "doc_id", "n_tokens", "lang_id", "quality", "fingerprint")
+
+
+def _q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frogocr_spark.operators.similarity import cosine_topk_bruteforce
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 10")
+    out = cosine_topk_bruteforce(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 4).alias("cosine"), "rank")
+
+
+def _q_sim_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN path (deterministic hyperplane LSH) — recall vs brute force is
+    tested in tests/test_similarity.py; rows-only check here."""
+    from frogocr_spark.operators.similarity import cosine_topk_lsh
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 10")
+    out = cosine_topk_lsh(emb, queries, k=5, dim=64, nbits=8, ntables=4)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 4).alias("cosine"))
+
+
+def _q_c6_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _read(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").alias("lev_bt"),
+        F.levenshtein("p_name", F.reverse("p_name")).alias("lev_pal"))
+
+
+def _q_c7_xml_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frogocr_spark.functions.text import xml_attribute_escape
+    docs = _read(spark, sf_dir, "documents")
+    probe = F.concat(F.lit('a&"<>'), F.substring("text", 1, 12))
+    return docs.select("doc_id", xml_attribute_escape(probe).alias("escaped"))
+
+
+def _q_c5_token_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frogocr_spark.functions.text import merge_tokens
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", merge_tokens(F.col("text")).alias("assembled"))
+
+
+def _q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.count(F.when(F.trim("text") == "", 1)).alias("n_empty")))
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing (decode stubbed/fake — rows-only check)."""
+    from frogocr_spark.operators.multimodal import (attach_binary_payload,
+                                                    decode_features)
+    docs = _read(spark, sf_dir, "documents").limit(200)
+    blobs = attach_binary_payload(docs)
+    out = decode_features(blobs, fake_decode=True, dim=8)
+    return out.select("doc_id", "media_type", "n_bytes",
+                      F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pipeline_extract": _q_pipeline_extract,
+        "extract_plain_docs": _q_extract_plain_docs,
+        "w1_reading_order": _q_w1_reading_order,
+        "w2_priority_limit": _q_w2_priority_limit,
+        "w3_positional_ids": _q_w3_positional_ids,
+        "f1_anti_join_resume": _q_f1_anti_join_resume,
+        "f9_settings_projection": _q_f9_settings_projection,
+        "a1_avg_per_group": _q_a1_avg_per_group,
+        "a3_mode_per_user": _q_a3_mode_per_user,
+        "a4_majority_relaxation": _q_a4_majority_relaxation,
+        "a5_bbox_minmax": _q_a5_bbox_minmax,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3_topk": _q_tpch_q3_topk,
+        "j1_interval_join": _q_j1_interval_join,
+        "j6_asof_join": _q_j6_asof_join,
+        "j7_nearest_neighbor": _q_j7_nearest_neighbor,
+        "sessionize": _q_sessionize,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "textstats": _q_textstats,
+        "sim_cosine_topk": _q_sim_cosine_topk,
+        "sim_cosine_lsh": _q_sim_cosine_lsh,
+        "c5_token_assembly": _q_c5_token_assembly,
+        "c6_levenshtein": _q_c6_levenshtein,
+        "c7_xml_escape": _q_c7_xml_escape,
+        "metrics_rollup": _q_metrics_rollup,
+        "multimodal_features": _q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, same column names & rounding)
+# --------------------------------------------------------------------------
+
+_EN = ("the", "a", "and", "of", "to", "in", "is", "that", "it", "for")
+_NO = ("og", "i", "det", "som", "på", "til", "er", "av", "for", "med")
+
+
+def _sw_hits(words) -> str:
+    terms = [
+        rf"(len(string_split_regex(' ' || lower(text) || ' ', '\s{w}\s')) - 1)"
+        for w in words
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    n_tokens = (r"CASE WHEN trim(text) = '' THEN 0 "
+                r"ELSE len(string_split_regex(trim(text), '\s+')) END")
+    en_hits, no_hits = _sw_hits(_EN), _sw_hits(_NO)
+    return {
+        "extract_plain_docs": f"""
+            SELECT doc_id,
+                   trim(text) AS extracted_text,
+                   CASE WHEN trim(text) = '' THEN NULL
+                        ELSE CAST(length(text) - length(ltrim(text)) AS INT)
+                   END AS span_start,
+                   CASE WHEN trim(text) = '' THEN NULL
+                        ELSE CAST(length(text) - length(ltrim(text))
+                                  + length(trim(text)) AS INT)
+                   END AS span_end,
+                   CASE WHEN trim(text) = '' THEN 0 ELSE 1 END AS n_spans
+            FROM documents
+        """,
+        "w1_reading_order": """
+            SELECT event_id, event_type,
+                   CAST(row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(floor(CAST(floor(value) AS BIGINT) / 10) AS BIGINT),
+                                user_id, CAST(floor(value) AS BIGINT), event_id
+                   ) AS INT) AS read_rank
+            FROM events
+        """,
+        "w2_priority_limit": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "w3_positional_ids": """
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT)
+                   AS pos_id
+            FROM documents
+        """,
+        "f1_anti_join_resume": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+        """,
+        "f9_settings_projection": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+            FROM events WHERE event_type LIKE '%ck'
+        """,
+        "a1_avg_per_group": """
+            SELECT event_type, count(*) AS n_events,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "a3_mode_per_user": """
+            SELECT user_id, event_type AS mode_value FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC, event_type) AS rk
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rk = 1
+        """,
+        "a4_majority_relaxation": """
+            SELECT event_type, n_total, n_confident,
+                   (n_confident * 2) > n_total AS relaxed,
+                   CASE WHEN (n_confident * 2) > n_total
+                        THEN n_above_relaxed ELSE n_confident END AS n_accepted
+            FROM (
+                SELECT event_type, count(*) AS n_total,
+                       count(*) FILTER (value > 95) AS n_confident,
+                       count(*) FILTER (value > 70) AS n_above_relaxed
+                FROM events GROUP BY event_type
+            )
+        """,
+        "a5_bbox_minmax": """
+            SELECT l_returnflag,
+                   strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+                   strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship,
+                   round(min(l_extendedprice), 2) AS min_price,
+                   round(max(l_extendedprice), 2) AS max_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 0) AS sum_qty,
+                   round(sum(l_extendedprice), 0) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3_topk": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "j1_interval_join": """
+            WITH iv AS (
+                SELECT user_id, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                       CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS e
+                FROM events
+            )
+            SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+            FROM iv a JOIN iv b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+            WHERE least(a.e, b.e) - greatest(a.s, b.s) > 0
+              AND (CAST(least(a.e, b.e) - greatest(a.s, b.s) AS DOUBLE)
+                     / (a.e - a.s) > 0.75
+                OR CAST(least(a.e, b.e) - greatest(a.s, b.s) AS DOUBLE)
+                     / (b.e - b.s) > 0.75)
+        """,
+        "j6_asof_join": """
+            SELECT e.event_id,
+                   (SELECT c.event_id FROM events c
+                    WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                      AND c.ts <= e.ts
+                    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+            FROM events e WHERE e.event_type = 'error'
+        """,
+        "j7_nearest_neighbor": """
+            SELECT event_id, nn_value FROM (
+                SELECT e.event_id, c.value AS nn_value,
+                       row_number() OVER (PARTITION BY e.event_id
+                                          ORDER BY abs(e.value - c.value), c.value) AS rk
+                FROM events e JOIN events c ON e.user_id = c.user_id
+                WHERE e.event_type = 'error' AND c.event_type = 'click'
+            ) WHERE rk = 1
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                                 - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > 1800 THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ), s AS (
+                SELECT user_id,
+                       sum(new_sess) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g
+            )
+            SELECT user_id, max(session_id) + 1 AS n_sessions,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+                   count(*) AS n_dupes
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_jaccard": r"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS token
+                FROM documents
+            ), toks_ne AS (
+                SELECT doc_id, token FROM toks WHERE token <> ''
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM toks_ne GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM toks_ne a JOIN toks_ne b USING (token)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(n_inter AS DOUBLE)
+                         / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8
+        """,
+        "textstats": f"""
+            SELECT doc_id,
+                   CAST({n_tokens} AS INT) AS n_tokens,
+                   CASE WHEN {n_tokens} = 0 THEN 'xx'
+                        WHEN {en_hits} >= {no_hits}
+                             AND {en_hits} * 50 >= {n_tokens} THEN 'en'
+                        WHEN {no_hits} > {en_hits}
+                             AND {no_hits} * 50 >= {n_tokens} THEN 'no'
+                        ELSE 'xx' END AS lang_id,
+                   round((
+                       least(length(trim(text)) / 500.0, 1.0)
+                       + CASE WHEN length(trim(text)) > 0
+                              THEN CAST(length(regexp_replace(trim(text),
+                                   '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                                   / length(trim(text))
+                              ELSE 0.0 END
+                       + CASE WHEN {n_tokens} > 0
+                                   AND length(trim(text)) * 1.0 / {n_tokens} >= 3
+                                   AND length(trim(text)) * 1.0 / {n_tokens} <= 12
+                              THEN 1.0 ELSE 0.5 END
+                   ) / 3.0, 6) AS quality,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fingerprint
+            FROM documents
+        """,
+        "sim_cosine_topk": """
+            SELECT query_id, neighbor_id, round(cos, 4) AS cosine,
+                   CAST(rk AS INT) AS rank
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           CAST(c.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])) AS cos,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(c.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])) DESC,
+                           c.vec_id) AS rk
+                FROM embeddings c,
+                     (SELECT * FROM embeddings WHERE vec_id < 10) q
+                WHERE c.vec_id <> q.vec_id
+            ) WHERE rk <= 5
+        """,
+        "c5_token_assembly": r"""
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> ''), ' ') AS assembled
+            FROM documents
+        """,
+        "c6_levenshtein": """
+            SELECT p_partkey,
+                   CAST(levenshtein(p_brand, p_type) AS INT) AS lev_bt,
+                   CAST(levenshtein(p_name, reverse(p_name)) AS INT) AS lev_pal
+            FROM part
+        """,
+        "c7_xml_escape": """
+            SELECT doc_id,
+                   replace(replace(replace(replace(
+                       'a&"<>' || substr(text, 1, 12),
+                       '&', '&amp;'), '"', '&quot;'),
+                       '<', '&lt;'), '>', '&gt;') AS escaped
+            FROM documents
+        """,
+        "metrics_rollup": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   count(*) FILTER (trim(text) = '') AS n_empty
+            FROM documents GROUP BY source
+        """,
+    }

@@ -1,0 +1,124 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line.  Primary metric: extraction throughput (turns/sec) over the
+synthetic transcripts table at the same scale factor.
+
+Scaling evidence for the north rule (≥0.8 efficiency between N and 4N
+executors): the same extraction job is run at local[N_LOW] and
+local[N_HIGH] cores over the same pre-materialized input; efficiency =
+(throughput_high / throughput_low) / (N_HIGH / N_LOW).  Set
+SPARK_GRAFT_SCALING=0 to skip the extra runs (drops the scaling block).
+
+Usage: python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+N_LOW, N_HIGH = 8, 32
+
+BENCH_QUERIES = [
+    "pipeline_extract", "extract_plain_docs", "tpch_q1", "tpch_q3_topk",
+    "a1_avg_per_group", "a3_mode_per_user", "w1_reading_order",
+    "w3_positional_ids", "f1_anti_join_resume", "j1_interval_join",
+    "j6_asof_join", "j7_nearest_neighbor", "sessionize",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "textstats",
+    "sim_cosine_topk", "sim_cosine_lsh", "metrics_rollup",
+]
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _time_queries(spark, names: list[str]) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        _noop_write(qs[name](spark, SF_DIR))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def _extraction_run(cores: int, input_dir: str, n_rows: int,
+                    app: str) -> float:
+    """One cold session: read materialized transcripts → salted repartition
+    → extract → noop write.  Returns turns/sec."""
+    from frogocr_spark.operators.extraction import extract_turns
+    from frogocr_spark.operators.skew import salted_repartition
+    from frogocr_spark.session import get_spark
+
+    spark = get_spark(app_name=app, cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    try:
+        df = spark.read.parquet(input_dir)
+        # warm the JVM/Python workers so we measure steady-state throughput
+        _noop_write(df.limit(2000))
+        t0 = time.time()
+        _noop_write(extract_turns(salted_repartition(df, cores * 2)))
+        dt = time.time() - t0
+    finally:
+        spark.stop()
+    return n_rows / dt
+
+
+def main() -> None:
+    from frogocr_spark.session import get_spark
+    from frogocr_spark.sources import transcripts
+
+    sf = transcripts.sf_of_dir(SF_DIR)
+    tmp = tempfile.mkdtemp(prefix="frogocr_bench_")
+    input_dir = os.path.join(tmp, "transcripts")
+
+    result: dict = {"metric": "extraction_throughput", "unit": "sec",
+                    "sf": sf, "cpus": CPUS}
+    try:
+        # materialize the transcripts input once (generation excluded from
+        # the timed extraction runs)
+        spark = get_spark(app_name="bench-main", cores=CPUS)
+        tdf = transcripts.generate_for_sf(spark, SF_DIR)
+        tdf.write.mode("overwrite").parquet(input_dir)
+        n_rows = spark.read.parquet(input_dir).count()
+        result["n_turns"] = n_rows
+
+        queries = _time_queries(spark, BENCH_QUERIES)
+        spark.stop()
+
+        tput_main = _extraction_run(CPUS, input_dir, n_rows, "bench-extract")
+        queries["extraction_turns_per_sec"] = round(tput_main, 1)
+        result["queries"] = queries
+        result["value"] = round(n_rows / tput_main, 3)  # seconds, headline
+
+        if RUN_SCALING:
+            tp_low = _extraction_run(N_LOW, input_dir, n_rows, "bench-low")
+            tp_high = (tput_main if CPUS == N_HIGH else
+                       _extraction_run(N_HIGH, input_dir, n_rows, "bench-high"))
+            eff = (tp_high / tp_low) / (N_HIGH / N_LOW)
+            result["scaling"] = {
+                "cores_low": N_LOW, "turns_per_sec_low": round(tp_low, 1),
+                "cores_high": N_HIGH, "turns_per_sec_high": round(tp_high, 1),
+                "efficiency": round(eff, 3),
+            }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

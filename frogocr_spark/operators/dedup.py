@@ -115,16 +115,21 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
             bits: int = 64) -> DataFrame:
     """64-bit SimHash: per-token xxhash64, sum of per-bit votes, sign →
     bit.  Fully JVM-side: explode → per-bit vote aggregate → bit-OR fold."""
+    def _mask(i: int):
+        # bit 63 of a signed long is the sign bit: 1<<63 overflows a Java
+        # long literal, so use the two's-complement value
+        return F.lit(-(1 << 63) if i == 63 else (1 << i))
+
     toks = _tokens(df, id_col, text_col).withColumn(
         "th", F.xxhash64(F.col("token")))
     votes = toks.groupBy(id_col).agg(*[
-        F.sum(F.when(F.col("th").bitwiseAND(F.lit(1 << i)) != 0, 1)
+        F.sum(F.when(F.col("th").bitwiseAND(_mask(i)) != 0, 1)
               .otherwise(-1)).alias(f"b{i}")
         for i in range(bits)
     ])
     fingerprint = None
     for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(F.col(f"b{i}") > 0, _mask(i)).otherwise(F.lit(0))
         fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
     return votes.select(id_col, fingerprint.alias("simhash"))
 

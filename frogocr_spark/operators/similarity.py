@@ -23,8 +23,12 @@ from __future__ import annotations
 import hashlib
 import struct
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 
 def _cosine(a, b):
@@ -73,16 +77,26 @@ def _hyperplanes(dim: int, nbits: int, table: int) -> list[list[float]]:
     return planes
 
 
-def _bucket_expr(vec_col: str, planes: list[list[float]]):
-    """Sign-signature bucket id as a JVM-side expression (no UDF)."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        dot = None
-        for j, w in enumerate(plane):
-            term = F.col(vec_col)[j] * F.lit(w)
-            dot = term if dot is None else dot + term
-        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+def _bucket_udf(dim: int, nbits: int, ntables: int):
+    """Vectorized bucket assignment: one numpy matmul per Arrow batch over
+    ALL tables' hyperplanes at once → array<long> of ntables bucket ids.
+    Each table's id is offset by table_index * 2^nbits so ids never
+    collide across tables (one explode+join instead of ntables joins)."""
+    planes = np.array([_hyperplanes(dim, nbits, t) for t in range(ntables)],
+                      dtype=np.float64)          # (ntables, nbits, dim)
+    flat = planes.reshape(ntables * nbits, dim).T   # (dim, ntables*nbits)
+    weights = (1 << np.arange(nbits, dtype=np.int64))
+    offsets = (np.arange(ntables, dtype=np.int64) << nbits)
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())            # (n, dim)
+        signs = (mat @ flat) > 0                    # (n, ntables*nbits)
+        bits = signs.reshape(len(mat), ntables, nbits).astype(np.int64)
+        ids = (bits * weights).sum(axis=2) + offsets  # (n, ntables)
+        return pd.Series(list(ids))
+
+    return buckets
 
 
 def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
@@ -95,14 +109,12 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv"))
 
-    cand = None
-    for t in range(ntables):
-        planes = _hyperplanes(dim, nbits, t)
-        cb = c.withColumn("_bkt", _bucket_expr("cv", planes))
-        qb = F.broadcast(q.withColumn("_bkt", _bucket_expr("qv", planes)))
-        hits = cb.join(qb, "_bkt").drop("_bkt")
-        cand = hits if cand is None else cand.unionByName(hits)
-    cand = (cand.dropDuplicates(["query_id", "neighbor_id"])
+    buckets = _bucket_udf(dim, nbits, ntables)
+    cb = c.select("*", F.explode(buckets(F.col("cv"))).alias("_bkt"))
+    qb = F.broadcast(
+        q.select("*", F.explode(buckets(F.col("qv"))).alias("_bkt")))
+    cand = (cb.join(qb, "_bkt").drop("_bkt")
+            .dropDuplicates(["query_id", "neighbor_id"])
             .where(F.col("neighbor_id") != F.col("query_id")))
     scored = cand.withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(

@@ -31,7 +31,8 @@ def positional_ids(df: DataFrame, partition_cols: list[str],
 
 def reading_order_rank(df: DataFrame, partition_cols: list[str],
                        y_col: str, x_col: str, band: int = 10,
-                       rank_col: str = "read_rank") -> DataFrame:
+                       rank_col: str = "read_rank",
+                       tiebreak: str | None = None) -> DataFrame:
     """W1 (relational analog): band-then-x reading order as a window rank.
 
     The exact reference algorithm (single bubble pass,
@@ -40,8 +41,10 @@ def reading_order_rank(df: DataFrame, partition_cols: list[str],
     SQL-expressible large-scale variant: quantize y into bands, rank by
     (band, x, y)."""
     band_col = F.floor(F.col(y_col) / F.lit(band))
-    w = Window.partitionBy(*partition_cols).orderBy(
-        band_col, F.col(x_col), F.col(y_col))
+    order = [band_col, F.col(x_col), F.col(y_col)]
+    if tiebreak:
+        order.append(F.col(tiebreak))
+    w = Window.partitionBy(*partition_cols).orderBy(*order)
     return df.withColumn(rank_col, F.row_number().over(w))
 
 

@@ -40,7 +40,7 @@ def test_lsh_recall_vs_bruteforce(spark, emb_df):
     queries = emb_df.where("vec_id < 10")
     exact = similarity.cosine_topk_bruteforce(emb_df, queries, k=5).collect()
     approx = similarity.cosine_topk_lsh(emb_df, queries, k=5, dim=DIM,
-                                        nbits=6, ntables=6).collect()
+                                        nbits=4, ntables=8).collect()
     exact_set = {(r.query_id, r.neighbor_id) for r in exact}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
