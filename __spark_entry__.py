@@ -381,11 +381,9 @@ _NO = ("og", "i", "det", "som", "på", "til", "er", "av", "for", "med")
 
 
 def _sw_hits(words) -> str:
-    terms = [
-        rf"(len(string_split_regex(' ' || lower(text) || ' ', '\s{w}\s')) - 1)"
-        for w in words
-    ]
-    return "(" + " + ".join(terms) + ")"
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (r"len(list_filter(string_split_regex(lower(trim(text)), '\s+'), "
+            f"x -> x IN ({lst})))")
 
 
 def oracle_sql() -> dict[str, str]:

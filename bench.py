@@ -67,8 +67,11 @@ def _extraction_run(cores: int, input_dir: str, n_rows: int,
                       shuffle_partitions=max(cores, 8))
     try:
         df = spark.read.parquet(input_dir)
-        # warm the JVM/Python workers so we measure steady-state throughput
-        _noop_write(df.limit(2000))
+        # warm-up: spawn every Python worker (one task per core) and
+        # trigger module imports before the timed run — measures
+        # steady-state throughput, not interpreter startup
+        warm = df.limit(cores * 64).repartition(cores)
+        _noop_write(extract_turns(warm))
         t0 = time.time()
         _noop_write(extract_turns(salted_repartition(df, cores * 2)))
         dt = time.time() - t0

@@ -17,6 +17,10 @@ against exact Jaccard in tests/test_dedup.py.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -111,27 +115,42 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", "est_jaccard"))
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str,
-            bits: int = 64) -> DataFrame:
-    """64-bit SimHash: per-token xxhash64, sum of per-bit votes, sign →
-    bit.  Fully JVM-side: explode → per-bit vote aggregate → bit-OR fold."""
-    def _mask(i: int):
-        # bit 63 of a signed long is the sign bit: 1<<63 overflows a Java
-        # long literal, so use the two's-complement value
-        return F.lit(-(1 << 63) if i == 63 else (1 << i))
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """Vectorized SimHash of a pandas text batch: md5-derived 64-bit token
+    hashes (memoized per unique token — real corpora have heavy token
+    reuse), numpy bit-vote matrix, sign → signed-64 fingerprint."""
+    cache: dict[str, int] = {}
 
-    toks = _tokens(df, id_col, text_col).withColumn(
-        "th", F.xxhash64(F.col("token")))
-    votes = toks.groupBy(id_col).agg(*[
-        F.sum(F.when(F.col("th").bitwiseAND(_mask(i)) != 0, 1)
-              .otherwise(-1)).alias(f"b{i}")
-        for i in range(bits)
-    ])
-    fingerprint = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, _mask(i)).otherwise(F.lit(0))
-        fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
-    return votes.select(id_col, fingerprint.alias("simhash"))
+    def tok_hash(t: str) -> int:
+        h = cache.get(t)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            cache[t] = h
+        return h
+
+    bit_idx = np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        toks = {t for t in str(text).split() if t}
+        if not toks:
+            continue
+        hs = np.fromiter((tok_hash(t) for t in toks), dtype=np.uint64)
+        bits = (hs[:, None] >> bit_idx) & np.uint64(1)      # (n_tok, 64)
+        votes = bits.sum(axis=0) * 2 > len(hs)              # majority per bit
+        out[i] = (votes.astype(np.uint64) << bit_idx).sum(
+            dtype=np.uint64).astype(np.int64)
+    return pd.Series(out, index=texts.index)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per row: one Arrow-batched pass (no explode, no
+    shuffle — the JVM-aggregate formulation needed 64 sum-aggs whose
+    expression tree broke whole-stage codegen)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    sh = pandas_udf(_simhash_batch, LongType())
+    return df.select(id_col, sh(F.col(text_col)).alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -23,14 +23,11 @@ def token_count(text: Column) -> Column:
 
 
 def _stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
-    lowered = F.lower(text)
-    hits = None
-    for w in words:
-        # word-boundary count via split-length trick (portable to DuckDB)
-        n = F.size(F.split(F.concat(F.lit(" "), lowered, F.lit(" ")),
-                           f"\\s{w}\\s")) - 1
-        hits = n if hits is None else hits + n
-    return hits
+    """Tokens equal to any stopword — ONE split + one array filter instead
+    of a per-stopword regex scan (20× fewer passes over the text)."""
+    toks = F.split(F.lower(F.trim(text)), _WS)
+    wl = list(words)
+    return F.size(F.filter(toks, lambda x: x.isin(wl)))
 
 
 def language_id(text: Column) -> Column:
