@@ -224,6 +224,13 @@ def _q_j7_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "nn_value")
 
 
+def _q_j8_intern_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frogocr_spark.operators.windows import intern_dimension
+    docs = _read(spark, sf_dir, "documents")
+    return intern_dimension(docs, ["source"], ["lang"]) \
+        .select("doc_id", "source", "lang", "style_ref")
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 analog: 30-min-gap sessionization via lag + cumulative sum."""
     from pyspark.sql import Window
@@ -356,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_interval_join": _q_j1_interval_join,
         "j6_asof_join": _q_j6_asof_join,
         "j7_nearest_neighbor": _q_j7_nearest_neighbor,
+        "j8_intern_dimension": _q_j8_intern_dimension,
         "sessionize": _q_sessionize,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -519,6 +527,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM events e JOIN events c ON e.user_id = c.user_id
                 WHERE e.event_type = 'error' AND c.event_type = 'click'
             ) WHERE rk = 1
+        """,
+        "j8_intern_dimension": """
+            SELECT doc_id, source, lang,
+                   CAST(dense_rank() OVER (PARTITION BY source ORDER BY lang)
+                        - 1 AS INT) AS style_ref
+            FROM documents
         """,
         "sessionize": """
             WITH g AS (

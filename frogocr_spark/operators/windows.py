@@ -62,6 +62,19 @@ def top_k_per_group(df: DataFrame, group_cols: list[str], order_col: str,
               .where(F.col("_rk") <= k).drop("_rk"))
 
 
+def intern_dimension(df: DataFrame, group_cols: list[str],
+                     dim_cols: list[str],
+                     idx_col: str = "style_ref") -> DataFrame:
+    """J8: per-group dimension interning — distinct ``dim_cols`` values get
+    a dense 0-based index per group (the font-interning loop of
+    ``Source/Tesseract/TesseractTextRecognizer.cpp:107-120`` as a
+    dense_rank window; first-seen order replaced by sorted order for
+    determinism under parallelism)."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in dim_cols])
+    return df.withColumn(idx_col, F.dense_rank().over(w) - 1)
+
+
 def mode_per_group(df: DataFrame, group_cols: list[str], value_col: str,
                    out_col: str = "mode_value") -> DataFrame:
     """A3: most-frequent value per group (rotation-angle histogram argmax —
