@@ -267,8 +267,11 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; accuracy tested vs exact Jaccard in tests/test_dedup.py)."""
     from frogocr_spark.operators.dedup import minhash_lsh_pairs
     docs = _read(spark, sf_dir, "documents")
+    # bands=4 (8 rows/band): candidate probability J^8 per band — selective
+    # enough that the low-vocab synthetic corpus doesn't degenerate into
+    # near-all-pairs candidates
     return minhash_lsh_pairs(docs, "doc_id", "text",
-                             num_hashes=32, bands=8, threshold=0.5) \
+                             num_hashes=32, bands=4, threshold=0.5) \
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 

@@ -51,7 +51,16 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame,
         processed = out_table.processed_keys("conv_id", "turn_idx")
         todo = filter_unprocessed(todo, processed)
 
-    distributed = salted_repartition(todo, cfg.num_partitions, cfg.salt_buckets)
+    # salt_buckets=0 → map-only plan (zero shuffles): correct whenever the
+    # input layout already bounds task sizes (parquet maxPartitionBytes
+    # splits a hot conversation's files automatically, and extraction is
+    # per-row).  The salted shuffle is for pathological layouts and for
+    # feeding downstream per-conversation operators.
+    if cfg.salt_buckets > 0:
+        distributed = salted_repartition(todo, cfg.num_partitions,
+                                         cfg.salt_buckets)
+    else:
+        distributed = todo
     extracted = extract_turns(distributed)
     out_table.append(extracted, cfg.run_id)
 
