@@ -22,6 +22,55 @@ DataFrame column via the Spark wrapper in operators (no XML lib needed).
 from __future__ import annotations
 
 
+def parse_turn_xml(xml: str) -> dict:
+    """Inverse parse (the reference's LoadFromXmlNode —
+    ``Source/Alto/LoadFromXmlNode.cpp:5-179``): XML → structured dict.
+    Used by :func:`validate_turn_xml` for the S8 roundtrip check."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml)
+    blocks = []
+    for blk in root.findall("block"):
+        words = [{"id": s.get("ID"), "content": s.get("CONTENT"),
+                  "start": int(s.get("START")) if s.get("START") else None,
+                  "end": int(s.get("END")) if s.get("END") else None}
+                 for s in blk.findall("string")]
+        blocks.append({"id": blk.get("ID"), "words": words})
+    return {
+        "page_id": root.get("ID"),
+        "conv_id": root.get("CONV"),
+        "payload_class": root.get("CLASS"),
+        "confidence": float(root.get("CONF")),
+        "blocks": blocks,
+    }
+
+
+def validate_turn_xml(xml: str) -> list[str]:
+    """S8 structural validation (the XSD-validate analog —
+    ``Source/Application.cpp:339-408``): parse + invariant checks.
+    Returns a list of violations (empty = OK)."""
+    errors: list[str] = []
+    try:
+        doc = parse_turn_xml(xml)
+    except Exception as e:  # malformed XML
+        return [f"parse: {e}"]
+    if not (doc["page_id"] or "").startswith("p_"):
+        errors.append("page id scheme")
+    if not 0.0 <= doc["confidence"] <= 1.0:
+        errors.append("confidence range")
+    for bi, blk in enumerate(doc["blocks"]):
+        if blk["id"] != f'{doc["page_id"]}_b_{blk["id"].rsplit("_", 1)[-1]}':
+            errors.append(f"block id scheme: {blk['id']}")
+        if not blk["words"]:
+            errors.append(f"empty block {blk['id']}")  # WriteXml.cpp:73-75
+        for si, w in enumerate(blk["words"]):
+            if w["id"] != f'{blk["id"]}_s_{si}':
+                errors.append(f"word id order: {w['id']}")
+            if not (w["content"] or "").strip():
+                errors.append("whitespace word leaked")  # WriteXml.cpp:90-92
+    return errors
+
+
 def xml_attr(value: str) -> str:
     """& first, then quote/lt/gt — order matters (String.hpp:82-88)."""
     return (value.replace("&", "&amp;").replace('"', "&quot;")
@@ -51,13 +100,15 @@ def render_turn_xml(conv_id: str, turn_idx: int, payload_class: str,
             continue
         block_id = f"{page_id}_b_{bi}"
         out.append(f'  <block ID="{block_id}">')
-        for si, word in enumerate(line.split(" ")):
-            if not word:
+        si = 0
+        for word in line.split(" "):
+            if not word:      # double-space inside a kept segment
                 continue
             sp = next(span_iter, None)
             pos = (f' START="{sp[0]}" END="{sp[1]}"' if sp else "")
             out.append(f'    <string ID="{block_id}_s_{si}"'
                        f' CONTENT="{xml_attr(word)}"{pos}/>')
+            si += 1
         out.append("  </block>")
     out.append("</page>")
     return "\n".join(out)

@@ -23,6 +23,7 @@ import pandas as pd
 from . import assemble, boilerplate, markdown, segment, sniff, tooljson
 from .assemble import Block, Segment
 from .secondpass import extract_two_pass
+from .settings import Settings
 
 OUTPUT_COLUMNS = [
     "payload_class", "extracted_text", "spans", "n_blocks", "n_spans",
@@ -39,9 +40,15 @@ def extract_plain(raw: str) -> list[Block]:
                   kind="text", detector="integrated", recognizer="identity")]
 
 
-def extract_turn(text: str | None) -> dict[str, Any]:
-    """Scalar oracle: classify + extract one turn payload."""
+def extract_turn(text: str | None,
+                 settings_csv: str | None = None) -> dict[str, Any]:
+    """Scalar oracle: classify + extract one turn payload.
+
+    ``settings_csv`` = per-turn typed settings (F9/F7/X1 —
+    core.settings.Settings): MinWordConfidence gates words post-extraction,
+    SecondPass=off disables the two-pass merge."""
     raw = text if isinstance(text, str) else ""
+    settings = Settings.parse_csv(settings_csv)
     cls = sniff.sniff(raw)
     parse_failed = False
     confidence = 1.0
@@ -56,8 +63,16 @@ def extract_turn(text: str | None) -> dict[str, Any]:
     elif cls == "tool_json":
         blocks, parse_failed = tooljson.extract_tool_json(raw)
     else:  # two_pass
-        blocks, confidence = extract_two_pass(raw)
+        blocks, confidence = extract_two_pass(raw, settings.second_pass)
 
+    if settings.min_word_confidence > 0:  # F7 word-confidence gate
+        blocks = [
+            Block(segments=[s for s in b.segments
+                            if s.confidence >= settings.min_word_confidence],
+                  kind=b.kind, detector=b.detector,
+                  recognizer=b.recognizer, confidence=b.confidence)
+            for b in blocks
+        ]
     blocks, _dropped = assemble.prune_empty(blocks)
     extracted, spans = assemble.assemble(blocks)
     if cls != "two_pass":
@@ -80,14 +95,25 @@ def _empty_record(cls: str = "plain") -> dict[str, Any]:
             "parse_failed": False, "empty_after_strip": False}
 
 
-def extract_batch(texts: pd.Series) -> pd.DataFrame:
+def extract_batch(texts: pd.Series,
+                  settings: pd.Series | None = None) -> pd.DataFrame:
     """Batch twin of :func:`extract_turn` (same index as ``texts``).
 
     Vectorized sniff; vectorized ``plain`` path; per-class dispatch for the
-    structured payloads.  Agreement with the scalar oracle is tested
-    row-by-row in tests/test_extract.py.
+    structured payloads.  Rows with non-default ``settings`` (rare in
+    practice) take the scalar path.  Agreement with the scalar oracle is
+    tested row-by-row in tests/test_extract.py.
     """
     s = texts.fillna("").astype(str)
+    if settings is not None:
+        tuned = settings.fillna("").astype(str) != ""
+        if tuned.any():
+            base = extract_batch(s[~tuned], None)
+            recs = [extract_turn(s.at[i], settings.at[i])
+                    for i in s.index[tuned]]
+            tuned_df = pd.DataFrame(recs, index=s.index[tuned],
+                                    columns=OUTPUT_COLUMNS)
+            return _coerce(pd.concat([base, tuned_df]).loc[s.index])
     classes = sniff.sniff_series(s)
     out = pd.DataFrame(index=s.index, columns=OUTPUT_COLUMNS, dtype=object)
     out["payload_class"] = classes
@@ -117,7 +143,10 @@ def extract_batch(texts: pd.Series) -> pd.DataFrame:
         rec_df = pd.DataFrame(recs, index=rest)
         for col in OUTPUT_COLUMNS:
             out.loc[rest, col] = rec_df[col]
+    return _coerce(out)
 
+
+def _coerce(out: pd.DataFrame) -> pd.DataFrame:
     out["n_blocks"] = out["n_blocks"].astype("int32")
     out["n_spans"] = out["n_spans"].astype("int32")
     out["confidence"] = out["confidence"].astype("float64")

@@ -138,9 +138,14 @@ def second_pass_recognize(raw: str, region: tuple[int, int]) -> list[Word]:
     return out
 
 
-def extract_two_pass(raw: str) -> tuple[list[Block], float]:
-    """Full two-pass flow; returns (blocks, doc_confidence)."""
+def extract_two_pass(raw: str, run_second: bool = True) -> tuple[list[Block], float]:
+    """Full two-pass flow; returns (blocks, doc_confidence).
+
+    ``run_second=False`` = the reference with the second pass disabled
+    (Settings ``SecondPass=off``): first-pass words only."""
     fp_words, regions = first_pass(raw)
+    if not run_second:
+        regions = []
     fp_mean = np.float32(np.mean([w.conf for w in fp_words], dtype=np.float32)
                          if fp_words else 1.0)
 

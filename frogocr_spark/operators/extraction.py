@@ -42,27 +42,34 @@ EXTRACTION_FIELDS = [
 
 def extract_turns(df: DataFrame, *, text_col: str = "text",
                   passthrough: tuple[str, ...] = ("conv_id", "turn_idx", "role"),
-                  with_partition_id: bool = True) -> DataFrame:
+                  with_partition_id: bool = True,
+                  settings_col: str | None = None) -> DataFrame:
     """raw transcripts → extraction results (1 row in = 1 row out).
 
     ``with_partition_id`` stamps ``F.spark_partition_id()`` *before* the UDF
     so the lineage sidecar can group by physical partition (A10/§2.10).
+    ``settings_col`` = optional per-turn settings CSV (F9 — tunes
+    MinWordConfidence / SecondPass per row).
     """
     cols = [*passthrough, text_col]
+    if settings_col:
+        cols.append(settings_col)
     narrow = df.select(*cols)
     if with_partition_id:
         narrow = narrow.withColumn("partition_id", F.spark_partition_id())
         cols = [*cols, "partition_id"]
 
-    in_fields = [narrow.schema[c] for c in cols if c != text_col]
+    in_fields = [narrow.schema[c] for c in cols
+                 if c != text_col and c != settings_col]
     out_schema = T.StructType(in_fields + EXTRACTION_FIELDS)
-    pass_cols = [c for c in cols if c != text_col]
+    pass_cols = [c for c in cols if c != text_col and c != settings_col]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            res = extract_batch(pdf[text_col])
+            stngs = pdf[settings_col] if settings_col else None
+            res = extract_batch(pdf[text_col], stngs)
             out = pd.concat([pdf[pass_cols].reset_index(drop=True),
                              res.reset_index(drop=True)], axis=1)
             yield out

@@ -40,4 +40,8 @@ def build_sidecar(extracted: DataFrame, run_id: str,
         )
         .withColumn("run_id", F.lit(run_id))
         .withColumn("stage_settings", F.lit(settings_json))
+        # wall-clock provenance lives ONLY here (C9: timestamps never enter
+        # the matched output — reference Processing.dateTime analog,
+        # Source/TaskProcessor.cpp:11-13)
+        .withColumn("created_at", F.current_timestamp())
     )

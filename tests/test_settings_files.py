@@ -1,0 +1,112 @@
+"""Per-turn settings (F9/F7/SecondPass), directory source (S4),
+XML validate roundtrip (S8)."""
+
+import pandas as pd
+
+from frogocr_spark.core import alto
+from frogocr_spark.core.extract import extract_batch, extract_turn
+from frogocr_spark.core.settings import Settings
+
+
+# ---------- settings parsing (Settings.hpp analog) ----------
+
+def test_settings_defaults_and_parse():
+    s = Settings.parse_csv(None)
+    assert s.min_word_confidence == 0.0 and s.second_pass
+    s2 = Settings.parse_csv("MinWordConfidence=0.8,SecondPass=off,Detector=x")
+    assert s2.min_word_confidence == 0.8
+    assert not s2.second_pass and s2.detector == "x"
+    # forgiving parse: bad value → default
+    assert Settings.parse_csv("MinWordConfidence=abc").min_word_confidence == 0.0
+
+
+def test_settings_csv_roundtrip():
+    s = Settings(min_word_confidence=0.8, second_pass=False, detector="d")
+    assert Settings.parse_csv(s.csv()) == s
+
+
+# ---------- F7 word-confidence gate + SecondPass=off ----------
+
+TP = "good words [[LOWCONF]]" + "fixed text"[::-1] + "[[/LOWCONF]] tail"
+
+
+def test_min_word_confidence_gate():
+    # default: garbled replaced by second pass at conf .96
+    assert extract_turn(TP)["extracted_text"] == "good words fixed text tail"
+    # gate above second-pass conf (.96) but below nothing: everything from
+    # the first pass (conf .92) is dropped, second-pass words survive
+    rec = extract_turn(TP, "MinWordConfidence=0.95")
+    assert rec["extracted_text"] == "fixed text"
+
+
+def test_second_pass_off():
+    rec = extract_turn(TP, "SecondPass=off")
+    assert rec["extracted_text"] == "good words txet dexif tail"
+    # and the garbled words then fall to a 0.5 gate
+    rec2 = extract_turn(TP, "SecondPass=off,MinWordConfidence=0.5")
+    assert rec2["extracted_text"] == "good words tail"
+
+
+def test_batch_settings_routing():
+    texts = pd.Series([TP, TP, "plain text here"])
+    settings = pd.Series(["", "SecondPass=off", None])
+    out = extract_batch(texts, settings)
+    assert out.iloc[0]["extracted_text"] == "good words fixed text tail"
+    assert out.iloc[1]["extracted_text"] == "good words txet dexif tail"
+    assert out.iloc[2]["extracted_text"] == "plain text here"
+    assert out["n_blocks"].dtype == "int32"
+
+
+def test_spark_operator_settings_col(spark):
+    df = spark.createDataFrame(
+        [("c", 0, TP, ""), ("c", 1, TP, "SecondPass=off")],
+        "conv_id string, turn_idx int, text string, settings string")
+    from frogocr_spark.operators.extraction import extract_turns
+    got = {r.turn_idx: r.extracted_text for r in
+           extract_turns(df, passthrough=("conv_id", "turn_idx"),
+                         settings_col="settings",
+                         with_partition_id=False).collect()}
+    assert got[0] == "good words fixed text tail"
+    assert got[1] == "good words txet dexif tail"
+
+
+# ---------- S4 directory enumeration ----------
+
+def test_enumerate_files(spark, tmp_path):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.jpg").write_bytes(b"\xff\xd8\xffAAA")
+    (tmp_path / "sub" / "b.jpg").write_bytes(b"\xff\xd8\xffBB")
+    (tmp_path / "c.txt").write_bytes(b"nope")
+    from frogocr_spark.sources.files import as_task_rows, enumerate_files
+    files = enumerate_files(spark, str(tmp_path))
+    rows = sorted(files.collect(), key=lambda r: r.input_path)
+    assert len(rows) == 2
+    assert rows[0].input_path.endswith("a.jpg")
+    assert rows[0].output_path.endswith("a.xml")
+    assert rows[1].input_path.endswith("sub/b.jpg")
+    tasks = as_task_rows(files, priority=3, settings_csv="Dpi=300").collect()
+    assert all(t.priority == 3 and t.settings_csv == "Dpi=300" for t in tasks)
+
+
+# ---------- S8 validation roundtrip ----------
+
+def test_xml_roundtrip_validates():
+    rec = extract_turn("@60,100,50,14|hello @120,102,50,14|world")
+    xml = alto.render_turn_xml("cv", 1, rec["payload_class"],
+                               [(s["start"], s["end"]) for s in rec["spans"]],
+                               rec["extracted_text"], rec["confidence"])
+    assert alto.validate_turn_xml(xml) == []
+    doc = alto.parse_turn_xml(xml)
+    assert [w["content"] for b in doc["blocks"] for w in b["words"]] \
+        == ["hello", "world"]
+    assert doc["blocks"][0]["words"][0]["start"] is not None
+
+
+def test_validator_catches_violations():
+    bad = ('<page ID="p_0" CONV="c" CLASS="plain" CONF="1.5">'
+           '<block ID="p_0_b_0"><string ID="p_0_b_0_s_1" CONTENT="x"/>'
+           '</block></page>')
+    errs = alto.validate_turn_xml(bad)
+    assert any("confidence" in e for e in errs)
+    assert any("word id order" in e for e in errs)
+    assert alto.validate_turn_xml("<not-xml")[0].startswith("parse:")
