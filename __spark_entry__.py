@@ -118,7 +118,11 @@ def _q_a1_avg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     return (ev.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.avg("value"), 6).alias("avg_value")))
+                 F.round(F.avg("value"), 6).alias("avg_value"),
+                 # A2: conditional mean (avg over covered subset —
+                 # TaskProcessor.cpp:154-176 analog)
+                 F.round(F.avg(F.when(F.col("value") > 50, F.col("value"))), 6)
+                 .alias("avg_high_value")))
 
 
 def _q_a3_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,7 +449,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a1_avg_per_group": """
             SELECT event_type, count(*) AS n_events,
-                   round(avg(value), 6) AS avg_value
+                   round(avg(value), 6) AS avg_value,
+                   round(avg(CASE WHEN value > 50 THEN value END), 6)
+                   AS avg_high_value
             FROM events GROUP BY event_type
         """,
         "a3_mode_per_user": """

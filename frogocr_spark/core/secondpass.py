@@ -138,6 +138,22 @@ def second_pass_recognize(raw: str, region: tuple[int, int]) -> list[Word]:
     return out
 
 
+def _overlap_matrix(a: np.ndarray, b: np.ndarray,
+                    thr: float = COVERAGE_THR) -> np.ndarray:
+    """Vectorized mutual-coverage predicate: (len(a), len(b)) bool matrix,
+    exact same semantics as :func:`overlaps_either` (tested for agreement).
+    ``a``/``b`` are (n, 2) interval arrays."""
+    inter = (np.minimum(a[:, None, 1], b[None, :, 1])
+             - np.maximum(a[:, None, 0], b[None, :, 0]))
+    len_a = (a[:, 1] - a[:, 0])[:, None]
+    len_b = (b[:, 1] - b[:, 0])[None, :]
+    pos = inter > 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cov_a = np.where(len_a > 0, inter / len_a, 0.0)
+        cov_b = np.where(len_b > 0, inter / len_b, 0.0)
+    return pos & ((cov_a > thr) | (cov_b > thr))
+
+
 def extract_two_pass(raw: str, run_second: bool = True) -> tuple[list[Block], float]:
     """Full two-pass flow; returns (blocks, doc_confidence).
 
@@ -146,17 +162,30 @@ def extract_two_pass(raw: str, run_second: bool = True) -> tuple[list[Block], fl
     fp_words, regions = first_pass(raw)
     if not run_second:
         regions = []
-    fp_mean = np.float32(np.mean([w.conf for w in fp_words], dtype=np.float32)
-                         if fp_words else 1.0)
+    fp_conf = np.array([w.conf for w in fp_words], dtype=np.float32)
+    fp_iv = np.array([(w.start, w.end) for w in fp_words],
+                     dtype=np.float64).reshape(-1, 2)
+    fp_mean = np.float32(fp_conf.mean(dtype=np.float32)
+                         if len(fp_conf) else 1.0)
 
-    # J1 + J3: regions where the first pass did badly
+    # J1 + J3: regions where the first pass did badly.  Hybrid execution:
+    # scalar loops for typical small turns (numpy broadcast constants lose
+    # below ~4k comparisons), vectorized for the long-document tail.
     kept_regions: list[tuple[int, int]] = []
-    for r in regions:
-        covered = [w.conf for w in fp_words
-                   if overlaps_either((w.start, w.end), r)]
-        mean = np.float32(np.mean(covered, dtype=np.float32)) if covered else np.float32(1.0)
-        if mean < QUAD_GATE:
-            kept_regions.append(r)
+    big = len(fp_words) * max(len(regions), 1) > 4096
+    if regions and len(fp_words):
+        if big:
+            reg_iv = np.array(regions, dtype=np.float64)
+            cov = _overlap_matrix(reg_iv, fp_iv)        # (n_reg, n_words)
+            hits = [cov[ri] for ri in range(len(regions))]
+        else:
+            hits = [np.array([overlaps_either((w.start, w.end), r)
+                              for w in fp_words]) for r in regions]
+        for r, hit in zip(regions, hits):
+            mean = (np.float32(fp_conf[hit].mean(dtype=np.float32))
+                    if hit.any() else np.float32(1.0))
+            if mean < QUAD_GATE:
+                kept_regions.append(r)
 
     sp_words: list[Word] = []
     if kept_regions:
@@ -169,13 +198,21 @@ def extract_two_pass(raw: str, run_second: bool = True) -> tuple[list[Block], fl
                 sp_words.extend(ws)
 
     # J2: declarative erase — keep fp word unless low-conf AND overlapped
-    sp_intervals = [(w.start, w.end) for w in sp_words]
-    merged = [
-        w for w in fp_words
-        if not (w.conf <= WORD_GATE
-                and any(overlaps_either((w.start, w.end), s)
-                        for s in sp_intervals))
-    ]
+    if sp_words and len(fp_words):
+        if len(fp_words) * len(sp_words) > 4096:
+            sp_iv = np.array([(w.start, w.end) for w in sp_words],
+                             dtype=np.float64)
+            erased = ((fp_conf <= WORD_GATE)
+                      & _overlap_matrix(fp_iv, sp_iv).any(axis=1))
+            merged = [w for w, e in zip(fp_words, erased) if not e]
+        else:
+            sp_ivl = [(w.start, w.end) for w in sp_words]
+            merged = [w for w in fp_words
+                      if not (w.conf <= WORD_GATE
+                              and any(overlaps_either((w.start, w.end), s)
+                                      for s in sp_ivl))]
+    else:
+        merged = list(fp_words)
     # J4 union, then W1 stable order on interval start
     merged.extend(sp_words)
     merged.sort(key=lambda w: (w.order_key, w.start, w.end))
