@@ -279,6 +279,34 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact baseline (cosine ≥ 0.4 —
+    max pairwise cosine in the synthetic random embeddings is ~0.51, so
+    0.4 yields a real, non-empty result set)."""
+    from frogocr_spark.operators.dedup import embedding_near_dup_pairs
+    emb = _read(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(emb, threshold=0.4, use_lsh=False)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned variant (scale path; rows-only — recall tested in
+    tests/test_dedup.py)."""
+    from frogocr_spark.operators.dedup import embedding_near_dup_pairs
+    emb = _read(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(emb, threshold=0.4, dim=64, use_lsh=True,
+                                   nbits=4, ntables=8)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Rabin-Karp fingerprint (rows-only; pinned against
+    the pure-Python twin in tests)."""
+    from frogocr_spark.operators.textstats import rolling_fingerprint
+    docs = _read(spark, sf_dir, "documents")
+    return rolling_fingerprint(docs).select("doc_id", "roll_fp")
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frogocr_spark.operators.dedup import simhash_near_pairs
     docs = _read(spark, sf_dir, "documents")
@@ -289,7 +317,8 @@ def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frogocr_spark.operators.textstats import with_textstats
     docs = _read(spark, sf_dir, "documents")
     return with_textstats(docs).select(
-        "doc_id", "n_tokens", "lang_id", "quality", "fingerprint")
+        "doc_id", "n_tokens", "n_bpe_tokens", "lang_id", "quality",
+        "fingerprint")
 
 
 def _q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,6 +405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "rolling_fingerprint": _q_rolling_fingerprint,
         "textstats": _q_textstats,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_cosine_lsh": _q_sim_cosine_lsh,
@@ -590,9 +622,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8
         """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
         "textstats": f"""
             SELECT doc_id,
                    CAST({n_tokens} AS INT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+                   AS n_bpe_tokens,
                    CASE WHEN {n_tokens} = 0 THEN 'xx'
                         WHEN {en_hits} >= {no_hits}
                              AND {en_hits} * 50 >= {n_tokens} THEN 'en'

@@ -153,6 +153,42 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, sh(F.col(text_col)).alias("simhash"))
 
 
+def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.95,
+                             dim: int | None = None,
+                             use_lsh: bool = True,
+                             nbits: int = 8, ntables: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``cosine >= threshold``,
+    ``id_a < id_b``.
+
+    Scale path (``use_lsh``): hyperplane-LSH buckets prune candidates (a
+    self-join keyed on bucket id), exact cosine verifies — near-dups at
+    0.95 cosine collide in a bucket with high probability across tables.
+    ``use_lsh=False`` is the exact small-N baseline (keyed cross join).
+    """
+    from .similarity import _bucket_udf, _cosine
+
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).cast("array<double>").alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).cast("array<double>").alias("vb"))
+    if use_lsh:
+        if dim is None:
+            raise ValueError("dim required for the LSH path")
+        buckets = _bucket_udf(dim, nbits=nbits, ntables=ntables)
+        ab = a.select("*", F.explode(buckets(F.col("va"))).alias("_bkt"))
+        bb = b.select("*", F.explode(buckets(F.col("vb"))).alias("_bkt"))
+        cand = (ab.join(bb, "_bkt").drop("_bkt")
+                .where(F.col("id_a") < F.col("id_b"))
+                .dropDuplicates(["id_a", "id_b"]))
+    else:
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (cand.withColumn("cosine", _cosine(F.col("va"), F.col("vb")))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
                        max_hamming: int = 3, blocks: int = 4) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via the

@@ -6,6 +6,8 @@ DuckDB oracle in ``__spark_entry__.oracle_sql``.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -17,9 +19,21 @@ _WS = r"\s+"
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count (BPE-ish regex split; empty → 0)."""
+    """Whitespace token count (empty → 0)."""
     t = F.trim(text)
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, _WS)))
+
+
+# BPE-ish pre-tokenization: word runs / digit runs / single punctuation —
+# the shape GPT-style pre-tokenizers produce before merges
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-style pre-tokens via one regexp_count-equivalent
+    (portable: regexp_extract_all → size; DuckDB twin uses
+    ``len(regexp_extract_all(...))``)."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_RE), F.lit(0)))
 
 
 def _stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
@@ -63,10 +77,48 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+ROLL_BASE = 1000003          # polynomial rolling-hash base (prime)
+ROLL_MOD = (1 << 61) - 1     # Mersenne prime modulus
+
+
+def _rolling_fingerprint_batch(texts: pd.Series) -> pd.Series:
+    """Rabin-Karp polynomial rolling hash over tokens:
+    fp = Σ h(token_i)·BASE^(n-1-i) mod M — order-sensitive (unlike the
+    md5 fingerprint) so shifted/reordered documents differ."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        acc = 0
+        for tok in str(t).split():
+            th = hash_token(tok)
+            acc = (acc * ROLL_BASE + th) % ROLL_MOD
+        out[i] = acc
+    return pd.Series(out, index=texts.index)
+
+
+def hash_token(tok: str) -> int:
+    """Deterministic 61-bit token hash (stable across processes — no
+    PYTHONHASHSEED dependence)."""
+    acc = 5381
+    for ch in tok.encode():
+        acc = (acc * 33 + ch) % ROLL_MOD
+    return acc
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text",
+                        out_col: str = "roll_fp") -> DataFrame:
+    """Order-sensitive document fingerprint column (Arrow-batched)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    fp = pandas_udf(_rolling_fingerprint_batch, LongType())
+    return df.withColumn(out_col, fp(F.col(text_col)))
+
+
 def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return (df
             .withColumn("n_tokens", token_count(c))
+            .withColumn("n_bpe_tokens", bpe_token_count(c))
             .withColumn("lang_id", language_id(c))
             .withColumn("quality", quality_score(c))
             .withColumn("fingerprint", fingerprint(c)))
