@@ -57,6 +57,32 @@ class Table:
             self.data_dir
         )
 
+    def snapshots(self) -> list[str]:
+        """Committed run_ids (the Iceberg snapshot-log analog), sorted.
+        A run_id directory is a snapshot: present ⇔ its job committed."""
+        if not os.path.isdir(self.data_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.data_dir)):
+            if name.startswith("run_id="):
+                out.append(name.split("=", 1)[1])
+        return out
+
+    def read_snapshot(self, run_id: str) -> DataFrame:
+        """Read one committed run's rows (snapshot-scoped scan)."""
+        return self.spark.read.parquet(
+            os.path.join(self.data_dir, f"run_id={run_id}"))
+
+    def read_until(self, run_id: str) -> DataFrame:
+        """Time travel: union of snapshots up to and including ``run_id``
+        (run_ids are ordered by the snapshot log)."""
+        snaps = self.snapshots()
+        if run_id not in snaps:
+            raise ValueError(f"unknown snapshot {run_id!r}; have {snaps}")
+        keep = snaps[: snaps.index(run_id) + 1]
+        paths = [os.path.join(self.data_dir, f"run_id={r}") for r in keep]
+        return self.spark.read.parquet(*paths)
+
     def processed_keys(self, *key_cols: str) -> DataFrame | None:
         """Committed keys for the F1 resume anti-join (column-pruned scan —
         only the key columns are read from parquet)."""
