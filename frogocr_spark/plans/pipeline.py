@@ -62,7 +62,19 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame,
     else:
         distributed = todo
     extracted = extract_turns(distributed)
+    # A10/X5: global counters piggyback on the write action itself via
+    # observe() — no extra job (the per-partition detail lives in the
+    # sidecar below)
+    from pyspark.sql import functions as F
+    from pyspark.sql.observation import Observation
+    obs = Observation("extract")
+    extracted = extracted.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum(F.col("parse_failed").cast("long")).alias("parse_failures"),
+        F.sum(F.col("empty_after_strip").cast("long")).alias("empty"))
     out_table.append(extracted, cfg.run_id)
+    observed = obs.get
 
     this_run = spark.read.parquet(
         os.path.join(out_table.data_dir, f"run_id={cfg.run_id}"))
@@ -73,7 +85,14 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame,
                                 "empty_after_strip", "parse_failures").collect()
     if agg and agg[0][0] is not None:
         r = agg[0]
-        return {"rows_in": r[0], "rows_out": r[1],
-                "empty_after_strip": r[2], "parse_failures": r[3]}
-    return {"rows_in": 0, "rows_out": 0,
-            "empty_after_strip": 0, "parse_failures": 0}
+        stats = {"rows_in": r[0], "rows_out": r[1],
+                 "empty_after_strip": r[2], "parse_failures": r[3]}
+    else:
+        stats = {"rows_in": 0, "rows_out": 0,
+                 "empty_after_strip": 0, "parse_failures": 0}
+    # observe() counters came free with the write; reconcile vs sidecar
+    if observed.get("rows_out"):
+        assert observed["rows_out"] == stats["rows_out"], (observed, stats)
+        assert (observed["parse_failures"] or 0) == stats["parse_failures"]
+    stats["observed"] = dict(observed)
+    return stats
