@@ -153,6 +153,52 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, sh(F.col(text_col)).alias("simhash"))
 
 
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                 id_b: str = "id_b", max_iters: int = 20) -> DataFrame:
+    """Connected components over duplicate pairs → (doc_id, cluster_id)
+    with ``cluster_id`` = min doc id in the component (the canonical
+    keeper).  Iterative label propagation: each round every node adopts
+    the min label in its neighborhood; converges in O(diameter) rounds —
+    checkpoint-free because each round is one groupBy (no growing
+    lineage problem at these iteration counts; ``localCheckpoint`` every
+    5 rounds guards the long-tail case).  At 100 TB scale with
+    high-diameter components, swap the propagation loop for the
+    large-star/small-star algorithm (O(log n) rounds) — component
+    diameters in dedup graphs are tiny in practice, so min-propagation
+    is the simpler correct default.
+
+    Training-data pipelines use this after minhash/simhash/embedding
+    pair generation to drop all-but-one doc per duplicate group.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst")))
+             .dropDuplicates(["src", "dst"]).cache())
+    labels = (edges.select(F.col("src").alias("node"))
+              .dropDuplicates(["node"])
+              .withColumn("label", F.col("node")))
+    for i in range(max_iters):
+        neigh = (edges.join(labels, edges.dst == labels.node)
+                 .groupBy("src").agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(neigh, labels.node == neigh.src, "left")
+                      .select(F.col("node"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nbr_label"),
+                                                 F.col("label")))
+                              .alias("label")))
+        if i % 5 == 4:
+            new_labels = new_labels.localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where("n.label <> o.label").limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.95,

@@ -1,0 +1,49 @@
+"""Connected-components duplicate clustering vs a union-find oracle."""
+
+import pytest
+
+from frogocr_spark.operators.dedup import dup_clusters
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("pairs", [
+    [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+    [(i, i + 1) for i in range(12)],          # one chain (worst-case diameter)
+    [(5, 9), (1, 5), (9, 40), (40, 2)],
+])
+def test_clusters_match_union_find(spark, pairs):
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in dup_clusters(df, max_iters=20).collect()}
+    expect = _union_find(pairs)
+    assert got == expect
+
+
+def test_keep_canonical_per_cluster(spark):
+    pairs = spark.createDataFrame([(3, 7), (7, 9), (100, 101)],
+                                  "id_a long, id_b long")
+    got = dup_clusters(pairs).collect()
+    clusters = {}
+    for r in got:
+        clusters.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert sorted(clusters[3]) == [3, 7, 9]
+    assert sorted(clusters[100]) == [100, 101]
+    # canonical = min id = cluster_id itself
+    for cid, members in clusters.items():
+        assert cid == min(members)
