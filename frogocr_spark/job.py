@@ -24,10 +24,12 @@ from __future__ import annotations
 import argparse
 import json
 
-from .plans.pipeline import PipelineConfig, run_extraction
-from .session import get_spark
-from .sources import transcripts
-from .sources.transcripts import TRANSCRIPT_SCHEMA
+# absolute imports: spark-submit executes this file as a top-level script
+# (no parent package); the package itself ships via --py-files
+from frogocr_spark.plans.pipeline import PipelineConfig, run_extraction
+from frogocr_spark.session import get_spark
+from frogocr_spark.sources import transcripts
+from frogocr_spark.sources.transcripts import TRANSCRIPT_SCHEMA
 
 
 def main(argv: list[str] | None = None) -> None:
