@@ -104,14 +104,26 @@ def _extraction_run(cores: int, input_dir: str, n_rows: int,
 
     # the sf0.1 input compresses to ~25 MB: with the production 128 MB
     # split size Spark bin-packs it into 2-3 splits and the map stage
-    # cannot use the cores.  Size splits to the data (~128 tasks) so every
-    # core gets work — on a real 100 TB table the default conf already
-    # yields thousands of splits.
+    # cannot use the cores.  Size splits to the data — target ~3 tasks per
+    # core of the LARGEST run (measured best: enough waves to balance,
+    # few enough to amortize the ~20 ms/task fixed cost; +12% over ~2×
+    # more tasks) — on a real 100 TB table the default conf already
+    # yields thousands of splits.  One fixed split policy for every run
+    # (main + both scaling levels) so the scaling compares the same job.
+    open_cost = 16384
+    sizes = [e.stat().st_size for e in os.scandir(input_dir)
+             if e.name.endswith(".parquet")]
+    # clamp task count to the data: below ~128 KB of real bytes per task
+    # the ~20 ms/task fixed cost dominates and more tasks makes the job
+    # SLOWER (measured: sf0.001 shattered into 67 tasks ran 16-core slower
+    # than 4-core)
+    target_tasks = max(1, min(3 * max(CPUS, N_HIGH), sum(sizes) // 131072))
+    mpb = max(65536, (sum(sizes) + len(sizes) * open_cost) // target_tasks)
     spark = get_spark(app_name=app, cores=cores,
                       shuffle_partitions=max(cores, 8),
                       extra_conf={
-                          "spark.sql.files.maxPartitionBytes": "196608",
-                          "spark.sql.files.openCostInBytes": "16384",
+                          "spark.sql.files.maxPartitionBytes": str(mpb),
+                          "spark.sql.files.openCostInBytes": str(open_cost),
                       })
     try:
         df = spark.read.parquet(input_dir)
