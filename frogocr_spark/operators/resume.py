@@ -34,3 +34,22 @@ def filter_unprocessed(input_df: DataFrame, processed: DataFrame | None,
     if broadcast_threshold_rows is not None:
         keys = F.broadcast(keys)
     return input_df.join(keys, on=list(KEYS), how="left_anti")
+
+
+def filter_unprocessed_bucketed(input_df: DataFrame,
+                                processed: DataFrame | None) -> DataFrame:
+    """F1 at 10^12-row scale: storage-partitioned anti-join.
+
+    Both sides must come from conv_id-bucketed tables with the same bucket
+    count (``sources.catalog.BucketedTable``); the join then reads matching
+    buckets pairwise with ZERO Exchange — no shuffle of either the input
+    or the committed-key side on resume (plan-asserted in
+    tests/test_bucketed.py).  Keys are NOT de-duplicated here: a dropDuplicates
+    would reintroduce a shuffle, and duplicate committed keys cannot occur
+    (run_id-idempotent appends) while being harmless to anti-join semantics
+    anyway.
+    """
+    if processed is None:
+        return input_df
+    return input_df.join(processed.select(*KEYS), on=list(KEYS),
+                         how="left_anti")

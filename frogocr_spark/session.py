@@ -42,6 +42,11 @@ def get_spark(app_name: str = "frogocr_spark", cores: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # storage-partitioned joins over conv_id-bucketed tables: allow a
+        # join on (conv_id, turn_idx) to reuse hash co-location on the
+        # conv_id bucket key alone (sources/catalog.BucketedTable — the
+        # shuffle-free resume anti-join at 10^12-row scale)
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

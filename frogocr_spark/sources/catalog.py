@@ -89,3 +89,84 @@ class Table:
         if not self.exists():
             return None
         return self.read().select(*key_cols)
+
+
+class BucketedTable:
+    """Bucketed-layout table: the scale path for the resume anti-join.
+
+    At 10^12 rows the committed-key side of the F1 anti-join (reference
+    output-exists skip, ``Source/TaskProcessor.cpp:191-209``) is ~16 TB of
+    keys — far past broadcast, and a sort-merge join would shuffle BOTH
+    the input and the keys on every resume.  Laying both tables out
+    bucketed by ``conv_id`` (and sorted by ``(conv_id, turn_idx)``) makes
+    the anti-join **storage-partitioned**: each task reads matching
+    buckets from both sides and joins with ZERO Exchange (verified by the
+    plan test).  This class is the sandbox analog of an Iceberg
+    ``bucket(N, conv_id)`` partition transform + storage-partitioned join;
+    on a real catalog only this module changes.
+
+    Requires ``spark.sql.requireAllClusterKeysForCoPartition=false`` (set
+    in :mod:`frogocr_spark.session`) because the join keys
+    ``(conv_id, turn_idx)`` are a superset of the bucket key — hash
+    co-location on ``conv_id`` alone already co-locates every join key.
+
+    Uses ``saveAsTable``/``insertInto`` (bucket metadata lives in the
+    session catalog); run_id idempotency via dynamic partition overwrite
+    on the ``run_id`` partition column, same semantics as
+    :class:`Table.append`.
+    """
+
+    def __init__(self, spark: SparkSession, name: str, *,
+                 buckets: int = 32, bucket_col: str = "conv_id",
+                 sort_cols: tuple[str, ...] = ("conv_id", "turn_idx")):
+        self.spark = spark
+        self.name = name
+        self.buckets = buckets
+        self.bucket_col = bucket_col
+        self.sort_cols = sort_cols
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.name)
+
+    def append(self, df: DataFrame, run_id: str) -> None:
+        """Idempotent append: re-running a failed run_id replaces only that
+        run's partition (dynamic overwrite), never duplicating rows."""
+        from pyspark.sql import functions as F
+
+        stamped = df.withColumn("run_id", F.lit(run_id))
+        if not self.exists():
+            (stamped.write.partitionBy("run_id")
+             .bucketBy(self.buckets, self.bucket_col)
+             .sortBy(*self.sort_cols)
+             .mode("overwrite").saveAsTable(self.name))
+            return
+        with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode",
+                   "dynamic"):
+            # insertInto is position-based; match the table's column order
+            cols = self.spark.table(self.name).columns
+            stamped.select(*cols).write.insertInto(self.name, overwrite=True)
+
+    def read(self) -> DataFrame:
+        return self.spark.table(self.name)
+
+    def processed_keys(self, *key_cols: str) -> DataFrame | None:
+        if not self.exists():
+            return None
+        return self.read().select(*key_cols)
+
+
+class _conf:
+    """Scoped SQL-conf override (restores the previous value on exit)."""
+
+    def __init__(self, spark: SparkSession, key: str, value: str):
+        self.spark, self.key, self.value = spark, key, value
+
+    def __enter__(self):
+        self.old = self.spark.conf.get(self.key, None)
+        self.spark.conf.set(self.key, self.value)
+
+    def __exit__(self, *exc):
+        if self.old is None:
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.old)
