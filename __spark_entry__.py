@@ -341,6 +341,18 @@ def _q_sim_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cosine", 4).alias("cosine"))
 
 
+def _q_sim_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (spherical-k-means coarse quantizer, nprobe cells per
+    query) — recall vs brute force tested in tests/test_similarity.py;
+    rows-only check here (approximate by construction)."""
+    from frogocr_spark.operators.similarity import cosine_topk_ivf
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 10")
+    out = cosine_topk_ivf(emb, queries, k=5, n_clusters=32, nprobe=8)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 4).alias("cosine"))
+
+
 def _q_c6_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _read(spark, sf_dir, "part")
     return part.select(
@@ -411,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textstats": _q_textstats,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_cosine_lsh": _q_sim_cosine_lsh,
+        "sim_cosine_ivf": _q_sim_cosine_ivf,
         "c5_token_assembly": _q_c5_token_assembly,
         "c6_levenshtein": _q_c6_levenshtein,
         "c7_xml_escape": _q_c7_xml_escape,

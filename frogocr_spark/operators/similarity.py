@@ -13,8 +13,16 @@ int)``:
   buckets (equi-join on bucket id, multi-probe via ``ntables``
   independent tables), then exact cosine re-rank.  Recall is tested
   against the brute-force baseline in tests/test_similarity.py.
+- :func:`cosine_topk_ivf` — IVF with a spherical-k-means coarse
+  quantizer: centroids fit on a driver-side bounded sample, broadcast;
+  each corpus row assigned to its nearest centroid cell (one vectorized
+  matmul per Arrow batch), each query probes its ``nprobe`` nearest
+  cells; candidates meet on the cell equi-join, exact cosine re-rank.
+  On real (clustered) embeddings IVF beats data-oblivious LSH at equal
+  candidate budgets; recall tested vs brute force.
 
-Hyperplanes are deterministic (hash-derived pseudo-random), so results
+Hyperplanes and the k-means fit are deterministic (hash-derived
+pseudo-randomness / fixed-seed init over an ordered sample), so results
 are reproducible without any RNG state.
 """
 
@@ -97,6 +105,90 @@ def _bucket_udf(dim: int, nbits: int, ntables: int):
         return pd.Series(list(ids))
 
     return buckets
+
+
+def _spherical_kmeans(sample: np.ndarray, n_clusters: int,
+                      iters: int = 15) -> np.ndarray:
+    """Deterministic spherical k-means (cosine metric): unit-normalized
+    points, centroids re-normalized each round, empty cells keep their
+    previous centroid.  Returns (n_clusters, dim) unit centroids."""
+    X = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True),
+                            1e-12)
+    n_clusters = min(n_clusters, len(X))
+    rng = np.random.RandomState(1234)
+    centroids = X[rng.choice(len(X), size=n_clusters, replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ centroids.T).argmax(axis=1)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, X)
+        norms = np.linalg.norm(sums, axis=1, keepdims=True)
+        nonempty = norms[:, 0] > 1e-12
+        centroids[nonempty] = sums[nonempty] / norms[nonempty]
+    return centroids
+
+
+def ivf_fit(corpus: DataFrame, n_clusters: int, *, id_col: str = "vec_id",
+            vec_col: str = "embedding",
+            sample_rows: int = 65536) -> np.ndarray:
+    """Fit the IVF coarse quantizer on a bounded, deterministic sample.
+
+    The sample is the ``sample_rows`` lowest-id rows (TakeOrdered: one
+    corpus scan with a bounded heap, no sort shuffle) — at 10^12 rows the
+    driver still only ever holds ``sample_rows × dim`` floats."""
+    rows = (corpus.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample_rows).collect())
+    sample = np.array([r[1] for r in rows], dtype=np.float64)
+    return _spherical_kmeans(sample, n_clusters)
+
+
+def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int, *,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_clusters: int = 64, nprobe: int = 8,
+                    centroids: np.ndarray | None = None,
+                    sample_rows: int = 65536) -> DataFrame:
+    """IVF ANN top-k: same output schema as the other paths.
+
+    Plan shape at scale: corpus side = one scan + one vectorized cell
+    assignment (no shuffle); query side = broadcast after nprobe-cell
+    explode; candidates = broadcast-hash equi-join on ``_cell``; exact
+    cosine re-rank inside whole-stage codegen; top-k window partitioned
+    by query.  The corpus is never shuffled and never leaves its
+    partitions."""
+    if centroids is None:
+        centroids = ivf_fit(corpus, n_clusters, id_col=id_col,
+                            vec_col=vec_col, sample_rows=sample_rows)
+    cent = centroids.astype(np.float64)
+    nprobe = min(nprobe, len(cent))
+
+    @pandas_udf(LongType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())
+        norm = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(((mat / norm) @ cent.T).argmax(axis=1))
+
+    @pandas_udf(ArrayType(LongType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())
+        norm = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = (mat / norm) @ cent.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series(list(top.astype(np.int64)))
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    cb = c.withColumn("_cell", cell_of(F.col("cv")))
+    qb = F.broadcast(
+        q.select("*", F.explode(probe_cells(F.col("qv"))).alias("_cell")))
+    cand = (cb.join(qb, "_cell").drop("_cell")
+            .where(F.col("neighbor_id") != F.col("query_id")))
+    scored = cand.withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
 def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int, dim: int,

@@ -58,3 +58,53 @@ def test_lsh_deterministic(spark, emb_df):
     a = similarity.cosine_topk_lsh(emb_df, queries, 3, DIM).collect()
     b = similarity.cosine_topk_lsh(emb_df, queries, 3, DIM).collect()
     assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb_df):
+    queries = emb_df.where("vec_id < 10")
+    exact = similarity.cosine_topk_bruteforce(emb_df, queries, k=5).collect()
+    approx = similarity.cosine_topk_ivf(emb_df, queries, k=5,
+                                        n_clusters=8, nprobe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # candidates re-ranked with EXACT cosine -> any common pair agrees
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert r.cosine == pytest.approx(
+                exact_cos[(r.query_id, r.neighbor_id)], abs=1e-9)
+
+
+def test_ivf_full_probe_is_exact(spark, emb_df):
+    """nprobe == n_clusters degenerates to brute force (every cell probed)."""
+    queries = emb_df.where("vec_id < 5")
+    exact = similarity.cosine_topk_bruteforce(emb_df, queries, k=3).collect()
+    full = similarity.cosine_topk_ivf(emb_df, queries, k=3,
+                                      n_clusters=4, nprobe=4).collect()
+    assert sorted((r.query_id, r.neighbor_id, r.rank) for r in full) == \
+        sorted((r.query_id, r.neighbor_id, r.rank) for r in exact)
+
+
+def test_ivf_deterministic(spark, emb_df):
+    queries = emb_df.where("vec_id < 3")
+    a = similarity.cosine_topk_ivf(emb_df, queries, 3, n_clusters=8).collect()
+    b = similarity.cosine_topk_ivf(emb_df, queries, 3, n_clusters=8).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_ivf_prefit_centroids_reused(spark, emb_df):
+    """ivf_fit once, search many times (the production pattern: fit is a
+    bounded driver-side step, search is per-batch)."""
+    cents = similarity.ivf_fit(emb_df, n_clusters=8)
+    assert cents.shape == (8, DIM)
+    import numpy as _np
+    _np.testing.assert_allclose(_np.linalg.norm(cents, axis=1), 1.0,
+                                rtol=1e-9)
+    queries = emb_df.where("vec_id < 3")
+    via_prefit = similarity.cosine_topk_ivf(
+        emb_df, queries, 3, centroids=cents, nprobe=8).collect()
+    refit = similarity.cosine_topk_ivf(
+        emb_df, queries, 3, n_clusters=8, nprobe=8).collect()
+    assert sorted(map(str, via_prefit)) == sorted(map(str, refit))
