@@ -313,6 +313,26 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: chain pairs inside each dup-bucket
+    (lag window) → large-star/small-star connected components.  The
+    bucket key is the first md5 hex char (16 buckets) so every SF yields
+    non-trivial components with chain diameter ≈ group size — exercising
+    the diameter-independent path; the oracle knows each component is
+    its bucket (cluster_id = min doc_id of the bucket)."""
+    from pyspark.sql import Window
+
+    from frogocr_spark.operators.dedup import dup_clusters_star
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "digest", F.substring(F.md5("text"), 1, 1))
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    pairs = (docs.withColumn("prev_id", F.lag("doc_id").over(w))
+             .where(F.col("prev_id").isNotNull())
+             .select(F.col("prev_id").alias("id_a"),
+                     F.col("doc_id").alias("id_b")))
+    return dup_clusters_star(pairs)
+
+
 def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frogocr_spark.operators.textstats import with_textstats
     docs = _read(spark, sf_dir, "documents")
@@ -417,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dup_clusters": _q_dup_clusters,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "rolling_fingerprint": _q_rolling_fingerprint,
@@ -611,6 +632,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS digest, min(doc_id) AS keep_id,
                    count(*) AS n_dupes
             FROM documents GROUP BY md5(text)
+        """,
+        "dup_clusters": """
+            WITH g AS (SELECT doc_id, substring(md5(text), 1, 1) AS digest
+                       FROM documents),
+                 c AS (SELECT digest FROM g GROUP BY digest
+                       HAVING count(*) > 1)
+            SELECT g.doc_id,
+                   min(g.doc_id) OVER (PARTITION BY g.digest) AS cluster_id
+            FROM g JOIN c USING (digest)
         """,
         "dedup_jaccard": r"""
             WITH toks AS (

@@ -47,3 +47,41 @@ def test_keep_canonical_per_cluster(spark):
     # canonical = min id = cluster_id itself
     for cid, members in clusters.items():
         assert cid == min(members)
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star variant (O(log n) rounds, diameter-independent)
+# ---------------------------------------------------------------------------
+
+from frogocr_spark.operators.dedup import dup_clusters_star
+
+
+@pytest.mark.parametrize("pairs", [
+    [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+    [(i, i + 1) for i in range(12)],
+    [(5, 9), (1, 5), (9, 40), (40, 2)],
+    [(7, 3)],                                  # single pair
+])
+def test_star_clusters_match_union_find(spark, pairs):
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in dup_clusters_star(df).collect()}
+    assert got == _union_find(pairs)
+
+
+def test_star_handles_deep_chain_in_log_rounds(spark):
+    """A 120-node chain has diameter 120: min-label propagation would need
+    ~120 rounds, the star algorithm must finish within max_iters=8."""
+    pairs = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in dup_clusters_star(df, max_iters=8).collect()}
+    assert got == {i: 0 for i in range(121)}
+
+
+def test_star_matches_propagation_variant(spark):
+    pairs = [(3, 7), (7, 9), (100, 101), (55, 54), (54, 9)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    a = sorted((r.doc_id, r.cluster_id) for r in dup_clusters(df).collect())
+    b = sorted((r.doc_id, r.cluster_id)
+               for r in dup_clusters_star(df).collect())
+    assert a == b
