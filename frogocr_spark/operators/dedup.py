@@ -90,22 +90,30 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     never an all-pairs product."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes).cache()
+    # band join on BARE ids: carrying the 32-long signatures through the
+    # bucket-join fanout multiplies shuffle volume ~30× (candidate counts
+    # are quadratic in bucket size); signatures are re-attached per-id
+    # afterwards — two narrow joins against the signature table (AQE
+    # broadcasts it when small; sort-merge on the id key at corpus scale)
     banded = sig.select(
-        id_col, "signature",
+        id_col,
         F.posexplode(F.array(*[
             F.xxhash64(*[F.col("signature")[i]
                          for i in range(b * rows_per_band,
                                         (b + 1) * rows_per_band)])
             for b in range(bands)
         ])).alias("band", "band_hash"))
-    a = banded.select(F.col(id_col).alias("id_a"),
-                      F.col("signature").alias("sig_a"), "band", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"),
-                      F.col("signature").alias("sig_b"), "band", "band_hash")
-    cand = (a.join(b, ["band", "band_hash"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sig_a", "sig_b")
-            .dropDuplicates(["id_a", "id_b"]))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    cand_ids = (a.join(b, ["band", "band_hash"])
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .dropDuplicates(["id_a", "id_b"]))
+    cand = (cand_ids
+            .join(sig.select(F.col(id_col).alias("id_a"),
+                             F.col("signature").alias("sig_a")), "id_a")
+            .join(sig.select(F.col(id_col).alias("id_b"),
+                             F.col("signature").alias("sig_b")), "id_b"))
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b",
                    lambda x, y: F.when(x == y, 1).otherwise(0)),
