@@ -35,6 +35,7 @@ Confidence arithmetic stays in float32 like the reference
 
 from __future__ import annotations
 
+import bisect
 import re
 from dataclasses import dataclass
 
@@ -168,22 +169,25 @@ def extract_two_pass(raw: str, run_second: bool = True) -> tuple[list[Block], fl
     fp_mean = np.float32(fp_conf.mean(dtype=np.float32)
                          if len(fp_conf) else 1.0)
 
-    # J1 + J3: regions where the first pass did badly.  Hybrid execution:
-    # scalar loops for typical small turns (numpy broadcast constants lose
-    # below ~4k comparisons), vectorized for the long-document tail.
+    # J1 + J3: regions where the first pass did badly.  First-pass words
+    # are disjoint and emitted in increasing-position order, so both their
+    # starts and ends are strictly increasing — a bisect window
+    # [first end > region.a, first start >= region.b) contains EVERY word
+    # with positive intersection (outside it inter <= 0 ⇒ coverage 0 ⇒
+    # overlaps_either is False by definition).  Same results as the full
+    # scan, O(log W + hits) per region instead of O(W) (path-agreement
+    # tested against the exhaustive loop).
     kept_regions: list[tuple[int, int]] = []
-    big = len(fp_words) * max(len(regions), 1) > 4096
     if regions and len(fp_words):
-        if big:
-            reg_iv = np.array(regions, dtype=np.float64)
-            cov = _overlap_matrix(reg_iv, fp_iv)        # (n_reg, n_words)
-            hits = [cov[ri] for ri in range(len(regions))]
-        else:
-            hits = [np.array([overlaps_either((w.start, w.end), r)
-                              for w in fp_words]) for r in regions]
-        for r, hit in zip(regions, hits):
-            mean = (np.float32(fp_conf[hit].mean(dtype=np.float32))
-                    if hit.any() else np.float32(1.0))
+        starts = [w.start for w in fp_words]
+        ends = [w.end for w in fp_words]
+        for r in regions:
+            lo = bisect.bisect_right(ends, r[0])
+            hi = bisect.bisect_left(starts, r[1])
+            idx = [i for i in range(lo, hi)
+                   if overlaps_either((starts[i], ends[i]), r)]
+            mean = (np.float32(fp_conf[idx].mean(dtype=np.float32))
+                    if idx else np.float32(1.0))
             if mean < QUAD_GATE:
                 kept_regions.append(r)
 
@@ -197,20 +201,25 @@ def extract_two_pass(raw: str, run_second: bool = True) -> tuple[list[Block], fl
             if conf > threshold:
                 sp_words.extend(ws)
 
-    # J2: declarative erase — keep fp word unless low-conf AND overlapped
+    # J2: declarative erase — keep fp word unless low-conf AND overlapped.
+    # Same bisect-window pruning over the (sorted) second-pass intervals.
     if sp_words and len(fp_words):
-        if len(fp_words) * len(sp_words) > 4096:
-            sp_iv = np.array([(w.start, w.end) for w in sp_words],
-                             dtype=np.float64)
-            erased = ((fp_conf <= WORD_GATE)
-                      & _overlap_matrix(fp_iv, sp_iv).any(axis=1))
-            merged = [w for w, e in zip(fp_words, erased) if not e]
-        else:
-            sp_ivl = [(w.start, w.end) for w in sp_words]
-            merged = [w for w in fp_words
-                      if not (w.conf <= WORD_GATE
-                              and any(overlaps_either((w.start, w.end), s)
-                                      for s in sp_ivl))]
+        sp_ivl = sorted((w.start, w.end) for w in sp_words)
+        sp_starts = [s for s, _ in sp_ivl]
+        sp_ends = [e for _, e in sp_ivl]
+
+        def _erased(w: Word) -> bool:
+            if w.conf > WORD_GATE:
+                return False
+            # any sp interval with positive intersection has end > w.start
+            # and start < w.end; sp intervals are disjoint (region words),
+            # so both bound lists are sorted
+            lo = bisect.bisect_right(sp_ends, w.start)
+            hi = bisect.bisect_left(sp_starts, w.end)
+            return any(overlaps_either((w.start, w.end), sp_ivl[i])
+                       for i in range(lo, hi))
+
+        merged = [w for w in fp_words if not _erased(w)]
     else:
         merged = list(fp_words)
     # J4 union, then W1 stable order on interval start

@@ -104,3 +104,50 @@ def test_doc_confidence_is_float32_average():
     fp = np.mean(np.array([0.92, 0.92, 0.3, 0.3], dtype=np.float32), dtype=np.float32)
     expect = float((np.float32(fp) + np.float32(0.96)) / np.float32(2.0))
     assert conf == pytest.approx(expect, abs=1e-7)
+
+
+def test_window_pruning_matches_exhaustive_scan():
+    """The bisect-window J1/J2 candidate pruning must be invisible: results
+    equal a full O(W*R) overlap scan on every generated two_pass payload."""
+    import numpy as np
+    import pandas as pd
+
+    from frogocr_spark.core import secondpass as sp
+    from frogocr_spark.core import sniff
+    from frogocr_spark.sources import payloadgen
+
+    rows = []
+    for c in range(300):
+        rows.extend(payloadgen.gen_conv(c))
+    s = pd.Series([r["text"] for r in rows]).fillna("").astype(str)
+    payloads = [v for v, c in zip(s, sniff.sniff_series(s))
+                if c == "two_pass"]
+    assert payloads, "corpus must contain two_pass rows"
+
+    checked = 0
+    for raw in payloads:
+        fp_words, regions = sp.first_pass(raw)
+        fp_conf = np.array([w.conf for w in fp_words], dtype=np.float32)
+        kept_exhaustive = []
+        for r in regions:
+            idx = [i for i, w in enumerate(fp_words)
+                   if sp.overlaps_either((w.start, w.end), r)]
+            mean = (np.float32(fp_conf[idx].mean(dtype=np.float32))
+                    if idx else np.float32(1.0))
+            if mean < sp.QUAD_GATE:
+                kept_exhaustive.append(r)
+        blocks, _ = sp.extract_two_pass(raw)
+        got_sp_words = {(seg.start, seg.end) for b in blocks
+                        for seg in b.segments
+                        if seg.confidence in (float(sp.SECONDPASS_CONF),
+                                              float(sp.SECONDPASS_HARD_CONF))}
+        # every accepted region's recognized words must appear verbatim
+        for r in kept_exhaustive:
+            for w in sp.second_pass_recognize(raw, r):
+                cands = [ws[0].conf
+                         for ws in [sp.second_pass_recognize(raw, k)
+                                    for k in kept_exhaustive] if ws]
+                if w.conf > sp.majority_vote_relaxation(cands):
+                    assert (w.start, w.end) in got_sp_words
+                    checked += 1
+    assert checked > 50  # the assertion actually exercised real regions
