@@ -251,6 +251,21 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_events")))
 
 
+def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window stats (batch twin of the watermarked
+    streaming aggregation — frogocr_spark.streaming.eventtime; late-data
+    semantics tested in tests/test_eventtime.py).  Window bounds emitted
+    as formatted strings so the DuckDB time_bucket oracle hashes
+    identically (both engines align tumbling windows to the epoch)."""
+    from frogocr_spark.streaming.eventtime import windowed_event_stats
+    ev = _read(spark, sf_dir, "events")
+    out = windowed_event_stats(ev, window="10 minutes")
+    return out.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        F.date_format("win_end", "yyyy-MM-dd HH:mm:ss").alias("win_end"),
+        "event_type", "n_events", "sum_value")
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return (docs.withColumn("digest", F.md5("text"))
@@ -333,6 +348,24 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters_star(pairs)
 
 
+def _q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: md5-bucket chain pairs → star CC → keep the min
+    doc per component + unpaired docs.  Oracle: keeper ⇔ doc_id is the
+    min of its bucket (every doc is in a bucket, singletons keep
+    themselves)."""
+    from pyspark.sql import Window
+
+    from frogocr_spark.operators.dedup import resolve_duplicates
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "digest", F.substring(F.md5("text"), 1, 1))
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    pairs = (docs.withColumn("prev_id", F.lag("doc_id").over(w))
+             .where(F.col("prev_id").isNotNull())
+             .select(F.col("prev_id").alias("id_a"),
+                     F.col("doc_id").alias("id_b")))
+    return resolve_duplicates(docs, pairs).select("doc_id")
+
+
 def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frogocr_spark.operators.textstats import with_textstats
     docs = _read(spark, sf_dir, "documents")
@@ -413,6 +446,18 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling UDTF shape (1 row → ≤k rows; decode stubbed/fake,
+    sampling + resize math real — rows-only check)."""
+    from frogocr_spark.operators.multimodal import (attach_binary_payload,
+                                                    sample_frames)
+    docs = _read(spark, sf_dir, "documents").limit(200)
+    blobs = attach_binary_payload(docs)
+    out = sample_frames(blobs, k=4, fake_decode=True, dim=8)
+    return out.select("doc_id", "n_frames", "frame_idx", "ts_ms",
+                      F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_extract": _q_pipeline_extract,
@@ -433,11 +478,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j7_nearest_neighbor": _q_j7_nearest_neighbor,
         "j8_intern_dimension": _q_j8_intern_dimension,
         "sessionize": _q_sessionize,
+        "event_windows": _q_event_windows,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dup_clusters": _q_dup_clusters,
+        "dedup_resolve": _q_dedup_resolve,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "rolling_fingerprint": _q_rolling_fingerprint,
@@ -450,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c7_xml_escape": _q_c7_xml_escape,
         "metrics_rollup": _q_metrics_rollup,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_frames": _q_multimodal_frames,
     }
 
 
@@ -628,6 +676,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM s GROUP BY user_id
         """,
+        "event_windows": """
+            SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
+                            '%Y-%m-%d %H:%M:%S') AS win_start,
+                   strftime(time_bucket(INTERVAL '10 minutes', ts)
+                            + INTERVAL '10 minutes',
+                            '%Y-%m-%d %H:%M:%S') AS win_end,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
         "dedup_exact": """
             SELECT md5(text) AS digest, min(doc_id) AS keep_id,
                    count(*) AS n_dupes
@@ -641,6 +700,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.doc_id,
                    min(g.doc_id) OVER (PARTITION BY g.digest) AS cluster_id
             FROM g JOIN c USING (digest)
+        """,
+        "dedup_resolve": """
+            WITH g AS (SELECT doc_id, substring(md5(text), 1, 1) AS digest
+                       FROM documents)
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY digest) AS keeper
+                FROM g
+            ) WHERE doc_id = keeper
         """,
         "dedup_jaccard": r"""
             WITH toks AS (

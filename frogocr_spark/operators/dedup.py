@@ -290,6 +290,24 @@ def dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
                     F.coalesce("label", "node").alias("cluster_id")))
 
 
+def resolve_duplicates(df: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """End-to-end duplicate resolution: pair list → connected components
+    → keep ONE doc per component (the min id, the canonical keeper) plus
+    every unpaired doc.  The training-data pipeline's final dedup step:
+    feed it pairs from any generator (exact digests, minhash/simhash
+    LSH, embedding cosine) and anti-join the losers away.
+
+    Plan shape: dup_clusters_star over the (small relative to corpus)
+    pair graph, then one left-anti join of the corpus against the
+    non-keeper ids — the corpus is scanned once and never shuffled
+    (anti-join's build side is the loser set)."""
+    clusters = dup_clusters_star(pairs)
+    losers = (clusters.where(F.col("doc_id") != F.col("cluster_id"))
+              .select(F.col("doc_id").alias(id_col)))
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.95,

@@ -82,6 +82,117 @@ def _decode_fake(blob: bytes, media: str, dim: int = 8) -> np.ndarray:
                          dtype=np.uint32).astype(np.float32) / np.float32(2**32)
 
 
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), False),
+    T.StructField("src_w", T.IntegerType(), True),
+    T.StructField("src_h", T.IntegerType(), True),
+    T.StructField("out_w", T.IntegerType(), True),
+    T.StructField("out_h", T.IntegerType(), True),
+    T.StructField("pixels", T.BinaryType(), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("frame_idx", T.IntegerType(), True),
+    T.StructField("ts_ms", T.IntegerType(), True),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def _resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, c) array — REAL math (only
+    the codec decode is stubbed); vectorized fancy-index gather."""
+    h, w = img.shape[:2]
+    yi = np.arange(out_h) * h // out_h
+    xi = np.arange(out_w) * w // out_w
+    return img[yi][:, xi]
+
+
+def _decode_fake_image(blob: bytes, w: int = 16, h: int = 16) -> np.ndarray:
+    """Deterministic fake bitmap: md5-seeded (h, w, 3) uint8 (test path —
+    a real cluster image swaps in PIL here)."""
+    digest = hashlib.md5(blob).digest()
+    raw = (digest * (h * w * 3 // 16 + 1))[:h * w * 3]
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int,
+                  id_col: str = "doc_id", blob_col: str = "payload",
+                  fake_decode: bool = False) -> DataFrame:
+    """Arrow-batched image resize: decode (stubbed) → nearest-neighbor
+    resize (real) → raw RGB bytes out.  1 row in = 1 row out; non-image
+    payloads pass through with ``decode_error`` set.  Blob bytes stay
+    partition-local end to end."""
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                blob = bytes(blob)
+                media = sniff_magic(blob)
+                rec = [int(doc_id), media, None, None, None, None, None,
+                       None]
+                if media not in ("png", "jpeg"):
+                    rec[7] = f"not an image: {media}"
+                else:
+                    try:
+                        img = (_decode_fake_image(blob) if fake_decode
+                               else _decode_real(blob, media))
+                        resized = _resize_nearest(img, out_w, out_h)
+                        rec[2:7] = [img.shape[1], img.shape[0],
+                                    out_w, out_h, resized.tobytes()]
+                    except NotImplementedError as e:
+                        rec[7] = str(e)
+                out.append(tuple(rec))
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA])
+
+    return narrow.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, k: int, id_col: str = "doc_id",
+                  blob_col: str = "payload",
+                  fake_decode: bool = False, dim: int = 8) -> DataFrame:
+    """Frame sampling for video-like payloads: 1 row in → ≤ k rows out
+    (the UDTF shape — same as the reference's one-task→many-blocks
+    recognizers, SURVEY §2.9 X2).  Sampling indices = evenly spaced over
+    the clip (``linspace`` rounded, deduped) — REAL logic; per-frame
+    decode is the stubbed step.  ``ts_ms`` assumes 30 fps."""
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                blob = bytes(blob)
+                media = sniff_magic(blob)
+                if media == "unknown":
+                    out.append((int(doc_id), None, None, None, None,
+                                f"undecodable payload: {media}"))
+                    continue
+                try:
+                    if not fake_decode:
+                        _decode_real(blob, media)
+                    n_frames = 1 + blob[-1] % 30
+                    idx = np.unique(np.linspace(
+                        0, n_frames - 1, num=min(k, n_frames)).round()
+                        .astype(np.int32))
+                    for i in idx:
+                        feat = _decode_fake(blob + bytes([i]), media, dim)
+                        out.append((int(doc_id), int(n_frames), int(i),
+                                    int(i * 1000 // 30),
+                                    [float(x) for x in feat], None))
+                except NotImplementedError as e:
+                    out.append((int(doc_id), None, None, None, None, str(e)))
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA])
+
+    return narrow.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def decode_features(df: DataFrame, id_col: str = "doc_id",
                     blob_col: str = "payload",
                     fake_decode: bool = False, dim: int = 8) -> DataFrame:

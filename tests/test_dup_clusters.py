@@ -85,3 +85,14 @@ def test_star_matches_propagation_variant(spark):
     b = sorted((r.doc_id, r.cluster_id)
                for r in dup_clusters_star(df).collect())
     assert a == b
+
+
+def test_resolve_duplicates_keeps_min_and_unpaired(spark):
+    from frogocr_spark.operators.dedup import resolve_duplicates
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)],
+                                  "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in resolve_duplicates(docs, pairs).collect())
+    # component {1,2,3} -> keep 1; {7,8} -> keep 7; unpaired 0,4,5,6,9 kept
+    assert kept == [0, 1, 4, 5, 6, 7, 9]

@@ -57,3 +57,81 @@ def test_textstats_columns(spark):
         [(0, "THE  cat   sat on the mat and it is fine")], "doc_id long, text string")
     fp2 = textstats.with_textstats(df2).first().fingerprint
     assert fp2 == got[0].fingerprint
+
+
+# ---------------------------------------------------------------------------
+# resize + frame-sample plumbing (decode stubbed, math real)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import pytest
+
+from frogocr_spark.operators.multimodal import (_decode_fake_image,
+                                                _resize_nearest,
+                                                resize_images, sample_frames)
+
+
+@pytest.fixture(scope="module")
+def docs_with_payload(spark):
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some text") for i in range(12)],
+        "doc_id long, text string")
+    return multimodal.attach_binary_payload(df).cache()
+
+
+def test_resize_nearest_known_values():
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = _resize_nearest(img, 2, 2)
+    # nearest-neighbor with floor mapping picks rows/cols 0 and 2
+    assert out.shape == (2, 2, 3)
+    assert (out == img[[0, 2]][:, [0, 2]]).all()
+    # upscale repeats pixels, never interpolates
+    up = _resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8, 3)
+    assert set(np.unique(up)) <= set(np.unique(img))
+
+
+def test_resize_images_plumbing(spark, docs_with_payload):
+    out = resize_images(docs_with_payload, 4, 4, fake_decode=True).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_type, []).append(r)
+    # images resized: 4*4*3 raw bytes, dims recorded
+    for r in by_media["png"] + by_media["jpeg"]:
+        assert (r.src_w, r.src_h, r.out_w, r.out_h) == (16, 16, 4, 4)
+        assert len(r.pixels) == 4 * 4 * 3
+        assert r.decode_error is None
+    # non-images error cleanly, 1 row in = 1 row out
+    for r in by_media["wav"]:
+        assert r.pixels is None and "not an image" in r.decode_error
+    assert len(out) == docs_with_payload.count()
+
+
+def test_resize_images_real_decode_stub_surfaces_error(spark,
+                                                       docs_with_payload):
+    out = resize_images(docs_with_payload, 4, 4, fake_decode=False).collect()
+    imgs = [r for r in out if r.media_type in ("png", "jpeg")]
+    assert imgs and all("requires PIL" in r.decode_error for r in imgs)
+
+
+def test_sample_frames_udtf_shape(spark, docs_with_payload):
+    k = 5
+    out = sample_frames(docs_with_payload, k=k, fake_decode=True).collect()
+    rows_per_doc = {}
+    for r in out:
+        rows_per_doc.setdefault(r.doc_id, []).append(r)
+    assert len(rows_per_doc) == docs_with_payload.count()
+    for doc_id, rows in rows_per_doc.items():
+        assert 1 <= len(rows) <= k          # 1 row in -> <=k rows out
+        assert len(rows) == min(k, rows[0].n_frames)
+        idxs = [r.frame_idx for r in rows]
+        assert idxs == sorted(set(idxs))    # evenly spaced, deduped
+        assert all(0 <= i < rows[0].n_frames for i in idxs)
+        assert all(r.ts_ms == r.frame_idx * 1000 // 30 for r in rows)
+        assert all(len(r.feature) == 8 for r in rows)
+
+
+def test_sample_frames_deterministic(spark, docs_with_payload):
+    a = sample_frames(docs_with_payload, k=3, fake_decode=True).collect()
+    b = sample_frames(docs_with_payload, k=3, fake_decode=True).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
