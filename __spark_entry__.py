@@ -446,6 +446,41 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
+def _q_a7_ctc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTC collapse (A7) over the embeddings as 8×8 score matrices.
+    Oracle: per-step arg_max + lag-based blank/repeat drop in DuckDB —
+    exact same semantics, real SQL cross-check of the decode."""
+    from frogocr_spark.operators.ctcdecode import ctc_decode_column
+    emb = _read(spark, sf_dir, "embeddings")
+    out = ctc_decode_column(emb, "embedding", n_classes=8)
+    return out.select(
+        "vec_id",
+        F.concat_ws("-", F.transform("ids", lambda x: x.cast("string")))
+         .alias("ids"),
+        F.round("conf", 6).alias("conf"))
+
+
+def _q_w5_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy 1-D NMS (W5).  Candidates constructed so overlap clusters
+    are all-pairs-overlapping and clusters are disjoint — on that family
+    greedy NMS provably keeps exactly the max-score box per cluster, so
+    a plain SQL argmax is a true oracle for the sequential operator."""
+    from frogocr_spark.operators.suppress import nms_per_group
+    ev = _read(spark, sf_dir, "events")
+    boxes = ev.select(
+        (F.col("event_id") % 50).alias("grp"),
+        ((F.col("event_id") % 400) * 1000
+         + F.col("event_id") % 7).cast("long").alias("start"),
+        ((F.col("event_id") % 400) * 1000 + 900
+         + F.col("event_id") % 5).cast("long").alias("end"),
+        # globally unique scores (integer part = event_id) — no tie
+        # ambiguity between the greedy loop and the SQL argmax
+        (F.col("event_id") + F.col("value") / 1000).alias("score"))
+    out = nms_per_group(boxes, ["grp"], iou_threshold=0.5)
+    return out.select("grp", "start", "end",
+                      F.round("score", 6).alias("score"))
+
+
 def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling UDTF shape (1 row → ≤k rows; decode stubbed/fake,
     sampling + resize math real — rows-only check)."""
@@ -498,6 +533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_rollup": _q_metrics_rollup,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
+        "a7_ctc": _q_a7_ctc,
+        "w5_nms": _q_w5_nms,
     }
 
 
@@ -675,6 +712,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, max(session_id) + 1 AS n_sessions,
                    count(*) AS n_events
             FROM s GROUP BY user_id
+        """,
+        "a7_ctc": """
+            WITH v AS (
+                SELECT vec_id, unnest(embedding) AS val,
+                       generate_subscripts(embedding, 1) AS ord
+                FROM embeddings
+            ), s AS (
+                SELECT vec_id, (ord - 1) // 8 AS step, (ord - 1) % 8 AS cls,
+                       val::DOUBLE AS val
+                FROM v
+            ), am AS (
+                SELECT vec_id, step, arg_max(cls, val) AS cls,
+                       max(val) AS val
+                FROM s GROUP BY vec_id, step
+            ), k AS (
+                SELECT vec_id, step, cls, val,
+                       lag(cls) OVER (PARTITION BY vec_id ORDER BY step)
+                           AS prev
+                FROM am
+            ), kept AS (
+                SELECT vec_id, step, cls, val FROM k
+                WHERE cls <> 0 AND (prev IS NULL OR cls <> prev)
+            )
+            SELECT e.vec_id,
+                   coalesce(string_agg(kept.cls::VARCHAR, '-'
+                                       ORDER BY kept.step), '') AS ids,
+                   round(coalesce(avg(kept.val), 1.0), 6) AS conf
+            FROM embeddings e LEFT JOIN kept ON e.vec_id = kept.vec_id
+            GROUP BY e.vec_id
+        """,
+        "w5_nms": """
+            WITH b AS (
+                SELECT event_id % 50 AS grp,
+                       (event_id % 400) * 1000 + event_id % 7 AS start,
+                       (event_id % 400) * 1000 + 900 + event_id % 5
+                           AS "end",
+                       event_id + value / 1000 AS score,
+                       event_id % 400 AS cluster
+                FROM events
+            )
+            SELECT grp, start, "end", round(score, 6) AS score
+            FROM (SELECT *, row_number() OVER (PARTITION BY grp, cluster
+                                               ORDER BY score DESC) AS rn
+                  FROM b)
+            WHERE rn = 1
         """,
         "event_windows": """
             SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),

@@ -44,3 +44,29 @@ def test_leading_class_kept():
     # first step compares against sentinel -1 → always eligible
     ids, _ = ctc_collapse(_scores([2]))
     assert ids == [2]
+
+
+def test_ctc_decode_column(spark):
+    """Column-level decode matches the scalar core on every row,
+    truncates ragged arrays to whole timesteps, guards 0-step inputs."""
+    import numpy as np
+
+    from frogocr_spark.core.ctc import ctc_collapse
+    from frogocr_spark.operators.ctcdecode import ctc_decode_column
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(20):
+        n = [16, 17, 3, 0][i % 4]   # whole, ragged, sub-step, empty
+        rows.append((i, [float(x) for x in rng.normal(size=n)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.ids, r.conf)
+           for r in ctc_decode_column(df, "embedding", n_classes=4).collect()}
+    for i, arr in rows:
+        v = np.asarray(
+            spark.createDataFrame([(arr,)], "a array<float>")
+            .first()[0], dtype=np.float64)   # float32 round-trip like Spark
+        t = len(v) // 4
+        exp_ids, exp_conf = ctc_collapse(v[: t * 4].reshape(t, 4))
+        assert got[i][0] == exp_ids, i
+        assert abs(got[i][1] - exp_conf) < 1e-12, i
