@@ -39,9 +39,10 @@ BENCH_QUERIES = [
     "pipeline_extract", "extract_plain_docs", "tpch_q1", "tpch_q3_topk",
     "a1_avg_per_group", "a3_mode_per_user", "w1_reading_order",
     "w3_positional_ids", "f1_anti_join_resume", "j1_interval_join",
-    "j6_asof_join", "j7_nearest_neighbor", "sessionize",
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "textstats",
-    "sim_cosine_topk", "sim_cosine_lsh", "metrics_rollup",
+    "j6_asof_join", "j7_nearest_neighbor", "sessionize", "event_windows",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dup_clusters",
+    "dedup_resolve", "textstats", "sim_cosine_topk", "sim_cosine_lsh",
+    "sim_cosine_ivf", "a7_ctc", "w5_nms", "metrics_rollup",
 ]
 
 

@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--salt-buckets", type=int, default=16)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--bucketed-table", default=None,
+                   help="write output to a conv_id-bucketed session table "
+                        "of this name (storage-partitioned resume "
+                        "anti-join — the 10^12-row layout)")
+    p.add_argument("--buckets", type=int, default=32)
     p.add_argument("--cores", type=int, default=None,
                    help="local[] cores; ignored under a real cluster master")
     args = p.parse_args(argv)
@@ -60,7 +65,9 @@ def main(argv: list[str] | None = None) -> None:
         cfg = PipelineConfig(output_dir=args.output, run_id=args.run_id,
                              num_partitions=args.partitions,
                              salt_buckets=args.salt_buckets,
-                             resume=not args.no_resume)
+                             resume=not args.no_resume,
+                             bucketed_table=args.bucketed_table,
+                             buckets=args.buckets)
         stats = run_extraction(spark, tdf, cfg)
         print(json.dumps({"run_id": args.run_id, **stats}))
     finally:

@@ -24,9 +24,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.extraction import extract_turns
-from ..operators.resume import filter_unprocessed
+from ..operators.resume import (filter_unprocessed,
+                                filter_unprocessed_bucketed)
 from ..operators.skew import DEFAULT_SALT_BUCKETS, salted_repartition
-from ..sources.catalog import Table
+from ..sources.catalog import BucketedTable, Table
 from .metrics import build_sidecar
 
 
@@ -38,18 +39,32 @@ class PipelineConfig:
     salt_buckets: int = DEFAULT_SALT_BUCKETS
     resume: bool = True
     stage_settings: dict = field(default_factory=dict)
+    # bucketed output layout (the 10^12-row resume path): when set, the
+    # extraction output lands in a conv_id-bucketed session table of this
+    # name and the resume anti-join is storage-partitioned — zero
+    # exchanges when the input shares the layout, one otherwise (never
+    # wrong; see sources.catalog.BucketedTable)
+    bucketed_table: str | None = None
+    buckets: int = 32
 
 
 def run_extraction(spark: SparkSession, transcripts: DataFrame,
                    cfg: PipelineConfig) -> dict:
     """Execute the pipeline; returns run stats from the sidecar."""
-    out_table = Table(spark, os.path.join(cfg.output_dir, "extractions"))
+    if cfg.bucketed_table:
+        out_table = BucketedTable(spark, cfg.bucketed_table,
+                                  buckets=cfg.buckets)
+    else:
+        out_table = Table(spark, os.path.join(cfg.output_dir, "extractions"))
     side_table = Table(spark, os.path.join(cfg.output_dir, "metrics"))
 
     todo = transcripts
     if cfg.resume:
         processed = out_table.processed_keys("conv_id", "turn_idx")
-        todo = filter_unprocessed(todo, processed)
+        if cfg.bucketed_table:
+            todo = filter_unprocessed_bucketed(todo, processed)
+        else:
+            todo = filter_unprocessed(todo, processed)
 
     # salt_buckets=0 → map-only plan (zero shuffles): correct whenever the
     # input layout already bounds task sizes (parquet maxPartitionBytes
@@ -76,8 +91,12 @@ def run_extraction(spark: SparkSession, transcripts: DataFrame,
     out_table.append(extracted, cfg.run_id)
     observed = obs.get
 
-    this_run = spark.read.parquet(
-        os.path.join(out_table.data_dir, f"run_id={cfg.run_id}"))
+    if cfg.bucketed_table:
+        this_run = (out_table.read()
+                    .where(F.col("run_id") == cfg.run_id).drop("run_id"))
+    else:
+        this_run = spark.read.parquet(
+            os.path.join(out_table.data_dir, f"run_id={cfg.run_id}"))
     sidecar = build_sidecar(this_run, cfg.run_id, cfg.stage_settings)
     side_table.append(sidecar, cfg.run_id)
 

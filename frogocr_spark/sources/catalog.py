@@ -44,9 +44,34 @@ class Table:
 
     def append(self, df: DataFrame, run_id: str) -> None:
         """Idempotent append: one directory per run_id; re-running a failed
-        run_id replaces only that run's files (dynamic partition overwrite)."""
+        run_id replaces only that run's files.
+
+        Staged publish: the write lands in a staging dir, then atomically
+        replaces the run dir — EXCEPT when the staging result is empty and
+        a committed run dir already exists.  That case is a blind retry of
+        an already-COMPLETED run (the resume anti-join filtered everything
+        out); clobbering the committed output with the empty result would
+        lose the run's data (found by a retry probe — the pre-staging
+        implementation did exactly that).  An empty result with no prior
+        dir still publishes (a legitimately-empty run is recorded)."""
+        import shutil
+
         out = os.path.join(self.data_dir, f"run_id={run_id}")
-        df.write.mode("overwrite").parquet(out)
+        # staging lives OUTSIDE data_dir: read() is a recursive lookup and
+        # must never see half-written files
+        staging = os.path.join(self.path, f".staging-run_id={run_id}")
+        shutil.rmtree(staging, ignore_errors=True)
+        df.write.mode("overwrite").parquet(staging)
+        try:
+            has_rows = bool(self.spark.read.parquet(staging).head(1))
+        except Exception:
+            has_rows = False
+        if has_rows or not os.path.isdir(out):
+            os.makedirs(self.data_dir, exist_ok=True)
+            shutil.rmtree(out, ignore_errors=True)
+            os.replace(staging, out)
+        else:
+            shutil.rmtree(staging, ignore_errors=True)
 
     def overwrite(self, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(os.path.join(self.data_dir, "run_id=all"))
@@ -125,7 +150,37 @@ class BucketedTable:
         self.bucket_col = bucket_col
         self.sort_cols = sort_cols
 
+    def _location(self) -> str:
+        wh = self.spark.conf.get("spark.sql.warehouse.dir")
+        return os.path.join(wh.removeprefix("file:"), self.name.lower())
+
+    def _ensure_registered(self) -> None:
+        """Session catalogs are in-memory: a NEW session sees the table's
+        warehouse directory but no metadata (the sandbox analog of losing
+        the metastore; a real Iceberg catalog persists this).  Re-register
+        the existing location as an external table with the same bucket
+        spec so cross-session retries/resumes keep working (found by a
+        fresh-session retry probe — saveAsTable alone fails with
+        LOCATION_ALREADY_EXISTS)."""
+        if self.spark.catalog.tableExists(self.name):
+            return
+        loc = self._location()
+        if not os.path.isdir(loc):
+            return
+        df = self.spark.read.parquet(loc)
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                         for f in df.schema.fields if f.name != "run_id")
+        self.spark.sql(
+            f"CREATE TABLE {self.name} ({cols}, run_id STRING) "
+            f"USING PARQUET PARTITIONED BY (run_id) "
+            f"CLUSTERED BY ({self.bucket_col}) "
+            f"SORTED BY ({', '.join(self.sort_cols)}) "
+            f"INTO {self.buckets} BUCKETS "
+            f"LOCATION '{loc}'")
+        self.spark.sql(f"MSCK REPAIR TABLE {self.name}")
+
     def exists(self) -> bool:
+        self._ensure_registered()
         return self.spark.catalog.tableExists(self.name)
 
     def append(self, df: DataFrame, run_id: str) -> None:

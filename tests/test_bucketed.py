@@ -76,3 +76,39 @@ def test_bucketed_append_is_run_id_idempotent(spark, bucketed_pair):
     # and retrying r1 still doesn't duplicate, nor touch r0
     t_done.append(extra, run_id="r1")
     assert t_done.read().count() == n_before + 1
+
+
+def test_pipeline_bucketed_mode_resume(spark, tmp_path):
+    """Full pipeline with bucketed output: second run over a superset
+    input extracts ONLY the new rows; totals reconcile."""
+    from frogocr_spark.plans.pipeline import PipelineConfig, run_extraction
+    from frogocr_spark.sources import transcripts as tgen
+
+    cfg = PipelineConfig(output_dir=str(tmp_path), run_id="b0",
+                         salt_buckets=0, bucketed_table="bt_pipe", buckets=8)
+    try:
+        first = tgen.generate(spark, 30)
+        stats1 = run_extraction(spark, first, cfg)
+        assert stats1["rows_in"] == first.count()
+
+        both = tgen.generate(spark, 45)  # superset: convs 0..44
+        cfg2 = PipelineConfig(output_dir=str(tmp_path), run_id="b1",
+                              salt_buckets=0, bucketed_table="bt_pipe",
+                              buckets=8)
+        stats2 = run_extraction(spark, both, cfg2)
+        # only the 15 new conversations' turns were processed
+        assert stats2["rows_in"] == both.count() - first.count()
+
+        from frogocr_spark.sources.catalog import BucketedTable
+        total = BucketedTable(spark, "bt_pipe").read().count()
+        assert total == both.count()
+        # blind retry of the COMPLETED run b1: nothing is re-extracted
+        # (observed counters ran with the write = 0 rows), the committed
+        # partition survives (dynamic overwrite with no output partitions
+        # is a no-op), and the sidecar re-reports its intact state
+        stats3 = run_extraction(spark, both, cfg2)
+        assert (stats3["observed"]["rows_out"] or 0) == 0
+        assert stats3["rows_in"] == both.count() - first.count()
+        assert BucketedTable(spark, "bt_pipe").read().count() == both.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_pipe")

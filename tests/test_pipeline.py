@@ -131,3 +131,29 @@ def test_skewed_conversation(spark, tmp_path):
 
 def test_filter_unprocessed_none_passthrough(spark, tdf):
     assert filter_unprocessed(tdf, None) is tdf
+
+
+def test_blind_retry_of_completed_run_keeps_data(spark, tmp_path):
+    """Retrying an already-COMPLETED run_id with resume on must be a
+    no-op: the resume anti-join yields zero rows and the staged publish
+    must NOT clobber the committed run dir with the empty result
+    (regression: the pre-staging append did exactly that)."""
+    import os
+
+    from frogocr_spark.plans.pipeline import PipelineConfig, run_extraction
+    from frogocr_spark.sources import transcripts as tgen
+    from frogocr_spark.sources.catalog import Table
+
+    cfg = PipelineConfig(output_dir=str(tmp_path), run_id="rr", salt_buckets=0)
+    df = tgen.generate(spark, 15)
+    run_extraction(spark, df, cfg)
+    t = Table(spark, os.path.join(str(tmp_path), "extractions"))
+    n = t.read().count()
+    assert n == df.count()
+    stats = run_extraction(spark, df, cfg)   # blind retry, same run_id
+    assert t.read().count() == n             # data survived
+    assert (stats["observed"]["rows_out"] or 0) == 0   # nothing re-ran
+    # staging dir cleaned up
+    assert not [d for d in os.listdir(os.path.join(str(tmp_path),
+                                                   "extractions"))
+                if d.startswith(".staging")]
