@@ -220,8 +220,28 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a",
                          F.col("label").alias("cluster_id"))
 
 
+def _union_find_local(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find with path halving + min-root (the exact
+    oracle the distributed variants are tested against)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
 def dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
-                      id_b: str = "id_b", max_iters: int = 15) -> DataFrame:
+                      id_b: str = "id_b", max_iters: int = 15,
+                      driver_finish_edges: int = 2_000_000) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (the two-round-primitive formulation from the public MapReduce-CC
     literature): converges in O(log n) rounds regardless of component
@@ -242,6 +262,15 @@ def dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
     one cheap single-row action per round instead of a full edge diff.
     Preferred at 10^12-node scale where adversarial pair graphs (e.g.
     chained near-dup shingles) have large diameters.
+
+    **Hybrid driver finish**: once the (monotonically non-growing) edge
+    set fits ``driver_finish_edges`` (~32 MB at the default — bounded
+    driver memory), the remaining rounds are replaced by one collect +
+    local union-find.  Distributed rounds cost whole-cluster job
+    latency each; the long tail of tiny rounds is exactly where that
+    latency dominates, so large graphs do O(log n) distributed rounds
+    and finish locally the moment the data is small — small graphs skip
+    the distributed phase entirely.
     """
     raw = (pairs.select(F.col(id_a).cast("long").alias("u"),
                         F.col(id_b).cast("long").alias("v"))
@@ -278,6 +307,15 @@ def dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
 
     prev = digest(edges)
     for _ in range(max_iters):
+        if prev[0] <= driver_finish_edges:
+            # hybrid finish: collect the (small) edge set, solve exactly
+            pairs_local = [(r.u, r.v) for r in edges.collect()]
+            labels = _union_find_local(pairs_local)
+            lbl_df = edges.sparkSession.createDataFrame(
+                list(labels.items()), "node long, label long")
+            return (nodes.join(lbl_df, "node", "left")
+                    .select(F.col("node").alias("doc_id"),
+                            F.coalesce("label", "node").alias("cluster_id")))
         edges = small_star(large_star(edges)).localCheckpoint()
         cur = digest(edges)
         if cur == prev:   # fixpoint: every edge is (node → component min)

@@ -64,7 +64,8 @@ from frogocr_spark.operators.dedup import dup_clusters_star
 ])
 def test_star_clusters_match_union_find(spark, pairs):
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
-    got = {r.doc_id: r.cluster_id for r in dup_clusters_star(df).collect()}
+    got = {r.doc_id: r.cluster_id
+           for r in dup_clusters_star(df, driver_finish_edges=0).collect()}
     assert got == _union_find(pairs)
 
 
@@ -74,7 +75,8 @@ def test_star_handles_deep_chain_in_log_rounds(spark):
     pairs = [(i, i + 1) for i in range(120)]
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     got = {r.doc_id: r.cluster_id
-           for r in dup_clusters_star(df, max_iters=8).collect()}
+           for r in dup_clusters_star(df, max_iters=8,
+                                      driver_finish_edges=0).collect()}
     assert got == {i: 0 for i in range(121)}
 
 
@@ -83,8 +85,21 @@ def test_star_matches_propagation_variant(spark):
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     a = sorted((r.doc_id, r.cluster_id) for r in dup_clusters(df).collect())
     b = sorted((r.doc_id, r.cluster_id)
-               for r in dup_clusters_star(df).collect())
+               for r in dup_clusters_star(df, driver_finish_edges=0).collect())
     assert a == b
+
+
+def test_star_hybrid_driver_finish_matches_distributed(spark):
+    """The hybrid collect+union-find finish (default) must equal the
+    forced fully-distributed star iteration on the same graph."""
+    pairs = [(i, i + 1) for i in range(60)] + [(100, 200), (200, 300)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    hybrid = sorted((r.doc_id, r.cluster_id)
+                    for r in dup_clusters_star(df).collect())
+    dist = sorted((r.doc_id, r.cluster_id)
+                  for r in dup_clusters_star(
+                      df, driver_finish_edges=0).collect())
+    assert hybrid == dist
 
 
 def test_resolve_duplicates_keeps_min_and_unpaired(spark):
