@@ -500,6 +500,39 @@ def _q_w5_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 6).alias("score"))
 
 
+def _q_table_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconstruction (Structure.cpp rebuild_table re-expression).
+    Candidate family: two disjoint cells per group, every OCR box fully
+    inside one cell, plain texts — on this family assignment ≡
+    containment and the splice ≡ per-cell ordered string_agg, so a plain
+    SQL oracle is exact."""
+    from frogocr_spark.operators.tables import rebuild_tables
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("event_id") % 40).alias("grp"),
+        (F.col("event_id") % 2).alias("cell"),
+        F.concat(F.lit("t"), F.col("event_id").cast("string")).alias("text"),
+        F.col("event_id"))
+    with_box = base.withColumn(
+        "ocr", F.struct(
+            F.array(F.col("cell") * 100 + 1.0, F.lit(1.0),
+                    F.col("cell") * 100 + 9.0, F.lit(9.0)).alias("box"),
+            F.col("text")))
+    grouped = (with_box.groupBy("grp")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("event_id", "ocr"))).alias("items"))
+               .select("grp",
+                       F.transform("items", lambda x: x["ocr"]).alias("ocr"))
+               .withColumn("tags", F.array(
+                   *[F.lit(t) for t in ("<table>", "<tr>", "<td></td>",
+                                        "<td></td>", "</tr>", "</table>")]))
+               .withColumn("cells", F.array(
+                   F.array(F.lit(0.0), F.lit(0.0), F.lit(10.0), F.lit(10.0)),
+                   F.array(F.lit(100.0), F.lit(0.0), F.lit(110.0),
+                           F.lit(10.0)))))
+    return rebuild_tables(grouped).select("grp", "table_html")
+
+
 def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling UDTF shape (1 row → ≤k rows; decode stubbed/fake,
     sampling + resize math real — rows-only check)."""
@@ -554,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "a7_ctc": _q_a7_ctc,
         "w5_nms": _q_w5_nms,
+        "table_rebuild": _q_table_rebuild,
     }
 
 
@@ -731,6 +765,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, max(session_id) + 1 AS n_sessions,
                    count(*) AS n_events
             FROM s GROUP BY user_id
+        """,
+        "table_rebuild": """
+            WITH b AS (
+                SELECT event_id % 40 AS grp, event_id % 2 AS cell,
+                       't' || CAST(event_id AS VARCHAR) AS text, event_id
+                FROM events
+            )
+            SELECT grp,
+                   '<table><tr><td>'
+                   || coalesce(string_agg(text, ' ' ORDER BY event_id)
+                               FILTER (WHERE cell = 0), '')
+                   || '</td><td>'
+                   || coalesce(string_agg(text, ' ' ORDER BY event_id)
+                               FILTER (WHERE cell = 1), '')
+                   || '</td></tr></table>' AS table_html
+            FROM b GROUP BY grp
         """,
         "a7_ctc": """
             WITH v AS (
