@@ -500,6 +500,35 @@ def _q_w5_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 6).alias("score"))
 
 
+def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: textstats gates (language + quality + length)
+    THEN duplicate resolution over the survivors — the composition a
+    training-data pipeline actually runs.  One declarative plan: the
+    gates push into the scan, dedup sees only survivors."""
+    from pyspark.sql import Window
+
+    from frogocr_spark.operators.dedup import resolve_duplicates
+    from frogocr_spark.operators.textstats import (language_id,
+                                                   quality_score,
+                                                   token_count)
+    docs = _read(spark, sf_dir, "documents")
+    gated = (docs
+             .withColumn("lang_id", language_id(F.col("text")))
+             .withColumn("quality", quality_score(F.col("text")))
+             .withColumn("n_tokens", token_count(F.col("text")))
+             .where((F.col("lang_id") == "en") & (F.col("quality") >= 0.5)
+                    & (F.col("n_tokens") >= 5))
+             .withColumn("digest", F.substring(F.md5("text"), 1, 2)))
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    pairs = (gated.withColumn("prev_id", F.lag("doc_id").over(w))
+             .where(F.col("prev_id").isNotNull())
+             .select(F.col("prev_id").alias("id_a"),
+                     F.col("doc_id").alias("id_b")))
+    kept = resolve_duplicates(gated, pairs)
+    return kept.select("doc_id", "lang_id",
+                       F.round("quality", 6).alias("quality"), "n_tokens")
+
+
 def _q_table_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table reconstruction (Structure.cpp rebuild_table re-expression).
     Candidate family: two disjoint cells per group, every OCR box fully
@@ -588,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_ctc": _q_a7_ctc,
         "w5_nms": _q_w5_nms,
         "table_rebuild": _q_table_rebuild,
+        "curate": _q_curate,
     }
 
 
@@ -765,6 +795,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, max(session_id) + 1 AS n_sessions,
                    count(*) AS n_events
             FROM s GROUP BY user_id
+        """,
+        "curate": f"""
+            WITH stats AS (
+                SELECT doc_id, text,
+                       CAST({n_tokens} AS INT) AS n_tokens,
+                       CASE WHEN {n_tokens} = 0 THEN 'xx'
+                            WHEN {en_hits} >= {no_hits}
+                                 AND {en_hits} * 50 >= {n_tokens} THEN 'en'
+                            WHEN {no_hits} > {en_hits}
+                                 AND {no_hits} * 50 >= {n_tokens} THEN 'no'
+                            ELSE 'xx' END AS lang_id,
+                       round((
+                           least(length(trim(text)) / 500.0, 1.0)
+                           + CASE WHEN length(trim(text)) > 0
+                                  THEN CAST(length(regexp_replace(trim(text),
+                                       '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                                       / length(trim(text))
+                                  ELSE 0.0 END
+                           + CASE WHEN {n_tokens} > 0
+                                       AND length(trim(text)) * 1.0
+                                           / {n_tokens} >= 3
+                                       AND length(trim(text)) * 1.0
+                                           / {n_tokens} <= 12
+                                  THEN 1.0 ELSE 0.5 END
+                       ) / 3.0, 6) AS quality
+                FROM documents
+            ), gated AS (
+                SELECT *, substring(md5(text), 1, 2) AS digest
+                FROM stats
+                WHERE lang_id = 'en' AND quality >= 0.5 AND n_tokens >= 5
+            )
+            SELECT doc_id, lang_id, quality, n_tokens
+            FROM (SELECT *, min(doc_id) OVER (PARTITION BY digest)
+                         AS keeper FROM gated)
+            WHERE doc_id = keeper
         """,
         "table_rebuild": """
             WITH b AS (
