@@ -49,14 +49,29 @@ def entry(spark: SparkSession) -> DataFrame:
 def _materialized_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthetic transcripts for ``sf_dir``, materialized
     once to parquet (staging + atomic rename; _SUCCESS-guarded) so timed
-    queries measure the PIPELINE, not the Python generator."""
+    queries measure the PIPELINE, not the Python generator.
+
+    The cache key includes a hash of the generator SOURCE, so editing
+    payloadgen/transcripts invalidates stale caches; the staging dir is
+    per-PID so concurrent runs cannot interleave on it (both then race
+    only on the atomic final rename, which is last-writer-wins of
+    identical content)."""
+    import hashlib
+    import inspect
     import tempfile
 
-    from frogocr_spark.sources import transcripts
+    from frogocr_spark.sources import payloadgen, transcripts
+    try:
+        src = (inspect.getsource(payloadgen)
+               + inspect.getsource(transcripts))
+        version = hashlib.md5(src.encode()).hexdigest()[:10]
+    except OSError:   # source unavailable (zip import): no safe cache key
+        version = f"nocache-{os.getpid()}"
     key = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"frogocr_tx_{key}")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"frogocr_tx_{key}_{version}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        staging = path + ".staging"
+        staging = f"{path}.staging-{os.getpid()}"
         (transcripts.generate_for_sf(spark, sf_dir).repartition(64)
          .write.mode("overwrite").parquet(staging))
         import shutil

@@ -139,22 +139,6 @@ def second_pass_recognize(raw: str, region: tuple[int, int]) -> list[Word]:
     return out
 
 
-def _overlap_matrix(a: np.ndarray, b: np.ndarray,
-                    thr: float = COVERAGE_THR) -> np.ndarray:
-    """Vectorized mutual-coverage predicate: (len(a), len(b)) bool matrix,
-    exact same semantics as :func:`overlaps_either` (tested for agreement).
-    ``a``/``b`` are (n, 2) interval arrays."""
-    inter = (np.minimum(a[:, None, 1], b[None, :, 1])
-             - np.maximum(a[:, None, 0], b[None, :, 0]))
-    len_a = (a[:, 1] - a[:, 0])[:, None]
-    len_b = (b[:, 1] - b[:, 0])[None, :]
-    pos = inter > 0
-    with np.errstate(divide="ignore", invalid="ignore"):
-        cov_a = np.where(len_a > 0, inter / len_a, 0.0)
-        cov_b = np.where(len_b > 0, inter / len_b, 0.0)
-    return pos & ((cov_a > thr) | (cov_b > thr))
-
-
 def extract_two_pass(raw: str, run_second: bool = True) -> tuple[list[Block], float]:
     """Full two-pass flow; returns (blocks, doc_confidence).
 
@@ -164,8 +148,6 @@ def extract_two_pass(raw: str, run_second: bool = True) -> tuple[list[Block], fl
     if not run_second:
         regions = []
     fp_conf = np.array([w.conf for w in fp_words], dtype=np.float32)
-    fp_iv = np.array([(w.start, w.end) for w in fp_words],
-                     dtype=np.float64).reshape(-1, 2)
     fp_mean = np.float32(fp_conf.mean(dtype=np.float32)
                          if len(fp_conf) else 1.0)
 

@@ -241,7 +241,7 @@ def _union_find_local(edges: list[tuple[int, int]]) -> dict[int, int]:
 
 def dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
                       id_b: str = "id_b", max_iters: int = 15,
-                      driver_finish_edges: int = 2_000_000) -> DataFrame:
+                      driver_finish_edges: int = 1_000_000) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (the two-round-primitive formulation from the public MapReduce-CC
     literature): converges in O(log n) rounds regardless of component
@@ -264,13 +264,18 @@ def dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
     chained near-dup shingles) have large diameters.
 
     **Hybrid driver finish**: once the (monotonically non-growing) edge
-    set fits ``driver_finish_edges`` (~32 MB at the default — bounded
-    driver memory), the remaining rounds are replaced by one collect +
-    local union-find.  Distributed rounds cost whole-cluster job
-    latency each; the long tail of tiny rounds is exactly where that
-    latency dominates, so large graphs do O(log n) distributed rounds
-    and finish locally the moment the data is small — small graphs skip
-    the distributed phase entirely.
+    set fits ``driver_finish_edges``, the remaining rounds are replaced
+    by one Arrow collect + local union-find.  Driver cost at the 1M
+    default: ~16 MB for the two int64 columns plus a union-find dict of
+    up to ~100 B per distinct node (≈200 MB worst case) — sized for a
+    modest driver; lower the budget on small drivers.  Distributed
+    rounds cost whole-cluster job latency each; the long tail of tiny
+    rounds is exactly where that latency dominates, so large graphs do
+    O(log n) distributed rounds and finish locally the moment the data
+    is small — small graphs skip the distributed phase entirely.
+    If ``max_iters`` is exhausted before the fixpoint and the edge set
+    is still above the driver budget, a ``RuntimeError`` is raised —
+    never a silently-unconverged labeling.
     """
     raw = (pairs.select(F.col(id_a).cast("long").alias("u"),
                         F.col(id_b).cast("long").alias("v"))
@@ -305,22 +310,43 @@ def dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
                 .unionByName(mins.select(F.col("u"), F.col("mn").alias("v")))
                 .where("u <> v").dropDuplicates(["u", "v"]))
 
+    def finish_local(e: DataFrame) -> DataFrame:
+        # compact collect: Arrow → two int64 columns (~16 B/edge), not
+        # per-row Row objects; the union-find dict dominates at up to
+        # ~100 B per distinct node of Python heap
+        pdf = e.toPandas()
+        labels = _union_find_local(
+            list(zip(pdf["u"].tolist(), pdf["v"].tolist())))
+        lbl_df = e.sparkSession.createDataFrame(
+            list(labels.items()), "node long, label long")
+        return (nodes.join(lbl_df, "node", "left")
+                .select(F.col("node").alias("doc_id"),
+                        F.coalesce("label", "node").alias("cluster_id")))
+
     prev = digest(edges)
+    converged = False
     for _ in range(max_iters):
         if prev[0] <= driver_finish_edges:
-            # hybrid finish: collect the (small) edge set, solve exactly
-            pairs_local = [(r.u, r.v) for r in edges.collect()]
-            labels = _union_find_local(pairs_local)
-            lbl_df = edges.sparkSession.createDataFrame(
-                list(labels.items()), "node long, label long")
-            return (nodes.join(lbl_df, "node", "left")
-                    .select(F.col("node").alias("doc_id"),
-                            F.coalesce("label", "node").alias("cluster_id")))
+            return finish_local(edges)
         edges = small_star(large_star(edges)).localCheckpoint()
         cur = digest(edges)
         if cur == prev:   # fixpoint: every edge is (node → component min)
+            converged = True
             break
         prev = cur
+    if not converged:
+        # max_iters exhausted before the fixpoint: the edge set still has
+        # intermediate labels — returning it would yield duplicate
+        # doc_ids with non-min cluster_ids.  Finish exactly on the driver
+        # when it fits; otherwise FAIL LOUDLY rather than emit wrong
+        # clusters.
+        if prev[0] <= driver_finish_edges:
+            return finish_local(edges)
+        raise RuntimeError(
+            f"dup_clusters_star did not converge within {max_iters} "
+            f"rounds ({prev[0]} edges remain, above the "
+            f"driver_finish_edges={driver_finish_edges} budget); raise "
+            f"max_iters or the driver budget")
     return (nodes.join(edges.select(F.col("u").alias("node"),
                                     F.col("v").alias("label")),
                        "node", "left")

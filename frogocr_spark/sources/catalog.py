@@ -64,8 +64,19 @@ class Table:
         df.write.mode("overwrite").parquet(staging)
         try:
             has_rows = bool(self.spark.read.parquet(staging).head(1))
-        except Exception:
-            has_rows = False
+        except Exception as e:
+            # ONLY the two genuinely-empty signatures mean "no rows": an
+            # empty-DataFrame write leaves just _SUCCESS (schema cannot
+            # be inferred) or nothing.  Any other failure (corrupt
+            # footer, FS error) must propagate — treating it as empty
+            # would discard a staging dir that really has new rows.
+            msg = str(e)
+            if ("UNABLE_TO_INFER_SCHEMA" in msg
+                    or "PATH_NOT_FOUND" in msg
+                    or "Unable to infer schema" in msg):
+                has_rows = False
+            else:
+                raise
         if has_rows or not os.path.isdir(out):
             os.makedirs(self.data_dir, exist_ok=True)
             shutil.rmtree(out, ignore_errors=True)

@@ -111,3 +111,20 @@ def test_resolve_duplicates_keeps_min_and_unpaired(spark):
     kept = sorted(r.doc_id for r in resolve_duplicates(docs, pairs).collect())
     # component {1,2,3} -> keep 1; {7,8} -> keep 7; unpaired 0,4,5,6,9 kept
     assert kept == [0, 1, 4, 5, 6, 7, 9]
+
+
+def test_star_raises_instead_of_silent_nonconvergence(spark):
+    """max_iters exhausted with edges above the driver budget must raise
+    (never emit intermediate labels as if converged)."""
+    import pytest as _pytest
+
+    pairs = [(i, i + 1) for i in range(80)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters_star(df, max_iters=1, driver_finish_edges=0)
+    # same graph, same round budget, but a driver budget that fits:
+    # finishes exactly via the local path
+    got = {r.doc_id: r.cluster_id
+           for r in dup_clusters_star(df, max_iters=1,
+                                      driver_finish_edges=10_000).collect()}
+    assert got == {i: 0 for i in range(81)}
