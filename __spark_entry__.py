@@ -281,8 +281,8 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0))
     return (ev.withColumn("session_id", sess)
             .groupBy("user_id")
-            .agg((F.max("session_id") + 1).alias("n_sessions"),
-                 F.count(F.lit(1)).alias("n_events")))
+            .agg((F.max("session_id") + 1).cast("long").alias("n_sessions"),
+                 F.count(F.lit(1)).cast("long").alias("n_events")))
 
 
 def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -807,8 +807,9 @@ def oracle_sql() -> dict[str, str]:
                                            ROWS UNBOUNDED PRECEDING) AS session_id
                 FROM g
             )
-            SELECT user_id, max(session_id) + 1 AS n_sessions,
-                   count(*) AS n_events
+            SELECT user_id,
+                   CAST(max(session_id) + 1 AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id
         """,
         "curate": f"""

@@ -48,21 +48,69 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         threshold: float = 0.6) -> DataFrame:
-    """Exact word-set Jaccard ≥ threshold via the relational identity
-    J = |A∩B| / (|A| + |B| - |A∩B|); intersection sizes come from one
-    self-equi-join on token (shuffle keyed on token — frequent-token skew
-    is bounded because tokens are deduped per doc)."""
+    """EXACT word-set Jaccard ≥ threshold with PPJoin-style prefix
+    filtering so candidate generation is bounded by rare-token document
+    frequency, not quadratic in hot-token DF.
+
+    Under a global token order (document frequency ascending, token as
+    tiebreak — rarest first), each doc keeps only its first
+    ``p = |A| - ceil(t*|A|) + 1`` tokens as its *prefix*.  Theorem
+    (prefix filter, Chaudhuri et al. SSJoin / Xiao et al. PPJoin): if
+    J(A,B) ≥ t then the globally-smallest common token lies in BOTH
+    prefixes — proof: if it sat outside prefix(A), every common token
+    would be in A's suffix of size ceil(t|A|)-1 < t|A| ≤ |A∩B|,
+    a contradiction.  So a prefix-on-prefix equi-join loses no true
+    pair, and the join fanout per token is the DF *within prefixes*: a
+    stopword shared by 10^6 docs sorts LAST in the global order and
+    almost never lands in a prefix, killing the hot-token blowup the
+    naive token self-join suffers.  A symmetric length filter
+    (t·|A| ≤ |B| ∧ t·|B| ≤ |A|, necessary for J ≥ t) prunes inside the
+    join.  Candidates are then verified EXACTLY: one ``array_intersect``
+    against the per-doc sorted token arrays (JVM-side) — so the output
+    is identical to the naive formulation (differential-tested in
+    tests/test_dedup.py) while the plan survives skewed corpora.
+
+    Shuffles: token-DF groupBy (map-side combined), the tok↔DF join
+    (token-keyed, co-partitioned with the groupBy), ONE id-keyed groupBy
+    building the globally-ordered per-doc token array (prefix = an
+    ``F.slice`` of it — no rank window needed), the prefix self-join
+    (keyed on prefix token), and two id-keyed joins attaching token
+    arrays to the (small) candidate set."""
+    eps = 1e-9
     toks = _tokens(df, id_col, text_col)
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = toks.select(F.col(id_col).alias("id_a"), "token")
-    b = toks.select(F.col(id_col).alias("id_b"), "token")
-    inter = (a.join(b, "token")
-             .where(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b")
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("t_df"))
+    per_doc = (toks.join(dfreq, "token")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("sz"),
+                    F.transform(
+                        F.sort_array(F.collect_list(
+                            F.struct("t_df", "token"))),
+                        lambda s: s["token"]).alias("tok_arr")))
+    plen = (F.col("sz")
+            - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1).cast("int")
+    prefix = (per_doc
+              .select(id_col, "sz",
+                      F.explode(F.slice("tok_arr", F.lit(1), plen))
+                      .alias("token")))
+    a = prefix.select(F.col(id_col).alias("id_a"), "token",
+                      F.col("sz").alias("sz_a"))
+    b = prefix.select(F.col(id_col).alias("id_b"), "token",
+                      F.col("sz").alias("sz_b"))
+    cand = (a.join(b, "token")
+            .where((F.col("id_a") < F.col("id_b"))
+                   & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a") - eps)
+                   & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b") - eps))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    ta = per_doc.select(F.col(id_col).alias("id_a"),
+                        F.col("tok_arr").alias("arr_a"),
+                        F.col("sz").alias("sz_a"))
+    tb = per_doc.select(F.col(id_col).alias("id_b"),
+                        F.col("tok_arr").alias("arr_b"),
+                        F.col("sz").alias("sz_b"))
+    return (cand.join(ta, "id_a").join(tb, "id_b")
+            .withColumn("n_inter",
+                        F.size(F.array_intersect("arr_a", "arr_b")))
             .withColumn("jaccard",
                         F.col("n_inter")
                         / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")))

@@ -47,6 +47,39 @@ def test_ngram_jaccard_matches_python(spark):
         assert got[k] == pytest.approx(v, abs=1e-12)
 
 
+def test_ngram_jaccard_prefix_filter_differential(spark):
+    """The PPJoin prefix-filtered implementation must equal the exhaustive
+    all-pairs python answer on a skewed corpus (hot shared stopwords +
+    rare tokens) across thresholds — the prefix/length filters may prune
+    candidates but never true pairs."""
+    import random
+    rng = random.Random(42)
+    stop = ["the", "of", "and", "a", "to"]          # hot: in nearly every doc
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        n = rng.randint(3, 12)
+        toks = rng.sample(vocab, n) + rng.sample(stop, rng.randint(1, 5))
+        rng.shuffle(toks)
+        rows.append((i, " ".join(toks)))
+    # clones + near-clones to guarantee pairs at high thresholds
+    rows.append((60, rows[0][1]))
+    rows.append((61, rows[1][1] + " extraword"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.6, 0.8, 0.95):
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in dedup.ngram_jaccard_pairs(
+                   df, "doc_id", "text", t).collect()}
+        expect = {}
+        for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+            j = _exact_jaccard(ta, tb)
+            if j >= t:
+                expect[(ia, ib)] = j
+        assert set(got) == set(expect), f"threshold {t}"
+        for k, v in expect.items():
+            assert got[k] == pytest.approx(v, abs=1e-12)
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     df, rows = _corpus(spark)
     got = {(r.id_a, r.id_b)

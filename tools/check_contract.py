@@ -68,11 +68,18 @@ def main():
             if name in oracles:
                 odf = con.execute(oracles[name]).fetchdf()
                 a, b = normalize(spdf), normalize(odf)
-                # unify numeric dtypes pairwise (int64 vs float64 etc.)
+                # unify numeric dtypes pairwise (int64 vs float64 etc.) —
+                # but RECORD the drift: the driver's value-hash is stricter
+                # than this unification (round-1 lesson: DuckDB HUGEINT vs
+                # Spark BIGINT made `sessionize` hash-mismatch while this
+                # checker said MATCH).  Any drift is surfaced in the detail.
+                drift = []
                 if list(a.columns) == list(b.columns):
                     import numpy as np
                     for c in a.columns:
                         if a[c].dtype != b[c].dtype:
+                            drift.append(
+                                f"{c}:{a[c].dtype}!={b[c].dtype}")
                             if (np.issubdtype(a[c].dtype, np.number)
                                     and np.issubdtype(b[c].dtype, np.number)):
                                 a[c] = a[c].astype("float64")
@@ -96,6 +103,9 @@ def main():
                               f"{b.loc[i, bad_cols].to_dict()}")
                 else:
                     status, detail = "MATCH", f"{len(a)} rows"
+                    if drift:
+                        status = "DTYPE_DRIFT"
+                        detail += f" but dtype drift: {', '.join(drift)}"
             if len(spdf) == 0 and status in ("MATCH", "ROWS_ONLY"):
                 detail += " (EMPTY RESULT — weak check)"
         except Exception as e:
