@@ -316,15 +316,21 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (xxhash64-based — no portable SQL
-    oracle; accuracy tested vs exact Jaccard in tests/test_dedup.py)."""
+    """MinHash-LSH near-dup candidates in md5 hash mode — every stage
+    (per-permutation token hash, signature min, band hash, candidate
+    join, match-fraction estimate) is recomputed independently by the
+    DuckDB oracle, so the LSH scale path itself is hash-verified.
+    Production default stays xxhash64 (≈2× faster); the two modes share
+    all plan machinery and the estimator accuracy is tested vs exact
+    Jaccard in tests/test_dedup.py."""
     from frogocr_spark.operators.dedup import minhash_lsh_pairs
     docs = _read(spark, sf_dir, "documents")
     # bands=4 (8 rows/band): candidate probability J^8 per band — selective
     # enough that the low-vocab synthetic corpus doesn't degenerate into
     # near-all-pairs candidates
     return minhash_lsh_pairs(docs, "doc_id", "text",
-                             num_hashes=32, bands=4, threshold=0.5) \
+                             num_hashes=32, bands=4, threshold=0.5,
+                             hash_fn="md5") \
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
@@ -339,8 +345,12 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-pruned variant (scale path; rows-only — recall tested in
-    tests/test_dedup.py)."""
+    """LSH-pruned variant — THE scale path, now fully oracle-checked:
+    bucket ids come from integer-quantized md5 hyperplanes
+    (operators/similarity._int_hyperplanes), so the DuckDB oracle
+    recomputes the exact same buckets in pure SQL (integer sign tests
+    are bit-exact across engines) and the candidate set — not just the
+    final pairs — is verified."""
     from frogocr_spark.operators.dedup import embedding_near_dup_pairs
     emb = _read(spark, sf_dir, "embeddings")
     out = embedding_near_dup_pairs(emb, threshold=0.4, dim=64, use_lsh=True,
@@ -349,17 +359,25 @@ def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive Rabin-Karp fingerprint (rows-only; pinned against
-    the pure-Python twin in tests)."""
+    """Order-sensitive Rabin-Karp fingerprint — pure JVM fold
+    (F.aggregate over md5-hashed tokens, exact sub-2^51 integer
+    arithmetic) with a bit-exact DuckDB list_reduce oracle; also pinned
+    against the pure-Python twin in tests."""
     from frogocr_spark.operators.textstats import rolling_fingerprint
     docs = _read(spark, sf_dir, "documents")
     return rolling_fingerprint(docs).select("doc_id", "roll_fp")
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — the fingerprint is md5-derived
+    (operators/dedup._simhash_batch), so the DuckDB oracle recomputes
+    the 64-bit bit-vote fingerprints, the pigeonhole chunk join AND the
+    Hamming filter independently in SQL (UBIGINT hex casts + arithmetic
+    shifts match numpy's int64 semantics exactly)."""
     from frogocr_spark.operators.dedup import simhash_near_pairs
     docs = _read(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    out = simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,8 +436,11 @@ def _q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sim_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN path (deterministic hyperplane LSH) — recall vs brute force is
-    tested in tests/test_similarity.py; rows-only check here."""
+    """ANN scale path, fully oracle-checked: integer-quantized md5
+    hyperplane buckets are recomputed bit-exactly by the DuckDB oracle
+    (see operators/similarity._int_hyperplanes), so candidate
+    generation + exact re-rank are both verified — recall vs brute
+    force is additionally tested in tests/test_similarity.py."""
     from frogocr_spark.operators.similarity import cosine_topk_lsh
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where("vec_id < 10")
@@ -429,9 +450,27 @@ def _q_sim_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sim_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (spherical-k-means coarse quantizer, nprobe cells per
-    query) — recall vs brute force tested in tests/test_similarity.py;
-    rows-only check here (approximate by construction)."""
+    """IVF ANN run in its provably-exact configuration: with
+    ``nprobe == n_clusters`` every query probes every cell, so the IVF
+    machinery (k-means fit, cell assignment, probe explode, cell
+    equi-join, exact re-rank) provably returns the brute-force answer
+    regardless of the centroids — which IS SQL-expressible, so the full
+    IVF plan gets a hash-checked DuckDB oracle (same construction trick
+    as w5_nms).  The equivalence is separately asserted in
+    tests/test_similarity.py; the approximate partial-probe path is the
+    ``sim_cosine_ivf_probe`` contract entry."""
+    from frogocr_spark.operators.similarity import cosine_topk_ivf
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 10")
+    out = cosine_topk_ivf(emb, queries, k=5, n_clusters=32, nprobe=32)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 4).alias("cosine"))
+
+
+def _q_sim_cosine_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, approximate partial-probe configuration (nprobe=8 of 32
+    cells) — approximate by construction, so rows-only here; recall vs
+    brute force is tested in tests/test_similarity.py."""
     from frogocr_spark.operators.similarity import cosine_topk_ivf
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where("vec_id < 10")
@@ -623,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_cosine_lsh": _q_sim_cosine_lsh,
         "sim_cosine_ivf": _q_sim_cosine_ivf,
+        "sim_cosine_ivf_probe": _q_sim_cosine_ivf_probe,
         "c5_token_assembly": _q_c5_token_assembly,
         "c6_levenshtein": _q_c6_levenshtein,
         "c7_xml_escape": _q_c7_xml_escape,
@@ -648,6 +688,40 @@ def _sw_hits(words) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return (r"len(list_filter(string_split_regex(lower(trim(text)), '\s+'), "
             f"x -> x IN ({lst})))")
+
+
+def _lsh_bucket_cte(nbits: int, ntables: int, dim: int = 64) -> str:
+    """DuckDB CTE computing the SAME LSH bucket ids as
+    frogocr_spark.operators.similarity._bucket_udf: integer hyperplane
+    components from md5 hex, vectors quantized floor(v*4096), integer
+    sign tests (exact — no float summation-order hazard), bucket id =
+    Σ bit<<b offset by table<<nbits.  Yields bkt(vec_id, bucket)."""
+    return f"""
+            hp AS (
+                SELECT t, b,
+                       list_transform(range(0, {dim}), j ->
+                           ('0x' || substr(md5('hp:' || t || ':' || b
+                                               || ':' || j), 1, 8))::BIGINT
+                           - 2147483648) AS plane
+                FROM range(0, {ntables}) r1(t)
+                CROSS JOIN range(0, {nbits}) r2(b)
+            ), vq AS (
+                SELECT vec_id,
+                       list_transform(embedding, x ->
+                           CAST(floor(CAST(x AS DOUBLE) * 4096) AS BIGINT))
+                       AS q
+                FROM embeddings
+            ), bkt AS (
+                SELECT v.vec_id,
+                       CAST(SUM(CASE WHEN list_sum(list_transform(
+                                         range(1, {dim} + 1),
+                                         j -> v.q[j] * h.plane[j])) > 0
+                                     THEN (1::BIGINT << h.b) ELSE 0 END)
+                            + (CAST(h.t AS BIGINT) << {nbits})
+                            AS BIGINT) AS bucket
+                FROM vq v CROSS JOIN hp h
+                GROUP BY v.vec_id, h.t
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -974,6 +1048,157 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                        CAST(a.embedding AS DOUBLE[]),
                        CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "dedup_minhash": r"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS token
+                FROM documents
+            ), toks_ne AS (
+                SELECT doc_id, token FROM toks WHERE token <> ''
+            ), hashes AS (
+                SELECT doc_id, i,
+                       min(('0x' || substr(md5(i || ':' || token), 1, 15))
+                           ::BIGINT) AS mh
+                FROM toks_ne CROSS JOIN range(0, 32) r(i)
+                GROUP BY doc_id, i
+            ), sig AS (
+                SELECT doc_id, list(mh ORDER BY i) AS s
+                FROM hashes GROUP BY doc_id
+            ), banded AS (
+                SELECT doc_id, b,
+                       md5(array_to_string(
+                           list_slice(s, b * 8 + 1, b * 8 + 8), ':')) AS bh
+                FROM sig CROSS JOIN range(0, 4) r(b)
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh
+                WHERE a.doc_id < b.doc_id
+            ), est AS (
+                SELECT id_a, id_b,
+                       list_sum(list_transform(range(1, 33),
+                           j -> CASE WHEN sa.s[j] = sb.s[j]
+                                     THEN 1 ELSE 0 END)) / 32.0 AS e
+                FROM cand
+                JOIN sig sa ON sa.doc_id = id_a
+                JOIN sig sb ON sb.doc_id = id_b
+            )
+            SELECT id_a, id_b, round(e, 6) AS est_jaccard
+            FROM est WHERE e >= 0.5
+        """,
+        "dedup_simhash": r"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS token
+                FROM documents
+            ), th AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(token), 1, 16))::UBIGINT AS h
+                FROM toks WHERE token <> ''
+            ), votes AS (
+                SELECT doc_id, b,
+                       CASE WHEN 2 * SUM(CASE WHEN ((h >> b) & 1) = 1
+                                              THEN 1 ELSE 0 END) > COUNT(*)
+                            THEN 1 ELSE 0 END AS bit
+                FROM th CROSS JOIN range(0, 64) r(b)
+                GROUP BY doc_id, b
+            ), fpu AS (
+                SELECT doc_id, SUM(bit::HUGEINT << b) AS v
+                FROM votes GROUP BY doc_id
+            ), fp AS (
+                SELECT d.doc_id,
+                       COALESCE(
+                           CASE WHEN f.v >= 9223372036854775808::HUGEINT
+                                THEN (f.v - 18446744073709551616::HUGEINT)
+                                     ::BIGINT
+                                ELSE f.v::BIGINT END, 0) AS sh
+                FROM documents d LEFT JOIN fpu f USING (doc_id)
+            ), chunked AS (
+                SELECT doc_id, sh, i, (sh >> (i * 16)) & 65535 AS chunk
+                FROM fp CROSS JOIN range(0, 4) r(i)
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, a.sh AS sh_a,
+                                b.doc_id AS id_b, b.sh AS sh_b
+                FROM chunked a JOIN chunked b
+                  ON a.i = b.i AND a.chunk = b.chunk
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+        """,
+        "rolling_fingerprint": r"""
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(0::BIGINT,
+                           list_transform(
+                               list_filter(
+                                   string_split_regex(trim(text), '\s+'),
+                                   x -> x <> ''),
+                               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT
+                                    % 2147483647)),
+                       (acc, h) -> (acc * 1000003 + h) % 2147483647)
+                   AS roll_fp
+            FROM documents
+        """,
+        "dedup_embedding_lsh": f"""
+            WITH {_lsh_bucket_cte(nbits=4, ntables=8)},
+            cand AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM bkt a JOIN bkt b ON a.bucket = b.bucket
+                WHERE a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cos, 4) AS cosine FROM (
+                SELECT cand.id_a, cand.id_b,
+                       list_cosine_similarity(
+                           CAST(ea.embedding AS DOUBLE[]),
+                           CAST(eb.embedding AS DOUBLE[])) AS cos
+                FROM cand
+                JOIN embeddings ea ON ea.vec_id = cand.id_a
+                JOIN embeddings eb ON eb.vec_id = cand.id_b
+            ) WHERE cos >= 0.4
+        """,
+        "sim_cosine_lsh": f"""
+            WITH {_lsh_bucket_cte(nbits=8, ntables=4)},
+            cand AS (
+                SELECT DISTINCT qb.vec_id AS query_id,
+                                cb.vec_id AS neighbor_id
+                FROM bkt qb JOIN bkt cb ON qb.bucket = cb.bucket
+                WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id
+            )
+            SELECT query_id, neighbor_id, round(cos, 4) AS cosine FROM (
+                SELECT cand.query_id, cand.neighbor_id,
+                       list_cosine_similarity(
+                           CAST(c.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])) AS cos,
+                       row_number() OVER (
+                           PARTITION BY cand.query_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(c.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])) DESC,
+                           cand.neighbor_id) AS rk
+                FROM cand
+                JOIN embeddings c ON c.vec_id = cand.neighbor_id
+                JOIN embeddings q ON q.vec_id = cand.query_id
+            ) WHERE rk <= 5
+        """,
+        "sim_cosine_ivf": """
+            SELECT query_id, neighbor_id, round(cos, 4) AS cosine
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           CAST(c.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])) AS cos,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(c.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])) DESC,
+                           c.vec_id) AS rk
+                FROM embeddings c,
+                     (SELECT * FROM embeddings WHERE vec_id < 10) q
+                WHERE c.vec_id <> q.vec_id
+            ) WHERE rk <= 5
         """,
         "textstats": f"""
             SELECT doc_id,

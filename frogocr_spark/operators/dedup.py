@@ -119,11 +119,26 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       num_hashes: int = 32) -> DataFrame:
-    """(id, sig array<long>): per-permutation min of xxhash64(token, seed)."""
+                       num_hashes: int = 32,
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """(id, sig array<long>): per-permutation min of h_i(token).
+
+    ``hash_fn="xxhash64"`` (default) uses ``xxhash64(token, seed_i)`` —
+    the fast production path.  ``hash_fn="md5"`` uses the first 15 md5
+    hex chars of ``f"{i}:{token}"`` as a 60-bit int — ~2× slower but
+    recomputable in ANY SQL engine (DuckDB:
+    ``('0x'||substr(md5(i||':'||token),1,15))::BIGINT``), which is what
+    lets the driver's oracle verify the LSH path end to end."""
     toks = _tokens(_spread_small_input(df), id_col, text_col)
-    mins = [F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)]
+    if hash_fn == "md5":
+        def h(i):
+            return (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("token"))), 1, 15),
+                16, 10).cast("long"))
+    else:
+        def h(i):
+            return F.xxhash64(F.col("token"), F.lit(i))
+    mins = [F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
     sig = toks.groupBy(id_col).agg(*mins)
     return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)])
                       .alias("signature"))
@@ -131,26 +146,37 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 32, bands: int = 8,
-                      threshold: float = 0.6) -> DataFrame:
+                      threshold: float = 0.6,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidates; estimated
     Jaccard = fraction of matching minhash components; keep ≥ threshold.
     Shuffles: tokenize-agg (on id), band explode join (on band hash) —
-    never an all-pairs product."""
+    never an all-pairs product.  ``hash_fn`` as in
+    :func:`minhash_signatures`; the md5 mode also uses md5 band hashes
+    so the whole candidate pipeline is SQL-replicable."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes).cache()
+    sig = minhash_signatures(df, id_col, text_col, num_hashes,
+                             hash_fn=hash_fn).cache()
     # band join on BARE ids: carrying the 32-long signatures through the
     # bucket-join fanout multiplies shuffle volume ~30× (candidate counts
     # are quadratic in bucket size); signatures are re-attached per-id
     # afterwards — two narrow joins against the signature table (AQE
     # broadcasts it when small; sort-merge on the id key at corpus scale)
-    banded = sig.select(
-        id_col,
-        F.posexplode(F.array(*[
+    if hash_fn == "md5":
+        band_exprs = [
+            F.md5(F.concat_ws(":", *[
+                F.col("signature")[i].cast("string")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)]))
+            for b in range(bands)]
+    else:
+        band_exprs = [
             F.xxhash64(*[F.col("signature")[i]
                          for i in range(b * rows_per_band,
                                         (b + 1) * rows_per_band)])
-            for b in range(bands)
-        ])).alias("band", "band_hash"))
+            for b in range(bands)]
+    banded = sig.select(
+        id_col,
+        F.posexplode(F.array(*band_exprs)).alias("band", "band_hash"))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     cand_ids = (a.join(b, ["band", "band_hash"])

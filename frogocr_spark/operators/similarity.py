@@ -29,7 +29,6 @@ are reproducible without any RNG state.
 from __future__ import annotations
 
 import hashlib
-import struct
 
 import numpy as np
 import pandas as pd
@@ -69,37 +68,48 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
-def _hyperplanes(dim: int, nbits: int, table: int) -> list[list[float]]:
-    """Deterministic pseudo-random unit-free hyperplanes from md5 bytes."""
-    planes = []
-    for b in range(nbits):
-        vals = []
-        i = 0
-        while len(vals) < dim:
-            digest = hashlib.md5(f"lsh:{table}:{b}:{i}".encode()).digest()
-            for off in range(0, 16, 4):
-                (u,) = struct.unpack("<i", digest[off:off + 4])
-                vals.append(u / 2**31)  # ∈ [-1, 1)
-            i += 1
-        planes.append(vals[:dim])
-    return planes
+QUANT = 4096  # power-of-two quantization scale for bucket sign tests
+
+
+def _int_hyperplanes(dim: int, nbits: int, table: int) -> list[list[int]]:
+    """Deterministic INTEGER hyperplane components from md5:
+    ``comp(t,b,j) = int(md5(f'hp:{t}:{b}:{j}').hex[:8], 16) - 2^31``
+    ∈ [-2^31, 2^31).  Integers (not floats) so the sign test below is
+    EXACT — bit-identical in any engine, which is what lets the driver's
+    DuckDB oracle recompute the same buckets in pure SQL
+    (``('0x' || substr(md5(...), 1, 8))::BIGINT - 2147483648``)."""
+    return [[int(hashlib.md5(f"hp:{table}:{b}:{j}".encode())
+                 .hexdigest()[:8], 16) - 2**31
+             for j in range(dim)] for b in range(nbits)]
 
 
 def _bucket_udf(dim: int, nbits: int, ntables: int):
-    """Vectorized bucket assignment: one numpy matmul per Arrow batch over
-    ALL tables' hyperplanes at once → array<long> of ntables bucket ids.
-    Each table's id is offset by table_index * 2^nbits so ids never
-    collide across tables (one explode+join instead of ntables joins)."""
-    planes = np.array([_hyperplanes(dim, nbits, t) for t in range(ntables)],
-                      dtype=np.float64)          # (ntables, nbits, dim)
+    """Vectorized bucket assignment: one numpy int64 matmul per Arrow
+    batch over ALL tables' hyperplanes at once → array<long> of ntables
+    bucket ids.  Each table's id is offset by table_index * 2^nbits so
+    ids never collide across tables (one explode+join instead of ntables
+    joins).
+
+    Sign test is integer-exact: vectors are quantized
+    ``floor(v * 4096)`` (float64 product by a power of two — exact) and
+    dotted with the integer hyperplanes; |dot| ≤ dim·2^31·|vq|max stays
+    far below 2^63, so bucket ids are deterministic across engines and
+    rounding modes — quantization at 2^-12 resolution perturbs the
+    hyperplane test no more than choosing a different random hyperplane
+    does, so LSH recall behavior is unchanged (tested vs brute force in
+    tests/test_similarity.py)."""
+    planes = np.array([_int_hyperplanes(dim, nbits, t)
+                       for t in range(ntables)],
+                      dtype=np.int64)            # (ntables, nbits, dim)
     flat = planes.reshape(ntables * nbits, dim).T   # (dim, ntables*nbits)
     weights = (1 << np.arange(nbits, dtype=np.int64))
     offsets = (np.arange(ntables, dtype=np.int64) << nbits)
 
     @pandas_udf(ArrayType(LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
-        mat = np.vstack(vecs.to_numpy())            # (n, dim)
-        signs = (mat @ flat) > 0                    # (n, ntables*nbits)
+        mat = np.vstack(vecs.to_numpy())            # (n, dim) float64
+        vq = np.floor(mat * QUANT).astype(np.int64)
+        signs = (vq @ flat) > 0                     # (n, ntables*nbits)
         bits = signs.reshape(len(mat), ntables, nbits).astype(np.int64)
         ids = (bits * weights).sum(axis=2) + offsets  # (n, ntables)
         return pd.Series(list(ids))

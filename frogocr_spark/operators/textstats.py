@@ -6,8 +6,6 @@ DuckDB oracle in ``__spark_entry__.oracle_sql``.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -78,40 +76,38 @@ def fingerprint(text: Column) -> Column:
 
 
 ROLL_BASE = 1000003          # polynomial rolling-hash base (prime)
-ROLL_MOD = (1 << 61) - 1     # Mersenne prime modulus
-
-
-def _rolling_fingerprint_batch(texts: pd.Series) -> pd.Series:
-    """Rabin-Karp polynomial rolling hash over tokens:
-    fp = Σ h(token_i)·BASE^(n-1-i) mod M — order-sensitive (unlike the
-    md5 fingerprint) so shifted/reordered documents differ."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        acc = 0
-        for tok in str(t).split():
-            th = hash_token(tok)
-            acc = (acc * ROLL_BASE + th) % ROLL_MOD
-        out[i] = acc
-    return pd.Series(out, index=texts.index)
+ROLL_MOD = 2147483647        # Mersenne prime 2^31-1: keeps the fold's
+#                              acc*BASE+h < 2^51 — exact int64 arithmetic
+#                              under ANSI mode AND in any SQL engine, so
+#                              the DuckDB oracle reproduces it bit-for-bit
 
 
 def hash_token(tok: str) -> int:
-    """Deterministic 61-bit token hash (stable across processes — no
-    PYTHONHASHSEED dependence)."""
-    acc = 5381
-    for ch in tok.encode():
-        acc = (acc * 33 + ch) % ROLL_MOD
-    return acc
+    """Deterministic token hash: first 15 md5 hex chars mod ROLL_MOD —
+    stable across processes (no PYTHONHASHSEED dependence) and
+    recomputable in SQL (``('0x'||substr(md5(t),1,15))::BIGINT % M``)."""
+    import hashlib
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % ROLL_MOD
 
 
 def rolling_fingerprint(df: DataFrame, text_col: str = "text",
                         out_col: str = "roll_fp") -> DataFrame:
-    """Order-sensitive document fingerprint column (Arrow-batched)."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import LongType
-
-    fp = pandas_udf(_rolling_fingerprint_batch, LongType())
-    return df.withColumn(out_col, fp(F.col(text_col)))
+    """Order-sensitive Rabin-Karp fingerprint,
+    fp = Σ h(token_i)·BASE^(n-1-i) mod M (unlike the md5 fingerprint,
+    reordered/shifted token streams differ) — as a PURE column
+    expression: ``F.aggregate`` fold over the token array with md5-based
+    token hashes, entirely JVM-side inside whole-stage codegen (the
+    round-1 pandas-UDF version ran a per-token per-byte Python loop).
+    All arithmetic stays below 2^51 so ANSI overflow checking never
+    trips and the DuckDB ``list_reduce`` oracle matches exactly."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), _WS),
+                    lambda x: x != "")
+    tok_hash = lambda t: (F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+                          .cast("long") % ROLL_MOD)
+    fp = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLL_BASE + tok_hash(t)) % ROLL_MOD)
+    return df.withColumn(out_col, fp)
 
 
 def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
