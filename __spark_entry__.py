@@ -53,9 +53,12 @@ def _materialized_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The cache key includes a hash of the generator SOURCE, so editing
     payloadgen/transcripts invalidates stale caches; the staging dir is
-    per-PID so concurrent runs cannot interleave on it (both then race
-    only on the atomic final rename, which is last-writer-wins of
-    identical content)."""
+    per-PID so concurrent runs cannot interleave on it.  Both then race
+    on the final ``os.replace`` — POSIX raises ENOTEMPTY when the target
+    is a non-empty directory another process just published, so that
+    outcome is treated as success (the other writer produced identical
+    content from the same deterministic generator) and the loser's
+    staging dir is discarded."""
     import hashlib
     import inspect
     import tempfile
@@ -76,7 +79,14 @@ def _materialized_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
          .write.mode("overwrite").parquet(staging))
         import shutil
         shutil.rmtree(path, ignore_errors=True)
-        os.replace(staging, path)
+        try:
+            os.replace(staging, path)
+        except OSError:
+            # concurrent publisher won the rename (ENOTEMPTY on POSIX);
+            # its content is identical — accept it, drop our staging
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
+            shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(path)
 
 
@@ -1017,19 +1027,44 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE doc_id = keeper
         """,
         "dedup_jaccard": r"""
+            -- prefix-filtered candidate generation (same classical
+            -- PPJoin prefix theorem as the Spark side, independently
+            -- implemented: rank window + relational intersection count
+            -- vs Spark's array slice + array_intersect) so the sf0.1
+            -- sweep no longer needs a 300 s hot-token-join exemption;
+            -- the jaccard math itself stays the naive exact identity
             WITH toks AS (
                 SELECT DISTINCT doc_id,
                        unnest(string_split_regex(trim(text), '\s+')) AS token
                 FROM documents
             ), toks_ne AS (
                 SELECT doc_id, token FROM toks WHERE token <> ''
+            ), dfreq AS (
+                SELECT token, count(*) AS t_df FROM toks_ne GROUP BY token
+            ), ranked AS (
+                SELECT doc_id, token,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY t_df, token) AS rnk,
+                       count(*) OVER (PARTITION BY doc_id) AS sz
+                FROM toks_ne JOIN dfreq USING (token)
+            ), prefix AS (
+                SELECT doc_id, token, sz FROM ranked
+                WHERE rnk <= sz - ceil(0.8 * sz - 1e-9) + 1
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM prefix a JOIN prefix b USING (token)
+                WHERE a.doc_id < b.doc_id
+                  AND b.sz >= 0.8 * a.sz - 1e-9
+                  AND a.sz >= 0.8 * b.sz - 1e-9
             ), sizes AS (
                 SELECT doc_id, count(*) AS sz FROM toks_ne GROUP BY doc_id
             ), inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-                FROM toks_ne a JOIN toks_ne b USING (token)
-                WHERE a.doc_id < b.doc_id
-                GROUP BY a.doc_id, b.doc_id
+                SELECT c.id_a, c.id_b, count(*) AS n_inter
+                FROM cand c
+                JOIN toks_ne ta ON ta.doc_id = c.id_a
+                JOIN toks_ne tb ON tb.doc_id = c.id_b
+                               AND tb.token = ta.token
+                GROUP BY c.id_a, c.id_b
             )
             SELECT id_a, id_b,
                    round(CAST(n_inter AS DOUBLE)

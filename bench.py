@@ -6,10 +6,13 @@ line.  Primary metric: extraction throughput (turns/sec) over the
 synthetic transcripts table at the same scale factor.
 
 Scaling evidence for the north rule (≥0.8 efficiency between N and 4N
-executors): the same extraction job is run at local[N_LOW] and
-local[N_HIGH] cores over the same pre-materialized input; efficiency =
-(throughput_high / throughput_low) / (N_HIGH / N_LOW).  Set
-SPARK_GRAFT_SCALING=0 to skip the extra runs (drops the scaling block).
+executors): the same extraction job is run at local[N] and local[4N]
+over the same pre-materialized input for each pair in ``N_PAIRS``
+(8→32 = the BASELINE.md-specified pair, 4→16 alongside), as interleaved
+(low, high) rounds; efficiency = (tput_high / tput_low) / 4, median of
+``SCALING_ROUNDS`` with per-round values + the measured multiprocessing
+hardware ceiling in the JSON.  Set SPARK_GRAFT_SCALING=0 to skip the
+extra runs (drops the scaling block).
 
 Usage: python bench.py
 """
@@ -28,12 +31,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
-# N vs 4N parallelism levels for the scaling-efficiency evidence.  Both
-# stay within physical cores where per-core turbo clocks are comparable;
-# the measured multiprocessing ceiling of THIS box is reported alongside
-# so the Spark number can be read relative to hardware (see BENCH/BASELINE.md).
-N_LOW, N_HIGH = 4, 16
-SCALING_REPS = 2
+# N vs 4N parallelism pairs for the scaling-efficiency evidence.  The
+# 8→32 pair is the one BASELINE.md specifies (it uses every core of this
+# box, so background load hits it hardest); 4→16 is recorded alongside
+# because both levels then fit within idle cores even under moderate
+# load.  Each pair is measured as SCALING_ROUNDS interleaved (low, high)
+# rounds — adjacent in time, so shared-box load perturbs both sides of a
+# ratio together — and the MEDIAN per-round efficiency is the headline,
+# with per-round values and the measured pure-multiprocessing hardware
+# ceiling of the same workload reported next to it (this box's per-core
+# clocks/bandwidth drop as active cores rise; a real N→4N EXECUTOR
+# scale-up adds machines and does not pay that penalty).
+N_PAIRS = [(8, 32), (4, 16)]
+SCALING_ROUNDS = 3
+# consecutive extraction actions timed as ONE window per measurement:
+# lengthens the measured region so per-job fixed costs (~0.3-0.5 s
+# scheduling/stage launch — noise at 100 TB where one job runs hours)
+# don't dominate the short high-core runs
+SCALING_WINDOW = 2
 
 BENCH_QUERIES = [
     "pipeline_extract", "extract_plain_docs", "tpch_q1", "tpch_q3_topk",
@@ -64,16 +79,22 @@ def _time_queries(spark, names: list[str]) -> dict[str, float]:
         t0 = time.time()
         _noop_write(qs[name](spark, SF_DIR))
         cold_total += time.time() - t0
-        t0 = time.time()
-        _noop_write(qs[name](spark, SF_DIR))
-        out[name] = round(time.time() - t0, 3)
+        # min of TWO warm runs: a single warm sample is exposed to
+        # transient box load (round-1 driver artifact recorded 29 s for
+        # a query the same plan runs in <3 s)
+        warm = []
+        for _ in range(2):
+            t0 = time.time()
+            _noop_write(qs[name](spark, SF_DIR))
+            warm.append(time.time() - t0)
+        out[name] = round(min(warm), 3)
     out["queries_cold_total_sec"] = round(cold_total, 3)
     return out
 
 
-def _hardware_ceiling() -> float:
+def _hardware_ceiling(n_low: int, n_high: int) -> float:
     """Pure-multiprocessing efficiency of the SAME extraction workload at
-    N_LOW vs N_HIGH processes — this box's physical ceiling (turbo clocks
+    n_low vs n_high processes — this box's physical ceiling (turbo clocks
     and memory bandwidth shift with active-core count; a real N→4N
     EXECUTOR scale-up does not pay this)."""
     import multiprocessing as mp
@@ -87,8 +108,8 @@ def _hardware_ceiling() -> float:
             pool.map(_mp_chunk, chunks)
             return time.time() - t0
 
-    t_low, t_high = timed(N_LOW), timed(N_HIGH)
-    return (t_low / t_high) / (N_HIGH / N_LOW)
+    t_low, t_high = timed(n_low), timed(n_high)
+    return (t_low / t_high) / (n_high / n_low)
 
 
 def _mp_chunk(args):
@@ -106,10 +127,12 @@ def _mp_chunk(args):
 
 
 def _extraction_run(cores: int, input_dir: str, n_rows: int,
-                    app: str, reps: int = 1) -> float:
+                    app: str, reps: int = 1, window: int = 1) -> float:
     """One cold session: read materialized transcripts → extract → noop
     write (map-only: the pure per-row map needs no shuffle; the salted
-    path is timed separately).  Returns best turns/sec over ``reps``."""
+    path is timed separately).  Each measurement times ``window``
+    consecutive actions as one span (amortizes per-job fixed cost);
+    returns best turns/sec over ``reps`` such windows."""
     from frogocr_spark.operators.extraction import extract_turns
     from frogocr_spark.session import get_spark
 
@@ -128,7 +151,8 @@ def _extraction_run(cores: int, input_dir: str, n_rows: int,
     # the ~20 ms/task fixed cost dominates and more tasks makes the job
     # SLOWER (measured: sf0.001 shattered into 67 tasks ran 16-core slower
     # than 4-core)
-    target_tasks = max(1, min(3 * max(CPUS, N_HIGH), sum(sizes) // 131072))
+    max_cores = max([CPUS] + [hi for _, hi in N_PAIRS])
+    target_tasks = max(1, min(3 * max_cores, sum(sizes) // 131072))
     mpb = max(65536, (sum(sizes) + len(sizes) * open_cost) // target_tasks)
     spark = get_spark(app_name=app, cores=cores,
                       shuffle_partitions=max(cores, 8),
@@ -146,11 +170,44 @@ def _extraction_run(cores: int, input_dir: str, n_rows: int,
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
-            _noop_write(extract_turns(df))
+            for _ in range(window):
+                _noop_write(extract_turns(df))
             best = min(best, time.time() - t0)
     finally:
         spark.stop()
-    return n_rows / best
+    return window * n_rows / best
+
+
+def _scaling_pair(n_low: int, n_high: int, input_dir: str,
+                  n_rows: int) -> dict:
+    """SCALING_ROUNDS interleaved (low, high) measurements → per-round
+    efficiencies, median headline, and the hardware ceiling for the same
+    pair.  Interleaving keeps each ratio's two sides adjacent in time so
+    shared-box load shifts hit both together instead of biasing one."""
+    import statistics
+
+    lows, highs, effs = [], [], []
+    for r in range(SCALING_ROUNDS):
+        tl = _extraction_run(n_low, input_dir, n_rows,
+                             f"bench-low{n_low}-r{r}", window=SCALING_WINDOW)
+        th = _extraction_run(n_high, input_dir, n_rows,
+                             f"bench-high{n_high}-r{r}", window=SCALING_WINDOW)
+        lows.append(tl)
+        highs.append(th)
+        effs.append((th / tl) / (n_high / n_low))
+    hw = _hardware_ceiling(n_low, n_high)
+    med = statistics.median(effs)
+    return {
+        "cores_low": n_low, "cores_high": n_high,
+        "turns_per_sec_low": round(max(lows), 1),
+        "turns_per_sec_high": round(max(highs), 1),
+        "efficiency_per_round": [round(e, 3) for e in effs],
+        "efficiency": round(med, 3),
+        "efficiency_best": round(max(effs), 3),
+        "efficiency_min": round(min(effs), 3),
+        "hardware_ceiling_efficiency": round(hw, 3),
+        "efficiency_vs_hardware": round(min(med / hw, 1.0), 3),
+    }
 
 
 def main() -> None:
@@ -181,19 +238,11 @@ def main() -> None:
         result["value"] = round(n_rows / tput_main, 3)  # seconds, headline
 
         if RUN_SCALING:
-            tp_low = _extraction_run(N_LOW, input_dir, n_rows, "bench-low",
-                                     reps=SCALING_REPS)
-            tp_high = _extraction_run(N_HIGH, input_dir, n_rows, "bench-high",
-                                      reps=SCALING_REPS)
-            eff = (tp_high / tp_low) / (N_HIGH / N_LOW)
-            hw_eff = _hardware_ceiling()
-            result["scaling"] = {
-                "cores_low": N_LOW, "turns_per_sec_low": round(tp_low, 1),
-                "cores_high": N_HIGH, "turns_per_sec_high": round(tp_high, 1),
-                "efficiency": round(eff, 3),
-                "hardware_ceiling_efficiency": round(hw_eff, 3),
-                "efficiency_vs_hardware": round(min(eff / hw_eff, 1.0), 3),
-            }
+            pairs = [_scaling_pair(lo, hi, input_dir, n_rows)
+                     for lo, hi in N_PAIRS]
+            # headline keys = the BASELINE.md-specified pair (N_PAIRS[0]);
+            # every pair's full detail rides in "pairs"
+            result["scaling"] = {**pairs[0], "pairs": pairs}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -45,15 +45,156 @@ def parse_turn_xml(xml: str) -> dict:
     }
 
 
-def validate_turn_xml(xml: str) -> list[str]:
-    """S8 structural validation (the XSD-validate analog —
-    ``Source/Application.cpp:339-408``): parse + invariant checks.
-    Returns a list of violations (empty = OK)."""
+# ---------------------------------------------------------------------------
+# XSD-grade schema validation (S8).  The reference validates documents
+# against Resources/Schemas/alto-4-4.xsd with libxml's compiled schema
+# validator (Source/Core/XML/Validator.cpp:30-50).  This is the same
+# CLASS of check for the turn-XML dialect: a declarative schema table
+# (required/optional attributes with value types, enumerations, element
+# content models with cardinality) enforced by a generic walker — not
+# ad-hoc if-statements — so a malformed document fails on the same
+# constraint (and with a location) the reference validator would report.
+
+import re as _re
+
+# alto-4-4.xsd:936-945 processingCategoryType enumeration, verbatim
+PROCESSING_CATEGORIES = frozenset({
+    "contentGeneration", "contentModification", "preOperation",
+    "postOperation", "other"})
+PAYLOAD_CLASSES = frozenset({
+    "plain", "html", "markdown", "pdf_layout", "tool_json", "two_pass"})
+
+
+def _t_string(v: str) -> str | None:
+    return None
+
+
+def _t_nonblank(v: str) -> str | None:
+    return None if v.strip() else "must not be empty/whitespace"
+
+
+def _t_float01(v: str) -> str | None:
+    try:
+        f = float(v)
+    except ValueError:
+        return f"not a decimal: {v!r}"
+    return None if 0.0 <= f <= 1.0 else f"out of range [0,1]: {v}"
+
+
+def _t_int_nonneg(v: str) -> str | None:
+    if not v.isdigit():
+        return f"not a non-negative integer: {v!r}"
+    return None
+
+
+def _t_enum(values: frozenset):
+    def check(v: str) -> str | None:
+        return (None if v in values
+                else f"not in enumeration {sorted(values)}: {v!r}")
+    return check
+
+
+def _t_pattern(rx: str):
+    pat = _re.compile(rx)
+    def check(v: str) -> str | None:
+        return (None if pat.fullmatch(v)
+                else f"does not match pattern {rx!r}: {v!r}")
+    return check
+
+
+# element → (attrs: name → (required, type check),
+#            children: tag → (min_occurs, max_occurs))
+_TURN_XML_SCHEMA: dict = {
+    "page": (
+        {"ID": (True, _t_pattern(r"p_\d+")),
+         "CONV": (True, _t_string),
+         "CLASS": (True, _t_enum(PAYLOAD_CLASSES)),
+         "CONF": (True, _t_float01)},
+        {"processing": (1, 1), "block": (0, None)},
+    ),
+    "processing": (
+        {"SOFTWARE": (True, _t_nonblank),
+         "CATEGORY": (True, _t_enum(PROCESSING_CATEGORIES))},
+        {},
+    ),
+    "block": (
+        {"ID": (True, _t_pattern(r"p_\d+_b_\d+"))},
+        # minOccurs=1: an empty <block> is schema-invalid (the F8 prune
+        # cascade must have removed it before serialization)
+        {"string": (1, None)},
+    ),
+    "string": (
+        {"ID": (True, _t_pattern(r"p_\d+_b_\d+_s_\d+")),
+         "CONTENT": (True, _t_nonblank),
+         "START": (False, _t_int_nonneg),
+         "END": (False, _t_int_nonneg)},
+        {},
+    ),
+}
+
+
+def _validate_element(el, path: str, errors: list[str]) -> None:
+    spec = _TURN_XML_SCHEMA.get(el.tag)
+    if spec is None:
+        errors.append(f"{path}: unexpected element <{el.tag}>")
+        return
+    attrs, children = spec
+    for name, value in el.attrib.items():
+        if name not in attrs:
+            errors.append(f"{path}/@{name}: attribute not allowed")
+            continue
+        err = attrs[name][1](value)
+        if err:
+            errors.append(f"{path}/@{name}: {err}")
+    for name, (required, _) in attrs.items():
+        if required and name not in el.attrib:
+            errors.append(f"{path}/@{name}: required attribute missing")
+    # co-constraint (xsd:assert analog): span ends after it starts, and
+    # START/END come as a pair
+    if el.tag == "string":
+        has_s, has_e = "START" in el.attrib, "END" in el.attrib
+        if has_s != has_e:
+            errors.append(f"{path}: START/END must be paired")
+        elif has_s and el.get("START").isdigit() and el.get("END").isdigit():
+            if int(el.get("START")) >= int(el.get("END")):
+                errors.append(f"{path}: START must be < END")
+    counts: dict[str, int] = {}
+    for i, child in enumerate(el):
+        counts[child.tag] = counts.get(child.tag, 0) + 1
+        _validate_element(child, f"{path}/{child.tag}[{i}]", errors)
+    for tag, (mn, mx) in children.items():
+        n = counts.get(tag, 0)
+        if n < mn:
+            errors.append(f"{path}: <{tag}> occurs {n} < minOccurs {mn}")
+        if mx is not None and n > mx:
+            errors.append(f"{path}: <{tag}> occurs {n} > maxOccurs {mx}")
+
+
+def validate_turn_schema(xml: str) -> list[str]:
+    """Schema-level validation alone (the xmlSchemaValidate analog):
+    returns violations with XPath-ish locations, empty = valid."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(xml)
+    except Exception as e:
+        return [f"parse: {e}"]
     errors: list[str] = []
+    _validate_element(root, root.tag, errors)
+    return errors
+
+
+def validate_turn_xml(xml: str) -> list[str]:
+    """S8 validation (the XSD-validate analog —
+    ``Source/Application.cpp:339-408``): schema-table validation
+    (:func:`validate_turn_schema`) plus the cross-element ID-scheme
+    invariants a grammar can't express.  Returns violations (empty = OK).
+    """
+    errors: list[str] = list(validate_turn_schema(xml))
     try:
         doc = parse_turn_xml(xml)
     except Exception as e:  # malformed XML
-        return [f"parse: {e}"]
+        return errors or [f"parse: {e}"]
     if not (doc["page_id"] or "").startswith("p_"):
         errors.append("page id scheme")
     if not 0.0 <= doc["confidence"] <= 1.0:

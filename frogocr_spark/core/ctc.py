@@ -17,11 +17,14 @@ def ctc_collapse(scores: np.ndarray,
                  vocab: list[str] | None = None) -> tuple[list[int], float]:
     """``scores``: (timesteps, n_classes) float matrix.
 
-    Returns (kept class ids, mean kept score).  Exact reference semantics:
-    argmax per step; a step is kept iff its class is not blank (index 0)
-    AND differs from the previous step's class (shift-compare); confidence
-    is the mean of the kept steps' max scores (1.0 when nothing kept —
-    the reference guards division by zero with count max(1,n)).
+    Returns (kept class ids, mean kept score).  Reference semantics for
+    the collapse itself: argmax per step; a step is kept iff its class
+    is not blank (index 0) AND differs from the previous step's class
+    (shift-compare); confidence is the mean of the kept steps' max
+    scores.  Empty decodes return conf 1.0 — a DELIBERATE deviation:
+    the reference (Recognition.cpp:120-124) produces NaN from
+    score/count and then drops the result row entirely; this operator
+    keeps 1-in-1-out row semantics with a well-defined empty record.
     """
     if scores.size == 0:
         return [], 1.0

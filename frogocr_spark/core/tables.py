@@ -79,8 +79,12 @@ def _cell_html(texts: list[str]) -> str:
         if len(texts) > 1:
             # reference "remove blank" is substr(0) — a deliberate no-op
             if content.startswith("<b>"):
+                # reference guard is length>2, i.e. >=3 — coincides with
+                # startswith (Structure.cpp:302)
                 content = content[3:]
-            if content.endswith("</b>"):
+            if len(content) > 4 and content.endswith("</b>"):
+                # reference strips ONLY when length>4: a cell that is
+                # exactly '</b>' is kept verbatim (Structure.cpp:305-306)
                 content = content[:-4]
             if not content:
                 continue

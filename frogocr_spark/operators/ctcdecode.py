@@ -31,8 +31,15 @@ def ctc_decode_column(df: DataFrame, scores_col: str, n_classes: int,
                       id_cols: tuple[str, ...] = ("vec_id",)) -> DataFrame:
     """Decode a flattened score column: rows whose array length is not a
     multiple of ``n_classes`` are truncated to whole timesteps; NULL
-    arrays and 0-step inputs yield empty ids with conf 1.0 (the
-    reference's division guard)."""
+    arrays and 0-step inputs yield empty ids with conf 1.0.
+
+    That empty-decode convention is a DELIBERATE deviation from the
+    reference: Recognition.cpp computes score/count → NaN when nothing
+    is kept and then skips emitting the result row entirely.  A
+    relational operator must stay 1-row-in-1-row-out (downstream joins
+    and the lineage sidecar count on it), so empty decodes are emitted
+    with a well-defined (empty, 1.0) record instead of silently
+    disappearing."""
 
     @pandas_udf(_OUT)
     def decode(arrs: pd.Series) -> pd.DataFrame:

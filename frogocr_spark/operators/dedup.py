@@ -155,8 +155,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     :func:`minhash_signatures`; the md5 mode also uses md5 band hashes
     so the whole candidate pipeline is SQL-replicable."""
     rows_per_band = num_hashes // bands
+    # localCheckpoint, not cache(): sig is consumed three times (band
+    # explode + two re-attach joins); a CacheManager entry would pin
+    # executor storage until an explicit unpersist nobody can call on a
+    # lazily-returned frame, while checkpoint blocks are released by the
+    # ContextCleaner as soon as the result DataFrame is dropped
     sig = minhash_signatures(df, id_col, text_col, num_hashes,
-                             hash_fn=hash_fn).cache()
+                             hash_fn=hash_fn).localCheckpoint()
     # band join on BARE ids: carrying the 32-long signatures through the
     # bucket-join fanout multiplies shuffle volume ~30× (candidate counts
     # are quadratic in bucket size); signatures are re-attached per-id
@@ -250,7 +255,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def dup_clusters(pairs: DataFrame, id_a: str = "id_a",
                  id_b: str = "id_b", max_iters: int = 20) -> DataFrame:
-    """Connected components over duplicate pairs → (doc_id, cluster_id)
+    """DEPRECATED — use :func:`dup_clusters_star` (O(log n) rounds,
+    diameter-independent, hybrid driver finish); this min-label
+    propagation variant is kept only as the simple O(diameter) reference
+    implementation the star algorithm is differential-tested against.
+
+    Connected components over duplicate pairs → (doc_id, cluster_id)
     with ``cluster_id`` = min doc id in the component (the canonical
     keeper).  Iterative label propagation: each round every node adopts
     the min label in its neighborhood; converges in O(diameter) rounds —
@@ -489,7 +499,9 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     chunks; any pair within distance must share ≥1 exact chunk → candidates
     meet in chunk-keyed buckets (equi-join), then exact Hamming filter."""
     assert max_hamming < blocks, "pigeonhole requires max_hamming < blocks"
-    sh = simhash(df, id_col, text_col).cache()
+    # localCheckpoint over cache(): see minhash_lsh_pairs — fingerprints
+    # feed both join sides; checkpoint storage self-releases on drop
+    sh = simhash(df, id_col, text_col).localCheckpoint()
     width = 64 // blocks
     mask = (1 << width) - 1
     chunked = sh.select(

@@ -107,6 +107,57 @@ def test_validator_catches_violations():
            '<block ID="p_0_b_0"><string ID="p_0_b_0_s_1" CONTENT="x"/>'
            '</block></page>')
     errs = alto.validate_turn_xml(bad)
-    assert any("confidence" in e for e in errs)
+    assert any("confidence" in e or "out of range" in e for e in errs)
     assert any("word id order" in e for e in errs)
     assert alto.validate_turn_xml("<not-xml")[0].startswith("parse:")
+
+
+_VALID = ('<page ID="p_0" CONV="c" CLASS="plain" CONF="0.9000">'
+          '<processing SOFTWARE="fs" CATEGORY="contentGeneration"/>'
+          '<block ID="p_0_b_0">'
+          '<string ID="p_0_b_0_s_0" CONTENT="x" START="2" END="5"/>'
+          '</block></page>')
+
+
+def test_xsd_schema_validation():
+    """Each malformed doc fails on the SAME constraint class the
+    reference's compiled alto-4-4.xsd validator (Validator.cpp:30-50)
+    would report: enumerations, required attributes, undeclared
+    attributes/elements, cardinality, typed values, asserts."""
+    assert alto.validate_turn_schema(_VALID) == []
+
+    def one(mutated, needle):
+        errs = alto.validate_turn_schema(mutated)
+        assert any(needle in e for e in errs), (mutated, errs)
+
+    # enumeration violation (processingCategoryType, alto-4-4.xsd:936)
+    one(_VALID.replace("contentGeneration", "generated"),
+        "not in enumeration")
+    one(_VALID.replace('CLASS="plain"', 'CLASS="prose"'),
+        "not in enumeration")
+    # required attribute missing
+    one(_VALID.replace(' CONF="0.9000"', ""), "@CONF: required")
+    one(_VALID.replace(' SOFTWARE="fs"', ""), "@SOFTWARE: required")
+    # undeclared attribute / element (xsd default: closed content)
+    one(_VALID.replace('CONV="c"', 'CONV="c" EXTRA="1"'),
+        "@EXTRA: attribute not allowed")
+    one(_VALID.replace("</block>", "</block><footer/>"),
+        "unexpected element <footer>")
+    # cardinality: empty block (minOccurs=1) and duplicate processing
+    one(_VALID.replace('<string ID="p_0_b_0_s_0" CONTENT="x" START="2" '
+                       'END="5"/>', ""), "minOccurs")
+    one(_VALID.replace(
+        '<block', '<processing SOFTWARE="fs" '
+        'CATEGORY="contentGeneration"/><block'), "maxOccurs")
+    # typed values: non-numeric CONF, bad span int, whitespace CONTENT
+    one(_VALID.replace('CONF="0.9000"', 'CONF="high"'), "not a decimal")
+    one(_VALID.replace('START="2"', 'START="-2"'),
+        "not a non-negative integer")
+    one(_VALID.replace('CONTENT="x"', 'CONTENT="  "'),
+        "must not be empty")
+    # assert-style co-constraints: unpaired span, START >= END
+    one(_VALID.replace(' START="2"', ""), "START/END must be paired")
+    one(_VALID.replace('END="5"', 'END="2"'), "START must be < END")
+    # ID pattern
+    one(_VALID.replace('ID="p_0_b_0_s_0"', 'ID="s0"'),
+        "does not match pattern")

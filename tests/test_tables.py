@@ -41,6 +41,18 @@ def test_bold_wrap_rules():
     assert "<td><b>solo</b></td>" in rebuild_table(TAGS, CELLS, ocr2)
 
 
+def test_bold_strip_length_guard():
+    # a multi-text cell where one text is EXACTLY '</b>': the reference
+    # strips the trailing '</b>' only when length > 4 (Structure.cpp:305)
+    # so the bare '</b>' survives verbatim in the splice
+    ocr = [((1, 1, 5, 9), "</b>"), ((6, 1, 9, 9), "tail")]
+    html = rebuild_table(TAGS, CELLS, ocr)
+    assert "<td></b> tail</td>" in html
+    # while 'x</b>' (length 5) IS stripped to 'x'
+    ocr2 = [((1, 1, 5, 9), "x</b>"), ((6, 1, 9, 9), "tail")]
+    assert "<td>x tail</td>" in rebuild_table(TAGS, CELLS, ocr2)
+
+
 def test_non_combined_td_tokens_pass_through():
     # a tag stream with split <td ...> ... </td> tokens (colspan path):
     # content is spliced BEFORE the closing token (Structure.cpp:324-328)
