@@ -344,6 +344,18 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+def _q_dedup_minhash_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH in the PRODUCTION hash mode (xxhash64 — JVM-native,
+    no portable SQL twin, hence rows-only): benched alongside the
+    md5-verified `dedup_minhash` so both the verified and the fast path
+    have recorded numbers; the two modes share every plan stage."""
+    from frogocr_spark.operators.dedup import minhash_lsh_pairs
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text",
+                             num_hashes=32, bands=4, threshold=0.5) \
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact baseline (cosine ≥ 0.4 —
     max pairwise cosine in the synthetic random embeddings is ~0.51, so
@@ -662,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_minhash_xx": _q_dedup_minhash_xx,
         "dedup_simhash": _q_dedup_simhash,
         "dup_clusters": _q_dup_clusters,
         "dedup_resolve": _q_dedup_resolve,
@@ -1091,11 +1104,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), toks_ne AS (
                 SELECT doc_id, token FROM toks WHERE token <> ''
+            ), tkh AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(token), 1, 15))::BIGINT
+                       % 2147483647 AS x
+                FROM toks_ne
             ), hashes AS (
+                -- universal-hash family: (a_i*x + b_i) mod 2^31-1 with
+                -- md5-derived coefficients (multiplier forced odd) --
+                -- mirrors operators/dedup._minhash_coef exactly
                 SELECT doc_id, i,
-                       min(('0x' || substr(md5(i || ':' || token), 1, 15))
-                           ::BIGINT) AS mh
-                FROM toks_ne CROSS JOIN range(0, 32) r(i)
+                       min((x * (('0x' || substr(md5('a:' || i), 1, 7))
+                                 ::BIGINT | 1)
+                            + ('0x' || substr(md5('b:' || i), 1, 7))::BIGINT)
+                           % 2147483647) AS mh
+                FROM tkh CROSS JOIN range(0, 32) r(i)
                 GROUP BY doc_id, i
             ), sig AS (
                 SELECT doc_id, list(mh ORDER BY i) AS s

@@ -79,13 +79,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     eps = 1e-9
     toks = _tokens(df, id_col, text_col)
     dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("t_df"))
+    # localCheckpoint: per_doc feeds three consumers (prefix explode +
+    # both verify-join sides); left lazy, the tokenize+DF-join+groupBy
+    # subtree would run 3× (measured 2× end-to-end cost at sf0.1).
+    # Checkpoint blocks self-release when the result frame is dropped.
     per_doc = (toks.join(dfreq, "token")
                .groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("sz"),
                     F.transform(
                         F.sort_array(F.collect_list(
                             F.struct("t_df", "token"))),
-                        lambda s: s["token"]).alias("tok_arr")))
+                        lambda s: s["token"]).alias("tok_arr"))
+               .localCheckpoint())
     plen = (F.col("sz")
             - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1).cast("int")
     prefix = (per_doc
@@ -118,23 +123,42 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", "jaccard"))
 
 
+MERSENNE31 = 2147483647  # modulus for the universal-hash minhash family
+
+
+def _minhash_coef(kind: str, i: int) -> int:
+    """Deterministic 28-bit universal-hash coefficient from md5 —
+    recomputable in SQL as ``('0x'||substr(md5('a:'||i),1,7))::BIGINT``
+    (multipliers forced odd with ``| 1``)."""
+    v = int(hashlib.md5(f"{kind}:{i}".encode()).hexdigest()[:7], 16)
+    return (v | 1) if kind == "a" else v
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 32,
                        hash_fn: str = "xxhash64") -> DataFrame:
     """(id, sig array<long>): per-permutation min of h_i(token).
 
     ``hash_fn="xxhash64"`` (default) uses ``xxhash64(token, seed_i)`` —
-    the fast production path.  ``hash_fn="md5"`` uses the first 15 md5
-    hex chars of ``f"{i}:{token}"`` as a 60-bit int — ~2× slower but
-    recomputable in ANY SQL engine (DuckDB:
-    ``('0x'||substr(md5(i||':'||token),1,15))::BIGINT``), which is what
-    lets the driver's oracle verify the LSH path end to end."""
+    the fast production path.  ``hash_fn="md5"`` is the cross-engine-
+    verifiable mode: ONE md5 per token → 61-bit int → ``num_hashes``
+    linear mixes ``(a_i·x + b_i) mod (2^31-1)`` — the standard
+    universal-hashing minhash family (one hash + cheap per-permutation
+    mixes, not ``num_hashes`` full hashes), with every step exact
+    integer arithmetic below 2^59 so ANY SQL engine reproduces the
+    signatures bit-for-bit (DuckDB:
+    ``('0x'||substr(md5(token),1,15))::BIGINT`` plus the same literal
+    coefficients recomputed from md5).  This is what lets the driver's
+    oracle verify the LSH path end to end."""
     toks = _tokens(_spread_small_input(df), id_col, text_col)
     if hash_fn == "md5":
+        base = (F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10)
+                .cast("long") % MERSENNE31)
+        toks = toks.withColumn("tkh", base)
+
         def h(i):
-            return (F.conv(F.substring(
-                F.md5(F.concat(F.lit(f"{i}:"), F.col("token"))), 1, 15),
-                16, 10).cast("long"))
+            a, b = _minhash_coef("a", i), _minhash_coef("b", i)
+            return (F.col("tkh") * a + b) % MERSENNE31
     else:
         def h(i):
             return F.xxhash64(F.col("token"), F.lit(i))

@@ -54,8 +54,8 @@ def main() -> None:
     plan = executed(extract_turns(tdf))
     rs = plan.split("ReadSchema:")[1].splitlines()[0]
     ok &= check("extraction is map-only (no Exchange)",
-                "Exchange" not in plan and "MapInPandas" in plan,
-                f"operators: MapInPandas, exchanges={plan.count('Exchange')}")
+                "Exchange" not in plan and "MapInArrow" in plan,
+                f"operators: MapInArrow, exchanges={plan.count('Exchange')}")
     ok &= check("extraction scan pruned to (keys, text)",
                 all(c in rs for c in ("conv_id", "turn_idx", "role", "text"))
                 and "tool" not in rs and "ts" not in rs,
