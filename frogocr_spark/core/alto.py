@@ -31,10 +31,23 @@ def parse_turn_xml(xml: str) -> dict:
     root = ET.fromstring(xml)
     blocks = []
     for blk in root.findall("block"):
-        words = [{"id": s.get("ID"), "content": s.get("CONTENT"),
-                  "start": int(s.get("START")) if s.get("START") else None,
-                  "end": int(s.get("END")) if s.get("END") else None}
-                 for s in blk.findall("string")]
+        words = []
+        for s in blk.findall("string"):
+            words.append({
+                "id": s.get("ID"), "content": s.get("CONTENT"),
+                "start": int(s.get("START")) if s.get("START") else None,
+                "end": int(s.get("END")) if s.get("END") else None,
+                # Variant/Glyph depth (LoadFromXmlNode.cpp parses the
+                # same nesting for real ALTO)
+                "variants": [(v.get("CONTENT"), float(v.get("VC")))
+                             for v in s.findall("variant")],
+                "glyphs": [{
+                    "id": g.get("ID"), "content": g.get("CONTENT"),
+                    "conf": float(g.get("GC")),
+                    "variants": [(v.get("CONTENT"), float(v.get("VC")))
+                                 for v in g.findall("variant")],
+                } for g in s.findall("glyph")],
+            })
         blocks.append({"id": blk.get("ID"), "words": words})
     return {
         "page_id": root.get("ID"),
@@ -128,6 +141,19 @@ _TURN_XML_SCHEMA: dict = {
          "CONTENT": (True, _t_nonblank),
          "START": (False, _t_int_nonneg),
          "END": (False, _t_int_nonneg)},
+        {"glyph": (0, None), "variant": (0, None)},
+    ),
+    # Variant/Glyph depth: the reference's String→Glyph→Variant nesting
+    # (WriteXml.cpp:113-129; alto-4-4.xsd GlyphType/VariantType analog)
+    "glyph": (
+        {"ID": (True, _t_pattern(r"p_\d+_b_\d+_s_\d+_g_\d+")),
+         "CONTENT": (True, _t_nonblank),
+         "GC": (True, _t_float01)},
+        {"variant": (0, None)},
+    ),
+    "variant": (
+        {"CONTENT": (True, _t_nonblank),
+         "VC": (True, _t_float01)},
         {},
     ),
 }
@@ -218,10 +244,27 @@ def xml_attr(value: str) -> str:
             .replace("<", "&lt;").replace(">", "&gt;"))
 
 
+def _render_variant(v: tuple[str, float], indent: str) -> str:
+    # VC uses the reference's 2-significant-digit format
+    # (WriteXml.cpp:114 "{:.2}")
+    return f'{indent}<variant CONTENT="{xml_attr(v[0])}" VC="{v[1]:.2}"/>'
+
+
 def render_turn_xml(conv_id: str, turn_idx: int, payload_class: str,
                     spans: list[tuple[int, int]], extracted_text: str,
-                    confidence: float, detector: str = "frogocr_spark") -> str:
-    """One turn → ALTO-like XML with positional IDs."""
+                    confidence: float, detector: str = "frogocr_spark",
+                    word_details: list[dict] | None = None) -> str:
+    """One turn → ALTO-like XML with positional IDs.
+
+    ``word_details`` (optional) carries the reference's full output
+    depth (Document.hpp:22-30, WriteXml.cpp:89-129): one dict per word,
+    aligned exactly like ``spans``, with optional ``"variants"``
+    ([(text, conf), ...] — losing alternative readings, e.g. from the
+    two-pass J2 replacement via ``extract_turn()["word_variants"]``) and
+    optional ``"glyphs"`` ([{"content", "conf", "variants"}, ...] —
+    per-symbol depth when the upstream recognizer provides it).  Words
+    with neither stay self-closing, exactly like the reference's
+    ``string.glyphs.empty()`` branch (WriteXml.cpp:100-110)."""
     page_id = f"p_{turn_idx}"
     lines = extracted_text.split("\n") if extracted_text else []
     out: list[str] = [
@@ -231,11 +274,14 @@ def render_turn_xml(conv_id: str, turn_idx: int, payload_class: str,
         f'  <processing SOFTWARE="{xml_attr(detector)}" '
         f'CATEGORY="contentGeneration"/>',
     ]
-    # spans align 1:1 with words only for word-granular classes
-    # (pdf_layout/two_pass); otherwise positions are omitted rather than
-    # mis-attached
+    # spans (and word_details) align 1:1 with words only for
+    # word-granular classes (pdf_layout/two_pass); otherwise positions
+    # are omitted rather than mis-attached
     n_words = sum(1 for ln in lines for w in ln.split(" ") if w)
     span_iter = iter(spans if len(spans) == n_words else [])
+    det_iter = iter(word_details
+                    if word_details and len(word_details) == n_words
+                    else [])
     for bi, line in enumerate(lines):
         if not line.strip():          # WriteXml.cpp:90-92 analog
             continue
@@ -246,9 +292,30 @@ def render_turn_xml(conv_id: str, turn_idx: int, payload_class: str,
             if not word:      # double-space inside a kept segment
                 continue
             sp = next(span_iter, None)
+            det = next(det_iter, None) or {}
             pos = (f' START="{sp[0]}" END="{sp[1]}"' if sp else "")
-            out.append(f'    <string ID="{block_id}_s_{si}"'
-                       f' CONTENT="{xml_attr(word)}"{pos}/>')
+            sid = f"{block_id}_s_{si}"
+            head = f'    <string ID="{sid}" CONTENT="{xml_attr(word)}"{pos}'
+            variants = det.get("variants") or []
+            glyphs = det.get("glyphs") or []
+            if not variants and not glyphs:
+                out.append(head + "/>")
+            else:
+                out.append(head + ">")
+                for gi, g in enumerate(glyphs):
+                    ghead = (f'      <glyph ID="{sid}_g_{gi}" '
+                             f'CONTENT="{xml_attr(g["content"])}" '
+                             f'GC="{g["conf"]:.2}"')
+                    gvars = g.get("variants") or []
+                    if not gvars:
+                        out.append(ghead + "/>")
+                    else:
+                        out.append(ghead + ">")
+                        out.extend(_render_variant(v, "        ")
+                                   for v in gvars)
+                        out.append("      </glyph>")
+                out.extend(_render_variant(v, "      ") for v in variants)
+                out.append("    </string>")
             si += 1
         out.append("  </block>")
     out.append("</page>")

@@ -46,6 +46,11 @@ class Segment:
     end: int
     glue: str = GLUE_LINE
     confidence: float = 1.0
+    # alternative readings (text, confidence) — the Variant depth of the
+    # reference's output model (Source/Document.hpp:22-30: Symbol/Word
+    # carry std::vector<Variant>); populated by the two-pass merge when
+    # a reading loses the J2 replacement (core/secondpass.py)
+    variants: list[tuple[str, float]] = field(default_factory=list)
 
 
 @dataclass

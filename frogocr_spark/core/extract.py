@@ -27,7 +27,7 @@ from .settings import Settings
 
 OUTPUT_COLUMNS = [
     "payload_class", "extracted_text", "spans", "n_blocks", "n_spans",
-    "confidence", "parse_failed", "empty_after_strip",
+    "n_variants", "confidence", "parse_failed", "empty_after_strip",
 ]
 
 
@@ -77,22 +77,28 @@ def extract_turn(text: str | None,
     extracted, spans = assemble.assemble(blocks)
     if cls != "two_pass":
         confidence = assemble.mean_confidence(blocks)
+    # per-word alternative readings (Variant depth, Document.hpp:22-30):
+    # aligned 1:1 with spans; only the two-pass merge produces them
+    word_variants = [list(s.variants) for b in blocks for s in b.segments]
     return {
         "payload_class": cls,
         "extracted_text": extracted,
         "spans": [{"start": a, "end": b} for a, b in spans],
         "n_blocks": len(blocks),
         "n_spans": len(spans),
+        "n_variants": sum(len(v) for v in word_variants),
         "confidence": confidence,
         "parse_failed": parse_failed,
         "empty_after_strip": (not extracted) and bool(raw.strip()),
+        "word_variants": word_variants,   # sink-level detail, not a DF column
     }
 
 
 def _empty_record(cls: str = "plain") -> dict[str, Any]:
     return {"payload_class": cls, "extracted_text": "", "spans": [],
-            "n_blocks": 0, "n_spans": 0, "confidence": 1.0,
-            "parse_failed": False, "empty_after_strip": False}
+            "n_blocks": 0, "n_spans": 0, "n_variants": 0,
+            "confidence": 1.0, "parse_failed": False,
+            "empty_after_strip": False, "word_variants": []}
 
 
 def extract_batch(texts: pd.Series,
@@ -133,6 +139,7 @@ def extract_batch(texts: pd.Series,
         )
         out.loc[plain_mask, "n_blocks"] = nonempty.astype(int)
         out.loc[plain_mask, "n_spans"] = nonempty.astype(int)
+        out.loc[plain_mask, "n_variants"] = 0
         out.loc[plain_mask, "confidence"] = 1.0
         out.loc[plain_mask, "parse_failed"] = False
         out.loc[plain_mask, "empty_after_strip"] = False
@@ -149,6 +156,7 @@ def extract_batch(texts: pd.Series,
 def _coerce(out: pd.DataFrame) -> pd.DataFrame:
     out["n_blocks"] = out["n_blocks"].astype("int32")
     out["n_spans"] = out["n_spans"].astype("int32")
+    out["n_variants"] = out["n_variants"].astype("int32")
     out["confidence"] = out["confidence"].astype("float64")
     out["parse_failed"] = out["parse_failed"].astype(bool)
     out["empty_after_strip"] = out["empty_after_strip"].astype(bool)

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import bisect
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -71,6 +71,11 @@ class Word:
     # corrected sequence reads forward even though the provenance spans are
     # mirrored through the reversal (module doc).
     order_key: int = -1
+    # losing alternative readings (text, conf) — the reference keeps
+    # per-symbol Variants (Document.hpp:22-30); here a first-pass word
+    # erased by the J2 replacement becomes a Variant of the second-pass
+    # word that covered it
+    variants: list = field(default_factory=list)
 
     def __post_init__(self) -> None:
         if self.order_key < 0:
@@ -186,22 +191,39 @@ def extract_two_pass(raw: str, run_second: bool = True) -> tuple[list[Block], fl
     # J2: declarative erase — keep fp word unless low-conf AND overlapped.
     # Same bisect-window pruning over the (sorted) second-pass intervals.
     if sp_words and len(fp_words):
-        sp_ivl = sorted((w.start, w.end) for w in sp_words)
+        sp_sorted = sorted(sp_words, key=lambda w: (w.start, w.end))
+        sp_ivl = [(w.start, w.end) for w in sp_sorted]
         sp_starts = [s for s, _ in sp_ivl]
         sp_ends = [e for _, e in sp_ivl]
 
-        def _erased(w: Word) -> bool:
+        def _eraser_of(w: Word) -> Word | None:
+            """The sp word that erases ``w`` (None = kept): J2's gate,
+            winner = max intersection, ties → earliest interval."""
             if w.conf > WORD_GATE:
-                return False
+                return None
             # any sp interval with positive intersection has end > w.start
             # and start < w.end; sp intervals are disjoint (region words),
             # so both bound lists are sorted
             lo = bisect.bisect_right(sp_ends, w.start)
             hi = bisect.bisect_left(sp_starts, w.end)
-            return any(overlaps_either((w.start, w.end), sp_ivl[i])
-                       for i in range(lo, hi))
+            best, best_inter = None, 0
+            for i in range(lo, hi):
+                if overlaps_either((w.start, w.end), sp_ivl[i]):
+                    inter = (min(w.end, sp_ivl[i][1])
+                             - max(w.start, sp_ivl[i][0]))
+                    if inter > best_inter:
+                        best, best_inter = sp_sorted[i], inter
+            return best
 
-        merged = [w for w in fp_words if not _erased(w)]
+        merged = []
+        for w in fp_words:
+            eraser = _eraser_of(w)
+            if eraser is None:
+                merged.append(w)
+            else:
+                # the losing reading survives as a Variant of its
+                # replacement (reference Variant depth, Document.hpp:22-30)
+                eraser.variants.append((w.text, w.conf))
     else:
         merged = list(fp_words)
     # J4 union, then W1 stable order on interval start
@@ -216,7 +238,8 @@ def extract_two_pass(raw: str, run_second: bool = True) -> tuple[list[Block], fl
         doc_conf = float(fp_mean)
 
     segs = [Segment(text=w.text, start=w.start, end=w.end,
-                    glue=GLUE_SPACE if i else "", confidence=w.conf)
+                    glue=GLUE_SPACE if i else "", confidence=w.conf,
+                    variants=list(w.variants))
             for i, w in enumerate(merged)]
     blocks = [Block(segments=segs, kind="merged",
                     detector="lowconf", recognizer="twopass")] if segs else []

@@ -36,6 +36,7 @@ EXTRACTION_FIELDS = [
     T.StructField("spans", SPAN_TYPE, False),
     T.StructField("n_blocks", T.IntegerType(), False),
     T.StructField("n_spans", T.IntegerType(), False),
+    T.StructField("n_variants", T.IntegerType(), False),
     T.StructField("confidence", T.DoubleType(), False),
     T.StructField("parse_failed", T.BooleanType(), False),
     T.StructField("empty_after_strip", T.BooleanType(), False),
@@ -110,6 +111,7 @@ def extract_turns(df: DataFrame, *, text_col: str = "text",
                 spans_arr,
                 pa.array(res["n_blocks"].to_numpy(), pa.int32()),
                 pa.array(res["n_spans"].to_numpy(), pa.int32()),
+                pa.array(res["n_variants"].to_numpy(), pa.int32()),
                 pa.array(res["confidence"].to_numpy(), pa.float64()),
                 pa.array(res["parse_failed"].to_numpy(), pa.bool_()),
                 pa.array(res["empty_after_strip"].to_numpy(), pa.bool_()),

@@ -31,7 +31,7 @@ def test_extraction_plan_is_map_only_and_column_pruned(spark,
     from frogocr_spark.operators.extraction import extract_turns
     df = spark.read.parquet(transcripts_parquet)
     plan = _plan(extract_turns(df))
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
     assert "Exchange" not in plan          # pure per-row map, no shuffle
     # Arrow width: the scan must read only the columns the UDF consumes
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]

@@ -71,6 +71,29 @@ def test_majority_relaxation_accepts_hard_region():
     assert _text(blocks) == "aa good one bb also fine cc wh?t is dd"
 
 
+def test_erased_words_survive_as_variants():
+    """The J2 replacement keeps the losing first-pass reading as a
+    Variant on its second-pass replacement (the reference's per-symbol
+    Variant depth, Document.hpp:22-30) — extracted text unchanged."""
+    raw = "head [[LOWCONF]]" + "fixed text"[::-1] + "[[/LOWCONF]] tail"
+    blocks, _conf = sp.extract_two_pass(raw)
+    segs = [s for b in blocks for s in b.segments]
+    by_text = {s.text: s for s in segs}
+    all_vars = [v for s in segs for v in s.variants]
+    garbled = set("fixed text"[::-1].split())       # the erased readings
+    assert {t for t, _ in all_vars} == garbled
+    for _t, c in all_vars:
+        assert c == pytest.approx(float(sp.GARBLED_CONF), abs=1e-6)
+    # untouched first-pass words carry no variants
+    assert by_text["head"].variants == []
+    assert by_text["tail"].variants == []
+    # and the variants ride on SECOND-pass words only
+    for s in segs:
+        if s.variants:
+            assert s.confidence == pytest.approx(float(sp.SECONDPASS_CONF),
+                                                 abs=1e-6)
+
+
 def test_high_conf_words_never_erased():
     # first-pass words outside regions (conf .92 > .5 gate) are kept even
     # though second-pass words exist

@@ -119,6 +119,52 @@ _VALID = ('<page ID="p_0" CONV="c" CLASS="plain" CONF="0.9000">'
           '</block></page>')
 
 
+def test_variant_glyph_depth_roundtrip():
+    """Full ALTO output-model depth (String → Glyph → Variant,
+    WriteXml.cpp:89-129): render → schema-validate → parse → re-render
+    is byte-identical, and real two-pass variants flow end to end."""
+    from frogocr_spark.core.extract import extract_turn
+
+    # real variants from the two-pass replacement
+    raw = "head [[LOWCONF]]" + "fixed text"[::-1] + "[[/LOWCONF]] tail"
+    rec = extract_turn(raw)
+    assert rec["n_variants"] == 2
+    details = [{"variants": v} for v in rec["word_variants"]]
+    xml = alto.render_turn_xml("cv", 0, rec["payload_class"],
+                               [(s["start"], s["end"]) for s in rec["spans"]],
+                               rec["extracted_text"], rec["confidence"],
+                               word_details=details)
+    assert alto.validate_turn_xml(xml) == []
+    doc = alto.parse_turn_xml(xml)
+    words = [w for b in doc["blocks"] for w in b["words"]]
+    assert [w["content"] for w in words] == ["head", "fixed", "text", "tail"]
+    got_vars = {w["content"]: w["variants"] for w in words if w["variants"]}
+    assert set(got_vars) == {"fixed", "text"}
+    for vs in got_vars.values():
+        assert all(t in ("txet", "dexif") and 0 < c < 1 for t, c in vs)
+
+    # synthetic glyph depth: render → validate → parse → re-render stable
+    details = [{"glyphs": [
+        {"content": "h", "conf": 0.91,
+         "variants": [("n", 0.41), ("b", 0.15)]},
+        {"content": "i", "conf": 0.99, "variants": []},
+    ], "variants": [("hI", 0.33)]}]
+    xml = alto.render_turn_xml("cv", 1, "plain", [(0, 2)], "hi", 0.95,
+                               word_details=details)
+    assert alto.validate_turn_xml(xml) == []
+    doc = alto.parse_turn_xml(xml)
+    w = doc["blocks"][0]["words"][0]
+    assert [g["content"] for g in w["glyphs"]] == ["h", "i"]
+    assert w["glyphs"][0]["variants"] == [("n", 0.41), ("b", 0.15)]
+    assert w["glyphs"][0]["id"] == "p_1_b_0_s_0_g_0"
+    assert w["variants"] == [("hI", 0.33)]
+    # re-render from the parsed model is byte-identical (true roundtrip)
+    details2 = [{"glyphs": w["glyphs"], "variants": w["variants"]}]
+    xml2 = alto.render_turn_xml("cv", 1, "plain", [(0, 2)], "hi", 0.95,
+                                word_details=details2)
+    assert xml2 == xml
+
+
 def test_xsd_schema_validation():
     """Each malformed doc fails on the SAME constraint class the
     reference's compiled alto-4-4.xsd validator (Validator.cpp:30-50)
