@@ -88,7 +88,8 @@ def extract_html(raw: str) -> list[Block]:
                 cur.blacklisted = True
         pos = m.end()
 
-        closing, name = m.group(1) == "/", m.group(2).lower()
+        g1, g2 = m.group(1, 2)
+        closing, name = g1 == "/", g2.lower()
         if name == "a":
             link_depth = max(0, link_depth - 1) if closing else link_depth + 1
         elif name in BLOCK_TAGS:
@@ -106,8 +107,7 @@ def extract_html(raw: str) -> list[Block]:
                         stack.pop()
             else:
                 stack.append(name)
-    tail = raw[pos:]
-    if tail.strip():
+    if raw[pos:].strip():
         s, e = trim_span(raw, pos, len(raw))
         seg_text = raw[s:e]
         cur.segments.append(Segment(text=seg_text, start=s, end=e,

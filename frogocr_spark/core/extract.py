@@ -41,15 +41,19 @@ def extract_plain(raw: str) -> list[Block]:
 
 
 def extract_turn(text: str | None,
-                 settings_csv: str | None = None) -> dict[str, Any]:
+                 settings_csv: str | None = None,
+                 cls: str | None = None) -> dict[str, Any]:
     """Scalar oracle: classify + extract one turn payload.
 
     ``settings_csv`` = per-turn typed settings (F9/F7/X1 —
     core.settings.Settings): MinWordConfidence gates words post-extraction,
-    SecondPass=off disables the two-pass merge."""
+    SecondPass=off disables the two-pass merge.  ``cls`` = the payload
+    class when the caller already sniffed it (the batch path passes the
+    vectorized ``sniff_series`` result — agreement with scalar sniff is
+    tested in tests/test_sniff.py); None → sniff here."""
     raw = text if isinstance(text, str) else ""
     settings = Settings.parse_csv(settings_csv)
-    cls = sniff.sniff(raw)
+    cls = cls or sniff.sniff(raw)
     parse_failed = False
     confidence = 1.0
     if cls == "plain":
@@ -146,7 +150,7 @@ def extract_batch(texts: pd.Series,
 
     rest = s.index[~plain_mask]
     if len(rest):
-        recs = [extract_turn(s.at[i]) for i in rest]
+        recs = [extract_turn(s.at[i], cls=classes.at[i]) for i in rest]
         rec_df = pd.DataFrame(recs, index=rest)
         for col in OUTPUT_COLUMNS:
             out.loc[rest, col] = rec_df[col]

@@ -40,7 +40,7 @@ FOOTER_Y = 750        # footer band limit
 _TOKEN_RE = re.compile(r"@(\d+),(\d+),(\d+),(\d+)\|(\S+)")
 
 
-@dataclass
+@dataclass(slots=True)
 class Box:
     x: int
     y: int
@@ -55,8 +55,9 @@ def parse_layout(raw: str) -> list[Box]:
     """Tokenize ``@x,y,w,h|text`` runs with raw char offsets."""
     boxes: list[Box] = []
     for m in _TOKEN_RE.finditer(raw):
-        x, y, w, h = (int(m.group(i)) for i in range(1, 5))
-        boxes.append(Box(x, y, w, h, m.group(5), m.start(5), m.end(5)))
+        x, y, w, h, t = m.groups()
+        boxes.append(Box(int(x), int(y), int(w), int(h), t,
+                         m.start(5), m.end(5)))
     return boxes
 
 
