@@ -531,14 +531,21 @@ def _q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload plumbing (decode stubbed/fake — rows-only check)."""
+    """Binary-payload decode/feature plumbing.  The decode itself is the
+    deterministic fake (env-constrained codec stub) — but the fake is
+    md5-over-lowercase-hex, so the DuckDB oracle recomputes header
+    construction, magic sniff, digest, and the float32 feature word
+    bit-for-bit: a full hash check of the mapInPandas plumbing.
+    Deterministic subset: ORDER BY doc_id LIMIT 200 (a bare limit would
+    pick engine-dependent rows)."""
     from frogocr_spark.operators.multimodal import (attach_binary_payload,
                                                     decode_features)
-    docs = _read(spark, sf_dir, "documents").limit(200)
+    docs = _read(spark, sf_dir, "documents").orderBy("doc_id").limit(200)
     blobs = attach_binary_payload(docs)
     out = decode_features(blobs, fake_decode=True, dim=8)
     return out.select("doc_id", "media_type", "n_bytes",
-                      F.round(F.element_at("feature", 1), 6).alias("f0"))
+                      F.round(F.element_at("feature", 1).cast("double"), 6)
+                      .alias("f0"))
 
 
 def _q_a7_ctc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,15 +646,19 @@ def _q_table_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling UDTF shape (1 row → ≤k rows; decode stubbed/fake,
-    sampling + resize math real — rows-only check)."""
+    """Frame-sampling UDTF shape (1 row → ≤k rows).  Per-frame decode is
+    the deterministic fake; the integer-exact sampling indices, frame
+    count derivation, timestamps, and per-frame digest features are all
+    recomputed by the DuckDB oracle — a full hash check of the
+    one-to-many mapInPandas shape."""
     from frogocr_spark.operators.multimodal import (attach_binary_payload,
                                                     sample_frames)
-    docs = _read(spark, sf_dir, "documents").limit(200)
+    docs = _read(spark, sf_dir, "documents").orderBy("doc_id").limit(200)
     blobs = attach_binary_payload(docs)
     out = sample_frames(blobs, k=4, fake_decode=True, dim=8)
     return out.select("doc_id", "n_frames", "frame_idx", "ts_ms",
-                      F.round(F.element_at("feature", 1), 6).alias("f0"))
+                      F.round(F.element_at("feature", 1).cast("double"), 6)
+                      .alias("f0"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1331,5 +1342,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    count(*) FILTER (trim(text) = '') AS n_empty
             FROM documents GROUP BY source
+        """,
+        # multimodal fake-decode replication: payload blob = magic header
+        # + ascii md5(text); the fake feature digest is md5 of the blob's
+        # LOWERCASE-HEX string (see operators/multimodal._decode_fake), so
+        # SQL rebuilds it as md5(header_hex || hex(ascii-md5-chars)).
+        # f0 = little-endian uint32 of digest bytes 0..3, float32-rounded
+        # (CAST AS FLOAT), scaled by exact 2^-32.
+        "multimodal_features": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200
+            ), blob AS (
+                SELECT doc_id, doc_id % 3 AS kind,
+                       CASE doc_id % 3 WHEN 0 THEN '89504e47'
+                                       WHEN 1 THEN 'ffd8ff'
+                                       ELSE '52494646' END
+                         || lower(hex(md5(text))) AS blob_hex
+                FROM base
+            ), dig AS (
+                SELECT doc_id, kind, md5(blob_hex) AS d FROM blob
+            )
+            SELECT doc_id,
+                   CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                             ELSE 'wav' END AS media_type,
+                   CAST(CASE kind WHEN 1 THEN 35 ELSE 36 END
+                        AS INTEGER) AS n_bytes,
+                   round(CAST(CAST(('0x' || substr(d, 7, 2) || substr(d, 5, 2)
+                                    || substr(d, 3, 2) || substr(d, 1, 2)
+                              )::BIGINT AS FLOAT) AS DOUBLE)
+                         / 4294967296.0, 6) AS f0
+            FROM dig
+        """,
+        # frame sampling: n_frames = 1 + last-blob-byte % 30 (last byte =
+        # ascii of the md5 hex string's 32nd char); indices = exact-integer
+        # half-up rounding of j*(n-1)/(m-1), m = min(4, n_frames); per-frame
+        # digest = md5(blob_hex || 2-digit-hex(frame_idx)) — the python
+        # side's (blob + bytes([i])).hex() concatenation law.
+        "multimodal_frames": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200
+            ), blob AS (
+                SELECT doc_id,
+                       CASE doc_id % 3 WHEN 0 THEN '89504e47'
+                                       WHEN 1 THEN 'ffd8ff'
+                                       ELSE '52494646' END
+                         || lower(hex(md5(text))) AS blob_hex,
+                       1 + ascii(substr(md5(text), 32, 1)) % 30 AS n_frames
+                FROM base
+            ), expanded AS (
+                SELECT doc_id, blob_hex, n_frames,
+                       LEAST(4, n_frames) AS m,
+                       UNNEST(range(LEAST(4, n_frames))) AS j
+                FROM blob
+            ), frames AS (
+                SELECT DISTINCT doc_id, blob_hex, n_frames,
+                       CASE WHEN m = 1 THEN 0
+                            ELSE (2 * j * (n_frames - 1) + (m - 1))
+                                 // (2 * (m - 1))
+                       END AS frame_idx
+                FROM expanded
+            ), dig AS (
+                SELECT doc_id, n_frames, frame_idx,
+                       md5(blob_hex
+                           || lpad(lower(hex(frame_idx)), 2, '0')) AS d
+                FROM frames
+            )
+            SELECT doc_id,
+                   CAST(n_frames AS INTEGER) AS n_frames,
+                   CAST(frame_idx AS INTEGER) AS frame_idx,
+                   CAST((frame_idx * 1000) // 30 AS INTEGER) AS ts_ms,
+                   round(CAST(CAST(('0x' || substr(d, 7, 2) || substr(d, 5, 2)
+                                    || substr(d, 3, 2) || substr(d, 1, 2)
+                              )::BIGINT AS FLOAT) AS DOUBLE)
+                         / 4294967296.0, 6) AS f0
+            FROM dig
         """,
     }

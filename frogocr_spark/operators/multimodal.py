@@ -76,8 +76,16 @@ def _decode_real(blob: bytes, media: str) -> np.ndarray:
 
 
 def _decode_fake(blob: bytes, media: str, dim: int = 8) -> np.ndarray:
-    """Deterministic fake features: md5-seeded floats (test/bench path)."""
-    digest = hashlib.md5(blob).digest()
+    """Deterministic fake features: md5-seeded floats (test/bench path).
+
+    The digest is md5 of the blob's LOWERCASE-HEX encoding — a string
+    hash, not a bytes hash — so any SQL engine can recompute it
+    (``md5(lower(hex(payload)))``; DuckDB has no md5 over BLOB), which
+    is what lets the driver's oracle hash-verify the fake-decode
+    contract queries end to end.  Features: repeat the 16-byte digest,
+    read ``dim`` little-endian uint32 words, convert to float32 (the
+    rounding step), scale by 2^-32 (exact — power of two)."""
+    digest = hashlib.md5(blob.hex().encode()).digest()
     return np.frombuffer((digest * ((dim * 4) // 16 + 1))[:dim * 4],
                          dtype=np.uint32).astype(np.float32) / np.float32(2**32)
 
@@ -160,8 +168,13 @@ def sample_frames(df: DataFrame, k: int, id_col: str = "doc_id",
     """Frame sampling for video-like payloads: 1 row in → ≤ k rows out
     (the UDTF shape — same as the reference's one-task→many-blocks
     recognizers, SURVEY §2.9 X2).  Sampling indices = evenly spaced over
-    the clip (``linspace`` rounded, deduped) — REAL logic; per-frame
-    decode is the stubbed step.  ``ts_ms`` assumes 30 fps."""
+    the clip: half-up rounding of ``j*(n-1)/(m-1)`` computed in EXACT
+    integer arithmetic (``(2j(n-1) + (m-1)) // 2(m-1)``) —
+    engine-portable by construction, unlike ``np.round``'s banker's
+    rounding, so the DuckDB oracle reproduces the indices verbatim
+    (spacing ≥ 1 when ``m ≤ n`` keeps the m indices distinct).  REAL
+    logic; per-frame decode is the stubbed step.  ``ts_ms`` assumes
+    30 fps."""
     narrow = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -178,9 +191,14 @@ def sample_frames(df: DataFrame, k: int, id_col: str = "doc_id",
                     if not fake_decode:
                         _decode_real(blob, media)
                     n_frames = 1 + blob[-1] % 30
-                    idx = np.unique(np.linspace(
-                        0, n_frames - 1, num=min(k, n_frames)).round()
-                        .astype(np.int32))
+                    m = min(k, n_frames)
+                    if m == 1:
+                        idx = np.zeros(1, dtype=np.int32)
+                    else:
+                        j = np.arange(m, dtype=np.int64)
+                        idx = np.unique(
+                            (2 * j * (n_frames - 1) + (m - 1))
+                            // (2 * (m - 1))).astype(np.int32)
                     for i in idx:
                         feat = _decode_fake(blob + bytes([i]), media, dim)
                         out.append((int(doc_id), int(n_frames), int(i),
