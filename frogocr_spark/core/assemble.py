@@ -32,7 +32,7 @@ GLUE_SPACE = " "
 GLUE_LINE = "\n"
 
 
-@dataclass
+@dataclass(slots=True)
 class Segment:
     """One kept run of characters.
 
@@ -53,7 +53,7 @@ class Segment:
     variants: list[tuple[str, float]] = field(default_factory=list)
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """A content block (FrogOCR Block analog — ``Source/Document.hpp:68-77``)."""
 

@@ -60,7 +60,7 @@ _REGION_RE = re.compile(
 )
 
 
-@dataclass
+@dataclass(slots=True)
 class Word:
     text: str
     start: int
@@ -107,11 +107,15 @@ def majority_vote_relaxation(confidences: list[float],
     return relaxed if 2 * n_confident > len(confidences) else strict
 
 
+_WORD_RE = re.compile(r"\S+")
+
+
 def _words_of(text: str, base: int, conf: np.float32) -> list[Word]:
     words: list[Word] = []
-    for m in re.finditer(r"\S+", text):
+    conf_f = float(conf)
+    for m in _WORD_RE.finditer(text):
         words.append(Word(m.group(), base + m.start(), base + m.end(),
-                          float(conf)))
+                          conf_f))
     return words
 
 
@@ -138,7 +142,7 @@ def second_pass_recognize(raw: str, region: tuple[int, int]) -> list[Word]:
     corrected = raw[a:b][::-1]
     conf = SECONDPASS_HARD_CONF if "?" in corrected else SECONDPASS_CONF
     out: list[Word] = []
-    for m in re.finditer(r"\S+", corrected):
+    for m in _WORD_RE.finditer(corrected):
         p, q = m.start(), m.end()
         out.append(Word(m.group(), b - q, b - p, float(conf), order_key=a + p))
     return out
