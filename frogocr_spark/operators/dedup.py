@@ -110,6 +110,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                       F.col("sz").alias("sz_a"))
     b = prefix.select(F.col(id_col).alias("id_b"), "token",
                       F.col("sz").alias("sz_b"))
+    # NOTE: PPJoin's positional overlap-bound filter (carry posexplode
+    # positions, prune pairs with 1 + min(|A|-i-1, |B|-j-1) below the
+    # I >= t(|A|+|B|)/(1+t) requirement) was implemented and MEASURED
+    # OUT: on the synthetic corpus it prunes only 5.8% of candidates
+    # (6.47M -> 6.10M at sf0.1, t=0.8 — most candidates are true
+    # near-dups) while replacing this dropDuplicates with a wider
+    # groupBy/max aggregation, a net slowdown.  Re-add it for corpora
+    # where candidate precision is low.
     cand = (a.join(b, "token")
             .where((F.col("id_a") < F.col("id_b"))
                    & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a") - eps)
