@@ -56,10 +56,9 @@ SCALING_ROUNDS = 3
 # don't dominate the short high-core runs
 SCALING_WINDOW = 2
 
-# the full driver contract minus ONE deliberate exclusion:
-# `dedup_embedding` is the exact all-pairs small-N baseline (~50 s at
-# sf0.1; it exists so the oracle can hash-check exact cosine output) —
-# its scale path `dedup_embedding_lsh` is what's benched.
+# the full driver contract: every queries() entry is benched (the exact
+# all-pairs dedup_embedding baseline joined the panel once the blocked-
+# matmul formulation brought it from ~50 s to <1 s warm at sf0.1).
 BENCH_QUERIES = [
     "pipeline_extract", "extract_plain_docs", "tpch_q1", "tpch_q3_topk",
     "w2_priority_limit", "f9_settings_projection",
@@ -69,7 +68,8 @@ BENCH_QUERIES = [
     "j6_asof_join", "j7_nearest_neighbor", "j8_intern_dimension",
     "sessionize", "event_windows",
     "dedup_exact", "dedup_jaccard", "dedup_minhash", "dedup_minhash_xx",
-    "dedup_simhash", "dup_clusters", "dedup_resolve", "dedup_embedding_lsh",
+    "dedup_simhash", "dup_clusters", "dedup_resolve", "dedup_embedding",
+    "dedup_embedding_lsh",
     "rolling_fingerprint", "textstats", "sim_cosine_topk",
     "sim_cosine_lsh", "sim_cosine_ivf", "sim_cosine_ivf_probe",
     "c5_token_assembly", "c6_levenshtein", "c7_xml_escape",
