@@ -102,6 +102,32 @@ def main() -> None:
                 not in plan,
                 "bucket-keyed equi-joins only")
 
+    # 6. global_rank: no single-partition sort/window anywhere — the
+    # dense rank comes from a RANGE exchange (order-preserving partition
+    # ids) + per-partition row_number, never Exchange SinglePartition
+    from frogocr_spark.operators.ranking import global_rank
+    dfreq = (docs.select(F.explode(F.split("text", r"\s+")).alias("token"))
+             .groupBy("token").agg(F.count(F.lit(1)).alias("t_df")))
+    plan = executed(global_rank(dfreq, ["t_df", "token"]))
+    ok &= check("global_rank has no single-partition exchange",
+                "SinglePartition" not in plan
+                and "windowspecdefinition(_pid" in plan,
+                "window partitioned by range-partition id; no "
+                "SinglePartition exchange (the range exchange itself "
+                "sits inside the localCheckpoint subtree)")
+
+    # 7. blocked exact cosine: the quadratic work is a block-pair
+    # NestedLoop over B(B+1)/2 PACKED rows (one row per block), never a
+    # row-level cartesian product over the corpus
+    from frogocr_spark.operators.dedup import _exact_cosine_pairs_blocked
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = executed(_exact_cosine_pairs_blocked(
+        emb, "vec_id", "embedding", threshold=0.4))
+    ok &= check("exact cosine joins packed blocks, not corpus rows",
+                "MapInPandas" in plan and "collect_list" in plan,
+                "corpus packed via collect_list before the block-pair "
+                "join; scoring in MapInPandas matmul")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
