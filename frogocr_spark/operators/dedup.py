@@ -27,13 +27,54 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT = r"\s+"
 
 
-def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, token) distinct pairs — the shared shingle relation."""
-    return (df.select(id_col,
-                      F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT))
-                      .alias("token"))
-            .where("token <> ''")
-            .dropDuplicates([id_col, "token"]))
+def _shingle_expr(text_col: str, ngram: int = 1,
+                  char_shingles: int | None = None):
+    """Column of this row's shingles (JVM-side, codegen'd):
+
+    - ``char_shingles=k`` → all ``k``-char substrings of the
+      space-trimmed text (classic character shingling);
+    - ``ngram=n`` → word ``n``-grams over the whitespace split, joined
+      with single spaces (``ngram=1`` = the word-set base case).
+
+    Documents shorter than the window yield an empty array.  The exact
+    python twin these definitions are differential-tested against lives
+    in tests/test_dedup.py."""
+    if char_shingles is not None:
+        k = int(char_shingles)
+        t = F.trim(F.col(text_col))
+        n = F.length(t)
+        return F.when(n >= k,
+                      F.transform(F.sequence(F.lit(1), n - k + 1),
+                                  lambda i: F.substring(t, i, F.lit(k)))
+                      ).otherwise(F.array().cast("array<string>"))
+    words = F.filter(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT),
+                     lambda w: w != "")
+    if ngram == 1:
+        return words
+    n = F.size(words)
+    return F.when(n >= ngram,
+                  F.transform(F.sequence(F.lit(1), n - ngram + 1),
+                              lambda i: F.concat_ws(
+                                  " ", F.slice(words, i, ngram)))
+                  ).otherwise(F.array().cast("array<string>"))
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str,
+            dedup_tokens: bool = True, ngram: int = 1,
+            char_shingles: int | None = None) -> DataFrame:
+    """(id, token) pairs — the shared shingle relation (see
+    :func:`_shingle_expr` for the token definitions).
+
+    ``dedup_tokens=False`` skips the (id, token) dropDuplicates — a full
+    corpus-sized shuffle — for consumers whose downstream aggregate is
+    idempotent over repeated tokens (minhash: ``min`` of a multiset ==
+    ``min`` of its set).  Jaccard needs the distinct set (intersection
+    COUNTS tokens) and keeps the default."""
+    toks = (df.select(id_col,
+                      F.explode(_shingle_expr(text_col, ngram,
+                                              char_shingles)).alias("token"))
+            .where("token <> ''"))
+    return toks.dropDuplicates([id_col, "token"]) if dedup_tokens else toks
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -47,7 +88,8 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        threshold: float = 0.6) -> DataFrame:
+                        threshold: float = 0.6, ngram: int = 1,
+                        char_shingles: int | None = None) -> DataFrame:
     """EXACT word-set Jaccard ≥ threshold with PPJoin-style prefix
     filtering so candidate generation is bounded by rare-token document
     frequency, not quadratic in hot-token DF.
@@ -88,7 +130,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     from .ranking import global_rank
 
     eps = 1e-9
-    toks = _tokens(df, id_col, text_col)
+    toks = _tokens(df, id_col, text_col, ngram=ngram,
+                   char_shingles=char_shingles)
     dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("t_df"))
     ranked = global_rank(dfreq, ["t_df", "token"], rank_col="tid")
     # localCheckpoint: per_doc feeds three consumers (prefix explode +
@@ -153,7 +196,8 @@ def _minhash_coef(kind: str, i: int) -> int:
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 32,
-                       hash_fn: str = "xxhash64") -> DataFrame:
+                       hash_fn: str = "xxhash64", ngram: int = 1,
+                       char_shingles: int | None = None) -> DataFrame:
     """(id, sig array<long>): per-permutation min of h_i(token).
 
     ``hash_fn="xxhash64"`` (default) uses ``xxhash64(token, seed_i)`` —
@@ -167,7 +211,9 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     ``('0x'||substr(md5(token),1,15))::BIGINT`` plus the same literal
     coefficients recomputed from md5).  This is what lets the driver's
     oracle verify the LSH path end to end."""
-    toks = _tokens(_spread_small_input(df), id_col, text_col)
+    toks = _tokens(_spread_small_input(df), id_col, text_col,
+                   dedup_tokens=False, ngram=ngram,
+                   char_shingles=char_shingles)
     if hash_fn == "md5":
         base = (F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10)
                 .cast("long") % MERSENNE31)
@@ -188,7 +234,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.6,
-                      hash_fn: str = "xxhash64") -> DataFrame:
+                      hash_fn: str = "xxhash64", ngram: int = 1,
+                      char_shingles: int | None = None) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidates; estimated
     Jaccard = fraction of matching minhash components; keep ≥ threshold.
     Shuffles: tokenize-agg (on id), band explode join (on band hash) —
@@ -202,7 +249,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # lazily-returned frame, while checkpoint blocks are released by the
     # ContextCleaner as soon as the result DataFrame is dropped
     sig = minhash_signatures(df, id_col, text_col, num_hashes,
-                             hash_fn=hash_fn).localCheckpoint()
+                             hash_fn=hash_fn, ngram=ngram,
+                             char_shingles=char_shingles).localCheckpoint()
     # band join on BARE ids: carrying the 32-long signatures through the
     # bucket-join fanout multiplies shuffle volume ~30× (candidate counts
     # are quadratic in bucket size); signatures are re-attached per-id
@@ -243,7 +291,25 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", "est_jaccard"))
 
 
-def _simhash_batch(texts: pd.Series) -> pd.Series:
+def _shingles_py(text: str, ngram: int = 1,
+                 char_shingles: int | None = None) -> set[str]:
+    """Python twin of :func:`_shingle_expr` — MUST keep the same token
+    definition (Spark ``trim`` strips spaces; ``split('\\s+')`` on the
+    trimmed text ≡ ``str.split()``)."""
+    if char_shingles is not None:
+        k = char_shingles
+        t = text.strip(" ")
+        return ({t[i:i + k] for i in range(len(t) - k + 1)}
+                if len(t) >= k else set())
+    ws = text.split()
+    if ngram == 1:
+        return set(ws)
+    return ({" ".join(ws[i:i + ngram]) for i in range(len(ws) - ngram + 1)}
+            if len(ws) >= ngram else set())
+
+
+def _simhash_batch(texts: pd.Series, ngram: int = 1,
+                   char_shingles: int | None = None) -> pd.Series:
     """Vectorized SimHash of a pandas text batch: md5-derived 64-bit token
     hashes (memoized per unique token — real corpora have heavy token
     reuse), numpy bit-vote matrix, sign → signed-64 fingerprint."""
@@ -259,7 +325,7 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
     bit_idx = np.arange(64, dtype=np.uint64)
     out = np.zeros(len(texts), dtype=np.int64)
     for i, text in enumerate(texts):
-        toks = {t for t in str(text).split() if t}
+        toks = _shingles_py(str(text), ngram, char_shingles)
         if not toks:
             continue
         hs = np.fromiter((tok_hash(t) for t in toks), dtype=np.uint64)
@@ -282,14 +348,18 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     return df
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 1,
+            char_shingles: int | None = None) -> DataFrame:
     """64-bit SimHash per row: one Arrow-batched pass (no explode, no
     shuffle — the JVM-aggregate formulation needed 64 sum-aggs whose
     expression tree broke whole-stage codegen)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
-    sh = pandas_udf(_simhash_batch, LongType())
+    def batch(texts: pd.Series) -> pd.Series:
+        return _simhash_batch(texts, ngram, char_shingles)
+
+    sh = pandas_udf(batch, LongType())
     return _spread_small_input(df).select(
         id_col, sh(F.col(text_col)).alias("simhash"))
 
@@ -617,7 +687,9 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
-                       max_hamming: int = 3, blocks: int = 4) -> DataFrame:
+                       max_hamming: int = 3, blocks: int = 4,
+                       ngram: int = 1,
+                       char_shingles: int | None = None) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via the
     pigeonhole block trick: split the 64-bit fingerprint into ``blocks``
     chunks; any pair within distance must share ≥1 exact chunk → candidates
@@ -625,7 +697,8 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     assert max_hamming < blocks, "pigeonhole requires max_hamming < blocks"
     # localCheckpoint over cache(): see minhash_lsh_pairs — fingerprints
     # feed both join sides; checkpoint storage self-releases on drop
-    sh = simhash(df, id_col, text_col).localCheckpoint()
+    sh = simhash(df, id_col, text_col, ngram=ngram,
+                 char_shingles=char_shingles).localCheckpoint()
     width = 64 // blocks
     mask = (1 << width) - 1
     chunked = sh.select(

@@ -113,3 +113,73 @@ def test_simhash_near_pairs(spark):
     # verify reported hamming against python popcount
     for (ia, ib), h in got.items():
         assert bin(sh[ia] ^ sh[ib]).count("1") == h <= 3
+
+
+# ---------------------------------------------------------------------------
+# word n-grams / char shingles (JVM shingle expr vs its python twin)
+# ---------------------------------------------------------------------------
+
+SHINGLE_TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "  leading  and   trailing spaces  ",
+    "\tweird\nwhitespace  mix\t",
+    "one",
+    "ab",
+    "",
+    "exact exact exact repeat repeat",
+]
+
+
+@pytest.mark.parametrize("ngram,char_k", [(2, None), (3, None), (None, 4),
+                                          (None, 9)])
+def test_shingle_expr_matches_python_twin(spark, ngram, char_k):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(list(enumerate(SHINGLE_TEXTS)),
+                               "doc_id long, text string")
+    got = {r.doc_id: set(r.sh) for r in df.select(
+        "doc_id", dedup._shingle_expr("text", ngram or 1, char_k)
+        .alias("sh")).collect()}
+    for i, t in enumerate(SHINGLE_TEXTS):
+        assert got[i] == dedup._shingles_py(t, ngram or 1, char_k), (
+            f"doc {i}: {t!r}")
+
+
+def test_ngram_jaccard_bigrams_matches_python(spark):
+    rows = [(i, t) for i, t in enumerate(SHINGLE_TEXTS * 2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", 0.4,
+                                              ngram=2).collect()}
+    expect = {}
+    sh = {i: dedup._shingles_py(t, 2) for i, t in rows}
+    for ia in sh:
+        for ib in sh:
+            if ia >= ib or not sh[ia] or not sh[ib]:
+                continue
+            j = len(sh[ia] & sh[ib]) / len(sh[ia] | sh[ib])
+            if j >= 0.4:
+                expect[(ia, ib)] = j
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert got[k] == pytest.approx(v, abs=1e-12)
+
+
+def test_char_shingle_minhash_and_simhash_consistent(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(SHINGLE_TEXTS)],
+        "doc_id long, text string")
+    s1 = dedup.minhash_signatures(df, "doc_id", "text", 8,
+                                  char_shingles=4).collect()
+    s2 = dedup.minhash_signatures(df, "doc_id", "text", 8,
+                                  char_shingles=4).collect()
+    assert sorted(map(str, s1)) == sorted(map(str, s2))
+    # char-shingled simhash of identical texts agrees; the pair machinery
+    # accepts the shingle params end to end
+    pairs = dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=3,
+                                     char_shingles=4).collect()
+    sh = {r.doc_id: r.simhash
+          for r in dedup.simhash(df, "doc_id", "text",
+                                 char_shingles=4).collect()}
+    for r in pairs:
+        assert bin(sh[r.id_a] ^ sh[r.id_b]).count("1") == r.hamming <= 3
