@@ -325,6 +325,19 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dedup_jaccard_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram exact Jaccard (the ``ngram=3`` shingle mode): same
+    PPJoin prefix-filtered plan, token = 3 consecutive words.  The
+    DuckDB oracle regenerates the trigrams independently (list
+    comprehension over the word array) and reruns its own
+    rank-window/relational-count implementation."""
+    from frogocr_spark.operators.dedup import ngram_jaccard_pairs
+    docs = _read(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.7,
+                              ngram=3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates in md5 hash mode — every stage
     (per-permutation token hash, signature min, band hash, candidate
@@ -684,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": _q_event_windows,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_jaccard_3gram": _q_dedup_jaccard_3gram,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
         "dedup_simhash": _q_dedup_simhash,
@@ -1097,6 +1111,58 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8
+        """,
+        "dedup_jaccard_3gram": r"""
+            -- word-trigram variant of dedup_jaccard: shingles generated
+            -- independently (list comprehension over the word array vs
+            -- Spark's sequence/slice/concat_ws), then the same
+            -- prefix-filtered exact-Jaccard machinery at t=0.7
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), toks_ne AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(ws) >= 3
+                                   THEN [array_to_string(ws[j:j+2], ' ')
+                                         for j in range(1, len(ws) - 1)]
+                                   ELSE CAST([] AS VARCHAR[]) END) AS token
+                FROM words
+            ), dfreq AS (
+                SELECT token, count(*) AS t_df FROM toks_ne GROUP BY token
+            ), ranked AS (
+                SELECT doc_id, token,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY t_df, token) AS rnk,
+                       count(*) OVER (PARTITION BY doc_id) AS sz
+                FROM toks_ne JOIN dfreq USING (token)
+            ), prefix AS (
+                SELECT doc_id, token, sz FROM ranked
+                WHERE rnk <= sz - ceil(0.7 * sz - 1e-9) + 1
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM prefix a JOIN prefix b USING (token)
+                WHERE a.doc_id < b.doc_id
+                  AND b.sz >= 0.7 * a.sz - 1e-9
+                  AND a.sz >= 0.7 * b.sz - 1e-9
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM toks_ne GROUP BY doc_id
+            ), inter AS (
+                SELECT c.id_a, c.id_b, count(*) AS n_inter
+                FROM cand c
+                JOIN toks_ne ta ON ta.doc_id = c.id_a
+                JOIN toks_ne tb ON tb.doc_id = c.id_b
+                               AND tb.token = ta.token
+                GROUP BY c.id_a, c.id_b
+            )
+            SELECT id_a, id_b,
+                   round(CAST(n_inter AS DOUBLE)
+                         / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.7
         """,
         "dedup_embedding": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -67,7 +67,8 @@ BENCH_QUERIES = [
     "w3_positional_ids", "f1_anti_join_resume", "j1_interval_join",
     "j6_asof_join", "j7_nearest_neighbor", "j8_intern_dimension",
     "sessionize", "event_windows",
-    "dedup_exact", "dedup_jaccard", "dedup_minhash", "dedup_minhash_xx",
+    "dedup_exact", "dedup_jaccard", "dedup_jaccard_3gram",
+    "dedup_minhash", "dedup_minhash_xx",
     "dedup_simhash", "dup_clusters", "dedup_resolve", "dedup_embedding",
     "dedup_embedding_lsh",
     "rolling_fingerprint", "textstats", "sim_cosine_topk",
