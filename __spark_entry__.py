@@ -310,6 +310,22 @@ def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_events", "sum_value")
 
 
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (batch twin of the watermarked
+    ``F.session_window`` streaming aggregation — streaming merge +
+    exactly-once close tested in tests/test_eventtime.py).  The DuckDB
+    oracle is the classic gaps-and-islands formulation: new island when
+    ts - lag(ts) > gap; session end = last event + gap."""
+    from frogocr_spark.streaming.eventtime import session_event_stats
+    ev = _read(spark, sf_dir, "events")
+    out = session_event_stats(ev, gap="10 minutes")
+    return out.select(
+        F.date_format("sess_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("sess_start"),
+        F.date_format("sess_end", "yyyy-MM-dd HH:mm:ss").alias("sess_end"),
+        "event_type", "n_events", "sum_value")
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return (docs.withColumn("digest", F.md5("text"))
@@ -695,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j8_intern_dimension": _q_j8_intern_dimension,
         "sessionize": _q_sessionize,
         "event_windows": _q_event_windows,
+        "event_sessions": _q_event_sessions,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_jaccard_3gram": _q_dedup_jaccard_3gram,
@@ -1040,6 +1057,37 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events
             GROUP BY 1, 2, 3
+        """,
+        "event_sessions": """
+            -- gaps-and-islands sessionization: island starts where the
+            -- gap to the previous event (per key) exceeds 10 minutes;
+            -- session end = last event + gap (Spark session_window's
+            -- close semantics)
+            WITH flagged AS (
+                SELECT event_type, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type
+                                                    ORDER BY ts)
+                                 > INTERVAL '10 minutes'
+                            OR lag(ts) OVER (PARTITION BY event_type
+                                             ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ), islands AS (
+                SELECT event_type, ts, value,
+                       sum(new_sess) OVER (PARTITION BY event_type
+                                           ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING)
+                           AS sess_id
+                FROM flagged
+            )
+            SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+                   strftime(max(ts) + INTERVAL '10 minutes',
+                            '%Y-%m-%d %H:%M:%S') AS sess_end,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM islands
+            GROUP BY event_type, sess_id
         """,
         "dedup_exact": """
             SELECT md5(text) AS digest, min(doc_id) AS keep_id,

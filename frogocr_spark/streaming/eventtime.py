@@ -43,3 +43,29 @@ def windowed_event_stats(df: DataFrame, *, window: str = "10 minutes",
             .select(F.col("win.start").alias("win_start"),
                     F.col("win.end").alias("win_end"),
                     key_col, "n_events", "sum_value"))
+
+
+def session_event_stats(df: DataFrame, *, gap: str = "10 minutes",
+                        watermark_delay: str = "5 minutes",
+                        time_col: str = "ts",
+                        key_col: str = "event_type") -> DataFrame:
+    """GAP-based session windows per key (``F.session_window``): a
+    session extends while successive events arrive within ``gap`` of the
+    previous one and closes after a quiet period — the streaming-native
+    twin of the batch ``sessionize`` contract query (lag-threshold
+    cumulative-sum sessionization).
+
+    Unlike tumbling windows, session windows MERGE as late events bridge
+    two open sessions; Spark handles the merge in the state store.  In
+    append mode a session is emitted exactly once, when the watermark
+    passes its close (tested across checkpointed drains in
+    tests/test_eventtime.py).  Batch mode on the same definition is the
+    oracle-checkable twin."""
+    d = df.withWatermark(time_col, watermark_delay) if df.isStreaming else df
+    return (d.groupBy(F.session_window(time_col, gap).alias("sess"),
+                      F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .select(F.col("sess.start").alias("sess_start"),
+                    F.col("sess.end").alias("sess_end"),
+                    key_col, "n_events", "sum_value"))

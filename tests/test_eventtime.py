@@ -98,3 +98,61 @@ def test_streaming_matches_batch_for_on_time_data(spark, tmp_path):
     assert streamed, "stream emitted nothing"
     for k, v in streamed.items():
         assert batch[k] == v
+
+
+# ---------------------------------------------------------------------------
+# gap-based session windows (F.session_window): merge + exactly-once close
+# ---------------------------------------------------------------------------
+
+from frogocr_spark.streaming.eventtime import session_event_stats
+
+
+def _drain_sessions(spark, inp, out, ckpt):
+    stream = (spark.readStream.schema(SCHEMA).format("parquet")
+              .option("maxFilesPerTrigger", 1)
+              .load(inp + "/*"))
+    agg = session_event_stats(stream, gap="5 minutes",
+                              watermark_delay="5 minutes")
+    q = (agg.writeStream.outputMode("append").format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def test_session_windows_merge_and_close(spark, tmp_path):
+    inp, out, ckpt = (str(tmp_path / d) for d in ("sin", "sout", "sckpt"))
+    os.makedirs(inp)
+
+    # events at :01, :03, :05 chain into ONE session (gaps < 5 min);
+    # :20 is a separate session and pushes the watermark to :15, which
+    # closes the first session (ended :10 = :05 + gap)
+    _write_batch(spark, inp, "f1", [(1, "click", 1.0), (3, "click", 2.0),
+                                    (5, "click", 4.0), (20, "click", 8.0)])
+    _drain_sessions(spark, inp, out, ckpt)
+    rows = {(r.sess_start.minute, r.sess_end.minute): (r.n_events,
+                                                       r.sum_value)
+            for r in spark.read.parquet(out).collect()}
+    assert rows == {(1, 10): (3, 7.0)}
+
+    # a later event at :40 pushes the watermark past the :20 session's
+    # close (:25) → it emits exactly once with its original stats
+    _write_batch(spark, inp, "f2", [(40, "click", 16.0)])
+    _drain_sessions(spark, inp, out, ckpt)
+    rows = {(r.sess_start.minute, r.sess_end.minute): (r.n_events,
+                                                       r.sum_value)
+            for r in spark.read.parquet(out).collect()}
+    assert rows == {(1, 10): (3, 7.0), (20, 25): (1, 8.0)}
+
+
+def test_session_windows_batch_twin(spark):
+    from datetime import datetime as dt
+    df = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 0, 1), "a", 1.0),
+         (2, dt(2024, 1, 1, 0, 4), "a", 2.0),
+         (3, dt(2024, 1, 1, 0, 30), "a", 4.0),
+         (4, dt(2024, 1, 1, 0, 2), "b", 8.0)], SCHEMA)
+    rows = {(r.event_type, r.sess_start.minute, r.sess_end.minute):
+            (r.n_events, r.sum_value)
+            for r in session_event_stats(df, gap="5 minutes").collect()}
+    assert rows == {("a", 1, 9): (2, 3.0), ("a", 30, 35): (1, 4.0),
+                    ("b", 2, 7): (1, 8.0)}
