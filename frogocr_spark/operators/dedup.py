@@ -291,17 +291,26 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", "est_jaccard"))
 
 
+_ASCII_WS_RE = None
+
+
 def _shingles_py(text: str, ngram: int = 1,
                  char_shingles: int | None = None) -> set[str]:
     """Python twin of :func:`_shingle_expr` — MUST keep the same token
-    definition (Spark ``trim`` strips spaces; ``split('\\s+')`` on the
-    trimmed text ≡ ``str.split()``)."""
+    definition.  Spark ``trim`` strips spaces only, and Java regex
+    ``\\s`` is ASCII-only — so the split here is an ASCII-flag regex,
+    NOT ``str.split()`` (which splits on Unicode whitespace and would
+    diverge on e.g. non-breaking spaces in multilingual text)."""
+    global _ASCII_WS_RE
+    if _ASCII_WS_RE is None:
+        import re as _re
+        _ASCII_WS_RE = _re.compile(r"\s+", _re.ASCII)
     if char_shingles is not None:
         k = char_shingles
         t = text.strip(" ")
         return ({t[i:i + k] for i in range(len(t) - k + 1)}
                 if len(t) >= k else set())
-    ws = text.split()
+    ws = [w for w in _ASCII_WS_RE.split(text) if w]
     if ngram == 1:
         return set(ws)
     return ({" ".join(ws[i:i + ngram]) for i in range(len(ws) - ngram + 1)}
@@ -596,7 +605,10 @@ def _exact_cosine_pairs_blocked(df: DataFrame, id_col: str, vec_col: str,
         cores = spark.sparkContext.defaultParallelism
         # enough block pairs to feed every core, blocks capped ~4096 rows
         nblocks = max(math.isqrt(2 * cores) + 1, math.ceil(n / 4096), 1)
-    rows = df.select(F.col(id_col).cast("long").alias("id"),
+    # preserve the caller's id type (the LSH path does): numeric and
+    # string ids both work — numpy compares either natively
+    id_type = df.schema[id_col].dataType.simpleString()
+    rows = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).cast("array<double>").alias("v"),
                      F.pmod(F.xxhash64(F.col(id_col)),
                             F.lit(nblocks)).alias("blk"))
@@ -619,13 +631,13 @@ def _exact_cosine_pairs_blocked(df: DataFrame, id_col: str, vec_col: str,
             for ba, ids_a, vecs_a, bb_, ids_b, vecs_b in zip(
                     pdf["blk_a"], pdf["ids_a"], pdf["vecs_a"],
                     pdf["blk_b"], pdf["ids_b"], pdf["vecs_b"]):
-                ia = np.asarray(ids_a, dtype=np.int64)
+                ia = np.asarray(ids_a)
                 ma = np.vstack([np.asarray(x, dtype=np.float64)
                                 for x in vecs_a])
                 if ba == bb_:
                     ib, mb = ia, ma
                 else:
-                    ib = np.asarray(ids_b, dtype=np.int64)
+                    ib = np.asarray(ids_b)
                     mb = np.vstack([np.asarray(x, dtype=np.float64)
                                     for x in vecs_b])
                 na = np.linalg.norm(ma, axis=1)
@@ -645,8 +657,8 @@ def _exact_cosine_pairs_blocked(df: DataFrame, id_col: str, vec_col: str,
                 yield pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep],
                                     "cosine": sims[xi, yi][keep]})
 
-    return pairs.mapInPandas(gen,
-                             schema="id_a long, id_b long, cosine double")
+    return pairs.mapInPandas(
+        gen, schema=f"id_a {id_type}, id_b {id_type}, cosine double")
 
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",

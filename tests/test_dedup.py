@@ -121,6 +121,7 @@ def test_simhash_near_pairs(spark):
 
 SHINGLE_TEXTS = [
     "the quick brown fox jumps over the lazy dog",
+    "non\u00a0breaking\u00a0space and\u2003em-space text",
     "  leading  and   trailing spaces  ",
     "\tweird\nwhitespace  mix\t",
     "one",

@@ -27,7 +27,7 @@ def _drain(spark, inp, out, ckpt, op):
     q = (op(stream).writeStream.outputMode("append").format("parquet")
          .option("path", out).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "drain did not finish in 120s"
 
 
 def test_content_dedup_within_and_across_drains(spark, tmp_path):

@@ -37,7 +37,7 @@ def _drain(spark, inp, out, ckpt):
     q = (agg.writeStream.outputMode("append").format("parquet")
          .option("path", out).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "drain did not finish in 120s"
 
 
 def _result(spark, out):
@@ -116,7 +116,7 @@ def _drain_sessions(spark, inp, out, ckpt):
     q = (agg.writeStream.outputMode("append").format("parquet")
          .option("path", out).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "drain did not finish in 120s"
 
 
 def test_session_windows_merge_and_close(spark, tmp_path):
