@@ -683,16 +683,26 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
         return _exact_cosine_pairs_blocked(df, id_col, vec_col, threshold)
     if dim is None:
         raise ValueError("dim required for the LSH path")
-    a = df.select(F.col(id_col).alias("id_a"),
-                  F.col(vec_col).cast("array<double>").alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"),
-                  F.col(vec_col).cast("array<double>").alias("vb"))
+    # bucket join on BARE ids (the minhash lesson, round 1: carrying the
+    # payload through the bucket-join fanout multiplies shuffle volume
+    # by the payload width — here 2×64 doubles per candidate, and
+    # candidate counts are quadratic in bucket size).  Vectors are
+    # re-attached per id AFTER pair dedup; the bucketed frame is
+    # localCheckpointed so the UDF runs once, not once per join side.
+    vecs = df.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
     buckets = _bucket_udf(dim, nbits=nbits, ntables=ntables)
-    ab = a.select("*", F.explode(buckets(F.col("va"))).alias("_bkt"))
-    bb = b.select("*", F.explode(buckets(F.col("vb"))).alias("_bkt"))
-    cand = (ab.join(bb, "_bkt").drop("_bkt")
+    bucketed = (vecs.select("_id", F.explode(buckets(F.col("_v")))
+                    .alias("_bkt")).localCheckpoint())
+    a = bucketed.select(F.col("_id").alias("id_a"), "_bkt")
+    b = bucketed.select(F.col("_id").alias("id_b"), "_bkt")
+    cand = (a.join(b, "_bkt").drop("_bkt")
             .where(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
+    cand = (cand.join(vecs.select(F.col("_id").alias("id_a"),
+                                  F.col("_v").alias("va")), "id_a")
+            .join(vecs.select(F.col("_id").alias("id_b"),
+                              F.col("_v").alias("vb")), "id_b"))
     return (cand.withColumn("cosine", _cosine(F.col("va"), F.col("vb")))
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))

@@ -205,19 +205,31 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     nbits: int = 8, ntables: int = 4) -> DataFrame:
     """ANN top-k: candidates = bucket collisions in any of ``ntables``
-    random-hyperplane tables; exact cosine re-rank of candidates."""
+    random-hyperplane tables; exact cosine re-rank of candidates.
+
+    The bucket join runs on BARE ids: the corpus side explodes only
+    ``(neighbor_id, bucket)`` (16 bytes/row instead of dim doubles ×
+    ntables), the pair dedup shuffles id pairs only, and vectors are
+    re-attached afterwards — corpus vectors via one id-keyed join
+    against the (ntables×-smaller) candidate set, query vectors via the
+    broadcast query table (free).  Same lesson as the minhash band join
+    (round 1, 10.6×): never carry the payload through a quadratic
+    bucket fanout."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv"))
 
     buckets = _bucket_udf(dim, nbits, ntables)
-    cb = c.select("*", F.explode(buckets(F.col("cv"))).alias("_bkt"))
+    cb = c.select("neighbor_id", F.explode(buckets(F.col("cv")))
+                  .alias("_bkt"))
     qb = F.broadcast(
-        q.select("*", F.explode(buckets(F.col("qv"))).alias("_bkt")))
+        q.select("query_id", F.explode(buckets(F.col("qv"))).alias("_bkt")))
     cand = (cb.join(qb, "_bkt").drop("_bkt")
             .dropDuplicates(["query_id", "neighbor_id"])
             .where(F.col("neighbor_id") != F.col("query_id")))
+    cand = (cand.join(c, "neighbor_id")
+            .join(F.broadcast(q), "query_id"))
     scored = cand.withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
