@@ -789,6 +789,76 @@ def _lsh_bucket_cte(nbits: int, ntables: int, dim: int = 64) -> str:
             )"""
 
 
+
+def _jaccard_oracle(shingle_cte: str, threshold: float) -> str:
+    """Shared exact-Jaccard oracle body (prefix-filtered candidate
+    generation — same classical PPJoin prefix theorem as the Spark side,
+    independently implemented: rank window + relational intersection
+    count vs Spark's array slice + array_intersect).  ``shingle_cte``
+    must define ``toks_ne(doc_id, token)`` — the only thing that differs
+    between the word-set and n-gram variants."""
+    t = threshold
+    return f"""
+            WITH {shingle_cte}, dfreq AS (
+                SELECT token, count(*) AS t_df FROM toks_ne GROUP BY token
+            ), ranked AS (
+                SELECT doc_id, token,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY t_df, token) AS rnk,
+                       count(*) OVER (PARTITION BY doc_id) AS sz
+                FROM toks_ne JOIN dfreq USING (token)
+            ), prefix AS (
+                SELECT doc_id, token, sz FROM ranked
+                WHERE rnk <= sz - ceil({t} * sz - 1e-9) + 1
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM prefix a JOIN prefix b USING (token)
+                WHERE a.doc_id < b.doc_id
+                  AND b.sz >= {t} * a.sz - 1e-9
+                  AND a.sz >= {t} * b.sz - 1e-9
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM toks_ne GROUP BY doc_id
+            ), inter AS (
+                SELECT c.id_a, c.id_b, count(*) AS n_inter
+                FROM cand c
+                JOIN toks_ne ta ON ta.doc_id = c.id_a
+                JOIN toks_ne tb ON tb.doc_id = c.id_b
+                               AND tb.token = ta.token
+                GROUP BY c.id_a, c.id_b
+            )
+            SELECT id_a, id_b,
+                   round(CAST(n_inter AS DOUBLE)
+                         / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {t}
+        """
+
+
+_JACCARD_WORDSET_CTE = r"""toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS token
+                FROM documents
+            ), toks_ne AS (
+                SELECT doc_id, token FROM toks WHERE token <> ''
+            )"""
+
+_JACCARD_TRIGRAM_CTE = r"""words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), toks_ne AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(ws) >= 3
+                                   THEN [array_to_string(ws[j:j+2], ' ')
+                                         for j in range(1, len(ws) - 1)]
+                                   ELSE CAST([] AS VARCHAR[]) END) AS token
+                FROM words
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     n_tokens = (r"CASE WHEN trim(text) = '' THEN 0 "
                 r"ELSE len(string_split_regex(trim(text), '\s+')) END")
@@ -1112,106 +1182,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             ) WHERE doc_id = keeper
         """,
-        "dedup_jaccard": r"""
-            -- prefix-filtered candidate generation (same classical
-            -- PPJoin prefix theorem as the Spark side, independently
-            -- implemented: rank window + relational intersection count
-            -- vs Spark's array slice + array_intersect) so the sf0.1
-            -- sweep no longer needs a 300 s hot-token-join exemption;
-            -- the jaccard math itself stays the naive exact identity
-            WITH toks AS (
-                SELECT DISTINCT doc_id,
-                       unnest(string_split_regex(trim(text), '\s+')) AS token
-                FROM documents
-            ), toks_ne AS (
-                SELECT doc_id, token FROM toks WHERE token <> ''
-            ), dfreq AS (
-                SELECT token, count(*) AS t_df FROM toks_ne GROUP BY token
-            ), ranked AS (
-                SELECT doc_id, token,
-                       row_number() OVER (PARTITION BY doc_id
-                                          ORDER BY t_df, token) AS rnk,
-                       count(*) OVER (PARTITION BY doc_id) AS sz
-                FROM toks_ne JOIN dfreq USING (token)
-            ), prefix AS (
-                SELECT doc_id, token, sz FROM ranked
-                WHERE rnk <= sz - ceil(0.8 * sz - 1e-9) + 1
-            ), cand AS (
-                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM prefix a JOIN prefix b USING (token)
-                WHERE a.doc_id < b.doc_id
-                  AND b.sz >= 0.8 * a.sz - 1e-9
-                  AND a.sz >= 0.8 * b.sz - 1e-9
-            ), sizes AS (
-                SELECT doc_id, count(*) AS sz FROM toks_ne GROUP BY doc_id
-            ), inter AS (
-                SELECT c.id_a, c.id_b, count(*) AS n_inter
-                FROM cand c
-                JOIN toks_ne ta ON ta.doc_id = c.id_a
-                JOIN toks_ne tb ON tb.doc_id = c.id_b
-                               AND tb.token = ta.token
-                GROUP BY c.id_a, c.id_b
-            )
-            SELECT id_a, id_b,
-                   round(CAST(n_inter AS DOUBLE)
-                         / (sa.sz + sb.sz - n_inter), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8
-        """,
-        "dedup_jaccard_3gram": r"""
-            -- word-trigram variant of dedup_jaccard: shingles generated
-            -- independently (list comprehension over the word array vs
-            -- Spark's sequence/slice/concat_ws), then the same
-            -- prefix-filtered exact-Jaccard machinery at t=0.7
-            WITH words AS (
-                SELECT doc_id,
-                       list_filter(string_split_regex(trim(text), '\s+'),
-                                   x -> x <> '') AS ws
-                FROM documents
-            ), toks_ne AS (
-                SELECT DISTINCT doc_id,
-                       unnest(CASE WHEN len(ws) >= 3
-                                   THEN [array_to_string(ws[j:j+2], ' ')
-                                         for j in range(1, len(ws) - 1)]
-                                   ELSE CAST([] AS VARCHAR[]) END) AS token
-                FROM words
-            ), dfreq AS (
-                SELECT token, count(*) AS t_df FROM toks_ne GROUP BY token
-            ), ranked AS (
-                SELECT doc_id, token,
-                       row_number() OVER (PARTITION BY doc_id
-                                          ORDER BY t_df, token) AS rnk,
-                       count(*) OVER (PARTITION BY doc_id) AS sz
-                FROM toks_ne JOIN dfreq USING (token)
-            ), prefix AS (
-                SELECT doc_id, token, sz FROM ranked
-                WHERE rnk <= sz - ceil(0.7 * sz - 1e-9) + 1
-            ), cand AS (
-                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM prefix a JOIN prefix b USING (token)
-                WHERE a.doc_id < b.doc_id
-                  AND b.sz >= 0.7 * a.sz - 1e-9
-                  AND a.sz >= 0.7 * b.sz - 1e-9
-            ), sizes AS (
-                SELECT doc_id, count(*) AS sz FROM toks_ne GROUP BY doc_id
-            ), inter AS (
-                SELECT c.id_a, c.id_b, count(*) AS n_inter
-                FROM cand c
-                JOIN toks_ne ta ON ta.doc_id = c.id_a
-                JOIN toks_ne tb ON tb.doc_id = c.id_b
-                               AND tb.token = ta.token
-                GROUP BY c.id_a, c.id_b
-            )
-            SELECT id_a, id_b,
-                   round(CAST(n_inter AS DOUBLE)
-                         / (sa.sz + sb.sz - n_inter), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.7
-        """,
+        "dedup_jaccard": _jaccard_oracle(_JACCARD_WORDSET_CTE, 0.8),
+        "dedup_jaccard_3gram": _jaccard_oracle(_JACCARD_TRIGRAM_CTE, 0.7),
         "dedup_embedding": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(
@@ -1319,8 +1291,8 @@ def oracle_sql() -> dict[str, str]:
                                    string_split_regex(trim(text), '\s+'),
                                    x -> x <> ''),
                                t -> ('0x' || substr(md5(t), 1, 15))::BIGINT
-                                    % 2147483647)),
-                       (acc, h) -> (acc * 1000003 + h) % 2147483647)
+                                    % 4398046511093)),
+                       (acc, h) -> (acc * 1000003 + h) % 4398046511093)
                    AS roll_fp
             FROM documents
         """,

@@ -110,12 +110,17 @@ def _time_queries(spark, names: list[str]) -> dict[str, float]:
     return out
 
 
-def _hardware_ceiling(n_low: int, n_high: int) -> float:
+def _hardware_ceiling(n_low: int, n_high: int,
+                      rounds: int = SCALING_ROUNDS) -> float:
     """Pure-multiprocessing efficiency of the SAME extraction workload at
     n_low vs n_high processes — this box's physical ceiling (turbo clocks
     and memory bandwidth shift with active-core count; a real N→4N
-    EXECUTOR scale-up does not pay this)."""
+    EXECUTOR scale-up does not pay this).  Measured with the SAME
+    discipline as the Spark side: ``rounds`` interleaved (low, high)
+    ratios, median reported — a one-shot denominator would reintroduce
+    the load-spike sensitivity the interleaved protocol exists to kill."""
     import multiprocessing as mp
+    import statistics
 
     chunks = [(i * 40, (i + 1) * 40) for i in range(64)]
 
@@ -126,8 +131,11 @@ def _hardware_ceiling(n_low: int, n_high: int) -> float:
             pool.map(_mp_chunk, chunks)
             return time.time() - t0
 
-    t_low, t_high = timed(n_low), timed(n_high)
-    return (t_low / t_high) / (n_high / n_low)
+    effs = []
+    for _ in range(rounds):
+        t_low, t_high = timed(n_low), timed(n_high)
+        effs.append((t_low / t_high) / (n_high / n_low))
+    return statistics.median(effs)
 
 
 def _mp_chunk(args):
@@ -215,10 +223,18 @@ def _scaling_pair(n_low: int, n_high: int, input_dir: str,
         effs.append((th / tl) / (n_high / n_low))
     hw = _hardware_ceiling(n_low, n_high)
     med = statistics.median(effs)
+    # headline tput values come from the MEDIAN-efficiency round so
+    # (high/low)/(n_high/n_low) recomputed from the published numbers
+    # equals the published efficiency (max-of-lows and max-of-highs can
+    # come from different rounds, which made the artifact internally
+    # inconsistent); every round's values ride alongside
+    mi = effs.index(med)
     return {
         "cores_low": n_low, "cores_high": n_high,
-        "turns_per_sec_low": round(max(lows), 1),
-        "turns_per_sec_high": round(max(highs), 1),
+        "turns_per_sec_low": round(lows[mi], 1),
+        "turns_per_sec_high": round(highs[mi], 1),
+        "turns_per_sec_low_per_round": [round(x, 1) for x in lows],
+        "turns_per_sec_high_per_round": [round(x, 1) for x in highs],
         "efficiency_per_round": [round(e, 3) for e in effs],
         "efficiency": round(med, 3),
         "efficiency_best": round(max(effs), 3),

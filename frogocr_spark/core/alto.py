@@ -186,6 +186,20 @@ def _validate_element(el, path: str, errors: list[str]) -> None:
                 errors.append(f"{path}: START must be < END")
     counts: dict[str, int] = {}
     for i, child in enumerate(el):
+        # closed content model: a child tag not declared for THIS parent
+        # is rejected even when it is a known element elsewhere in the
+        # schema (e.g. <processing> inside <string>, <variant> inside
+        # <variant>) — exactly what the XSD content model enforces
+        if child.tag not in children:
+            if child.tag in _TURN_XML_SCHEMA:
+                errors.append(
+                    f"{path}/{child.tag}[{i}]: element <{child.tag}> not "
+                    f"allowed inside <{el.tag}>")
+            else:
+                errors.append(
+                    f"{path}/{child.tag}[{i}]: unexpected element "
+                    f"<{child.tag}>")
+            continue
         counts[child.tag] = counts.get(child.tag, 0) + 1
         _validate_element(child, f"{path}/{child.tag}[{i}]", errors)
     for tag, (mn, mx) in children.items():
@@ -206,6 +220,10 @@ def validate_turn_schema(xml: str) -> list[str]:
     except Exception as e:
         return [f"parse: {e}"]
     errors: list[str] = []
+    # the schema's document element is <page> (xs:element declaration —
+    # a valid fragment rooted anywhere else is not a valid document)
+    if root.tag != "page":
+        errors.append(f"{root.tag}: document root must be <page>")
     _validate_element(root, root.tag, errors)
     return errors
 

@@ -76,10 +76,17 @@ def fingerprint(text: Column) -> Column:
 
 
 ROLL_BASE = 1000003          # polynomial rolling-hash base (prime)
-ROLL_MOD = 2147483647        # Mersenne prime 2^31-1: keeps the fold's
-#                              acc*BASE+h < 2^51 — exact int64 arithmetic
-#                              under ANSI mode AND in any SQL engine, so
-#                              the DuckDB oracle reproduces it bit-for-bit
+ROLL_MOD = 4398046511093     # prime 2^42-11: the largest modulus class
+#                              keeping the fold step acc*BASE+h below
+#                              2^63 (max ≈ 4.40e18 < 9.22e18) — exact
+#                              int64 arithmetic under ANSI mode AND in
+#                              any SQL engine, so the DuckDB oracle
+#                              reproduces it bit-for-bit.  42 bits also
+#                              keeps birthday collisions negligible at
+#                              corpus scale (a 31-bit modulus collides
+#                              from ~10^5 docs; 2^42 pushes the 1%-
+#                              collision corpus past 10^8, and roll_fp
+#                              is a reorder-detector, not an identity)
 
 
 def hash_token(tok: str) -> int:

@@ -189,6 +189,22 @@ def test_xsd_schema_validation():
         "@EXTRA: attribute not allowed")
     one(_VALID.replace("</block>", "</block><footer/>"),
         "unexpected element <footer>")
+    # closed CONTENT MODEL: a schema-KNOWN element in the wrong parent
+    # is rejected too (a real XSD content model catches misplacement,
+    # not just unknown tags) — and the document root must be <page>
+    one(_VALID.replace('CONTENT="x" START="2" END="5"/>',
+                       'CONTENT="x" START="2" END="5">'
+                       '<processing SOFTWARE="evil" '
+                       'CATEGORY="contentGeneration"/></string>'),
+        "not allowed inside <string>")
+    one(_VALID.replace("</block>",
+                       '<string ID="p_0_b_0_s_1" CONTENT="y">'
+                       '<variant CONTENT="v" VC="0.5">'
+                       '<variant CONTENT="w" VC="0.5"/></variant>'
+                       "</string></block>"),
+        "not allowed inside <variant>")
+    assert any("root must be <page>" in e for e in alto.validate_turn_schema(
+        '<variant CONTENT="x" VC="0.5"/>'))
     # cardinality: empty block (minOccurs=1) and duplicate processing
     one(_VALID.replace('<string ID="p_0_b_0_s_0" CONTENT="x" START="2" '
                        'END="5"/>', ""), "minOccurs")
