@@ -486,6 +486,18 @@ def _q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cosine", 4).alias("cosine"), "rank")
 
 
+def _q_sim_cosine_topk_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local partial top-k reduction (exact): same result
+    contract as sim_cosine_topk, shuffle reduced from O(N·Q) scored rows
+    to O(partitions·Q·k) candidates — shares the brute-force oracle."""
+    from frogocr_spark.operators.similarity import cosine_topk_partial
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 10")
+    out = cosine_topk_partial(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 4).alias("cosine"), "rank")
+
+
 def _q_sim_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path, fully oracle-checked: integer-quantized md5
     hyperplane buckets are recomputed bit-exactly by the DuckDB oracle
@@ -725,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": _q_rolling_fingerprint,
         "textstats": _q_textstats,
         "sim_cosine_topk": _q_sim_cosine_topk,
+        "sim_cosine_topk_partial": _q_sim_cosine_topk_partial,
         "sim_cosine_lsh": _q_sim_cosine_lsh,
         "sim_cosine_ivf": _q_sim_cosine_ivf,
         "sim_cosine_ivf_probe": _q_sim_cosine_ivf_probe,
@@ -863,7 +876,7 @@ def oracle_sql() -> dict[str, str]:
     n_tokens = (r"CASE WHEN trim(text) = '' THEN 0 "
                 r"ELSE len(string_split_regex(trim(text), '\s+')) END")
     en_hits, no_hits = _sw_hits(_EN), _sw_hits(_NO)
-    return {
+    o = {
         "extract_plain_docs": f"""
             SELECT doc_id,
                    trim(text) AS extracted_text,
@@ -1504,3 +1517,7 @@ def oracle_sql() -> dict[str, str]:
             FROM dig
         """,
     }
+    # the partial-reduction top-k has the IDENTICAL result
+    # contract as the broadcast brute force - one oracle serves both
+    o["sim_cosine_topk_partial"] = o["sim_cosine_topk"]
+    return o

@@ -72,7 +72,8 @@ BENCH_QUERIES = [
     "dedup_simhash", "dup_clusters", "dedup_resolve", "dedup_embedding",
     "dedup_embedding_lsh",
     "rolling_fingerprint", "textstats", "sim_cosine_topk",
-    "sim_cosine_lsh", "sim_cosine_ivf", "sim_cosine_ivf_probe",
+    "sim_cosine_topk_partial", "sim_cosine_lsh", "sim_cosine_ivf",
+    "sim_cosine_ivf_probe",
     "c5_token_assembly", "c6_levenshtein", "c7_xml_escape",
     "multimodal_features", "multimodal_frames", "table_rebuild", "curate",
     "a7_ctc", "w5_nms", "metrics_rollup",

@@ -68,6 +68,69 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def cosine_topk_partial(corpus: DataFrame, queries: DataFrame, k: int,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """EXACT top-k with partition-local partial reduction — the
+    shuffle-scalable form of :func:`cosine_topk_bruteforce`.
+
+    The broadcast brute force scores all N×Q pairs and pushes every
+    scored row through the rank-window shuffle — correct, but the
+    exchange is O(N·Q) rows.  Here each corpus PARTITION computes its
+    own top-k per query with one numpy matmul + argpartition
+    (mapInPandas, queries broadcast via closure capture of a driver-side
+    collect — bounded: Q×dim floats, same budget as the broadcast join),
+    so only P·Q·k candidate rows reach the global top-k window: the
+    partial-aggregation (map-side combine) pattern applied to a rank
+    query.  Exact because a global top-k member is necessarily a
+    partition-local top-k member of its own partition.
+
+    Same output contract as the other paths: (query_id, neighbor_id,
+    cosine, rank), self-pairs excluded, ties broken by ascending
+    neighbor id.  Agreement with the broadcast brute force is pytest-
+    checked (identical rows on the synthetic corpus).
+    """
+    q_rows = (queries.select(F.col(id_col).alias("query_id"),
+                             F.col(vec_col).cast("array<double>"))
+              .collect())
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.maximum(
+        np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-300)
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            mat = np.vstack(pdf["cv"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-300)
+            sims = q_norm @ mat.T                    # (Q, n_batch)
+            sims[q_ids[:, None] == ids[None, :]] = -np.inf  # self-pairs
+            kk = min(k, sims.shape[1])
+            # argpartition: O(n) per query row vs full sort
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(q_ids, kk)
+            cols = top.ravel()
+            vals = np.take_along_axis(sims, top, axis=1).ravel()
+            keep = np.isfinite(vals)
+            yield pd.DataFrame({"query_id": rows_q[keep],
+                                "neighbor_id": ids[cols[keep]],
+                                "cosine": vals[keep]})
+
+    cand = c.mapInPandas(
+        partial, schema="query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 QUANT = 4096  # power-of-two quantization scale for bucket sign tests
 
 

@@ -108,3 +108,25 @@ def test_ivf_prefit_centroids_reused(spark, emb_df):
     refit = similarity.cosine_topk_ivf(
         emb_df, queries, 3, n_clusters=8, nprobe=8).collect()
     assert sorted(map(str, via_prefit)) == sorted(map(str, refit))
+
+
+def test_partial_topk_matches_bruteforce(spark):
+    """cosine_topk_partial (partition-local partial reduction) returns
+    exactly the brute-force top-k: same (query, neighbor, rank) triples,
+    same cosines to float tolerance."""
+    import pytest
+
+    from frogocr_spark.operators.similarity import (cosine_topk_bruteforce,
+                                                    cosine_topk_partial)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(7)
+    bf = {(r.query_id, r.neighbor_id): (r.rank, r.cosine)
+          for r in cosine_topk_bruteforce(emb, queries, k=5).collect()}
+    pt = {(r.query_id, r.neighbor_id): (r.rank, r.cosine)
+          for r in cosine_topk_partial(
+              emb.repartition(6), queries, k=5).collect()}
+    assert set(bf) == set(pt)
+    for key, (rank, cos) in bf.items():
+        assert pt[key][0] == rank
+        assert pt[key][1] == pytest.approx(cos, abs=1e-9)
