@@ -411,7 +411,7 @@ def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive Rabin-Karp fingerprint — pure JVM fold
-    (F.aggregate over md5-hashed tokens, exact sub-2^51 integer
+    (F.aggregate over md5-hashed tokens, exact sub-2^63 integer
     arithmetic) with a bit-exact DuckDB list_reduce oracle; also pinned
     against the pure-Python twin in tests."""
     from frogocr_spark.operators.textstats import rolling_fingerprint

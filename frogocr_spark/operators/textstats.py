@@ -105,7 +105,7 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text",
     expression: ``F.aggregate`` fold over the token array with md5-based
     token hashes, entirely JVM-side inside whole-stage codegen (the
     round-1 pandas-UDF version ran a per-token per-byte Python loop).
-    All arithmetic stays below 2^51 so ANSI overflow checking never
+    All arithmetic stays below 2^63 so ANSI overflow checking never
     trips and the DuckDB ``list_reduce`` oracle matches exactly."""
     toks = F.filter(F.split(F.trim(F.col(text_col)), _WS),
                     lambda x: x != "")
