@@ -223,7 +223,10 @@ def _scaling_pair(n_low: int, n_high: int, input_dir: str,
         highs.append(th)
         effs.append((th / tl) / (n_high / n_low))
     hw = _hardware_ceiling(n_low, n_high)
-    med = statistics.median(effs)
+    # median_low: always an ELEMENT of effs, so the median round's own
+    # (low, high) pair can be reported as the headline tput (plain
+    # median of an even-length list interpolates and has no round)
+    med = statistics.median_low(effs)
     # headline tput values come from the MEDIAN-efficiency round so
     # (high/low)/(n_high/n_low) recomputed from the published numbers
     # equals the published efficiency (max-of-lows and max-of-highs can

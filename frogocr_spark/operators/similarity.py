@@ -87,43 +87,57 @@ def cosine_topk_partial(corpus: DataFrame, queries: DataFrame, k: int,
 
     Same output contract as the other paths: (query_id, neighbor_id,
     cosine, rank), self-pairs excluded, ties broken by ascending
-    neighbor id.  Agreement with the broadcast brute force is pytest-
-    checked (identical rows on the synthetic corpus).
+    neighbor id — the local prune keeps EVERY candidate tied at the
+    kth value so the global window applies the id tie-break over the
+    full tie group (a plain local top-k could drop the id the global
+    order prefers).  Agreement with the broadcast brute force is
+    pytest-checked (identical rows on the synthetic corpus; as with
+    any recomputation, cosines that differ only in the last ulp
+    between summation orders can in principle flip a rank — like
+    the brute force, zero-norm embeddings are undefined input).
     """
+    id_type = corpus.schema[id_col].dataType.simpleString()
     q_rows = (queries.select(F.col(id_col).alias("query_id"),
                              F.col(vec_col).cast("array<double>"))
               .collect())
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+    if not q_rows:
+        return (c.limit(0)
+                .selectExpr(f"neighbor_id AS query_id", "neighbor_id",
+                            "CAST(0.0 AS DOUBLE) AS cosine",
+                            "CAST(1 AS INT) AS rank")
+                .limit(0))
+    q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = q_mat / np.maximum(
         np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-300)
-
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).cast("array<double>").alias("cv"))
 
     def partial(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            ids = np.asarray(pdf["neighbor_id"].to_numpy())
             mat = np.vstack(pdf["cv"].to_numpy()).astype(np.float64)
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
                               1e-300)
             sims = q_norm @ mat.T                    # (Q, n_batch)
             sims[q_ids[:, None] == ids[None, :]] = -np.inf  # self-pairs
-            kk = min(k, sims.shape[1])
-            # argpartition: O(n) per query row vs full sort
-            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            rows_q = np.repeat(q_ids, kk)
-            cols = top.ravel()
-            vals = np.take_along_axis(sims, top, axis=1).ravel()
-            keep = np.isfinite(vals)
-            yield pd.DataFrame({"query_id": rows_q[keep],
-                                "neighbor_id": ids[cols[keep]],
-                                "cosine": vals[keep]})
+            n = sims.shape[1]
+            kk = min(k, n)
+            # kth-largest per query via partition (O(n)), then keep ALL
+            # columns >= it — tie groups survive to the global window
+            kth = np.partition(sims, n - kk, axis=1)[:, n - kk]
+            mask = np.isfinite(sims) & (sims >= kth[:, None])
+            qi, ci = np.nonzero(mask)
+            if not len(qi):
+                continue
+            yield pd.DataFrame({"query_id": q_ids[qi],
+                                "neighbor_id": ids[ci],
+                                "cosine": sims[qi, ci]})
 
-    cand = c.mapInPandas(
-        partial, schema="query_id long, neighbor_id long, cosine double")
+    cand = c.mapInPandas(partial, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (cand.withColumn("rank", F.row_number().over(w))

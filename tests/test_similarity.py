@@ -130,3 +130,36 @@ def test_partial_topk_matches_bruteforce(spark):
     for key, (rank, cos) in bf.items():
         assert pt[key][0] == rank
         assert pt[key][1] == pytest.approx(cos, abs=1e-9)
+
+
+def test_partial_topk_tie_groups_survive_local_prune(spark):
+    """k+1 identical embeddings tied at the kth cosine, spread across
+    partitions: the local prune must keep the whole tie group so the
+    global ascending-id tie-break matches brute force exactly."""
+    from frogocr_spark.operators.similarity import (cosine_topk_bruteforce,
+                                                    cosine_topk_partial)
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = ([(0, [0.9, 0.1, 0.0, 0.0])]                 # the query
+            + [(i, base) for i in range(1, 8)]           # 7-way tie
+            + [(10, [0.0, 1.0, 0.0, 0.0])])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where("vec_id = 0")
+    bf = [(r.query_id, r.neighbor_id, r.rank)
+          for r in cosine_topk_bruteforce(df, queries, k=3).collect()]
+    pt = [(r.query_id, r.neighbor_id, r.rank)
+          for r in cosine_topk_partial(
+              df.repartition(5), queries, k=3).collect()]
+    assert sorted(pt) == sorted(bf)
+    # the winners are the three SMALLEST ids of the tie group
+    assert sorted(n for _, n, _ in pt) == [1, 2, 3]
+
+
+def test_partial_topk_empty_queries(spark):
+    from frogocr_spark.operators.similarity import cosine_topk_partial
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])],
+                               "vec_id long, embedding array<double>")
+    out = cosine_topk_partial(df, df.where("vec_id < 0"), k=3)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
