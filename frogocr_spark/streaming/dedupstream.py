@@ -48,3 +48,26 @@ def dedup_stream_content(stream_df: DataFrame, text_col: str = "text",
     with_digest = stream_df.withColumn(digest_col, F.md5(F.col(text_col)))
     return (with_digest.withWatermark(time_col, delay)
             .dropDuplicatesWithinWatermark([digest_col]))
+
+
+def curate_stream(stream_df: DataFrame, text_col: str = "text",
+                  time_col: str = "ts", delay: str = "10 minutes",
+                  lang: str = "en", min_quality: float = 0.5,
+                  min_tokens: int = 5) -> DataFrame:
+    """Streaming curation: the streaming twin of the batch ``curate``
+    contract query — language/quality/length gates (stateless column
+    expressions, identical to the batch path) composed with the
+    watermark-bounded content dedup.  Gates run BEFORE the stateful
+    dedup so junk never enters the duplicate state store — at ingest
+    scale the state holds digests of KEPT documents only."""
+    from ..operators.textstats import (language_id, quality_score,
+                                       token_count)
+    gated = (stream_df
+             .withColumn("lang_id", language_id(F.col(text_col)))
+             .withColumn("quality", quality_score(F.col(text_col)))
+             .withColumn("n_tokens", token_count(F.col(text_col)))
+             .where((F.col("lang_id") == lang)
+                    & (F.col("quality") >= min_quality)
+                    & (F.col("n_tokens") >= min_tokens)))
+    return dedup_stream_content(gated, text_col=text_col,
+                                time_col=time_col, delay=delay)

@@ -76,3 +76,32 @@ def test_key_dedup_exact_first_wins(spark, tmp_path):
          (0, datetime(2024, 1, 1, 0, 2), "dup"),
          (1, datetime(2024, 1, 1, 0, 3), "other")], SCHEMA)
     assert batch.dropDuplicates(["doc_id"]).count() == 2
+
+
+def test_curate_stream_gates_then_dedups(spark, tmp_path):
+    """Streaming curation: quality/language/length junk never reaches
+    the sink OR the dedup state; duplicates of kept docs are dropped
+    within and across checkpointed drains."""
+    from frogocr_spark.streaming.dedupstream import curate_stream
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("cin", "cout", "cckpt"))
+    os.makedirs(inp)
+    good = ("the cat sat on the mat and it is a fine day for "
+            "everyone involved in this business")
+    other = ("a dog ran through the park and it was chasing the ball "
+             "for hours on end that day")
+    junk_short = "the a of"                       # fails min_tokens
+    junk_lang = "og det er som på til av i med for og det er som på"
+    op = lambda s: curate_stream(s, delay="10 minutes")  # noqa: E731
+
+    _write_batch(spark, inp, "f1", [(1, good), (2, good), (3, junk_short),
+                                    (4, junk_lang), (5, other)])
+    _drain(spark, inp, out, ckpt, op)
+    texts = [r.text for r in spark.read.parquet(out).collect()]
+    assert sorted(texts) == sorted([good, other])
+
+    # restart: a dup of a kept doc is still dropped; junk still gated
+    _write_batch(spark, inp, "f2", [(6, good), (7, junk_short)])
+    _drain(spark, inp, out, ckpt, op)
+    texts = [r.text for r in spark.read.parquet(out).collect()]
+    assert sorted(texts) == sorted([good, other])
