@@ -563,6 +563,38 @@ def _q_c5_token_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", merge_tokens(F.col("text")).alias("assembled"))
 
 
+def _q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (Spark SQL ``percentile`` = linear
+    interpolation over the sorted group, the quantile_cont definition —
+    NOT percentile_approx; the approximate sketch has no cross-engine
+    oracle).  A10-adjacent aggregate breadth: medians/tail latencies are
+    the other half of OLAP rollups."""
+    docs = _read(spark, sf_dir, "documents")
+    return (docs.groupBy("source")
+            .agg(F.round(F.expr("percentile(n_chars, 0.5)"), 6)
+                 .alias("median_chars"),
+                 F.round(F.expr("percentile(n_chars, 0.9)"), 6)
+                 .alias("p90_chars"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+def _q_agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregate over (source, lang_id): per-group,
+    per-source subtotal, and grand-total rows in ONE pass — the classic
+    OLAP operator (Spark ``rollup`` ≡ SQL GROUP BY ROLLUP, matched
+    against DuckDB's).  NULL group markers are unambiguous because both
+    grouping columns are non-null in the data; ``grouping_id`` is
+    emitted so subtotal rows are typed, not inferred."""
+    from frogocr_spark.operators.textstats import language_id
+    docs = (_read(spark, sf_dir, "documents")
+            .withColumn("lang_id", language_id(F.col("text"))))
+    return (docs.rollup("source", "lang_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.grouping_id().cast("int").alias("gid"))
+            .select("source", "lang_id", "gid", "n_docs", "total_chars"))
+
+
 def _q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return (docs.groupBy("source")
@@ -744,6 +776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c5_token_assembly": _q_c5_token_assembly,
         "c6_levenshtein": _q_c6_levenshtein,
         "c7_xml_escape": _q_c7_xml_escape,
+        "agg_quantiles": _q_agg_quantiles,
+        "agg_rollup_cube": _q_agg_rollup_cube,
         "metrics_rollup": _q_metrics_rollup,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
@@ -1395,6 +1429,35 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                    AS fingerprint
             FROM documents
+        """,
+        # Spark SQL `percentile` (exact, linear interpolation over the
+        # sorted group) is definitionally DuckDB's quantile_cont
+        "agg_quantiles": """
+            SELECT source,
+                   round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        "agg_rollup_cube": f"""
+            SELECT source,
+                   CASE WHEN {n_tokens} = 0 THEN 'xx'
+                        WHEN {en_hits} >= {no_hits}
+                             AND {en_hits} * 50 >= {n_tokens} THEN 'en'
+                        WHEN {no_hits} > {en_hits}
+                             AND {no_hits} * 50 >= {n_tokens} THEN 'no'
+                        ELSE 'xx' END AS lang_id,
+                   CAST(grouping(source) * 2
+                        + grouping(CASE WHEN {n_tokens} = 0 THEN 'xx'
+                        WHEN {en_hits} >= {no_hits}
+                             AND {en_hits} * 50 >= {n_tokens} THEN 'en'
+                        WHEN {no_hits} > {en_hits}
+                             AND {no_hits} * 50 >= {n_tokens} THEN 'no'
+                        ELSE 'xx' END) AS INT) AS gid,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY ROLLUP (1, 2)
         """,
         "sim_cosine_topk": """
             SELECT query_id, neighbor_id, round(cos, 4) AS cosine,
