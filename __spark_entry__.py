@@ -563,6 +563,22 @@ def _q_c5_token_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", merge_tokens(F.col("text")).alias("assembled"))
 
 
+def _q_w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time moving aggregate with an explicit RANGE frame (10
+    minutes preceding → current row) — the window-FRAME dimension the
+    tumbling/session queries don't exercise.  Both engines order by
+    integer epoch seconds so the frame bound arithmetic is identical;
+    RANGE (not ROWS) makes ties in ts deterministic."""
+    from pyspark.sql import Window
+    ev = (_read(spark, sf_dir, "events")
+          .withColumn("ts_s", F.unix_timestamp("ts").cast("long")))
+    w = (Window.partitionBy("event_type").orderBy("ts_s")
+         .rangeBetween(-600, 0))
+    return (ev.select("event_id", "event_type",
+                      F.round(F.avg("value").over(w), 6).alias("avg_10m"),
+                      F.count(F.lit(1)).over(w).alias("n_10m")))
+
+
 def _q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (Spark SQL ``percentile`` = linear
     interpolation over the sorted group, the quantile_cont definition —
@@ -776,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c5_token_assembly": _q_c5_token_assembly,
         "c6_levenshtein": _q_c6_levenshtein,
         "c7_xml_escape": _q_c7_xml_escape,
+        "w_moving_avg": _q_w_moving_avg,
         "agg_quantiles": _q_agg_quantiles,
         "agg_rollup_cube": _q_agg_rollup_cube,
         "metrics_rollup": _q_metrics_rollup,
@@ -1429,6 +1446,20 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                    AS fingerprint
             FROM documents
+        """,
+        "w_moving_avg": """
+            SELECT event_id, event_type,
+                   round(avg(value) OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                       RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+                   ), 6) AS avg_10m,
+                   count(*) OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                       RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+                   ) AS n_10m
+            FROM events
         """,
         # Spark SQL `percentile` (exact, linear interpolation over the
         # sorted group) is definitionally DuckDB's quantile_cont

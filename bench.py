@@ -66,7 +66,7 @@ BENCH_QUERIES = [
     "a5_bbox_minmax", "w1_reading_order",
     "w3_positional_ids", "f1_anti_join_resume", "j1_interval_join",
     "j6_asof_join", "j7_nearest_neighbor", "j8_intern_dimension",
-    "sessionize", "event_windows", "event_sessions",
+    "sessionize", "event_windows", "event_sessions", "w_moving_avg",
     "dedup_exact", "dedup_jaccard", "dedup_jaccard_3gram",
     "dedup_minhash", "dedup_minhash_xx",
     "dedup_simhash", "dup_clusters", "dedup_resolve", "dedup_embedding",
