@@ -563,6 +563,58 @@ def _q_c5_token_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", merge_tokens(F.col("text")).alias("assembled"))
 
 
+def _q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: language distribution per source as columns (Spark
+    ``groupBy().pivot()`` with an explicit value list so the output
+    schema is static — the oracle is the equivalent conditional-
+    aggregation formulation, which is also what Catalyst lowers pivot
+    to)."""
+    from frogocr_spark.operators.textstats import language_id
+    docs = (_read(spark, sf_dir, "documents")
+            .withColumn("lang_id", language_id(F.col("text"))))
+    out = (docs.groupBy("source")
+           .pivot("lang_id", ["en", "no", "xx"])
+           .count())
+    return (out.select("source",
+                       F.coalesce("en", F.lit(0)).alias("n_en"),
+                       F.coalesce("no", F.lit(0)).alias("n_no"),
+                       F.coalesce("xx", F.lit(0)).alias("n_xx")))
+
+
+def _q_j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join reconciliation: customers vs per-customer order
+    aggregates — rows exist on either side alone (customers without
+    orders / orders whose customer key is outside the customer subset).
+    The one outer-join shape the resume/as-of/interval queries don't
+    cover."""
+    cust = (_read(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") % 3 == 0)
+            .select("c_custkey", "c_acctbal"))
+    orders = (_read(spark, sf_dir, "orders")
+              .groupBy("o_custkey")
+              .agg(F.count(F.lit(1)).alias("n_orders"),
+                   F.round(F.sum("o_totalprice"), 2).alias("total_spent")))
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.round(F.coalesce("c_acctbal", F.lit(0.0)), 2).alias("acctbal"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"))
+
+
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics (distinct variants) over two
+    derived document id sets: ids long enough by chars vs ids with many
+    tokens — labeled rows from both set operators in one result."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.where(F.col("n_chars") >= 200).select("doc_id")
+    b = docs.where(F.size(F.split(F.trim("text"), r"\s+")) >= 40) \
+            .select("doc_id")
+    inter = a.intersect(b).withColumn("op", F.lit("intersect"))
+    exc = a.exceptAll(b).distinct().withColumn("op", F.lit("except"))
+    return inter.unionByName(exc)
+
+
 def _q_w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time moving aggregate with an explicit RANGE frame (10
     minutes preceding → current row) — the window-FRAME dimension the
@@ -793,6 +845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c6_levenshtein": _q_c6_levenshtein,
         "c7_xml_escape": _q_c7_xml_escape,
         "w_moving_avg": _q_w_moving_avg,
+        "agg_pivot": _q_agg_pivot,
+        "j_full_outer": _q_j_full_outer,
+        "set_ops": _q_set_ops,
         "agg_quantiles": _q_agg_quantiles,
         "agg_rollup_cube": _q_agg_rollup_cube,
         "metrics_rollup": _q_metrics_rollup,
@@ -1446,6 +1501,50 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                    AS fingerprint
             FROM documents
+        """,
+        "agg_pivot": f"""
+            SELECT source,
+                   count(*) FILTER (lang = 'en') AS n_en,
+                   count(*) FILTER (lang = 'no') AS n_no,
+                   count(*) FILTER (lang = 'xx') AS n_xx
+            FROM (
+                SELECT source,
+                       CASE WHEN {n_tokens} = 0 THEN 'xx'
+                            WHEN {en_hits} >= {no_hits}
+                                 AND {en_hits} * 50 >= {n_tokens} THEN 'en'
+                            WHEN {no_hits} > {en_hits}
+                                 AND {no_hits} * 50 >= {n_tokens} THEN 'no'
+                            ELSE 'xx' END AS lang
+                FROM documents
+            ) GROUP BY source
+        """,
+        "j_full_outer": """
+            WITH cust AS (
+                SELECT c_custkey, c_acctbal FROM customer
+                WHERE c_custkey % 3 = 0
+            ), o AS (
+                SELECT o_custkey, count(*) AS n_orders,
+                       round(sum(o_totalprice), 2) AS total_spent
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+                   round(COALESCE(c_acctbal, 0.0), 2) AS acctbal,
+                   COALESCE(n_orders, 0) AS n_orders,
+                   COALESCE(total_spent, 0.0) AS total_spent
+            FROM cust FULL OUTER JOIN o ON c_custkey = o_custkey
+        """,
+        "set_ops": r"""
+            SELECT doc_id, 'intersect' AS op FROM (
+                SELECT doc_id FROM documents WHERE n_chars >= 200
+                INTERSECT
+                SELECT doc_id FROM documents
+                WHERE len(string_split_regex(trim(text), '\s+')) >= 40)
+            UNION ALL
+            SELECT doc_id, 'except' AS op FROM (
+                SELECT doc_id FROM documents WHERE n_chars >= 200
+                EXCEPT
+                SELECT doc_id FROM documents
+                WHERE len(string_split_regex(trim(text), '\s+')) >= 40)
         """,
         "w_moving_avg": """
             SELECT event_id, event_type,

@@ -76,7 +76,8 @@ BENCH_QUERIES = [
     "sim_cosine_ivf_probe",
     "c5_token_assembly", "c6_levenshtein", "c7_xml_escape",
     "multimodal_features", "multimodal_frames", "table_rebuild", "curate",
-    "agg_quantiles", "agg_rollup_cube",
+    "agg_quantiles", "agg_rollup_cube", "agg_pivot", "j_full_outer",
+    "set_ops",
     "a7_ctc", "w5_nms", "metrics_rollup",
 ]
 
