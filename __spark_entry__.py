@@ -611,7 +611,11 @@ def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.where(F.size(F.split(F.trim("text"), r"\s+")) >= 40) \
             .select("doc_id")
     inter = a.intersect(b).withColumn("op", F.lit("intersect"))
-    exc = a.exceptAll(b).distinct().withColumn("op", F.lit("except"))
+    # subtract == SQL EXCEPT (set semantics).  NOT exceptAll().distinct():
+    # bag-difference-then-distinct KEEPS a row that appears in both sides
+    # with higher left multiplicity, where set-EXCEPT drops it — identical
+    # only while the id sets are duplicate-free.
+    exc = a.subtract(b).withColumn("op", F.lit("except"))
     return inter.unionByName(exc)
 
 
