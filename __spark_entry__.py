@@ -736,16 +736,11 @@ def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from frogocr_spark.operators.dedup import resolve_duplicates
-    from frogocr_spark.operators.textstats import (language_id,
-                                                   quality_score,
-                                                   token_count)
+    from frogocr_spark.operators.textstats import curation_gates
     docs = _read(spark, sf_dir, "documents")
-    gated = (docs
-             .withColumn("lang_id", language_id(F.col("text")))
-             .withColumn("quality", quality_score(F.col("text")))
-             .withColumn("n_tokens", token_count(F.col("text")))
-             .where((F.col("lang_id") == "en") & (F.col("quality") >= 0.5)
-                    & (F.col("n_tokens") >= 5))
+    # the SAME gate helper the streaming curate_stream uses — the two
+    # paths share one definition and cannot silently drift
+    gated = (curation_gates(docs)
              .withColumn("digest", F.substring(F.md5("text"), 1, 2)))
     w = Window.partitionBy("digest").orderBy("doc_id")
     pairs = (gated.withColumn("prev_id", F.lag("doc_id").over(w))
@@ -1574,24 +1569,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "agg_rollup_cube": f"""
-            SELECT source,
-                   CASE WHEN {n_tokens} = 0 THEN 'xx'
-                        WHEN {en_hits} >= {no_hits}
-                             AND {en_hits} * 50 >= {n_tokens} THEN 'en'
-                        WHEN {no_hits} > {en_hits}
-                             AND {no_hits} * 50 >= {n_tokens} THEN 'no'
-                        ELSE 'xx' END AS lang_id,
-                   CAST(grouping(source) * 2
-                        + grouping(CASE WHEN {n_tokens} = 0 THEN 'xx'
-                        WHEN {en_hits} >= {no_hits}
-                             AND {en_hits} * 50 >= {n_tokens} THEN 'en'
-                        WHEN {no_hits} > {en_hits}
-                             AND {no_hits} * 50 >= {n_tokens} THEN 'no'
-                        ELSE 'xx' END) AS INT) AS gid,
+            SELECT source, lang_id,
+                   CAST(grouping(source) * 2 + grouping(lang_id)
+                        AS INT) AS gid,
                    count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
-            FROM documents
-            GROUP BY ROLLUP (1, 2)
+            FROM (
+                SELECT source, n_chars,
+                       CASE WHEN {n_tokens} = 0 THEN 'xx'
+                            WHEN {en_hits} >= {no_hits}
+                                 AND {en_hits} * 50 >= {n_tokens} THEN 'en'
+                            WHEN {no_hits} > {en_hits}
+                                 AND {no_hits} * 50 >= {n_tokens} THEN 'no'
+                            ELSE 'xx' END AS lang_id
+                FROM documents
+            )
+            GROUP BY ROLLUP (source, lang_id)
         """,
         "sim_cosine_topk": """
             SELECT query_id, neighbor_id, round(cos, 4) AS cosine,

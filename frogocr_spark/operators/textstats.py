@@ -117,6 +117,22 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, fp)
 
 
+def curation_gates(df: DataFrame, text_col: str = "text",
+                   lang: str = "en", min_quality: float = 0.5,
+                   min_tokens: int = 5) -> DataFrame:
+    """The canonical curation gate set (language + quality + length),
+    shared by the batch ``curate`` contract query and the streaming
+    ``curate_stream`` twin so the two paths cannot silently drift.
+    Appends lang_id / quality / n_tokens columns and filters."""
+    c = F.col(text_col)
+    return (df.withColumn("lang_id", language_id(c))
+            .withColumn("quality", quality_score(c))
+            .withColumn("n_tokens", token_count(c))
+            .where((F.col("lang_id") == lang)
+                   & (F.col("quality") >= min_quality)
+                   & (F.col("n_tokens") >= min_tokens)))
+
+
 def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return (df

@@ -60,14 +60,8 @@ def curate_stream(stream_df: DataFrame, text_col: str = "text",
     watermark-bounded content dedup.  Gates run BEFORE the stateful
     dedup so junk never enters the duplicate state store — at ingest
     scale the state holds digests of KEPT documents only."""
-    from ..operators.textstats import (language_id, quality_score,
-                                       token_count)
-    gated = (stream_df
-             .withColumn("lang_id", language_id(F.col(text_col)))
-             .withColumn("quality", quality_score(F.col(text_col)))
-             .withColumn("n_tokens", token_count(F.col(text_col)))
-             .where((F.col("lang_id") == lang)
-                    & (F.col("quality") >= min_quality)
-                    & (F.col("n_tokens") >= min_tokens)))
+    from ..operators.textstats import curation_gates
+    gated = curation_gates(stream_df, text_col=text_col, lang=lang,
+                           min_quality=min_quality, min_tokens=min_tokens)
     return dedup_stream_content(gated, text_col=text_col,
                                 time_col=time_col, delay=delay)

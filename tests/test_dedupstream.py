@@ -28,6 +28,13 @@ def _drain(spark, inp, out, ckpt, op):
          .option("path", out).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     assert q.awaitTermination(120), "drain did not finish in 120s"
+    return q
+
+
+def _state_rows(q):
+    """Total rows held by the dedup state store after the drain."""
+    prog = q.lastProgress
+    return sum(op["numRowsTotal"] for op in prog["stateOperators"])
 
 
 def test_content_dedup_within_and_across_drains(spark, tmp_path):
@@ -96,9 +103,13 @@ def test_curate_stream_gates_then_dedups(spark, tmp_path):
 
     _write_batch(spark, inp, "f1", [(1, good), (2, good), (3, junk_short),
                                     (4, junk_lang), (5, other)])
-    _drain(spark, inp, out, ckpt, op)
+    q = _drain(spark, inp, out, ckpt, op)
     texts = [r.text for r in spark.read.parquet(out).collect()]
     assert sorted(texts) == sorted([good, other])
+    # the ORDERING property, observed at the state store: gates run
+    # BEFORE the stateful dedup, so state holds digests of the 2 KEPT
+    # docs only — gate-after-dedup would hold 4 (junk digests too)
+    assert _state_rows(q) == 2
 
     # restart: a dup of a kept doc is still dropped; junk still gated
     _write_batch(spark, inp, "f2", [(6, good), (7, junk_short)])
