@@ -72,3 +72,23 @@ def test_ivf_corpus_side_never_shuffles(spark):
     assert "BroadcastHashJoin" in plan
     pre_window = plan.split("row_number")[0]
     assert pre_window.count("Exchange") <= 1
+
+
+def test_embedding_lsh_pair_dedup_exchanges_bare_ids(spark):
+    """The bucket-join candidate dedup must shuffle BARE id pairs, never
+    the embedding vectors (the round-1 minhash lesson: carrying the
+    payload through the quadratic bucket fanout multiplies shuffle
+    volume by the payload width).  Locked by asserting no vector column
+    appears in the plan between the bucket join and the pair-dedup
+    aggregate."""
+    from frogocr_spark.operators.dedup import embedding_near_dup_pairs
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = embedding_near_dup_pairs(emb, threshold=0.4, dim=64, use_lsh=True)
+    plan = _plan(out)
+    # the dedup aggregate over (id_a, id_b): find its partial-aggregate
+    # exchange and check the exchanged schema mentions ids only
+    segs = plan.split("Exchange hashpartitioning(id_a")
+    assert len(segs) >= 2, "expected an id-pair keyed exchange"
+    # the line describing the exchange carries its output schema
+    exch_line = "Exchange hashpartitioning(id_a" + segs[1].splitlines()[0]
+    assert "_v" not in exch_line and "embedding" not in exch_line
