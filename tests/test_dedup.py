@@ -184,3 +184,31 @@ def test_char_shingle_minhash_and_simhash_consistent(spark):
                                  char_shingles=4).collect()}
     for r in pairs:
         assert bin(sh[r.id_a] ^ sh[r.id_b]).count("1") == r.hamming <= 3
+
+
+def test_shingle_twins_randomized_differential(spark):
+    """Seeded randomized differential over unicode-heavy strings: the
+    JVM shingle expression and its python twin must agree on every
+    generated document for every mode (one Spark job per mode, not per
+    example)."""
+    import random
+
+    rng = random.Random(20260817)
+    alphabet = list("abcdefg ABC123 .,!?") + [" ", " ", "\t",
+                                              "\n", "é", "ø", "中"]
+    docs = ["".join(rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 60)))
+            for _ in range(200)]
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    from pyspark.sql import functions as F
+    for ngram, char_k in ((1, None), (2, None), (4, None), (None, 3),
+                          (None, 7)):
+        got = {r.doc_id: set(r.sh) for r in df.select(
+            "doc_id", dedup._shingle_expr("text", ngram or 1, char_k)
+            .alias("sh")).collect()}
+        for i, t in enumerate(docs):
+            want = dedup._shingles_py(t, ngram or 1, char_k)
+            assert got[i] == want, (
+                f"mode=({ngram},{char_k}) doc {i}: {t!r}\n"
+                f"spark={sorted(got[i])!r}\npython={sorted(want)!r}")
