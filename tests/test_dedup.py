@@ -194,8 +194,8 @@ def test_shingle_twins_randomized_differential(spark):
     import random
 
     rng = random.Random(20260817)
-    alphabet = list("abcdefg ABC123 .,!?") + [" ", " ", "\t",
-                                              "\n", "é", "ø", "中"]
+    alphabet = list("abcdefg ABC123 .,!?") + [" ", " ", "\t", "\n",
+                                              "\u00a0", "\u2003", "\u00e9", "\u00f8", "\u4e2d"]
     docs = ["".join(rng.choice(alphabet)
                     for _ in range(rng.randrange(0, 60)))
             for _ in range(200)]
