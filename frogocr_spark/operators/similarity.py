@@ -48,11 +48,37 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
+def _rank_topk(scored: DataFrame, k: int,
+               rank_round: int | None) -> DataFrame:
+    """Shared top-k rank window over ``scored(query_id, neighbor_id,
+    cosine)``.
+
+    ``rank_round``: when set, the window orders by ``round(cosine,
+    rank_round)`` (then ascending neighbor id) instead of the raw double.
+    The raw cosine is a float64 sum whose value depends on summation
+    order in the last ulp — two engines computing "the same" cosine can
+    disagree about which of two near-tied neighbors ranks k-th, flipping
+    a row of the result (the round-2 ``sim_cosine_lsh`` driver-hash
+    failure class).  Quantizing the SORT KEY collapses last-ulp
+    differences into explicit 4-dp tie groups that the deterministic id
+    tie-break resolves identically everywhere.  ``None`` keeps the exact
+    raw-cosine order (library default)."""
+    order = (F.round(F.col("cosine"), rank_round).desc()
+             if rank_round is not None else F.col("cosine").desc())
+    w = Window.partitionBy("query_id").orderBy(
+        order, F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           rank_round: int | None = None) -> DataFrame:
     """Exact top-k: (query_id, neighbor_id, cosine, rank); self-pairs
-    excluded.  Queries are broadcast — the corpus is never shuffled."""
+    excluded.  Queries are broadcast — the corpus is never shuffled.
+    ``rank_round`` — see :func:`_rank_topk`."""
     q = F.broadcast(queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv")))
@@ -61,16 +87,13 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
     scored = (c.crossJoin(q)
               .where(F.col("neighbor_id") != F.col("query_id"))
               .withColumn("cosine", _cosine(F.col("qv"), F.col("cv"))))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cosine", "rank"))
+    return _rank_topk(scored, k, rank_round)
 
 
 def cosine_topk_partial(corpus: DataFrame, queries: DataFrame, k: int,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        rank_round: int | None = None) -> DataFrame:
     """EXACT top-k with partition-local partial reduction — the
     shuffle-scalable form of :func:`cosine_topk_bruteforce`.
 
@@ -95,6 +118,13 @@ def cosine_topk_partial(corpus: DataFrame, queries: DataFrame, k: int,
     any recomputation, cosines that differ only in the last ulp
     between summation orders can in principle flip a rank — like
     the brute force, zero-norm embeddings are undefined input).
+
+    ``rank_round`` — see :func:`_rank_topk`.  When set, the local prune
+    widens its keep-threshold by 1.5 quanta (``1.5 * 10**-rank_round``)
+    below the partition-local kth value, so every candidate that could
+    still tie at the ROUNDED sort key survives to the global window
+    (a gap of more than one quantum guarantees a strictly smaller
+    rounded key, so wider survivors cannot enter the top-k).
     """
     id_type = corpus.schema[id_col].dataType.simpleString()
     q_rows = (queries.select(F.col(id_col).alias("query_id"),
@@ -129,7 +159,9 @@ def cosine_topk_partial(corpus: DataFrame, queries: DataFrame, k: int,
             # kth-largest per query via partition (O(n)), then keep ALL
             # columns >= it — tie groups survive to the global window
             kth = np.partition(sims, n - kk, axis=1)[:, n - kk]
-            mask = np.isfinite(sims) & (sims >= kth[:, None])
+            slack = 1.5 * 10.0 ** -rank_round if rank_round is not None \
+                else 0.0
+            mask = np.isfinite(sims) & (sims >= kth[:, None] - slack)
             qi, ci = np.nonzero(mask)
             if not len(qi):
                 continue
@@ -138,11 +170,7 @@ def cosine_topk_partial(corpus: DataFrame, queries: DataFrame, k: int,
                                 "cosine": sims[qi, ci]})
 
     cand = c.mapInPandas(partial, schema=out_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (cand.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cosine", "rank"))
+    return _rank_topk(cand, k, rank_round)
 
 
 QUANT = 4096  # power-of-two quantization scale for bucket sign tests
@@ -232,7 +260,8 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int, *,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_clusters: int = 64, nprobe: int = 8,
                     centroids: np.ndarray | None = None,
-                    sample_rows: int = 65536) -> DataFrame:
+                    sample_rows: int = 65536,
+                    rank_round: int | None = None) -> DataFrame:
     """IVF ANN top-k: same output schema as the other paths.
 
     Plan shape at scale: corpus side = one scan + one vectorized cell
@@ -271,16 +300,13 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int, *,
     cand = (cb.join(qb, "_cell").drop("_cell")
             .where(F.col("neighbor_id") != F.col("query_id")))
     scored = cand.withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cosine", "rank"))
+    return _rank_topk(scored, k, rank_round)
 
 
 def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    nbits: int = 8, ntables: int = 4) -> DataFrame:
+                    nbits: int = 8, ntables: int = 4,
+                    rank_round: int | None = None) -> DataFrame:
     """ANN top-k: candidates = bucket collisions in any of ``ntables``
     random-hyperplane tables; exact cosine re-rank of candidates.
 
@@ -308,8 +334,4 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
     cand = (cand.join(c, "neighbor_id")
             .join(F.broadcast(q), "query_id"))
     scored = cand.withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cosine", "rank"))
+    return _rank_topk(scored, k, rank_round)

@@ -56,6 +56,26 @@ def main():
     if dangling:
         print(f"!! oracle entries without queries: {dangling}")
 
+    # registry-order invariant (round-2 lesson: the driver's artifact
+    # recorded exactly the first 50 registry entries) — every entry
+    # past position 50 must be rows-only BY DESIGN, and every entry
+    # with a DuckDB oracle must sit inside the first 50 positions.
+    ROWS_ONLY_BY_DESIGN = {"pipeline_extract", "dedup_minhash_xx",
+                           "sim_cosine_ivf_probe"}
+    names = list(qs)
+    tail = set(names[50:])
+    assert tail <= ROWS_ONLY_BY_DESIGN, (
+        f"hash-checked queries past a 50-entry driver cap: "
+        f"{tail - ROWS_ONLY_BY_DESIGN}")
+    capped_oracles = set(oracles) & set(names[50:])
+    assert not capped_oracles, (
+        f"oracle-backed queries ordered past position 50: {capped_oracles}")
+    no_oracle_head = [n for n in names[:50] if n not in oracles
+                      and n not in ROWS_ONLY_BY_DESIGN]
+    if no_oracle_head:
+        print(f"!! queries without oracle and not documented rows-only: "
+              f"{no_oracle_head}")
+
     results = {}
     for name, fn in qs.items():
         if only and name not in only:
