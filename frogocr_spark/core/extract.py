@@ -148,13 +148,36 @@ def extract_batch(texts: pd.Series,
         out.loc[plain_mask, "parse_failed"] = False
         out.loc[plain_mask, "empty_after_strip"] = False
 
-    rest = s.index[~plain_mask]
+    tj_mask = classes == "tool_json"
+    if tj_mask.any():
+        # fused batch path (~33% of the corpus mix): one json.loads +
+        # regex search per row, columns built in bulk — no dataclasses,
+        # no per-row dicts, no scalar-dispatch overhead
+        tj_idx = s.index[tj_mask]
+        t, st, en, kp, fl = tooljson.extract_tool_json_batch(
+            s[tj_mask].tolist())
+        out.loc[tj_mask, "extracted_text"] = pd.Series(
+            t, index=tj_idx, dtype=object)
+        out.loc[tj_mask, "spans"] = pd.Series(
+            [[{"start": a, "end": b}] if k else []
+             for a, b, k in zip(st, en, kp)], index=tj_idx, dtype=object)
+        kept = pd.Series(kp, index=tj_idx)
+        out.loc[tj_mask, "n_blocks"] = kept.astype(int)
+        out.loc[tj_mask, "n_spans"] = kept.astype(int)
+        out.loc[tj_mask, "n_variants"] = 0
+        out.loc[tj_mask, "confidence"] = 1.0
+        out.loc[tj_mask, "parse_failed"] = pd.Series(fl, index=tj_idx)
+        # sniff guarantees tool_json raw is non-whitespace (stripped
+        # starts with "{"), so empty_after_strip reduces to "not kept"
+        out.loc[tj_mask, "empty_after_strip"] = ~kept
+
+    rest = s.index[~plain_mask & ~tj_mask]
     if len(rest):
         # list iteration, not .at lookups: two pandas scalar accesses per
         # row cost ~20 us — comparable to a whole tool_json extraction
         recs = [extract_turn(t, cls=c)
-                for t, c in zip(s[~plain_mask].tolist(),
-                                classes[~plain_mask].tolist())]
+                for t, c in zip(s.loc[rest].tolist(),
+                                classes.loc[rest].tolist())]
         rec_df = pd.DataFrame(recs, index=rest)
         for col in OUTPUT_COLUMNS:
             out.loc[rest, col] = rec_df[col]

@@ -79,6 +79,61 @@ def test_generator_skew_knob():
     assert all(v <= 16 for k, v in counts.items() if k != "conv_00000000")
 
 
+TOOL_JSON_EDGE_CASES = [
+    '{"content": "plain value"}',
+    '{"content": "esc \\"quoted\\" and \\\\back"}',   # JSON escapes in value
+    '{"content": "tab\\tnl\\nuni\\u00e5"}',           # escapes: span != len
+    '{"text": "second priority"}',
+    '{"output": "third"}', '{"stdout": "fourth"}',
+    '{"result": "fifth"}', '{"data": "sixth"}',
+    '{"data": "low", "content": "wins"}',             # priority order
+    '{"content": "   "}',                             # prunes to empty
+    '{"content": ""}',                                # empty string value
+    '{"content": "  x", "text": "never reached"}',    # first key wins
+    '{"content": 42, "text": "fallback hit"}',        # non-string skipped
+    '{"content": null, "output": "nn"}',
+    '{"status": "ok"}',                               # no content field
+    '{"nested": {"content": "inner"}, "text": "outer"}',
+    '{"text": "dup", "extra": {"text": "first in raw?"}}',
+    '{broken json',                                   # parse failure
+    '{"content": "trunc',                             # truncated string
+    '{"a": [1, 2, {"content": "deep"}]}',
+    '[1, 2, 3]',                                      # non-dict (array)... sniffed tool_json? no — starts with [
+    '{"content": "with } brace in value"}',
+    '{ "content" :  "spaced colon" }',
+    '{"CONTENT": "case sensitive miss"}',
+    '{"content": "a", "content2": "b"}',
+    '{"content": "\\u0041\\u00e6\\ud83d\\ude00"}',    # unicode escapes incl. surrogate pair
+]
+
+
+def test_tool_json_batch_scalar_parity_edges():
+    """The fused batch tool_json path must byte-match the scalar oracle
+    on adversarial payloads (escapes, priority, prune, parse failure)."""
+    texts = pd.Series(TOOL_JSON_EDGE_CASES)
+    batch = extract.extract_batch(texts)
+    for i, raw in enumerate(TOOL_JSON_EDGE_CASES):
+        rec = extract.extract_turn(raw)
+        row = batch.iloc[i]
+        assert rec["payload_class"] == row["payload_class"], raw
+        assert rec["extracted_text"] == row["extracted_text"], raw
+        assert rec["spans"] == row["spans"], raw
+        assert rec["parse_failed"] == row["parse_failed"], raw
+        assert rec["empty_after_strip"] == row["empty_after_strip"], raw
+        assert rec["n_blocks"] == row["n_blocks"], raw
+        assert rec["confidence"] == row["confidence"], raw
+
+
+def test_tool_json_unescape_span_invariant():
+    """tooljson contract: json-unescape(raw[start:end]) == extracted."""
+    import json as _json
+    raw = '{"content": "esc \\"q\\" \\u00e5\\n"}'
+    rec = extract.extract_turn(raw)
+    (spn,) = rec["spans"]
+    token = raw[spn["start"]:spn["end"]]
+    assert _json.loads('"' + token + '"') == rec["extracted_text"]
+
+
 def test_all_payload_classes_represented(corpus):
     seen = {extract.extract_turn(r["text"])["payload_class"] for r in corpus}
     assert seen == {"plain", "markdown", "html", "pdf_layout",
