@@ -117,6 +117,37 @@ def assemble(blocks: list[Block]) -> tuple[str, list[tuple[int, int]]]:
     return "".join(parts), spans
 
 
+def finalize(blocks: list[Block]) -> tuple[str, list[tuple[int, int]],
+                                           int, int, float]:
+    """One-pass batch twin of :func:`assemble` + :func:`mean_confidence`
+    + the variant count, over already-pruned blocks.
+
+    Returns ``(extracted_text, spans, n_spans, n_variants, confidence)``.
+    Bit-identical to calling the three separately: same segment iteration
+    order, same glue rules, and the confidence sum accumulates
+    left-to-right exactly like ``sum(confs)`` does (parity asserted
+    row-by-row against the scalar oracle in tests/test_extract.py)."""
+    parts: list[str] = []
+    spans: list[tuple[int, int]] = []
+    conf_total = 0.0
+    n = 0
+    n_var = 0
+    for bi, b in enumerate(blocks):
+        for si, seg in enumerate(b.segments):
+            if bi == 0 and si == 0:
+                parts.append(seg.text)
+            elif si == 0:
+                parts.append(GLUE_LINE + seg.text)
+            else:
+                parts.append(seg.glue + seg.text)
+            spans.append((seg.start, seg.end))
+            conf_total += seg.confidence
+            n += 1
+            n_var += len(seg.variants)
+    conf = float(conf_total / n) if n else 1.0
+    return "".join(parts), spans, n, n_var, conf
+
+
 def mean_confidence(blocks: list[Block]) -> float:
     """Mean segment confidence over the document (A1 analog — reference
     ``Source/Tesseract/TesseractTextRecognizer.cpp:348-363``).  1.0 when empty

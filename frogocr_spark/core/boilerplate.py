@@ -24,7 +24,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from .assemble import Block, GLUE_SPACE, Segment, trim_span
+from .assemble import Block, GLUE_SPACE, Segment
 
 MAX_LINK_DENSITY = 1.0 / 3.0   # F6 score-threshold analog (0.6 gate)
 MIN_WORDS = 4                  # F5 min-size analog
@@ -73,9 +73,13 @@ def extract_html(raw: str) -> list[Block]:
 
     for m in _TAG_RE.finditer(raw):
         text = raw[pos:m.start()]
-        if text.strip():
-            s, e = trim_span(raw, pos, m.start())
-            seg_text = raw[s:e]
+        # str.strip()/lstrip() strip exactly the str.isspace() set, so
+        # this arithmetic equals trim_span(raw, pos, m.start()) without
+        # the per-char loop (golden fixture tests pin the outputs)
+        seg_text = text.strip()
+        if seg_text:
+            s = pos + (len(text) - len(text.lstrip()))
+            e = s + len(seg_text)
             cur.segments.append(Segment(
                 text=seg_text, start=s, end=e,
                 glue=GLUE_SPACE if cur.segments else "",
@@ -107,9 +111,11 @@ def extract_html(raw: str) -> list[Block]:
                         stack.pop()
             else:
                 stack.append(name)
-    if raw[pos:].strip():
-        s, e = trim_span(raw, pos, len(raw))
-        seg_text = raw[s:e]
+    tail = raw[pos:]
+    seg_text = tail.strip()
+    if seg_text:
+        s = pos + (len(tail) - len(tail.lstrip()))
+        e = s + len(seg_text)
         cur.segments.append(Segment(text=seg_text, start=s, end=e,
                                     glue=GLUE_SPACE if cur.segments else ""))
         cur.chars += len(seg_text)

@@ -171,16 +171,55 @@ def extract_batch(texts: pd.Series,
         # starts with "{"), so empty_after_strip reduces to "not kept"
         out.loc[tj_mask, "empty_after_strip"] = ~kept
 
-    rest = s.index[~plain_mask & ~tj_mask]
-    if len(rest):
-        # list iteration, not .at lookups: two pandas scalar accesses per
-        # row cost ~20 us — comparable to a whole tool_json extraction
-        recs = [extract_turn(t, cls=c)
-                for t, c in zip(s.loc[rest].tolist(),
-                                classes.loc[rest].tolist())]
-        rec_df = pd.DataFrame(recs, index=rest)
-        for col in OUTPUT_COLUMNS:
-            out.loc[rest, col] = rec_df[col]
+    # structured classes: per-row extractors (regex state machines — not
+    # cross-row vectorizable), but everything AROUND them is batched:
+    # direct extractor call (no extract_turn dispatch / Settings parse),
+    # fused prune+assemble+confidence (assemble.finalize), list append +
+    # one bulk column assignment per class instead of a DataFrame of
+    # per-row dicts (measured ~1.2-1.9× per class; parity row-by-row in
+    # tests/test_extract.py)
+    _EXTRACTORS = {"html": boilerplate.extract_html,
+                   "pdf_layout": segment.extract_pdf_layout,
+                   "markdown": markdown.extract_markdown}
+    for cls in ("html", "pdf_layout", "markdown", "two_pass"):
+        mask = classes == cls
+        if not mask.any():
+            continue
+        idx = s.index[mask]
+        fn = _EXTRACTORS.get(cls)
+        texts_l: list[str] = []
+        spans_l: list[list] = []
+        nsp: list[int] = []
+        nbl: list[int] = []
+        nvar: list[int] = []
+        confs: list[float] = []
+        eas: list[bool] = []
+        for raw in s[mask].tolist():
+            if fn is None:
+                blocks, conf = extract_two_pass(raw, True)
+            else:
+                blocks = fn(raw)
+            blocks, _dropped = assemble.prune_empty(blocks)
+            extracted, spans, n_segs, n_var, mean_conf = \
+                assemble.finalize(blocks)
+            if fn is not None:
+                conf = mean_conf
+            texts_l.append(extracted)
+            spans_l.append([{"start": a, "end": b} for a, b in spans])
+            nbl.append(len(blocks))
+            nsp.append(n_segs)
+            nvar.append(n_var)
+            confs.append(conf)
+            eas.append((not extracted) and bool(raw.strip()))
+        out.loc[mask, "extracted_text"] = pd.Series(
+            texts_l, index=idx, dtype=object)
+        out.loc[mask, "spans"] = pd.Series(spans_l, index=idx, dtype=object)
+        out.loc[mask, "n_blocks"] = pd.Series(nbl, index=idx)
+        out.loc[mask, "n_spans"] = pd.Series(nsp, index=idx)
+        out.loc[mask, "n_variants"] = pd.Series(nvar, index=idx)
+        out.loc[mask, "confidence"] = pd.Series(confs, index=idx)
+        out.loc[mask, "parse_failed"] = False
+        out.loc[mask, "empty_after_strip"] = pd.Series(eas, index=idx)
     return _coerce(out)
 
 

@@ -63,20 +63,15 @@ def extract_markdown(raw: str) -> list[Block]:
         segs: list[Segment] = []
         pending_space = False
         for a, b in pieces:
-            if not line[a:b].strip():
+            piece = line[a:b]
+            if not piece.strip():
                 pending_space = True
                 continue
-            seg = _seg(line, line_start, a, b)
-            if pending_space and segs:
-                seg.glue = " "
-            segs.append(seg)
+            segs.append(Segment(
+                text=piece, start=line_start + a, end=line_start + b,
+                glue=" " if pending_space and segs else GLUE_NONE))
             pending_space = False
         if segs:
             blocks.append(Block(segments=segs, kind="line",
                                 detector="markdown", recognizer="rules"))
     return blocks
-
-
-def _seg(line: str, line_start: int, a: int, b: int) -> Segment:
-    return Segment(text=line[a:b], start=line_start + a, end=line_start + b,
-                   glue=GLUE_NONE)

@@ -53,12 +53,9 @@ class Box:
 
 def parse_layout(raw: str) -> list[Box]:
     """Tokenize ``@x,y,w,h|text`` runs with raw char offsets."""
-    boxes: list[Box] = []
-    for m in _TOKEN_RE.finditer(raw):
-        x, y, w, h, t = m.groups()
-        boxes.append(Box(int(x), int(y), int(w), int(h), t,
-                         m.start(5), m.end(5)))
-    return boxes
+    return [Box(int(m[1]), int(m[2]), int(m[3]), int(m[4]), m[5],
+                m.start(5), m.end(5))
+            for m in _TOKEN_RE.finditer(raw)]
 
 
 def reading_order(boxes: list[Box], band: int = BAND_PX) -> list[Box]:
@@ -77,8 +74,8 @@ def reading_order(boxes: list[Box], band: int = BAND_PX) -> list[Box]:
 
 def filter_boxes(boxes: list[Box]) -> list[Box]:
     """F5 min-side filter + header/footer strip + W6 cap (in that order)."""
-    kept = [b for b in boxes if b.w >= MIN_SIDE and b.h >= MIN_SIDE]
-    kept = [b for b in kept if HEADER_Y <= b.y < FOOTER_Y]
+    kept = [b for b in boxes if b.w >= MIN_SIDE and b.h >= MIN_SIDE
+            and HEADER_Y <= b.y < FOOTER_Y]
     return kept[:MAX_BOXES]
 
 
