@@ -5,7 +5,7 @@ A from-scratch re-expression of the capabilities of norsk-helsearkiv/FrogOCR
 DataFrame pipeline over multi-turn agent transcripts:
 
 - ``core/``       pure-Python extraction semantics (the oracle; zero Spark imports)
-- ``operators/``  Spark operators (extraction mapInPandas, dedup, similarity,
+- ``operators/``  Spark operators (extraction mapInArrow, dedup, similarity,
                   joins, windows, skew handling, resume anti-join)
 - ``sources/``    table IO (parquet-or-Iceberg catalog, transcript generator)
 - ``functions/``  scalar column-expression helpers (JVM-side, codegen'd)

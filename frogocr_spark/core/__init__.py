@@ -2,7 +2,8 @@
 
 Every function here is deterministic, Spark-free and numpy/pandas-friendly.
 The Spark operators in ``frogocr_spark.operators`` wrap these same functions
-inside Arrow-batched ``mapInPandas``, so Spark output == oracle output
+inside Arrow-batched operators (``mapInArrow`` for extraction,
+``mapInPandas`` elsewhere), so Spark output == oracle output
 byte-for-byte by construction; pytest verifies it anyway (tests/).
 
 Module map (reference citations inside each module):

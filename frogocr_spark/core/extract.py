@@ -2,7 +2,7 @@
 
 :func:`extract_turn` is the scalar oracle: one raw payload in, one
 extraction record out.  :func:`extract_batch` is the batch twin that the
-Spark ``mapInPandas`` operator calls — sniffing is fully vectorized, the
+Spark ``mapInArrow`` operator calls — sniffing is fully vectorized, the
 ``plain`` class (the bulk of real transcripts) is handled with vectorized
 pandas ``.str`` ops, and the structured classes run their (regex-driven,
 allocation-light) extractors over just their class subset.  No per-row

@@ -126,7 +126,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     join (token-keyed), ONE id-keyed groupBy building the
     globally-ordered per-doc id array (prefix = an ``F.slice`` of it),
     the prefix self-join (keyed on the int token id), and two id-keyed
-    joins attaching id arrays to the (small) candidate set."""
+    joins attaching id arrays to the (small) candidate set.
+
+    NOTE: eager at plan-construction — the ``global_rank`` interning
+    step runs Spark jobs when THIS function is called (see its
+    docstring), not at the downstream action."""
     from .ranking import global_rank
 
     eps = 1e-9
@@ -631,17 +635,21 @@ def _exact_cosine_pairs_blocked(df: DataFrame, id_col: str, vec_col: str,
             for ba, ids_a, vecs_a, bb_, ids_b, vecs_b in zip(
                     pdf["blk_a"], pdf["ids_a"], pdf["vecs_a"],
                     pdf["blk_b"], pdf["ids_b"], pdf["vecs_b"]):
-                ia = np.asarray(ids_a)
+                # object dtype: np.minimum/np.maximum below must compare
+                # via Python str.__lt__ — on numpy '<U' arrays they raise
+                ia = np.asarray(ids_a, dtype=object)
                 ma = np.vstack([np.asarray(x, dtype=np.float64)
                                 for x in vecs_a])
                 if ba == bb_:
                     ib, mb = ia, ma
                 else:
-                    ib = np.asarray(ids_b)
+                    ib = np.asarray(ids_b, dtype=object)
                     mb = np.vstack([np.asarray(x, dtype=np.float64)
                                     for x in vecs_b])
-                na = np.linalg.norm(ma, axis=1)
-                nb = np.linalg.norm(mb, axis=1)
+                # floor like similarity.py's cosine paths: a zero-norm
+                # vector yields sim 0.0 (never NaN / divide warnings)
+                na = np.maximum(np.linalg.norm(ma, axis=1), 1e-300)
+                nb = np.maximum(np.linalg.norm(mb, axis=1), 1e-300)
                 sims = (ma @ mb.T) / np.outer(na, nb)
                 mask = sims >= thr
                 if ba == bb_:

@@ -38,6 +38,11 @@ def global_rank(df: DataFrame, order_cols: list[str],
     deterministic distinct ranks, exactly like ``row_number``).  The
     input subtree is localCheckpointed because it is consumed twice
     (per-partition counts action + the ranked output).
+
+    NOTE: calling this runs Spark jobs EAGERLY (the localCheckpoint and
+    the per-partition counts collect execute at call time, not at the
+    downstream action) — callers that compose it into a larger plan
+    (e.g. ``ngram_jaccard_pairs``) become eager at plan-construction.
     """
     p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (df.repartitionByRange(p, *[F.col(c) for c in order_cols])

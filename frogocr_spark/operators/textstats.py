@@ -76,8 +76,8 @@ def fingerprint(text: Column) -> Column:
 
 
 ROLL_BASE = 1000003          # polynomial rolling-hash base (prime)
-ROLL_MOD = 4398046511093     # prime 2^42-11: the largest modulus class
-#                              keeping the fold step acc*BASE+h below
+ROLL_MOD = 4398046511093     # prime 2^42-11: a modulus class keeping the
+#                              fold step acc*BASE+h comfortably below
 #                              2^63 (max ≈ 4.40e18 < 9.22e18) — exact
 #                              int64 arithmetic under ANSI mode AND in
 #                              any SQL engine, so the DuckDB oracle

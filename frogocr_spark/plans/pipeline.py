@@ -3,7 +3,7 @@
     read(transcripts)
       → F1 anti-join committed keys           (resume)
       → conv_id-salted repartition + secondary sort   (skew + ordering)
-      → fused mapInPandas extraction          (one Arrow pass)
+      → fused mapInArrow extraction           (one Arrow pass)
       → idempotent run_id append              (exactly-once)
       → lineage/metrics sidecar from the committed output (single
         extraction pass: the sidecar aggregates the written parquet, so

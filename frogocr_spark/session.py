@@ -2,7 +2,7 @@
 
 Settings chosen for the execution model this engine targets (SURVEY §4):
 AQE with skew-join handling for the conv_id skew path, Arrow for the
-mapInPandas extraction operator, UTC session timezone so DuckDB oracle
+mapInArrow extraction operator, UTC session timezone so DuckDB oracle
 comparisons are stable, shuffle partitions sized to cores (local mode)
 instead of the 200 default.
 """

@@ -212,3 +212,69 @@ def test_shingle_twins_randomized_differential(spark):
             assert got[i] == want, (
                 f"mode=({ngram},{char_k}) doc {i}: {t!r}\n"
                 f"spark={sorted(got[i])!r}\npython={sorted(want)!r}")
+
+
+def test_xx_and_md5_modes_agree_on_separated_corpus(spark):
+    """Pins the production hash mode (xxhash64, no SQL oracle twin) to
+    the md5 oracle-verified mode (VERDICT r2 item 5): on a corpus whose
+    true Jaccard values are well separated from the 0.5 threshold
+    (near-dups ~0.9, cross-pairs ~0.0), BOTH modes must report exactly
+    the ground-truth near-dup pair set — the only behavior difference
+    between the modes is estimator noise near the cut, which a
+    separated corpus excludes.  Both families are deterministic, so
+    this is a stable equality, not a flaky probabilistic bound."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    truth = set()
+    # 20 clusters of 2 docs: variant replaces ONE of 30 tokens
+    # (J = 29/31 ≈ 0.94), each cluster on a disjoint vocabulary →
+    # cross-cluster J == 0.0.  bands=8 (4 rows/band): per-pair miss
+    # probability (1 - J^4)^8 ≈ 8e-6 — and since both hash families
+    # are seed-fixed deterministic functions, the outcome is the same
+    # on every run (an equality, not a flaky bound).
+    for c in range(20):
+        vocab = [f"w{c}_{i}" for i in range(31)]
+        base = vocab[:30]
+        variant = base[:29] + vocab[30:31]
+        rng.shuffle(variant)
+        rows.append((2 * c, " ".join(base)))
+        rows.append((2 * c + 1, " ".join(variant)))
+        truth.add((2 * c, 2 * c + 1))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for mode in ("xxhash64", "md5"):
+        got[mode] = {(r.id_a, r.id_b)
+                     for r in dedup.minhash_lsh_pairs(
+                         df, "doc_id", "text", num_hashes=32, bands=8,
+                         threshold=0.5, hash_fn=mode).collect()}
+    assert got["xxhash64"] == truth, got["xxhash64"] ^ truth
+    assert got["md5"] == truth, got["md5"] ^ truth
+
+
+def test_xx_and_md5_modes_same_quality_on_generated_corpus(spark):
+    """On the sf0.001 documents corpus (dense in borderline pairs, so
+    the two hash families legitimately disagree near the est_jaccard
+    cut — measured ~12% count difference), both modes must satisfy the
+    SAME deterministic quality bounds at the contract-query config
+    (num_hashes=32, bands=4, threshold=0.5): every reported pair is
+    genuinely similar (true word-set J >= 0.25; measured floor ~0.39
+    for both modes), and the candidate volumes stay within 25% of each
+    other (estimator noise, not a systematic family difference).  Both
+    families are deterministic, so these are stable assertions."""
+    df = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .limit(240))
+    texts = {r.doc_id: r.text for r in df.select("doc_id", "text").collect()}
+    counts = {}
+    for mode in ("xxhash64", "md5"):
+        got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+               for r in dedup.minhash_lsh_pairs(
+                   df, "doc_id", "text", num_hashes=32, bands=4,
+                   threshold=0.5, hash_fn=mode).collect()}
+        assert got, mode
+        counts[mode] = len(got)
+        floor = min(_exact_jaccard(texts[a], texts[b]) for a, b in got)
+        assert floor >= 0.25, (mode, floor)
+    ratio = counts["xxhash64"] / counts["md5"]
+    assert 0.75 <= ratio <= 1.25, counts
