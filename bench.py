@@ -272,7 +272,14 @@ def main() -> None:
         queries = _time_queries(spark, BENCH_QUERIES)
         spark.stop()
 
-        tput_main = _extraction_run(CPUS, input_dir, n_rows, "bench-extract")
+        # same discipline as the scaling pairs: best of SCALING_ROUNDS
+        # windows of SCALING_WINDOW consecutive actions — one loaded
+        # slot can't misrepresent the engine (round-2 driver artifact
+        # recorded 56.9k turns/s in this slot while its own scaling
+        # rounds hit 238k on the same box minutes later)
+        tput_main = _extraction_run(CPUS, input_dir, n_rows, "bench-extract",
+                                    reps=SCALING_ROUNDS,
+                                    window=SCALING_WINDOW)
         queries["extraction_turns_per_sec"] = round(tput_main, 1)
         result["queries"] = queries
         result["value"] = round(n_rows / tput_main, 3)  # seconds, headline

@@ -239,13 +239,37 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.6,
                       hash_fn: str = "xxhash64", ngram: int = 1,
-                      char_shingles: int | None = None) -> DataFrame:
+                      char_shingles: int | None = None,
+                      max_bucket: int | None = None) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidates; estimated
     Jaccard = fraction of matching minhash components; keep ≥ threshold.
     Shuffles: tokenize-agg (on id), band explode join (on band hash) —
     never an all-pairs product.  ``hash_fn`` as in
     :func:`minhash_signatures`; the md5 mode also uses md5 band hashes
-    so the whole candidate pipeline is SQL-replicable."""
+    so the whole candidate pipeline is SQL-replicable.
+
+    ``max_bucket`` is the hot-bucket mitigation for degenerate corpora
+    (the scale path).  The band join exchanges BARE ids (~24 B/row), so
+    a bucket of B near-identical docs is only ~24·B shuffle bytes —
+    measured on this engine, even a bucket holding 50% of the corpus
+    stays under AQE's byte-based skew thresholds (identical rows also
+    lz4-compress away), so `OptimizeSkewedJoin` never sees it — yet the
+    self-join emits B(B-1)/2 pairs INSIDE the task: a 10^6-doc bucket
+    is ~24 MB of shuffle (below the 256 MB default threshold) but
+    5·10^11 output pairs on one straggler.  Byte-skew detection cannot
+    catch row-skew whose blowup is quadratic in the join, so the cap
+    handles it structurally: buckets larger than ``max_bucket`` switch
+    from all-pairs to a STAR expansion (every member paired with the
+    bucket's min id) — O(B) pairs that preserve exactly what dedup
+    consumes, duplicate-cluster CONNECTIVITY (``dup_clusters`` closes
+    the component transitively).  Candidate recall for borderline
+    near-dups inside a giant bucket is traded away — at that bucket
+    size the members are near-certain duplicates of each other anyway
+    (the est_jaccard ≥ threshold verification still runs on every
+    emitted pair).  One extra window over the band key (same shuffle
+    key as the join; the hot bucket's window task is linear in B).
+    ``None`` (default) keeps exact all-pairs semantics — what the
+    SQL oracle replicates."""
     rows_per_band = num_hashes // bands
     # localCheckpoint, not cache(): sig is consumed three times (band
     # explode + two re-attach joins); a CacheManager entry would pin
@@ -275,12 +299,26 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     banded = sig.select(
         id_col,
         F.posexplode(F.array(*band_exprs)).alias("band", "band_hash"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "band_hash")
+        banded = (banded
+                  .withColumn("_bsz", F.count(F.lit(1)).over(w))
+                  .withColumn("_hub", F.min(id_col).over(w)))
+        big = banded.where(F.col("_bsz") > max_bucket)
+        star = (big.where(F.col(id_col) != F.col("_hub"))
+                .select(F.col("_hub").alias("id_a"),
+                        F.col(id_col).alias("id_b")))
+        banded = (banded.where(F.col("_bsz") <= max_bucket)
+                  .drop("_bsz", "_hub"))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     cand_ids = (a.join(b, ["band", "band_hash"])
                 .where(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b")
-                .dropDuplicates(["id_a", "id_b"]))
+                .select("id_a", "id_b"))
+    if max_bucket is not None:
+        cand_ids = cand_ids.unionByName(star)
+    cand_ids = cand_ids.dropDuplicates(["id_a", "id_b"])
     cand = (cand_ids
             .join(sig.select(F.col(id_col).alias("id_a"),
                              F.col("signature").alias("sig_a")), "id_a")
@@ -674,7 +712,8 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              threshold: float = 0.95,
                              dim: int | None = None,
                              use_lsh: bool = True,
-                             nbits: int = 8, ntables: int = 6) -> DataFrame:
+                             nbits: int = 8, ntables: int = 6,
+                             max_bucket: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: ``cosine >= threshold``,
     ``id_a < id_b``.
 
@@ -684,6 +723,13 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     ``use_lsh=False`` is the exact baseline:
     :func:`_exact_cosine_pairs_blocked` (block-matrix numpy products —
     the right way to spend inherently quadratic exact work).
+
+    ``max_bucket``: same hot-bucket row-skew mitigation as
+    :func:`minhash_lsh_pairs` (see its docstring for why AQE's
+    byte-based skew detection cannot catch this) — buckets larger than
+    the cap switch from all-pairs to a connectivity-preserving star
+    expansion around the bucket's min id; the exact-cosine >= threshold
+    verification still runs on every emitted pair.
     """
     from .similarity import _bucket_udf, _cosine
 
@@ -702,11 +748,26 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     buckets = _bucket_udf(dim, nbits=nbits, ntables=ntables)
     bucketed = (vecs.select("_id", F.explode(buckets(F.col("_v")))
                     .alias("_bkt")).localCheckpoint())
+    star = None
+    if max_bucket is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("_bkt")
+        bucketed = (bucketed
+                    .withColumn("_bsz", F.count(F.lit(1)).over(w))
+                    .withColumn("_hub", F.min("_id").over(w)))
+        star = (bucketed.where((F.col("_bsz") > max_bucket)
+                               & (F.col("_id") != F.col("_hub")))
+                .select(F.col("_hub").alias("id_a"),
+                        F.col("_id").alias("id_b")))
+        bucketed = (bucketed.where(F.col("_bsz") <= max_bucket)
+                    .drop("_bsz", "_hub"))
     a = bucketed.select(F.col("_id").alias("id_a"), "_bkt")
     b = bucketed.select(F.col("_id").alias("id_b"), "_bkt")
     cand = (a.join(b, "_bkt").drop("_bkt")
-            .where(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+            .where(F.col("id_a") < F.col("id_b")))
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
     cand = (cand.join(vecs.select(F.col("_id").alias("id_a"),
                                   F.col("_v").alias("va")), "id_a")
             .join(vecs.select(F.col("_id").alias("id_b"),

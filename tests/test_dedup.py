@@ -278,3 +278,27 @@ def test_xx_and_md5_modes_same_quality_on_generated_corpus(spark):
         assert floor >= 0.25, (mode, floor)
     ratio = counts["xxhash64"] / counts["md5"]
     assert 0.75 <= ratio <= 1.25, counts
+
+
+def test_embedding_lsh_hot_bucket_cap(spark):
+    """Same hot-bucket mitigation as minhash (see
+    test_plans.test_lsh_hot_bucket_cap_linearizes_candidates): 500
+    identical vectors land in identical hyperplane buckets in every
+    table; with max_bucket the candidate set is linear and every clone
+    stays connected to the hub; the sparse background is unaffected."""
+    import random
+
+    rng = random.Random(7)
+    hot_vec = [1.0, 0.5] * 8
+    rows = [(i, hot_vec) for i in range(500)]
+    rows += [(10_000 + i, [rng.uniform(-1, 1) for _ in range(16)])
+             for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = dedup.embedding_near_dup_pairs(
+        df, threshold=0.99, dim=16, use_lsh=True, max_bucket=64).collect()
+    assert len(capped) <= 3 * 700, len(capped)
+    hub_partners = {r.id_b for r in capped if r.id_a == 0 and r.id_b < 10_000}
+    assert len(hub_partners) == 499, len(hub_partners)
+    # cosine verification still ran on star pairs
+    assert all(abs(r.cosine - 1.0) < 1e-9 for r in capped
+               if r.id_a == 0 and r.id_b < 10_000)

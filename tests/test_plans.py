@@ -92,3 +92,81 @@ def test_embedding_lsh_pair_dedup_exchanges_bare_ids(spark):
     # the line describing the exchange carries its output schema
     exch_line = "Exchange hashpartitioning(id_a" + segs[1].splitlines()[0]
     assert "_v" not in exch_line and "embedding" not in exch_line
+
+
+def test_aqe_skew_join_fires_on_byte_skewed_smj(spark):
+    """Session-level capability lock: the AQE skew-join settings the
+    engine ships actually split a byte-skewed sort-merge join (90% of
+    rows on one hot key, incompressible md5 payload).  Captured via an
+    action on the SAME Dataset (a noop write runs through a separate
+    QueryExecution and leaves this plan unfinalized — skew=true only
+    appears in the FINAL adaptive plan).  Thresholds scaled to the
+    fixture; production scale trips the default 256 MB / 5x-median
+    rule identically (tools/plan_audit.py check 8a)."""
+    skew_conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "8192",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4096",
+    }
+    saved = {k: spark.conf.get(k, None) for k in skew_conf}
+    for k, v in skew_conf.items():
+        spark.conf.set(k, v)
+    try:
+        left = (spark.range(200_000)
+                .withColumn("k", F.when(F.col("id") % 10 < 9, F.lit(7))
+                            .otherwise(F.col("id") % 1000))
+                .withColumn("pay", F.md5(F.col("id").cast("string"))))
+        right = (spark.range(1000).withColumn("k", F.col("id") % 1000)
+                 .withColumn("rpay",
+                             F.md5((F.col("id") * 7).cast("string"))))
+        j = (left.join(right, "k")
+             .select(F.sum(F.length("pay") + F.length("rpay")).alias("s")))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_lsh_hot_bucket_cap_linearizes_candidates(spark):
+    """AQE byte-skew detection structurally CANNOT see LSH bucket
+    row-skew: the band join exchanges bare ids (~24 B/row; identical
+    rows lz4-compress away), so a bucket holding half the corpus stays
+    under any byte threshold while its self-join emits B(B-1)/2 pairs
+    inside the task (measured: the fixture below never yields skew=true
+    even at floor thresholds).  The structural mitigation is
+    max_bucket: oversized buckets switch to a connectivity-preserving
+    star expansion.  Locks (a) candidate count linear, not quadratic;
+    (b) every hot doc still connected to the cluster hub (what
+    dup_clusters consumes); (c) small buckets keep exact all-pairs
+    behavior — the capped run agrees with the uncapped run on the
+    background docs."""
+    from frogocr_spark.operators.dedup import minhash_lsh_pairs
+    hot = [(i, "the same duplicated payload text repeated " * 8)
+           for i in range(2000)]
+    bg = [(10_000 + i, f"unique background doc {i} tokens "
+           + " ".join(f"w{i}_{j}" for j in range(12)))
+          for i in range(2000)]
+    skewed = spark.createDataFrame(hot + bg, "doc_id long, text string")
+    capped = minhash_lsh_pairs(skewed, "doc_id", "text", num_hashes=32,
+                               bands=4, threshold=0.5, max_bucket=256)
+    rows = capped.collect()
+    n = len(rows)
+    assert n <= 6 * 4000, f"quadratic blowup not capped: {n} pairs"
+    hub_partners = {r.id_b for r in rows
+                    if r.id_a == 0 and r.id_b < 10_000}
+    assert len(hub_partners) == 1999, len(hub_partners)
+    bg_capped = {(r.id_a, r.id_b) for r in rows
+                 if r.id_a >= 10_000 and r.id_b >= 10_000}
+    uncapped = minhash_lsh_pairs(skewed, "doc_id", "text", num_hashes=32,
+                                 bands=4, threshold=0.5).where(
+        (F.col("id_a") >= 10_000) & (F.col("id_b") >= 10_000))
+    bg_uncapped = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert bg_capped == bg_uncapped

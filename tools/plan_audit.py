@@ -128,6 +128,80 @@ def main() -> None:
                 "corpus packed via collect_list before the block-pair "
                 "join; scoring in MapInPandas matmul")
 
+    # 8. Skew hazard of bucket-keyed joins (LSH bands): the distributed
+    # analog of the reference's global samba-mutex serialization point
+    # (Source/Core/SambaClient.cpp:16-26).  Two-part evidence, because
+    # measurement showed AQE alone does NOT cover this hazard:
+    #
+    # 8a. AQE skew-join capability: the session enables skewJoin and it
+    #     FIRES on a byte-skewed sort-merge join (90% of rows on one
+    #     key, incompressible payload) — executed plan shows skew=true.
+    #     Thresholds are scaled to the fixture; production scale trips
+    #     the default 256 MB / 5x-median rule identically.
+    skew_conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "8192",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4096",
+    }
+    saved = {k: spark.conf.get(k, None) for k in skew_conf}
+    for k, v in skew_conf.items():
+        spark.conf.set(k, v)
+    try:
+        left = (spark.range(200_000)
+                .withColumn("k", F.when(F.col("id") % 10 < 9, F.lit(7))
+                            .otherwise(F.col("id") % 1000))
+                .withColumn("pay", F.md5(F.col("id").cast("string"))))
+        right = (spark.range(1000).withColumn("k", F.col("id") % 1000)
+                 .withColumn("rpay", F.md5((F.col("id") * 7)
+                                           .cast("string"))))
+        j = (left.join(right, "k")
+             .select(F.sum(F.length("pay") + F.length("rpay")).alias("s")))
+        j.collect()   # same-Dataset action: AQE finalizes THIS plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        ok &= check("AQE skew-join fires on byte-skewed SMJ",
+                    "skew=true" in plan,
+                    f"SortMergeJoin(skew=true) nodes="
+                    f"{plan.count('skew=true')}, 90%-hot-key fixture")
+
+        # 8b. AQE byte-skew detection CANNOT see LSH bucket row-skew:
+        #     the band join exchanges bare ids (~24 B/row, identical
+        #     rows lz4-compress away), so a bucket holding 50% of the
+        #     corpus stays under any byte threshold while the self-join
+        #     emits B(B-1)/2 pairs inside the task (measured here: the
+        #     same fixture never produces skew=true even at floor
+        #     thresholds).  The engine's structural mitigation is the
+        #     max_bucket cap: oversized buckets switch to a
+        #     connectivity-preserving star expansion — candidate count
+        #     drops from quadratic to linear while every hot doc stays
+        #     connected to the cluster hub for dup_clusters closure.
+        from frogocr_spark.operators.dedup import minhash_lsh_pairs
+        hot = [(i, "the same duplicated payload text repeated " * 8)
+               for i in range(2000)]
+        bg = [(10_000 + i, f"unique background doc {i} tokens "
+               + " ".join(f"w{i}_{j}" for j in range(12)))
+              for i in range(2000)]
+        skewed = spark.createDataFrame(hot + bg, "doc_id long, text string")
+        capped = minhash_lsh_pairs(skewed, "doc_id", "text",
+                                   num_hashes=32, bands=4, threshold=0.5,
+                                   max_bucket=256)
+        n_capped = capped.count()
+        hot_connected = (capped.where((F.col("id_a") < 10_000)
+                                      & (F.col("id_b") < 10_000))
+                         .select("id_b").distinct().count())
+        ok &= check("max_bucket caps hot-bucket candidates to linear",
+                    n_capped <= 6 * 4000 and hot_connected >= 1999,
+                    f"pairs={n_capped} (quadratic would be ~2.0M), "
+                    f"{hot_connected}/1999 hot docs star-connected "
+                    f"to the cluster hub")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
