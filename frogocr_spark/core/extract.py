@@ -106,95 +106,112 @@ def _empty_record(cls: str = "plain") -> dict[str, Any]:
 
 
 def extract_batch(texts: pd.Series,
-                  settings: pd.Series | None = None) -> pd.DataFrame:
+                  settings: pd.Series | None = None,
+                  spans_as: str = "dicts") -> pd.DataFrame:
     """Batch twin of :func:`extract_turn` (same index as ``texts``).
 
     Vectorized sniff; vectorized ``plain`` path; per-class dispatch for the
     structured payloads.  Rows with non-default ``settings`` (rare in
     practice) take the scalar path.  Agreement with the scalar oracle is
     tested row-by-row in tests/test_extract.py.
-    """
+
+    ``spans_as="pairs"`` returns the spans column as ``[(start, end)]``
+    tuples instead of ``[{"start": ..., "end": ...}]`` dicts — the Arrow
+    operator's format (it flattens spans into offset/child arrays, so
+    per-span dicts are pure allocation overhead on the hot path); values
+    are identical (tests/test_extract.py asserts both modes agree)."""
+    pairs = spans_as == "pairs"
     s = texts.fillna("").astype(str)
     if settings is not None:
         tuned = settings.fillna("").astype(str) != ""
         if tuned.any():
-            base = extract_batch(s[~tuned], None)
+            base = extract_batch(s[~tuned], None, spans_as=spans_as)
             recs = [extract_turn(s.at[i], settings.at[i])
                     for i in s.index[tuned]]
             tuned_df = pd.DataFrame(recs, index=s.index[tuned],
                                     columns=OUTPUT_COLUMNS)
+            if pairs:
+                tuned_df["spans"] = pd.Series(
+                    [[(d["start"], d["end"]) for d in v]
+                     for v in tuned_df["spans"]],
+                    index=tuned_df.index, dtype=object)
             return _coerce(pd.concat([base, tuned_df]).loc[s.index])
     classes = sniff.sniff_series(s)
-    out = pd.DataFrame(index=s.index, columns=OUTPUT_COLUMNS, dtype=object)
-    out["payload_class"] = classes
 
-    plain_mask = classes == "plain"
-    if plain_mask.any():
-        p = s[plain_mask]
+    # positional assembly: every column is a flat numpy array (or plain
+    # python list for the ragged spans) filled by integer positions per
+    # class, and the DataFrame is constructed ONCE at the end (replaces
+    # ~40 masked .loc assignments + a full _coerce astype pass; batch
+    # cost is dominated by the per-row extractors, so this is hygiene
+    # more than speed — parity row-by-row in tests/test_extract.py)
+    import numpy as np
+    n = len(s)
+    cls_np = classes.to_numpy()
+    a_text = np.empty(n, dtype=object)
+    spans_col: list = [None] * n
+    a_nbl = np.zeros(n, dtype=np.int32)
+    a_nsp = np.zeros(n, dtype=np.int32)
+    a_nvar = np.zeros(n, dtype=np.int32)
+    a_conf = np.ones(n, dtype=np.float64)
+    a_pf = np.zeros(n, dtype=bool)
+    a_eas = np.zeros(n, dtype=bool)
+
+    plain_pos = np.flatnonzero(cls_np == "plain")
+    if len(plain_pos):
+        p = s.iloc[plain_pos]
         stripped = p.str.strip()
-        lead = p.str.len() - p.str.lstrip().str.len()
-        n = stripped.str.len()
-        nonempty = n > 0
-        out.loc[plain_mask, "extracted_text"] = stripped
-        out.loc[plain_mask, "spans"] = pd.Series(
-            [[{"start": int(a), "end": int(a + ln)}] if ne else []
-             for a, ln, ne in zip(lead, n, nonempty)],
-            index=p.index, dtype=object,
-        )
-        out.loc[plain_mask, "n_blocks"] = nonempty.astype(int)
-        out.loc[plain_mask, "n_spans"] = nonempty.astype(int)
-        out.loc[plain_mask, "n_variants"] = 0
-        out.loc[plain_mask, "confidence"] = 1.0
-        out.loc[plain_mask, "parse_failed"] = False
-        out.loc[plain_mask, "empty_after_strip"] = False
+        lead = (p.str.len() - p.str.lstrip().str.len()).to_numpy()
+        ln = stripped.str.len().to_numpy()
+        nonempty = ln > 0
+        a_text[plain_pos] = stripped.to_numpy(dtype=object)
+        for pos_i, a, b, ne in zip(plain_pos.tolist(), lead.tolist(),
+                                   (lead + ln).tolist(), nonempty.tolist()):
+            spans_col[pos_i] = (
+                ([(a, b)] if pairs else [{"start": a, "end": b}])
+                if ne else [])
+        a_nbl[plain_pos] = nonempty
+        a_nsp[plain_pos] = nonempty
 
-    tj_mask = classes == "tool_json"
-    if tj_mask.any():
+    tj_pos = np.flatnonzero(cls_np == "tool_json")
+    if len(tj_pos):
         # fused batch path (~33% of the corpus mix): one json.loads +
         # regex search per row, columns built in bulk — no dataclasses,
         # no per-row dicts, no scalar-dispatch overhead
-        tj_idx = s.index[tj_mask]
         t, st, en, kp, fl = tooljson.extract_tool_json_batch(
-            s[tj_mask].tolist())
-        out.loc[tj_mask, "extracted_text"] = pd.Series(
-            t, index=tj_idx, dtype=object)
-        out.loc[tj_mask, "spans"] = pd.Series(
-            [[{"start": a, "end": b}] if k else []
-             for a, b, k in zip(st, en, kp)], index=tj_idx, dtype=object)
-        kept = pd.Series(kp, index=tj_idx)
-        out.loc[tj_mask, "n_blocks"] = kept.astype(int)
-        out.loc[tj_mask, "n_spans"] = kept.astype(int)
-        out.loc[tj_mask, "n_variants"] = 0
-        out.loc[tj_mask, "confidence"] = 1.0
-        out.loc[tj_mask, "parse_failed"] = pd.Series(fl, index=tj_idx)
+            s.iloc[tj_pos].tolist())
+        a_text[tj_pos] = np.array(t, dtype=object)
+        for pos_i, a, b, k in zip(tj_pos.tolist(), st, en, kp):
+            spans_col[pos_i] = (
+                ([(a, b)] if pairs else [{"start": a, "end": b}])
+                if k else [])
+        kept = np.array(kp, dtype=bool)
+        a_nbl[tj_pos] = kept
+        a_nsp[tj_pos] = kept
+        a_pf[tj_pos] = np.array(fl, dtype=bool)
         # sniff guarantees tool_json raw is non-whitespace (stripped
         # starts with "{"), so empty_after_strip reduces to "not kept"
-        out.loc[tj_mask, "empty_after_strip"] = ~kept
+        a_eas[tj_pos] = ~kept
 
     # structured classes: per-row extractors (regex state machines — not
     # cross-row vectorizable), but everything AROUND them is batched:
     # direct extractor call (no extract_turn dispatch / Settings parse),
-    # fused prune+assemble+confidence (assemble.finalize), list append +
-    # one bulk column assignment per class instead of a DataFrame of
-    # per-row dicts (measured ~1.2-1.9× per class; parity row-by-row in
-    # tests/test_extract.py)
+    # fused prune+assemble+confidence (assemble.finalize), positional
+    # bulk column fill per class
     _EXTRACTORS = {"html": boilerplate.extract_html,
                    "pdf_layout": segment.extract_pdf_layout,
                    "markdown": markdown.extract_markdown}
     for cls in ("html", "pdf_layout", "markdown", "two_pass"):
-        mask = classes == cls
-        if not mask.any():
+        pos = np.flatnonzero(cls_np == cls)
+        if not len(pos):
             continue
-        idx = s.index[mask]
         fn = _EXTRACTORS.get(cls)
         texts_l: list[str] = []
-        spans_l: list[list] = []
         nsp: list[int] = []
         nbl: list[int] = []
         nvar: list[int] = []
         confs: list[float] = []
         eas: list[bool] = []
-        for raw in s[mask].tolist():
+        for pos_i, raw in zip(pos.tolist(), s.iloc[pos].tolist()):
             if fn is None:
                 blocks, conf = extract_two_pass(raw, True)
             else:
@@ -205,22 +222,27 @@ def extract_batch(texts: pd.Series,
             if fn is not None:
                 conf = mean_conf
             texts_l.append(extracted)
-            spans_l.append([{"start": a, "end": b} for a, b in spans])
+            spans_col[pos_i] = (spans if pairs else
+                                [{"start": a, "end": b} for a, b in spans])
             nbl.append(len(blocks))
             nsp.append(n_segs)
             nvar.append(n_var)
             confs.append(conf)
             eas.append((not extracted) and bool(raw.strip()))
-        out.loc[mask, "extracted_text"] = pd.Series(
-            texts_l, index=idx, dtype=object)
-        out.loc[mask, "spans"] = pd.Series(spans_l, index=idx, dtype=object)
-        out.loc[mask, "n_blocks"] = pd.Series(nbl, index=idx)
-        out.loc[mask, "n_spans"] = pd.Series(nsp, index=idx)
-        out.loc[mask, "n_variants"] = pd.Series(nvar, index=idx)
-        out.loc[mask, "confidence"] = pd.Series(confs, index=idx)
-        out.loc[mask, "parse_failed"] = False
-        out.loc[mask, "empty_after_strip"] = pd.Series(eas, index=idx)
-    return _coerce(out)
+        a_text[pos] = np.array(texts_l, dtype=object)
+        a_nbl[pos] = np.array(nbl, dtype=np.int32)
+        a_nsp[pos] = np.array(nsp, dtype=np.int32)
+        a_nvar[pos] = np.array(nvar, dtype=np.int32)
+        a_conf[pos] = np.array(confs, dtype=np.float64)
+        a_eas[pos] = np.array(eas, dtype=bool)
+
+    return pd.DataFrame(
+        {"payload_class": cls_np, "extracted_text": a_text,
+         "spans": pd.Series(spans_col, index=s.index, dtype=object),
+         "n_blocks": a_nbl, "n_spans": a_nsp, "n_variants": a_nvar,
+         "confidence": a_conf, "parse_failed": a_pf,
+         "empty_after_strip": a_eas},
+        index=s.index, columns=OUTPUT_COLUMNS)
 
 
 def _coerce(out: pd.DataFrame) -> pd.DataFrame:

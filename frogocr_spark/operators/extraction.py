@@ -87,15 +87,15 @@ def extract_turns(df: DataFrame, *, text_col: str = "text",
             texts = rb.column(names.index(text_col)).to_pandas()
             stngs = (rb.column(names.index(settings_col)).to_pandas()
                      if settings_col else None)
-            res = extract_batch(texts, stngs)
+            res = extract_batch(texts, stngs, spans_as="pairs")
 
             starts: list[int] = []
             ends: list[int] = []
             offsets = [0]
             for row_spans in res["spans"]:
-                for d in row_spans:
-                    starts.append(d["start"])
-                    ends.append(d["end"])
+                for a, b in row_spans:
+                    starts.append(a)
+                    ends.append(b)
                 offsets.append(len(starts))
             spans_arr = pa.ListArray.from_arrays(
                 pa.array(offsets, pa.int32()),

@@ -138,3 +138,27 @@ def test_all_payload_classes_represented(corpus):
     seen = {extract.extract_turn(r["text"])["payload_class"] for r in corpus}
     assert seen == {"plain", "markdown", "html", "pdf_layout",
                     "tool_json", "two_pass"}
+
+
+def test_spans_pairs_mode_matches_dicts_mode(corpus):
+    """spans_as="pairs" (the Arrow operator's allocation-light format)
+    must carry exactly the same values as the default dict format, on
+    every row of the full generated corpus, with and without per-row
+    settings routing a row through the scalar path."""
+    texts = pd.Series([r["text"] for r in corpus])
+    dicts = extract.extract_batch(texts)
+    prs = extract.extract_batch(texts, spans_as="pairs")
+    for col in dicts.columns:
+        if col == "spans":
+            continue
+        assert dicts[col].tolist() == prs[col].tolist(), col
+    for d_row, p_row in zip(dicts["spans"], prs["spans"]):
+        assert [(d["start"], d["end"]) for d in d_row] \
+            == [tuple(p) for p in p_row]
+    # tuned-settings rows (scalar path) convert too
+    stngs = pd.Series(["MinWordConfidence=0.9"] + [""] * (len(texts) - 1))
+    tuned = extract.extract_batch(texts, stngs, spans_as="pairs")
+    assert [tuple(p) for p in tuned["spans"].iloc[0]] \
+        == [(d["start"], d["end"])
+            for d in extract.extract_turn(
+                texts.iloc[0], "MinWordConfidence=0.9")["spans"]]
