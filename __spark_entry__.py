@@ -811,11 +811,63 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("f0"))
 
 
+def _q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family within-document repetition signals (dup-line
+    fraction, top-bigram fraction) — relational formulation so the
+    DuckDB oracle recomputes every aggregate
+    (operators/textstats.repetition_stats)."""
+    from frogocr_spark.operators.textstats import repetition_stats
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        "doc_id", F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_frac", "top_2gram_frac")
+
+
+def _q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-stream sequence packing for pretraining layout: docs
+    concatenated in doc_id order, chunked into capacity-1024 sequences
+    via the scale-safe global prefix sum
+    (operators/ranking.global_cumsum — range partition + per-partition
+    running sum + broadcast offsets; no single-partition window)."""
+    from frogocr_spark.operators.ranking import pack_sequences
+    from frogocr_spark.operators.textstats import token_count
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok"))
+    return pack_sequences(docs, ["doc_id"], "n_tok", capacity=1024) \
+        .select("doc_id", "n_tok", "seq_id", "seq_offset")
+
+
+def _q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample: 20 docs per language
+    stratum, picked by smallest md5(doc_id) — seedless and
+    engine-portable, so the oracle selects the identical rows
+    (operators/textstats.stratified_sample)."""
+    from frogocr_spark.operators.textstats import (language_id,
+                                                   stratified_sample)
+    docs = _read(spark, sf_dir, "documents") \
+        .withColumn("lang_id", language_id(F.col("text")))
+    return stratified_sample(docs, ["lang_id"], 20) \
+        .select("doc_id", "lang_id")
+
+
+def _q_xdoc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 8-gram detection (substring-dedup
+    candidate generator): every word 8-gram appearing in >= 2 distinct
+    documents with its document frequency
+    (operators/textstats.cross_doc_ngrams)."""
+    from frogocr_spark.operators.textstats import cross_doc_ngrams
+    docs = _read(spark, sf_dir, "documents")
+    return cross_doc_ngrams(docs, n=8, min_docs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
-    dropping registry positions 51-53).  Every DuckDB-hash-checked entry
-    sits inside the first 50 positions; the three rows-only-by-design
+    dropping registry positions 51-53).  The first 50 positions are all
+    DuckDB-hash-checked (every operator family has a hash row inside the
+    driver window); further hash-checked surplus entries follow at 51+
+    (verified by tools/check_contract.py, and picked up as hash rows by
+    any larger driver cap); the three rows-only-by-design
     entries (pipeline_extract — not SQL-expressible, its correctness is
     carried by extract_plain_docs + the golden pytest suite + entry();
     dedup_minhash_xx — xxhash64 absent from DuckDB, pinned to the
@@ -874,6 +926,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
         "a7_ctc": _q_a7_ctc,
+        # ---- surplus hash-checked entries (positions 51+): the driver
+        # records only the first 50 rows, so these are verified by
+        # tools/check_contract.py (and re-runnable by any reviewer);
+        # ordered BEFORE the rows-only tail so a larger driver cap picks
+        # them up as hash rows first ----
+        "rep_stats": _q_rep_stats,
+        "seq_pack": _q_seq_pack,
+        "strat_sample": _q_strat_sample,
+        "xdoc_ngrams": _q_xdoc_ngrams,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -1522,6 +1583,98 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                    AS fingerprint
             FROM documents
+        """,
+        "rep_stats": r"""
+            WITH lines AS (
+                SELECT doc_id, trim(l) AS line
+                FROM documents, unnest(string_split(text, chr(10))) AS u(l)
+                WHERE trim(l) <> ''
+            ), line_stats AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct
+                FROM (SELECT doc_id, line, COUNT(*) AS c
+                      FROM lines GROUP BY doc_id, line)
+                GROUP BY doc_id
+            ), words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(ws) >= 2
+                                   THEN [array_to_string(ws[j:j+1], ' ')
+                                         for j in range(1, len(ws))]
+                                   ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM words
+            ), gram_stats AS (
+                SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total_c
+                FROM (SELECT doc_id, gram, COUNT(*) AS c
+                      FROM grams GROUP BY doc_id, gram)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(ls.n_lines, 0) AS BIGINT) AS n_lines,
+                   round(CASE WHEN ls.n_lines IS NOT NULL
+                              THEN 1.0 - ls.n_distinct * 1.0 / ls.n_lines
+                              ELSE 0.0 END, 6) AS dup_line_frac,
+                   round(COALESCE(gs.top_c * 1.0 / gs.total_c, 0.0), 6)
+                   AS top_2gram_frac
+            FROM documents d
+            LEFT JOIN line_stats ls USING (doc_id)
+            LEFT JOIN gram_stats gs USING (doc_id)
+        """,
+        "seq_pack": f"""
+            WITH t AS (
+                SELECT doc_id, CAST({n_tokens} AS INT) AS n_tok
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tok,
+                       CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS cum
+                FROM t
+            )
+            SELECT doc_id, n_tok,
+                   CAST(cum // 1024 AS BIGINT) AS seq_id,
+                   CAST(cum % 1024 AS INT) AS seq_offset
+            FROM c
+        """,
+        "strat_sample": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN {n_tokens} = 0 THEN 'xx'
+                            WHEN {en_hits} >= {no_hits}
+                                 AND {en_hits} * 50 >= {n_tokens} THEN 'en'
+                            WHEN {no_hits} > {en_hits}
+                                 AND {no_hits} * 50 >= {n_tokens} THEN 'no'
+                            ELSE 'xx' END AS lang_id
+                FROM documents
+            ), r AS (
+                SELECT doc_id, lang_id,
+                       row_number() OVER (PARTITION BY lang_id
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rn
+                FROM t
+            )
+            SELECT doc_id, lang_id FROM r WHERE rn <= 20
+        """,
+        "xdoc_ngrams": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(ws) >= 8
+                                   THEN [array_to_string(ws[j:j+7], ' ')
+                                         for j in range(1, len(ws) - 6)]
+                                   ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM words
+            )
+            SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM grams GROUP BY gram HAVING COUNT(*) >= 2
         """,
         "agg_pivot": f"""
             SELECT source,

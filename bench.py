@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "agg_quantiles", "agg_rollup_cube", "agg_pivot", "j_full_outer",
     "set_ops",
     "a7_ctc", "w5_nms", "metrics_rollup",
+    "rep_stats", "seq_pack", "strat_sample", "xdoc_ngrams",
 ]
 
 

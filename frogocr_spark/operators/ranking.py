@@ -63,3 +63,77 @@ def global_rank(df: DataFrame, order_cols: list[str],
                         (F.row_number().over(w) + F.col("_offset"))
                         .cast("long"))
             .drop("_pid", "_offset"))
+
+
+def global_cumsum(df: DataFrame, order_cols: list[str], value_col: str,
+                  cumsum_col: str = "cumsum",
+                  num_partitions: int | None = None) -> DataFrame:
+    """Append ``cumsum_col``: the EXCLUSIVE prefix sum of ``value_col``
+    under ``ORDER BY order_cols`` (sum of all strictly-earlier rows; the
+    first row gets 0) — scalable, same two-level construction as
+    :func:`global_rank`:
+
+    1. ``repartitionByRange`` on the order key (order-preserving
+       partition ids),
+    2. per-partition running sum (window PARTITIONED by the range
+       partition id — full parallelism),
+    3. per-partition totals (one O(num_partitions) aggregate) collected,
+       cumulated on the driver, broadcast-joined back as offsets.
+
+    The classic single-partition hazard this avoids:
+    ``SUM(...) OVER (ORDER BY ...)`` with no PARTITION BY collapses the
+    whole relation into one task.  Driver cost is O(num_partitions)
+    longs.  Exclusive (not inclusive) because the primary consumer is
+    token-stream packing, where a row's SEQUENCE id is determined by
+    where the row STARTS in the concatenated stream.
+
+    NOTE: eager at plan-construction, exactly like ``global_rank`` (the
+    localCheckpoint + per-partition totals collect run at call time)."""
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+              .withColumn("_pid", F.spark_partition_id())
+              .localCheckpoint())
+    totals = {r["_pid"]: r["t"] for r in
+              ranged.groupBy("_pid").agg(F.sum(value_col).alias("t"))
+              .collect()}
+    offsets, acc = [], 0
+    for pid in range(max(totals, default=-1) + 1):
+        offsets.append((pid, acc))
+        acc += int(totals.get(pid) or 0)
+    off_df = F.broadcast(df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _offset long"))
+    w = (Window.partitionBy("_pid").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local = F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("long")
+    return (ranged.join(off_df, "_pid")
+            .withColumn(cumsum_col, local + F.col("_offset"))
+            .drop("_pid", "_offset"))
+
+
+def pack_sequences(df: DataFrame, order_cols: list[str],
+                   token_col: str, capacity: int,
+                   seq_col: str = "seq_id",
+                   offset_col: str = "seq_offset",
+                   num_partitions: int | None = None) -> DataFrame:
+    """Token-stream sequence packing (LLM pretraining layout): rows are
+    concatenated in ``order_cols`` order into one token stream, which is
+    chunked into fixed-``capacity`` sequences; each row is stamped with
+    the sequence its FIRST token lands in (``seq_col``) and its offset
+    within that sequence (``offset_col``).  Rows may straddle a sequence
+    boundary (standard packed-pretraining behavior — consumers that
+    need whole-row placement can re-pack within a sequence).
+
+    Pure composition: :func:`global_cumsum` (scale-safe prefix sum) +
+    two arithmetic columns.  SQL twin:
+    ``SUM(tok) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING)`` then the same div/mod."""
+    out = global_cumsum(df, order_cols, token_col, cumsum_col="_cum",
+                        num_partitions=num_partitions)
+    # integer DIV, not double `/`: exact for any int64 cumsum (double
+    # division starts misrounding past 2^53 tokens — reachable at
+    # production scale)
+    return (out.withColumn(seq_col,
+                           F.expr(f"_cum DIV {int(capacity)}"))
+            .withColumn(offset_col,
+                        (F.col("_cum") % capacity).cast("int"))
+            .drop("_cum"))

@@ -141,3 +141,106 @@ def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("lang_id", language_id(c))
             .withColumn("quality", quality_score(c))
             .withColumn("fingerprint", fingerprint(c)))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the public Gopher-rules
+    family: repetitious documents are low-quality training data):
+
+    - ``n_lines``        non-empty trimmed lines
+    - ``dup_line_frac``  1 - distinct_lines/lines (0.0 when no lines)
+    - ``top_2gram_frac`` occurrences of the most frequent word bigram /
+      total bigrams (0.0 when no bigram)
+
+    Relational formulation (explode → two keyed aggregations with
+    map-side combine), deliberately SQL-expressible so the DuckDB
+    oracle recomputes it: shuffles are keyed on (doc, line) /
+    (doc, bigram) — never wider than the tokenized corpus, and hot keys
+    within one doc combine map-side.  Returns one row per input row
+    (docs with no lines/bigrams keep 0.0 fractions)."""
+    base = df.select(id_col, text_col)
+    lines = base.select(
+        id_col,
+        F.explode(F.filter(
+            F.transform(F.split(F.col(text_col), "\n"),
+                        lambda x: F.trim(x)),
+            lambda x: x != "")).alias("line"))
+    line_stats = (lines.groupBy(id_col, "line")
+                  .agg(F.count(F.lit(1)).alias("c"))
+                  .groupBy(id_col)
+                  .agg(F.sum("c").alias("n_lines"),
+                       F.count(F.lit(1)).alias("n_distinct")))
+    ws = F.filter(F.split(F.trim(F.col(text_col)), _WS), lambda x: x != "")
+    grams = base.select(
+        id_col,
+        F.explode(F.when(
+            F.size(ws) >= 2,
+            F.transform(F.slice(ws, 1, F.size(ws) - 1),
+                        lambda x, i: F.concat_ws(" ", x, ws[i + 1]))
+        ).otherwise(F.array().cast("array<string>"))).alias("gram"))
+    gram_stats = (grams.groupBy(id_col, "gram")
+                  .agg(F.count(F.lit(1)).alias("c"))
+                  .groupBy(id_col)
+                  .agg(F.max("c").alias("top_c"),
+                       F.sum("c").alias("total_c")))
+    return (base.select(id_col)
+            .join(line_stats, id_col, "left")
+            .join(gram_stats, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+                F.round(F.when(
+                    F.col("n_lines").isNotNull(),
+                    1.0 - F.col("n_distinct") / F.col("n_lines"))
+                    .otherwise(F.lit(0.0)), 6).alias("dup_line_frac"),
+                F.round(F.coalesce(
+                    F.col("top_c") / F.col("total_c"), F.lit(0.0)), 6)
+                .alias("top_2gram_frac")))
+
+
+def stratified_sample(df: DataFrame, strata_cols: list[str],
+                      n_per_stratum: int,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic stratified downsample: the ``n_per_stratum`` rows
+    of each stratum with the smallest ``md5(id)`` — a seedless,
+    engine-portable "random" order (md5 is uniform in the id, stable
+    across runs/engines, so the DuckDB oracle picks the identical
+    sample).  The curation use: cap per-stratum volume (e.g. per
+    (lang_id, quality bucket)) before expensive downstream stages.
+
+    Scale note: one window partitioned by the strata — a stratum's rows
+    sort within one task chain, fine while strata are balanced; for a
+    degenerate stratum holding most of the corpus, pre-aggregate with
+    the partial top-k pattern (similarity.cosine_topk_partial) instead.
+    """
+    from pyspark.sql import Window
+    w = (Window.partitionBy(*strata_cols)
+         .orderBy(F.md5(F.col(id_col).cast("string")), id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n_per_stratum).drop("_rn"))
+
+
+def cross_doc_ngrams(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 8,
+                     min_docs: int = 2) -> DataFrame:
+    """Cross-document repeated n-gram detection — the candidate
+    generator for substring-level dedup (the public
+    train-data-dedup observation: long n-grams shared verbatim across
+    documents mark boilerplate/near-copies): every word ``n``-gram
+    occurring in at least ``min_docs`` DISTINCT documents, with its
+    document frequency.
+
+    Plan: shingle expr (JVM-side) → explode → per-doc distinct (one
+    keyed aggregation, map-side combined) → (gram → n_docs) aggregation
+    → filter.  Both shuffles are keyed on the gram text; hot grams
+    combine map-side, and the ``min_docs`` filter prunes the long tail
+    before the result materializes."""
+    from .dedup import _shingle_expr
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_shingle_expr(text_col, n, None)).alias("gram"))
+    return (grams.dropDuplicates(["_id", "gram"])
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .where(F.col("n_docs") >= min_docs))

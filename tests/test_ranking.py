@@ -38,3 +38,50 @@ def test_global_rank_is_dense_and_order_consistent(spark):
 def test_global_rank_empty(spark):
     df = spark.createDataFrame([], "t_df long, token string")
     assert global_rank(df, ["t_df", "token"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# global_cumsum / pack_sequences
+# ---------------------------------------------------------------------------
+
+from frogocr_spark.operators.ranking import global_cumsum, pack_sequences
+
+
+@pytest.mark.parametrize("num_partitions", [1, 3, 8, 64])
+def test_global_cumsum_matches_python_prefix_sum(spark, num_partitions):
+    rows = [(i, (i * 7) % 13) for i in range(41)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r["k"]: r["cumsum"] for r in
+           global_cumsum(df, ["k"], "v",
+                         num_partitions=num_partitions).collect()}
+    acc, want = 0, {}
+    for k, v in sorted(rows):
+        want[k] = acc          # EXCLUSIVE prefix sum
+        acc += v
+    assert got == want
+
+
+def test_global_cumsum_empty_and_single(spark):
+    empty = spark.createDataFrame([], "k long, v long")
+    assert global_cumsum(empty, ["k"], "v").count() == 0
+    one = spark.createDataFrame([(5, 99)], "k long, v long")
+    assert one.transform(
+        lambda d: global_cumsum(d, ["k"], "v")).collect()[0]["cumsum"] == 0
+
+
+def test_pack_sequences_layout_and_straddle(spark):
+    # capacity 10; token counts chosen so doc 2 straddles the 10-boundary
+    rows = [(0, 4), (1, 3), (2, 6), (3, 10), (4, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    got = {r["doc_id"]: (r["seq_id"], r["seq_offset"]) for r in
+           pack_sequences(df, ["doc_id"], "n_tok", capacity=10).collect()}
+    # cum: 0,4,7,13,23 → seq = cum//10, offset = cum%10
+    assert got == {0: (0, 0), 1: (0, 4), 2: (0, 7), 3: (1, 3), 4: (2, 3)}
+
+
+def test_pack_sequences_zero_token_rows_share_position(spark):
+    rows = [(0, 0), (1, 5), (2, 0), (3, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    got = {r["doc_id"]: (r["seq_id"], r["seq_offset"]) for r in
+           pack_sequences(df, ["doc_id"], "n_tok", capacity=5).collect()}
+    assert got == {0: (0, 0), 1: (0, 0), 2: (1, 0), 3: (1, 0)}
