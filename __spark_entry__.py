@@ -860,6 +860,27 @@ def _q_xdoc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_doc_ngrams(docs, n=8, min_docs=2)
 
 
+def _q_dup_gram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc substring-duplication fraction: share of each document's
+    distinct word 8-grams occurring in >= 2 documents — the resolution
+    side of xdoc_ngrams (operators/textstats.dup_gram_fraction)."""
+    from frogocr_spark.operators.textstats import dup_gram_fraction
+    docs = _read(spark, sf_dir, "documents")
+    return dup_gram_fraction(docs, n=8, min_docs=2)
+
+
+def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: deterministic eval split
+    (doc_id % 97 == 0), candidates checked for verbatim 8-gram overlap
+    against the BROADCAST eval gram set — the corpus side is never
+    shuffled (operators/textstats.decontaminate)."""
+    from frogocr_spark.operators.textstats import decontaminate
+    docs = _read(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    cand = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(cand, eval_df, n=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -935,6 +956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": _q_seq_pack,
         "strat_sample": _q_strat_sample,
         "xdoc_ngrams": _q_xdoc_ngrams,
+        "dup_gram_frac": _q_dup_gram_frac,
+        "decontam": _q_decontam,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -1675,6 +1698,71 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+        """,
+        "dup_gram_frac": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(ws) >= 8
+                                   THEN [array_to_string(ws[j:j+7], ' ')
+                                         for j in range(1, len(ws) - 6)]
+                                   ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM words
+            ), freq AS (
+                SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
+            ), per_doc AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                       CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_dup_grams
+                FROM g JOIN freq f USING (gram) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(p.n_dup_grams, 0) AS BIGINT)
+                   AS n_dup_grams,
+                   round(COALESCE(p.n_dup_grams * 1.0 / p.n_grams, 0.0), 6)
+                   AS dup_gram_frac
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "decontam": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(ws) >= 8
+                                   THEN [array_to_string(ws[j:j+7], ' ')
+                                         for j in range(1, len(ws) - 6)]
+                                   ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM words
+            ), eg AS (
+                SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+            ), cand AS (
+                SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0
+            ), tot AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+                FROM cand GROUP BY doc_id
+            ), hit AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+                FROM cand WHERE gram IN (SELECT gram FROM eg)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   round(COALESCE(h.n_overlap * 1.0 / t.n_grams, 0.0), 6)
+                   AS overlap_frac,
+                   CASE WHEN COALESCE(h.n_overlap, 0) > 0
+                        THEN 1 ELSE 0 END AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN hit h USING (doc_id)
         """,
         "agg_pivot": f"""
             SELECT source,

@@ -244,3 +244,83 @@ def cross_doc_ngrams(df: DataFrame, id_col: str = "doc_id",
             .groupBy("gram")
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .where(F.col("n_docs") >= min_docs))
+
+
+def dup_gram_fraction(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 8,
+                      min_docs: int = 2) -> DataFrame:
+    """Per-document substring-duplication signal — the resolution side
+    of :func:`cross_doc_ngrams`: for each document, the fraction of its
+    DISTINCT word ``n``-grams that also occur in at least ``min_docs``
+    distinct documents (itself included).  Documents dominated by
+    cross-document grams are boilerplate / near-copies at the substring
+    level, which whole-document dedup (minhash/simhash) misses.
+
+    Plan (one gram pass, everything keyed on the gram text):
+    explode → per-doc distinct → (gram → doc frequency) aggregation →
+    re-join the frequency to each (doc, gram) → per-doc counts.  Hot
+    grams combine map-side in the frequency aggregation; the re-join
+    fans a gram's frequency back only to the documents containing it,
+    so no stage is wider than the distinct (doc, gram) relation.
+    Returns one row per input row (gram-less docs keep 0 counts)."""
+    from .dedup import _shingle_expr
+    g = (df.select(F.col(id_col).alias("_id"),
+                   F.explode(_shingle_expr(text_col, n, None))
+                   .alias("gram"))
+         .dropDuplicates(["_id", "gram"]))
+    freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (g.join(freq, "gram")
+               .groupBy("_id")
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum((F.col("_df") >= min_docs).cast("long"))
+                    .alias("n_dup_grams")))
+    return (df.select(id_col)
+            .join(per_doc, F.col(id_col) == F.col("_id"), "left")
+            .select(
+                id_col,
+                F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+                F.round(F.coalesce(
+                    F.col("n_dup_grams") / F.col("n_grams"), F.lit(0.0)),
+                    6).alias("dup_gram_frac")))
+
+
+def decontaminate(df: DataFrame, eval_df: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 8) -> DataFrame:
+    """Benchmark decontamination check (the public train-data hygiene
+    rule: drop training documents sharing long verbatim n-grams with an
+    evaluation set): for each candidate document, how many of its
+    distinct word ``n``-grams appear anywhere in ``eval_df``'s text,
+    plus the overlap fraction and a contaminated flag (any hit).
+
+    Scale shape: the eval side is benchmarks — thousands of documents,
+    millions of grams — while the candidate side is the 100 TB corpus.
+    The eval gram set is therefore BROADCAST and the corpus-side probe
+    is a broadcast left-semi-style join: the big side is never
+    shuffled, no stage is keyed on corpus data.  (plan_audit checks the
+    broadcast actually happens.)  Returns one row per candidate row."""
+    from .dedup import _shingle_expr
+    eval_grams = (eval_df.select(
+        F.explode_outer(_shingle_expr(text_col, n, None)).alias("gram"))
+        .where(F.col("gram").isNotNull()).distinct())
+    cand = (df.select(F.col(id_col).alias("_id"),
+                      F.explode(_shingle_expr(text_col, n, None))
+                      .alias("gram"))
+            .dropDuplicates(["_id", "gram"]))
+    hits = (cand.join(F.broadcast(eval_grams), "gram", "left_semi")
+            .groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap")))
+    tot = cand.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (df.select(id_col)
+            .join(tot, F.col(id_col) == tot["_id"], "left").drop("_id")
+            .join(hits, F.col(id_col) == hits["_id"], "left").drop("_id")
+            .select(
+                id_col,
+                F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+                F.round(F.coalesce(
+                    F.col("n_overlap") / F.col("n_grams"), F.lit(0.0)),
+                    6).alias("overlap_frac"),
+                (F.coalesce("n_overlap", F.lit(0)) > 0).cast("int")
+                .alias("contaminated")))

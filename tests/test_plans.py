@@ -170,3 +170,43 @@ def test_lsh_hot_bucket_cap_linearizes_candidates(spark):
         (F.col("id_a") >= 10_000) & (F.col("id_b") >= 10_000))
     bg_uncapped = {(r.id_a, r.id_b) for r in uncapped.collect()}
     assert bg_capped == bg_uncapped
+
+
+def test_seq_pack_prefix_sum_has_no_single_partition_exchange(spark):
+    """The naive SUM() OVER (ORDER BY) global prefix sum collapses the
+    relation into ONE task; pack_sequences' two-level construction
+    (range partition + per-partition window + broadcast offsets) must
+    never plan a SinglePartition exchange."""
+    from pyspark.sql import functions as F
+
+    from frogocr_spark.operators.ranking import pack_sequences
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n_tok"))
+    packed = pack_sequences(df, ["doc_id"], "n_tok", capacity=64)
+    plan = _plan(packed)
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+    # and it is actually the right prefix sum
+    got = {r["doc_id"]: (r["seq_id"], r["seq_offset"])
+           for r in packed.collect()}
+    acc = 0
+    for i in range(5000):
+        assert got[i] == (acc // 64, acc % 64), i
+        acc += i % 37 + 1
+
+
+def test_decontam_eval_grams_broadcast_into_semi_join(spark):
+    """The eval-gram set is benchmark-sized; the corpus side is the
+    100 TB relation — the probe must be a broadcast LeftSemi, never a
+    shuffle of corpus grams against eval grams."""
+    from pyspark.sql import functions as F
+
+    from frogocr_spark.operators.textstats import decontaminate
+    rows = [(i, f"tok{i} " + "alpha beta gamma delta epsilon zeta eta theta"
+             + (f" tail{i}" if i % 2 else ""))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = decontaminate(df.where(F.col("doc_id") % 10 != 0),
+                        df.where(F.col("doc_id") % 10 == 0), n=8)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

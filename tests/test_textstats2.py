@@ -145,3 +145,37 @@ def test_cross_doc_ngrams_within_doc_repeat_counts_once(spark):
     got = {r["gram"]: r["n_docs"] for r in
            textstats.cross_doc_ngrams(df, n=4, min_docs=2).collect()}
     assert got["p q r s"] == 2        # distinct DOCS, not occurrences
+
+
+def test_dup_gram_fraction_hand_computed(spark):
+    shared = "q w e r"
+    rows = [(0, f"{shared} one"),        # grams: "q w e r","w e r one"
+            (1, f"{shared} two"),        # grams: "q w e r","w e r two"
+            (2, "totally unrelated words here"),  # 1 gram, unique
+            (3, "x")]                    # no 4-gram
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"],
+                         r["dup_gram_frac"])
+           for r in textstats.dup_gram_fraction(df, n=4,
+                                                min_docs=2).collect()}
+    assert got[0] == (2, 1, 0.5)
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (1, 0, 0.0)
+    assert got[3] == (0, 0, 0.0)
+
+
+def test_decontaminate_hand_computed(spark):
+    bench = "a b c d"
+    cand = spark.createDataFrame(
+        [(0, f"{bench} x"),              # grams "a b c d","b c d x" → 1 hit
+         (1, "clean text with no overlap at all"),  # 0 hits
+         (2, "ab")],                     # no grams
+        "doc_id long, text string")
+    eval_df = spark.createDataFrame([(100, bench)],
+                                    "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_overlap"], r["overlap_frac"],
+                         r["contaminated"])
+           for r in textstats.decontaminate(cand, eval_df, n=4).collect()}
+    assert got[0] == (2, 1, 0.5, 1)
+    assert got[1] == (4, 0, 0.0, 0)
+    assert got[2] == (0, 0, 0.0, 0)

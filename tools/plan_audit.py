@@ -202,6 +202,34 @@ def main() -> None:
             else:
                 spark.conf.set(k, v)
 
+    # 9. global prefix sum (seq_pack): the naive SUM() OVER (ORDER BY)
+    #    with no PARTITION BY collapses the relation into ONE task; the
+    #    two-level construction (repartitionByRange + per-partition
+    #    window + broadcast offsets) must show no SinglePartition
+    #    exchange anywhere in the executed plan.
+    from frogocr_spark.operators.ranking import pack_sequences
+    from frogocr_spark.operators.textstats import decontaminate, token_count
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    packed = pack_sequences(
+        docs.select("doc_id", token_count(F.col("text")).alias("n_tok")),
+        ["doc_id"], "n_tok", capacity=1024)
+    plan = executed(packed)
+    ok &= check("seq_pack prefix sum has no SinglePartition exchange",
+                "SinglePartition" not in plan and "Window" in plan,
+                f"exchanges={plan.count('Exchange')}, "
+                f"single_partition={'SinglePartition' in plan}")
+
+    # 10. decontamination probe: the eval-gram set (small: benchmarks)
+    #     must be BROADCAST into a semi join — the corpus side is the
+    #     100 TB relation and must never be shuffled for the probe.
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    cand = docs.where(F.col("doc_id") % 97 != 0)
+    plan = executed(decontaminate(cand, eval_df, n=8))
+    ok &= check("decontam eval grams broadcast into the semi join",
+                "BroadcastHashJoin" in plan and "LeftSemi" in plan,
+                f"broadcast_joins={plan.count('BroadcastHashJoin')}, "
+                f"left_semi={'LeftSemi' in plan}")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
