@@ -209,15 +209,27 @@ def stratified_sample(df: DataFrame, strata_cols: list[str],
     sample).  The curation use: cap per-stratum volume (e.g. per
     (lang_id, quality bucket)) before expensive downstream stages.
 
-    Scale note: one window partitioned by the strata — a stratum's rows
-    sort within one task chain, fine while strata are balanced; for a
-    degenerate stratum holding most of the corpus, pre-aggregate with
-    the partial top-k pattern (similarity.cosine_topk_partial) instead.
+    Scale shape (partial top-k, the same map-side-combine-for-rank
+    pattern as similarity.cosine_topk_partial): a naive single window
+    per stratum sorts a whole stratum in ONE task — a degenerate
+    stratum holding most of the corpus serializes the job.  Instead a
+    first window partitioned by (input-partition id, strata) keeps each
+    partition's local top-n per stratum — full parallelism regardless
+    of stratum skew — and only those ≤ n·P survivors reach the global
+    per-stratum window.  Exact: a global top-n row is necessarily a
+    local top-n row of its own partition, and the (md5, id) order is
+    total (no tie groups to preserve).  ``_pid`` is materialized BEFORE
+    the first exchange so the window key reflects the scan partitions.
     """
     from pyspark.sql import Window
-    w = (Window.partitionBy(*strata_cols)
-         .orderBy(F.md5(F.col(id_col).cast("string")), id_col))
-    return (df.withColumn("_rn", F.row_number().over(w))
+    key = F.md5(F.col(id_col).cast("string"))
+    w_local = (Window.partitionBy("_pid", *strata_cols)
+               .orderBy(key, id_col))
+    pruned = (df.withColumn("_pid", F.spark_partition_id())
+              .withColumn("_rn", F.row_number().over(w_local))
+              .where(F.col("_rn") <= n_per_stratum).drop("_pid", "_rn"))
+    w = Window.partitionBy(*strata_cols).orderBy(key, id_col)
+    return (pruned.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= n_per_stratum).drop("_rn"))
 
 

@@ -179,3 +179,22 @@ def test_decontaminate_hand_computed(spark):
     assert got[0] == (2, 1, 0.5, 1)
     assert got[1] == (4, 0, 0.0, 0)
     assert got[2] == (0, 0, 0.0, 0)
+
+
+def test_stratified_sample_degenerate_stratum_exact(spark):
+    # one stratum holds 95% of rows, spread over many input partitions —
+    # the partial top-k prune must still produce the exact global answer
+    rows = ([(i, "hot") for i in range(950)]
+            + [(1000 + i, "cold") for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id long, stratum string") \
+        .repartition(16)
+    got = sorted((r["stratum"], r["doc_id"]) for r in
+                 textstats.stratified_sample(
+                     df, ["stratum"], 7, id_col="doc_id").collect())
+    import hashlib
+    want = []
+    for s, ids in (("hot", range(950)), ("cold", range(1000, 1050))):
+        order = sorted(ids, key=lambda i: (
+            hashlib.md5(str(i).encode()).hexdigest(), i))
+        want += [(s, i) for i in order[:7]]
+    assert got == sorted(want)
