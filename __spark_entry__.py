@@ -881,6 +881,29 @@ def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(cand, eval_df, n=8)
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (training-data hygiene): the corpus carries no PII,
+    so both sides deterministically augment text (emails on doc_id%7,
+    phone runs on doc_id%11) before the scrub — the byte-compared
+    `scrubbed` column verifies the Java-regex / RE2 replace semantics
+    agree (operators/textstats.redact_pii)."""
+    from frogocr_spark.operators.textstats import redact_pii
+    docs = _read(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.org now"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" call +47 22 11 33 55 ok")).otherwise(F.lit("")),
+        ).alias("text"))
+    return redact_pii(aug).select("doc_id", "n_emails", "n_phones",
+                                  "scrubbed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -958,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xdoc_ngrams": _q_xdoc_ngrams,
         "dup_gram_frac": _q_dup_gram_frac,
         "decontam": _q_decontam,
+        "pii_scrub": _q_pii_scrub,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -1081,6 +1105,10 @@ _JACCARD_TRIGRAM_CTE = r"""words AS (
                                    ELSE CAST([] AS VARCHAR[]) END) AS token
                 FROM words
             )"""
+
+
+from frogocr_spark.operators.textstats import EMAIL_RE as _PII_EMAIL
+from frogocr_spark.operators.textstats import PHONE_RE as _PII_PHONE
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1764,6 +1792,31 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN tot t USING (doc_id)
             LEFT JOIN hit h USING (doc_id)
         """,
+        "pii_scrub": r"""
+            WITH aug AS (
+                SELECT doc_id, text ||
+                       CASE WHEN doc_id % 7 = 0
+                            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                 || '@example.org now' ELSE '' END ||
+                       CASE WHEN doc_id % 11 = 0
+                            THEN ' call +47 22 11 33 55 ok' ELSE '' END
+                       AS text
+                FROM documents
+            ), s1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '@EMAIL@'))
+                            AS INT) AS n_emails,
+                       regexp_replace(text, '@EMAIL@', '<EMAIL>', 'g')
+                       AS t1
+                FROM aug
+            )
+            SELECT doc_id, n_emails,
+                   CAST(len(regexp_extract_all(t1, '@PHONE@')) AS INT)
+                   AS n_phones,
+                   regexp_replace(t1, '@PHONE@', '<PHONE>', 'g')
+                   AS scrubbed
+            FROM s1
+        """.replace("@EMAIL@", _PII_EMAIL).replace("@PHONE@", _PII_PHONE),
         "agg_pivot": f"""
             SELECT source,
                    count(*) FILTER (lang = 'en') AS n_en,

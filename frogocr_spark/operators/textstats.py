@@ -336,3 +336,29 @@ def decontaminate(df: DataFrame, eval_df: DataFrame,
                     6).alias("overlap_frac"),
                 (F.coalesce("n_overlap", F.lit(0)) > 0).cast("int")
                 .alias("contaminated")))
+
+
+# portable PII patterns: plain character classes + bounded quantifiers
+# only — identical semantics under Java regex (Spark) and RE2 (DuckDB),
+# so the scrub is oracle-verifiable byte-for-byte
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 -]{6,}[0-9]"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               email_token: str = "<EMAIL>",
+               phone_token: str = "<PHONE>") -> DataFrame:
+    """PII redaction pass (training-data hygiene): replace email
+    addresses then phone-number runs with fixed tokens, counting each.
+    Phones are counted AFTER the email scrub so digits inside an
+    address are never double-counted.  Pure column expressions — two
+    regexp passes, JVM-side, no shuffle; appends ``n_emails``,
+    ``n_phones``, ``scrubbed``."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    t1 = F.regexp_replace(t, EMAIL_RE, email_token)
+    n_phones = F.size(F.regexp_extract_all(t1, F.lit(PHONE_RE), F.lit(0)))
+    return (df.withColumn("n_emails", n_emails)
+            .withColumn("n_phones", n_phones)
+            .withColumn("scrubbed",
+                        F.regexp_replace(t1, PHONE_RE, phone_token)))

@@ -198,3 +198,20 @@ def test_stratified_sample_degenerate_stratum_exact(spark):
             hashlib.md5(str(i).encode()).hexdigest(), i))
         want += [(s, i) for i in order[:7]]
     assert got == sorted(want)
+
+
+def test_redact_pii_hand_computed(spark):
+    rows = [
+        (0, "mail me at a.b+x@foo-bar.org or c@d.io thanks"),
+        (1, "call +47 22 11 33 55 or 900 12 345 now"),
+        (2, "digits 1234567890 in an email x1234567890y@z.com"),
+        (3, "clean text no pii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_emails"], r["n_phones"], r["scrubbed"])
+           for r in textstats.redact_pii(df).collect()}
+    assert got[0] == (2, 0, "mail me at <EMAIL> or <EMAIL> thanks")
+    assert got[1] == (0, 2, "call <PHONE> or <PHONE> now")
+    # the 10-digit run inside the address must NOT count as a phone
+    assert got[2] == (1, 1, "digits <PHONE> in an email <EMAIL>")
+    assert got[3] == (0, 0, "clean text no pii")
