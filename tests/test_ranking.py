@@ -85,3 +85,28 @@ def test_pack_sequences_zero_token_rows_share_position(spark):
     got = {r["doc_id"]: (r["seq_id"], r["seq_offset"]) for r in
            pack_sequences(df, ["doc_id"], "n_tok", capacity=5).collect()}
     assert got == {0: (0, 0), 1: (0, 0), 2: (1, 0), 3: (1, 0)}
+
+
+@pytest.mark.parametrize("seed,capacity", [(3, 17), (5, 256), (9, 1)])
+def test_pack_sequences_randomized_invariants(spark, seed, capacity):
+    """Seeded-random corpora: exact python prefix-sum recomputation plus
+    the structural invariants (offset < capacity, seq ids monotone
+    nondecreasing in key order, first position (0,0) when nonempty)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(0, 3 * capacity)) for i in range(777)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int") \
+        .repartition(13)
+    got = {r["doc_id"]: (r["seq_id"], r["seq_offset"]) for r in
+           pack_sequences(df, ["doc_id"], "n_tok",
+                          capacity=capacity).collect()}
+    acc, prev_seq = 0, 0
+    for i, v in sorted(rows):
+        want = (acc // capacity, acc % capacity)
+        assert got[i] == want, (i, got[i], want)
+        assert 0 <= got[i][1] < capacity
+        assert got[i][0] >= prev_seq
+        prev_seq = got[i][0]
+        acc += v
+    assert got[0][0] == 0 and got[0][1] == 0

@@ -215,3 +215,66 @@ def test_redact_pii_hand_computed(spark):
     # the 10-digit run inside the address must NOT count as a phone
     assert got[2] == (1, 1, "digits <PHONE> in an email <EMAIL>")
     assert got[3] == (0, 0, "clean text no pii")
+
+
+def test_redact_pii_randomized_no_residual_and_idempotent(spark):
+    """Seeded-random PII-spiked corpus: after the scrub no email/phone
+    pattern matches remain (checked with the SAME patterns in python
+    re), and a second scrub is a no-op (the replacement tokens contain
+    no '@' and no digits)."""
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "x9", "foo.bar", "-", "+47", "(a)", "z"]
+    pii = ["bob@corp.example.com", "a.b+c@x-y.org", "+47 22 33 44 55",
+           "900 12 345 67", "not@an", "@@", "12-34"]
+    rows = []
+    for i in range(400):
+        n = rng.randint(0, 12)
+        toks = [rng.choice(words + pii) for _ in range(n)]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.redact_pii(df)
+    again = textstats.redact_pii(
+        out.select("doc_id", F.col("scrubbed").alias("text")))
+    got = {r["doc_id"]: r for r in out.collect()}
+    got2 = {r["doc_id"]: r for r in again.collect()}
+    email = re.compile(textstats.EMAIL_RE)
+    phone = re.compile(textstats.PHONE_RE)
+    for i, _t in rows:
+        s = got[i]["scrubbed"]
+        assert not email.search(s), s
+        assert not phone.search(s), s
+        assert got2[i]["scrubbed"] == s          # idempotent
+        assert got2[i]["n_emails"] == 0 and got2[i]["n_phones"] == 0
+
+
+def test_dup_gram_fraction_randomized_vs_python(spark):
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{j}" for j in range(30)]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 20))))
+            for i in range(120)]
+    n = 5
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"],
+                         r["dup_gram_frac"])
+           for r in textstats.dup_gram_fraction(df, n=n,
+                                                min_docs=2).collect()}
+    per_doc = {}
+    for i, t in rows:
+        ws = [w for w in t.split() if w]
+        per_doc[i] = {" ".join(ws[j:j + n])
+                      for j in range(len(ws) - n + 1)}
+    from collections import Counter
+    freq = Counter(g for gs in per_doc.values() for g in gs)
+    for i, _t in rows:
+        gs = per_doc[i]
+        dup = sum(1 for g in gs if freq[g] >= 2)
+        frac = round(dup / len(gs), 6) if gs else 0.0
+        assert got[i] == (len(gs), dup, frac), i
