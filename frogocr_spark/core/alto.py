@@ -159,8 +159,36 @@ _TURN_XML_SCHEMA: dict = {
 }
 
 
-def _validate_element(el, path: str, errors: list[str]) -> None:
-    spec = _TURN_XML_SCHEMA.get(el.tag)
+_ACTIVE_SCHEMA: dict | None = None
+
+
+def _schema_table() -> dict:
+    """The EXECUTED grammar: ``resources/turn_schema.xsd`` compiled at
+    first use by :mod:`core.xsdschema` (the reference compiles its
+    literal ``alto-4-4.xsd`` the same way —
+    ``Source/Core/XML/Validator.cpp:30-50``).  Falls back to the
+    hand-written ``_TURN_XML_SCHEMA`` if the resource cannot be read
+    (e.g. a stripped deployment); a pytest asserts the compiled and
+    hand tables are structurally equivalent so the fallback can never
+    silently diverge."""
+    global _ACTIVE_SCHEMA
+    if _ACTIVE_SCHEMA is None:
+        try:
+            from importlib import resources
+
+            from . import xsdschema
+            text = (resources.files("frogocr_spark") / "resources"
+                    / "turn_schema.xsd").read_text(encoding="utf-8")
+            _ACTIVE_SCHEMA = xsdschema.compile_xsd(text)
+        except Exception:
+            _ACTIVE_SCHEMA = _TURN_XML_SCHEMA
+    return _ACTIVE_SCHEMA
+
+
+def _validate_element(el, path: str, errors: list[str],
+                      schema: dict | None = None) -> None:
+    schema = schema if schema is not None else _schema_table()
+    spec = schema.get(el.tag)
     if spec is None:
         errors.append(f"{path}: unexpected element <{el.tag}>")
         return
@@ -191,7 +219,7 @@ def _validate_element(el, path: str, errors: list[str]) -> None:
         # schema (e.g. <processing> inside <string>, <variant> inside
         # <variant>) — exactly what the XSD content model enforces
         if child.tag not in children:
-            if child.tag in _TURN_XML_SCHEMA:
+            if child.tag in schema:
                 errors.append(
                     f"{path}/{child.tag}[{i}]: element <{child.tag}> not "
                     f"allowed inside <{el.tag}>")
@@ -201,7 +229,8 @@ def _validate_element(el, path: str, errors: list[str]) -> None:
                     f"<{child.tag}>")
             continue
         counts[child.tag] = counts.get(child.tag, 0) + 1
-        _validate_element(child, f"{path}/{child.tag}[{i}]", errors)
+        _validate_element(child, f"{path}/{child.tag}[{i}]", errors,
+                          schema)
     for tag, (mn, mx) in children.items():
         n = counts.get(tag, 0)
         if n < mn:

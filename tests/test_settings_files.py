@@ -223,3 +223,39 @@ def test_xsd_schema_validation():
     # ID pattern
     one(_VALID.replace('ID="p_0_b_0_s_0"', 'ID="s0"'),
         "does not match pattern")
+
+
+def test_xsd_grammar_file_is_executed_and_equivalent():
+    """S8: the validator's active table is COMPILED from the literal
+    resources/turn_schema.xsd (Validator.cpp:30-50 analog), and is
+    behaviorally identical to the hand-written fallback table — same
+    tags, same attribute requiredness, same content-model bounds, and
+    the same diagnostic for every probe value."""
+    from frogocr_spark.core import xsdschema
+
+    active = alto._schema_table()
+    hand = alto._TURN_XML_SCHEMA
+    assert active is not hand          # the grammar file actually loaded
+    assert set(active) == set(hand)
+    probes = ["", "  ", "x", "p_1", "p_1_b_2", "p_1_b_2_s_3",
+              "p_1_b_2_s_3_g_4", "0.5", "1", "1.5", "-1", "3", "plain",
+              "prose", "contentGeneration", "generated", "0", "00.5",
+              "high", "1e-3", "s0"]
+    for tag in hand:
+        a_attrs, a_children = active[tag]
+        h_attrs, h_children = hand[tag]
+        assert set(a_attrs) == set(h_attrs), tag
+        assert a_children == h_children, tag
+        for name in h_attrs:
+            assert a_attrs[name][0] == h_attrs[name][0], (tag, name)
+            for v in probes:
+                assert a_attrs[name][1](v) == h_attrs[name][1](v), \
+                    (tag, name, v)
+    # the compiler rejects grammars with dangling child refs
+    import pytest as _pytest
+    bad = ('<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">'
+           '<xs:element name="a"><xs:complexType><xs:sequence>'
+           '<xs:element ref="ghost"/></xs:sequence></xs:complexType>'
+           '</xs:element></xs:schema>')
+    with _pytest.raises(ValueError):
+        xsdschema.compile_xsd(bad)
