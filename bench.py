@@ -267,7 +267,16 @@ def main() -> None:
         # the timed extraction runs)
         spark = get_spark(app_name="bench-main", cores=CPUS)
         tdf = transcripts.generate_for_sf(spark, SF_DIR)
-        tdf.repartition(256).write.mode("overwrite").parquet(input_dir)
+        # Task sizing: ~9k rows/task amortizes per-task fixed costs
+        # (python-worker spin-up, Arrow batch setup) while keeping ≥2
+        # waves of parallelism — measured at sf0.1: 64 files = 253k
+        # turns/s vs 256 files = 215k (2.3k-row tasks are overhead-
+        # bound).  The production analog is letting
+        # spark.sql.files.maxPartitionBytes size splits; row-based here
+        # because the local corpus is KB-scale files.
+        est_rows = int(sf * transcripts.ROWS_PER_SF)
+        n_files = max(2 * CPUS, min(1024, est_rows // 9000))
+        tdf.repartition(n_files).write.mode("overwrite").parquet(input_dir)
         n_rows = spark.read.parquet(input_dir).count()
         result["n_turns"] = n_rows
 
