@@ -904,6 +904,16 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   "scrubbed")
 
 
+def _q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: sliding (window=32, stride=16) token
+    windows per document — pure sequence+explode inside the map stage,
+    no shuffle (operators/textstats.chunk_windows)."""
+    from frogocr_spark.operators.textstats import chunk_windows, token_count
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok"))
+    return chunk_windows(docs, window=32, stride=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -982,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_gram_frac": _q_dup_gram_frac,
         "decontam": _q_decontam,
         "pii_scrub": _q_pii_scrub,
+        "chunk_windows": _q_chunk_windows,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -1817,6 +1828,17 @@ def oracle_sql() -> dict[str, str]:
                    AS scrubbed
             FROM s1
         """.replace("@EMAIL@", _PII_EMAIL).replace("@PHONE@", _PII_PHONE),
+        "chunk_windows": f"""
+            WITH t AS (
+                SELECT doc_id, CAST({n_tokens} AS INT) AS n_tok
+                FROM documents
+            )
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   CAST(i * 16 AS INT) AS tok_start,
+                   CAST(LEAST(i * 16 + 32, n_tok) AS INT) AS tok_end
+            FROM t, unnest(generate_series(0, (n_tok - 1) // 16)) AS g(i)
+            WHERE n_tok > 0
+        """,
         "agg_pivot": f"""
             SELECT source,
                    count(*) FILTER (lang = 'en') AS n_en,

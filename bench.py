@@ -80,7 +80,7 @@ BENCH_QUERIES = [
     "set_ops",
     "a7_ctc", "w5_nms", "metrics_rollup",
     "rep_stats", "seq_pack", "strat_sample", "xdoc_ngrams",
-    "dup_gram_frac", "decontam", "pii_scrub",
+    "dup_gram_frac", "decontam", "pii_scrub", "chunk_windows",
 ]
 
 

@@ -362,3 +362,32 @@ def redact_pii(df: DataFrame, text_col: str = "text",
             .withColumn("n_phones", n_phones)
             .withColumn("scrubbed",
                         F.regexp_replace(t1, PHONE_RE, phone_token)))
+
+
+def chunk_windows(df: DataFrame, id_col: str = "doc_id",
+                  n_tok_col: str = "n_tok", window: int = 512,
+                  stride: int = 256) -> DataFrame:
+    """Context-window chunking (training-data windowing): each document
+    of ``n_tok_col`` tokens yields chunks ``[i·stride,
+    min(i·stride + window, n_tok))`` for ``i = 0 .. floor((n_tok-1)/
+    stride)`` — overlapping when ``stride < window``, the standard
+    sliding-window layout for long-document pretraining.  Zero-token
+    docs yield no rows.
+
+    Pure column expressions: one ``sequence`` + ``explode`` per row, no
+    shuffle at all — the chunk fan-out happens inside the scan's
+    map stage, so the operator costs exactly the output it emits."""
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    n = F.col(n_tok_col)
+    idx = F.explode(F.when(
+        n > 0, F.sequence(F.lit(0),
+                          F.floor((n - 1) / stride).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))).alias("chunk_idx")
+    out = df.select(id_col, n_tok_col, idx)
+    start = F.col("chunk_idx") * stride
+    return out.select(
+        id_col, "chunk_idx",
+        start.cast("int").alias("tok_start"),
+        F.least(start + window, F.col(n_tok_col)).cast("int")
+        .alias("tok_end"))

@@ -278,3 +278,41 @@ def test_dup_gram_fraction_randomized_vs_python(spark):
         dup = sum(1 for g in gs if freq[g] >= 2)
         frac = round(dup / len(gs), 6) if gs else 0.0
         assert got[i] == (len(gs), dup, frac), i
+
+
+def test_chunk_windows_hand_computed(spark):
+    rows = [(0, 0), (1, 1), (2, 512), (3, 513), (4, 1300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    got = {}
+    for r in textstats.chunk_windows(df, window=512, stride=256).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["tok_start"], r["tok_end"]))
+    for v in got.values():
+        v.sort()
+    assert 0 not in got                         # zero-token doc: no rows
+    assert got[1] == [(0, 0, 1)]
+    assert got[2] == [(0, 0, 512), (1, 256, 512)]
+    assert got[3] == [(0, 0, 512), (1, 256, 513), (2, 512, 513)]
+    # 1300 tokens: starts 0,256,...,1280 (floor(1299/256)=5 -> 6 chunks)
+    assert got[4] == [(0, 0, 512), (1, 256, 768), (2, 512, 1024),
+                      (3, 768, 1280), (4, 1024, 1300), (5, 1280, 1300)]
+
+
+def test_chunk_windows_nonoverlapping_covers_exactly(spark):
+    import random
+    rng = random.Random(13)
+    rows = [(i, rng.randint(0, 2000)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    got = {}
+    for r in textstats.chunk_windows(df, window=128, stride=128).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["tok_start"], r["tok_end"]))
+    for i, n in rows:
+        chunks = sorted(got.get(i, []))
+        # disjoint, contiguous, exact cover of [0, n)
+        covered = sum(e - s for s, e in chunks)
+        assert covered == n, i
+        assert all(chunks[j][1] == chunks[j + 1][0]
+                   for j in range(len(chunks) - 1)), i
+        if n:
+            assert chunks[0][0] == 0 and chunks[-1][1] == n
