@@ -227,6 +227,57 @@ def _q_tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10))
 
 
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where customer and supplier
+    share the nation, restricted to one region and one order year.
+    Scale shape: the fact table (lineitem) joins orders on its key and
+    every dimension (customer, supplier, nation, region) is explicitly
+    broadcast — the 100 TB side is shuffled exactly once, on
+    l_orderkey; revenue sums are rounded to whole units (q1/q3
+    convention) so cross-engine double summation order cannot flip the
+    hash."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01"))
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(supp),
+                  (li.l_suppkey == supp.s_suppkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(rev), 0).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): orders whose total line
+    quantity exceeds 150, with the customer attached.  The HAVING
+    aggregate runs on the fact table FIRST (map-side combined, one
+    keyed shuffle) and only the few surviving order keys join back to
+    orders/customer — the semi-join-on-aggregate pattern.  l_quantity
+    is integer-valued, so the sum is exact in doubles (no rounding
+    ambiguity)."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .where(F.col("total_qty") > 150))
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.col("o_totalprice"),
+                    F.col("total_qty").cast("long").alias("total_qty")))
+
+
 def _q_j1_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 as an interval-overlap join: per-user 1-hour activity intervals
     (event ts .. ts+3600s) overlapping with coverage > 0.75."""
@@ -993,6 +1044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": _q_decontam,
         "pii_scrub": _q_pii_scrub,
         "chunk_windows": _q_chunk_windows,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q18": _q_tpch_q18,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -1838,6 +1891,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LEAST(i * 16 + 32, n_tok) AS INT) AS tok_end
             FROM t, unnest(generate_series(0, (n_tok - 1) // 16)) AS g(i)
             WHERE n_tok > 0
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 0)
+                   AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "tpch_q18": """
+            WITH big AS (
+                SELECT l_orderkey, sum(l_quantity) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 150
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+                   CAST(total_qty AS BIGINT) AS total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
         """,
         "agg_pivot": f"""
             SELECT source,

@@ -210,3 +210,16 @@ def test_decontam_eval_grams_broadcast_into_semi_join(spark):
                         df.where(F.col("doc_id") % 10 == 0), n=8)
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_q5_star_join_broadcasts_all_dimensions(spark):
+    """TPC-H Q5 shape: the four dimension tables (customer, supplier,
+    nation, region) must broadcast into the fact pipeline; the lineitem
+    side is shuffled at most once (orders equi-join) and nothing
+    degenerates to a cartesian/nested-loop product."""
+    import __spark_entry__ as entry
+    df = entry._q_tpch_q5(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -230,6 +230,20 @@ def main() -> None:
                 f"broadcast_joins={plan.count('BroadcastHashJoin')}, "
                 f"left_semi={'LeftSemi' in plan}")
 
+    # 11. star join (tpch_q5 shape): every dimension (customer,
+    #     supplier, nation, region) broadcasts into the fact pipeline —
+    #     the 100 TB lineitem side is shuffled at most once (for the
+    #     orders equi-join) and no join degenerates to a cartesian /
+    #     nested-loop product.
+    import __spark_entry__ as entry
+    plan = executed(entry._q_tpch_q5(spark, SF))
+    ok &= check("q5 star join broadcasts all four dimensions",
+                plan.count("BroadcastHashJoin") >= 4
+                and "CartesianProduct" not in plan
+                and "BroadcastNestedLoop" not in plan,
+                f"broadcast_joins={plan.count('BroadcastHashJoin')}, "
+                f"cartesian=False")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
