@@ -965,6 +965,54 @@ def _q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_windows(docs, window=32, stride=16)
 
 
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-200 whitespace tokens by total count,
+    deterministic (count desc, token asc) tiebreak; partial top-k cut —
+    the token relation is never sorted in one task
+    (operators/textstats.top_vocabulary)."""
+    from frogocr_spark.operators.textstats import top_vocabulary
+    docs = _read(spark, sf_dir, "documents")
+    return top_vocabulary(docs, 200).select(
+        "token", F.col("t_count").cast("long").alias("t_count"))
+
+
+def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-token quality score: per-doc fraction of tokens inside
+    the corpus top-100 vocabulary — the integer-exact unigram-LM
+    stand-in.  The vocabulary is bounded (top-k) so it ships as a
+    literal into one array-filter expression: the corpus side is pure
+    map-stage column math, never shuffled
+    (operators/textstats.in_vocab_ratio)."""
+    from frogocr_spark.operators.textstats import (in_vocab_ratio,
+                                                   top_vocabulary)
+    docs = _read(spark, sf_dir, "documents")
+    vocab = [r["token"] for r in top_vocabulary(docs, 100).collect()]
+    return in_vocab_ratio(docs, vocab)
+
+
+def _q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing: per-source cap =
+    ceil(sqrt(stratum size)), deterministic smallest-md5 pick — the
+    sqrt-rebalance for heavy-tailed domain mixes
+    (operators/textstats.mix_sample)."""
+    from frogocr_spark.operators.textstats import mix_sample
+    docs = _read(spark, sf_dir, "documents")
+    return mix_sample(docs, ["source"]).select(
+        "doc_id", "source", F.col("stratum_cap").cast("int")
+        .alias("stratum_cap"))
+
+
+def _q_source_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source characteristic terms: top-5 tokens of each source by
+    (count desc, token asc) — grouped partial top-k, no group ever
+    sorts in one task (operators/textstats.group_top_terms)."""
+    from frogocr_spark.operators.textstats import group_top_terms
+    docs = _read(spark, sf_dir, "documents")
+    return group_top_terms(docs, "source", 5).select(
+        "source", "token", F.col("t_count").cast("long").alias("t_count"),
+        "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -1046,6 +1094,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": _q_chunk_windows,
         "tpch_q5": _q_tpch_q5,
         "tpch_q18": _q_tpch_q18,
+        "vocab_topk": _q_vocab_topk,
+        "lm_quality": _q_lm_quality,
+        "mix_sample": _q_mix_sample,
+        "source_topterms": _q_source_topterms,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -1920,6 +1972,74 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
+        """,
+        "vocab_topk": r"""
+            SELECT token, CAST(count(*) AS BIGINT) AS t_count
+            FROM (SELECT unnest(list_filter(
+                      string_split_regex(trim(text), '\s+'),
+                      x -> x <> '')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY t_count DESC, token ASC
+            LIMIT 200
+        """,
+        "lm_quality": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(trim(text), '\s+'),
+                    x -> x <> '')) AS token
+                FROM documents
+            ), vocab AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS c FROM toks GROUP BY token
+                    ORDER BY c DESC, token ASC LIMIT 100)
+            ), tot AS (
+                SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
+            ), hits AS (
+                SELECT doc_id, count(*) AS n_invocab
+                FROM toks JOIN vocab USING (token) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(t.n_tok, 0) AS INT) AS n_tok,
+                   CAST(COALESCE(h.n_invocab, 0) AS INT) AS n_invocab,
+                   round(COALESCE(h.n_invocab * 1.0 / t.n_tok, 0.0), 6)
+                   AS invocab_ratio
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN hits h USING (doc_id)
+        """,
+        "mix_sample": """
+            WITH caps AS (
+                SELECT source,
+                       CAST(ceil(sqrt(count(*))) AS INT) AS stratum_cap
+                FROM documents GROUP BY source
+            ), r AS (
+                SELECT doc_id, d.source, c.stratum_cap,
+                       row_number() OVER (PARTITION BY d.source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rn
+                FROM documents d JOIN caps c USING (source)
+            )
+            SELECT doc_id, source, stratum_cap
+            FROM r WHERE rn <= stratum_cap
+        """,
+        "source_topterms": r"""
+            WITH counts AS (
+                SELECT source, token, count(*) AS t_count
+                FROM (SELECT source, unnest(list_filter(
+                          string_split_regex(trim(text), '\s+'),
+                          x -> x <> '')) AS token
+                      FROM documents)
+                GROUP BY source, token
+            ), r AS (
+                SELECT source, token, t_count,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY t_count DESC, token ASC) AS rank
+                FROM counts
+            )
+            SELECT source, token, CAST(t_count AS BIGINT) AS t_count,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 5
         """,
         "agg_pivot": f"""
             SELECT source,

@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "a7_ctc", "w5_nms", "metrics_rollup",
     "rep_stats", "seq_pack", "strat_sample", "xdoc_ngrams",
     "dup_gram_frac", "decontam", "pii_scrub", "chunk_windows",
+    "tpch_q5", "tpch_q18", "vocab_topk", "lm_quality", "mix_sample",
+    "source_topterms",
 ]
 
 

@@ -391,3 +391,121 @@ def chunk_windows(df: DataFrame, id_col: str = "doc_id",
         start.cast("int").alias("tok_start"),
         F.least(start + window, F.col(n_tok_col)).cast("int")
         .alias("tok_end"))
+
+
+def _tokens_of(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) pairs: whitespace tokens of the trimmed text, empty
+    strings dropped (the empty-payload `split` artifact)."""
+    return (df.select(F.col(id_col).alias("_id"),
+                      F.explode(F.split(F.trim(F.col(text_col)), _WS))
+                      .alias("token"))
+            .where(F.col("token") != ""))
+
+
+def top_vocabulary(df: DataFrame, k: int, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent whitespace tokens with
+    their total counts, deterministically ordered (count desc, token
+    asc — seedless tiebreak, so the DuckDB oracle picks the identical
+    set).  The first stage of quality scoring / tokenizer training.
+
+    Scale shape: explode → one token-keyed aggregation (map-side
+    combined — hot tokens like "the" partial-aggregate in every task)
+    → ``orderBy(...).limit(k)``, which Catalyst plans as
+    TakeOrderedAndProject: each partition keeps its local top-k and
+    only ≤ k·P rows merge at the driver — the vocabulary cut never
+    sorts the full token relation, and no single-partition exchange
+    appears anywhere (locked by tests/test_plans.py)."""
+    counts = (_tokens_of(df, id_col, text_col)
+              .groupBy("token").agg(F.count(F.lit(1)).alias("t_count")))
+    return counts.orderBy(F.col("t_count").desc(),
+                          F.col("token").asc()).limit(k)
+
+
+def in_vocab_ratio(df: DataFrame, vocab: list[str],
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Common-token quality signal: per document, the fraction of its
+    tokens found in ``vocab`` (typically :func:`top_vocabulary` of the
+    corpus, or a curated wordlist).  Documents with a low in-vocab
+    ratio are gibberish / boilerplate / wrong-language — the
+    integer-exact stand-in for a unigram-LM logprob score (a ratio of
+    counts has no cross-engine float summation ambiguity; only the
+    final division is rounded).
+
+    Scale shape: the vocabulary is bounded by construction (top-k), so
+    it ships as a LITERAL into one array-filter expression — the whole
+    scorer is a pure column expression inside the scan's map stage;
+    the 100 TB corpus side is never shuffled, exploded, or joined."""
+    toks = F.split(F.trim(F.col(text_col)), _WS)
+    vocab_l = sorted(set(vocab))
+    n_tok = token_count(F.col(text_col))
+    n_in = F.size(F.filter(toks, lambda x: x.isin(vocab_l)))
+    return df.select(
+        id_col, n_tok.alias("n_tok"),
+        F.when(n_tok == 0, F.lit(0)).otherwise(n_in).alias("n_invocab"),
+        F.round(F.when(n_tok == 0, F.lit(0.0))
+                .otherwise(n_in / n_tok), 6).alias("invocab_ratio"))
+
+
+def mix_sample(df: DataFrame, strata_cols: list[str],
+               id_col: str = "doc_id") -> DataFrame:
+    """Temperature-scaled corpus mixing: per-stratum cap =
+    ``ceil(sqrt(stratum size))`` — the sqrt-scaling rebalance used for
+    heavy-tailed domain/language mixes (large strata are downsampled
+    hard, small strata kept nearly whole), picked deterministically by
+    smallest ``md5(id)`` like :func:`stratified_sample`.  ``sqrt`` is
+    IEEE-correctly-rounded in every engine, so the cap — and therefore
+    the exact sample — is engine-portable (a free-exponent ``pow`` is
+    not).
+
+    Scale shape: stratum sizes are one map-side-combined aggregation
+    (output = #strata rows, broadcast back onto the corpus), then the
+    same two-level md5 partial top-k prune as stratified_sample — a
+    degenerate stratum never serializes into one task."""
+    from pyspark.sql import Window
+    counts = (df.groupBy(*strata_cols)
+              .agg(F.count(F.lit(1)).alias("_n"))
+              .withColumn("stratum_cap",
+                          F.ceil(F.sqrt(F.col("_n"))).cast("int"))
+              .drop("_n"))
+    with_cap = df.join(F.broadcast(counts), strata_cols)
+    key = F.md5(F.col(id_col).cast("string"))
+    w_local = (Window.partitionBy("_pid", *strata_cols)
+               .orderBy(key, id_col))
+    pruned = (with_cap.withColumn("_pid", F.spark_partition_id())
+              .withColumn("_rn", F.row_number().over(w_local))
+              .where(F.col("_rn") <= F.col("stratum_cap"))
+              .drop("_pid", "_rn"))
+    w = Window.partitionBy(*strata_cols).orderBy(key, id_col)
+    return (pruned.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= F.col("stratum_cap")).drop("_rn"))
+
+
+def group_top_terms(df: DataFrame, group_col: str, k: int,
+                    text_col: str = "text") -> DataFrame:
+    """Per-group characteristic terms: the ``k`` most frequent tokens
+    of each group (source/domain/language) with counts and rank —
+    corpus-analysis surface for mix design and domain drift checks.
+    Deterministic order (count desc, token asc).
+
+    Scale shape: explode (group col rides along — no join) → one
+    (group, token)-keyed aggregation (map-side combined) → the same
+    two-level partial top-k as :func:`top_vocabulary`, partitioned by
+    group — a group holding most of the corpus never sorts in one
+    task."""
+    from pyspark.sql import Window
+    counts = (df.select(F.col(group_col),
+                        F.explode(F.split(F.trim(F.col(text_col)), _WS))
+                        .alias("token"))
+              .where(F.col("token") != "")
+              .groupBy(group_col, "token")
+              .agg(F.count(F.lit(1)).alias("t_count")))
+    order = [F.col("t_count").desc(), F.col("token").asc()]
+    w_local = Window.partitionBy("_pid", group_col).orderBy(*order)
+    pruned = (counts.withColumn("_pid", F.spark_partition_id())
+              .withColumn("_rn", F.row_number().over(w_local))
+              .where(F.col("_rn") <= k).drop("_pid", "_rn"))
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (pruned.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -223,3 +223,38 @@ def test_q5_star_join_broadcasts_all_dimensions(spark):
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_vocabulary_is_take_ordered_not_global_sort(spark):
+    """The global top-k vocabulary cut must plan as
+    TakeOrderedAndProject (per-partition top-k + driver merge), never a
+    single-partition sort of the whole token relation."""
+    from frogocr_spark.operators.textstats import top_vocabulary
+    rows = [(i, f"tok{i % 50} the and of") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = _plan(top_vocabulary(df, 10))
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_in_vocab_ratio_is_map_only(spark):
+    """The quality scorer ships the bounded vocabulary as a literal —
+    the corpus side must be pure map-stage column math: no Exchange,
+    no join, no explode-shuffle."""
+    from frogocr_spark.operators.textstats import in_vocab_ratio
+    rows = [(i, "a b c d") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = _plan(in_vocab_ratio(df, ["a", "b"]))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_mix_sample_broadcasts_stratum_caps(spark):
+    """Stratum caps are #strata rows — they must broadcast onto the
+    corpus, and no stage may collapse to a single partition."""
+    from frogocr_spark.operators.textstats import mix_sample
+    rows = [(i, f"s{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    plan = _plan(mix_sample(df, ["src"]))
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan

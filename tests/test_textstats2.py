@@ -316,3 +316,65 @@ def test_chunk_windows_nonoverlapping_covers_exactly(spark):
                    for j in range(len(chunks) - 1)), i
         if n:
             assert chunks[0][0] == 0 and chunks[-1][1] == n
+
+
+def test_top_vocabulary_hand_computed(spark):
+    rows = [(0, "a a a b b c"), (1, "b c c d"), (2, "  "), (3, "a d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.token, r.t_count)
+           for r in textstats.top_vocabulary(df, 3).collect()]
+    # counts: a=4, b=3, c=3, d=2 → top-3 with (count desc, token asc)
+    assert got == [("a", 4), ("b", 3), ("c", 3)]
+
+
+def test_top_vocabulary_tiebreak_is_token_asc(spark):
+    rows = [(0, "z y x"), (1, "z y"), (2, "z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [r.token for r in textstats.top_vocabulary(df, 2).collect()]
+    assert got == ["z", "y"]
+
+
+def test_in_vocab_ratio_hand_computed(spark):
+    rows = [(0, "a b junk1 junk2"), (1, ""), (2, "a a a"), (3, "q w e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tok, r.n_invocab, r.invocab_ratio)
+           for r in textstats.in_vocab_ratio(df, ["a", "b"]).collect()}
+    assert got[0] == (4, 2, 0.5)
+    assert got[1] == (0, 0, 0.0)
+    assert got[2] == (3, 3, 1.0)
+    assert got[3] == (3, 0, 0.0)
+
+
+def test_mix_sample_caps_and_determinism(spark):
+    import hashlib
+    # stratum A: 100 docs → cap ceil(sqrt(100)) = 10;
+    # stratum B: 5 docs  → cap ceil(sqrt(5))  = 3
+    rows = [(i, "A") for i in range(100)] + [(100 + i, "B") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = textstats.mix_sample(df, ["src"]).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.src, []).append(r.doc_id)
+        assert r.stratum_cap == (10 if r.src == "A" else 3)
+    assert len(by_src["A"]) == 10 and len(by_src["B"]) == 3
+    # exact expected pick: smallest md5(str(id))
+    for src, ids, cap in (("A", range(100), 10), ("B", range(100, 105), 3)):
+        exp = sorted(ids, key=lambda i: (
+            hashlib.md5(str(i).encode()).hexdigest(), i))[:cap]
+        assert sorted(by_src[src]) == sorted(exp), src
+    # deterministic across repartition
+    out2 = textstats.mix_sample(df.repartition(7), ["src"]).collect()
+    assert sorted((r.src, r.doc_id) for r in out2) \
+        == sorted((r.src, r.doc_id) for r in out)
+
+
+def test_group_top_terms_hand_computed(spark):
+    rows = [(0, "s1", "a a b"), (1, "s1", "b c"), (2, "s2", "x y y")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r.source, r.rank): (r.token, r.t_count)
+           for r in textstats.group_top_terms(df, "source", 2).collect()}
+    # s1: a=2, b=2, c=1 → [("a",2), ("b",2)]; s2: y=2, x=1
+    assert got[("s1", 1)] == ("a", 2)
+    assert got[("s1", 2)] == ("b", 2)
+    assert got[("s2", 1)] == ("y", 2)
+    assert got[("s2", 2)] == ("x", 1)

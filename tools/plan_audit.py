@@ -244,6 +244,29 @@ def main() -> None:
                 f"broadcast_joins={plan.count('BroadcastHashJoin')}, "
                 f"cartesian=False")
 
+    # 12. vocabulary / mixing cuts: the global top-k vocabulary is
+    #     TakeOrderedAndProject (per-partition top-k + driver merge,
+    #     never a single-partition sort); the quality scorer ships the
+    #     bounded vocab as a literal (map-only, no join); mix_sample
+    #     broadcasts the #strata cap rows onto the corpus.
+    from frogocr_spark.operators.textstats import (in_vocab_ratio,
+                                                   mix_sample,
+                                                   top_vocabulary)
+    plan = executed(top_vocabulary(docs, 200))
+    ok &= check("top_vocabulary is TakeOrdered, not a global sort",
+                "TakeOrderedAndProject" in plan
+                and "SinglePartition" not in plan,
+                "per-partition top-k + driver merge")
+    plan = executed(in_vocab_ratio(docs, ["the", "and", "of"]))
+    ok &= check("in_vocab_ratio scorer is map-only",
+                "Exchange" not in plan and "Join" not in plan,
+                "literal vocab inside one array-filter expression")
+    plan = executed(mix_sample(docs, ["source"]))
+    ok &= check("mix_sample broadcasts stratum caps",
+                "BroadcastHashJoin" in plan
+                and "SinglePartition" not in plan,
+                f"broadcast_joins={plan.count('BroadcastHashJoin')}")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
