@@ -1013,6 +1013,45 @@ def _q_source_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank")
 
 
+def _q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (web-corpus hygiene): the
+    corpus carries no URLs, so both sides deterministically synthesize
+    messy variants (www/case/port/trailing-slash/fragment/tracking
+    params; four docs share each base URL, three of which collapse
+    under canonicalization, the http variant stays distinct), then
+    canonicalize (functions/urls.canonical_url — pure parse_url +
+    array column expressions, map-only on the corpus side) and flag
+    the min-doc_id winner per canonical group."""
+    from frogocr_spark.functions.urls import canonical_url, url_domain
+    from pyspark.sql import Window
+    docs = _read(spark, sf_dir, "documents")
+    base = F.expr("doc_id DIV 4")
+    h = (base % 7).cast("string")
+    b = base.cast("string")
+    host = F.concat(F.lit("w"), h, F.lit(".example.com"))
+    url = (F.when(F.col("doc_id") % 4 == 0,
+                  F.concat(F.lit("https://www."), host, F.lit("/docs/"), b,
+                           F.lit("/?id="), b, F.lit("&utm_source=feed")))
+           .when(F.col("doc_id") % 4 == 1,
+                 F.concat(F.upper(F.concat(F.lit("https://www."), host,
+                                           F.lit(":443/docs/"), b)),
+                          F.lit("?utm_campaign=x&id="), b))
+           .when(F.col("doc_id") % 4 == 2,
+                 F.concat(F.lit("https://"), host, F.lit("/docs/"), b,
+                          F.lit("?id="), b, F.lit("#sec")))
+           .otherwise(
+                 F.concat(F.lit("http://"), host, F.lit("/docs/"), b,
+                          F.lit("?id="), b, F.lit("&gclid=123"))))
+    aug = docs.select("doc_id", url.alias("url"))
+    out = aug.select(
+        "doc_id",
+        canonical_url(F.col("url")).alias("canon_url"),
+        url_domain(F.col("url")).alias("domain"))
+    w = Window.partitionBy("canon_url")
+    return out.withColumn(
+        "keep", (F.col("doc_id") == F.min("doc_id").over(w)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -1098,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": _q_lm_quality,
         "mix_sample": _q_mix_sample,
         "source_topterms": _q_source_topterms,
+        "url_canon": _q_url_canon,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -2040,6 +2080,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, token, CAST(t_count AS BIGINT) AS t_count,
                    CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 5
+        """,
+        "url_canon": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       CAST(doc_id // 4 AS VARCHAR) AS b,
+                       CAST((doc_id // 4) % 7 AS VARCHAR) AS h
+                FROM documents
+            ), urls AS (
+                SELECT doc_id,
+                       CASE doc_id % 4
+                         WHEN 0 THEN 'https://www.w' || h
+                              || '.example.com/docs/' || b || '/?id=' || b
+                              || '&utm_source=feed'
+                         WHEN 1 THEN upper('https://www.w' || h
+                              || '.example.com:443/docs/' || b)
+                              || '?utm_campaign=x&id=' || b
+                         WHEN 2 THEN 'https://w' || h
+                              || '.example.com/docs/' || b
+                              || '?id=' || b || '#sec'
+                         ELSE 'http://w' || h || '.example.com/docs/' || b
+                              || '?id=' || b || '&gclid=123'
+                       END AS url
+                FROM aug
+            ), parts AS (
+                SELECT doc_id,
+                       lower(regexp_extract(url,
+                           '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                       regexp_replace(regexp_replace(lower(regexp_extract(
+                           url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+                           ':[0-9]+$', ''), '^www\.', '') AS host,
+                       regexp_replace(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
+                           '/+$', '') AS path,
+                       list_sort(list_filter(
+                           string_split(regexp_extract(url, '\?([^#]*)', 1),
+                                        '&'),
+                           x -> x <> '' AND NOT regexp_matches(x,
+                               '^(utm_[^=]*|ref|fbclid|gclid)=')))
+                       AS params
+                FROM urls
+            ), canon AS (
+                SELECT doc_id,
+                       scheme || '://' || host || path
+                       || CASE WHEN len(params) > 0
+                               THEN '?' || array_to_string(params, '&')
+                               ELSE '' END AS canon_url,
+                       host AS domain
+                FROM parts
+            )
+            SELECT doc_id, canon_url, domain,
+                   doc_id = min(doc_id) OVER (PARTITION BY canon_url)
+                   AS keep
+            FROM canon
         """,
         "agg_pivot": f"""
             SELECT source,

@@ -1,0 +1,59 @@
+"""URL canonicalization: hand-computed variants + map-only plan."""
+
+from pyspark.sql import functions as F
+
+from frogocr_spark.functions.urls import canonical_url, url_domain
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, url string")
+    rows = df.select("i", canonical_url(F.col("url")).alias("c"),
+                     url_domain(F.col("url")).alias("d")) \
+        .orderBy("i").collect()
+    return [(r.c, r.d) for r in rows]
+
+
+def test_variants_collapse_to_one_canonical(spark):
+    got = _canon(spark, [
+        "https://www.w3.example.com/docs/12/?id=12&utm_source=feed",
+        "HTTPS://WWW.W3.EXAMPLE.COM:443/docs/12?utm_campaign=x&id=12",
+        "https://w3.example.com/docs/12?id=12#sec",
+    ])
+    assert {c for c, _ in got} == {"https://w3.example.com/docs/12?id=12"}
+    assert {d for _, d in got} == {"w3.example.com"}
+
+
+def test_scheme_distinguishes(spark):
+    got = _canon(spark, ["http://a.com/x?id=1", "https://a.com/x?id=1"])
+    assert got[0][0] == "http://a.com/x?id=1"
+    assert got[1][0] == "https://a.com/x?id=1"
+
+
+def test_root_and_trailing_slash(spark):
+    got = _canon(spark, ["https://a.com/", "https://a.com",
+                         "https://a.com///"])
+    assert {c for c, _ in got} == {"https://a.com"}
+
+
+def test_params_sorted_and_tracking_dropped(spark):
+    got = _canon(spark, [
+        "https://a.com/p?z=1&a=2&ref=x&fbclid=y&gclid=z&utm_medium=m",
+        "https://a.com/p?a=2&z=1",
+    ])
+    assert got[0][0] == got[1][0] == "https://a.com/p?a=2&z=1"
+
+
+def test_all_params_tracking_drops_query_entirely(spark):
+    got = _canon(spark, ["https://a.com/p?utm_source=x&ref=y",
+                         "https://a.com/p"])
+    assert got[0][0] == got[1][0] == "https://a.com/p"
+
+
+def test_canonical_url_is_map_only(spark):
+    df = spark.createDataFrame([(1, "https://www.a.com/x?b=1&utm_c=2")],
+                               "i long, url string")
+    out = df.select(canonical_url(F.col("url")).alias("c"))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
