@@ -1052,6 +1052,15 @@ def _q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep", (F.col("doc_id") == F.min("doc_id").over(w)))
 
 
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by md5(doc_id) hex prefix —
+    seedless, engine-portable, stable under appends/repartition; pure
+    map-stage (operators/textstats.hash_split)."""
+    from frogocr_spark.operators.textstats import hash_split
+    docs = _read(spark, sf_dir, "documents")
+    return hash_split(docs).select("doc_id", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -1138,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": _q_mix_sample,
         "source_topterms": _q_source_topterms,
         "url_canon": _q_url_canon,
+        "hash_split": _q_hash_split,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -2080,6 +2090,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, token, CAST(t_count AS BIGINT) AS t_count,
                    CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 5
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < 'e6' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < 'f3' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "url_canon": r"""
             WITH aug AS (

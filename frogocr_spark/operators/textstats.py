@@ -509,3 +509,21 @@ def group_top_terms(df: DataFrame, group_col: str, k: int,
     w = Window.partitionBy(group_col).orderBy(*order)
     return (pruned.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               train_hex: str = "e6", val_hex: str = "f3") -> DataFrame:
+    """Deterministic train/val/test assignment by ``md5(id)`` hex
+    prefix: ids whose first two hex chars sort below ``train_hex`` are
+    ``train`` (default 230/256 ≈ 89.8%), below ``val_hex`` are ``val``
+    (13/256 ≈ 5.1%), the rest ``test``.  Seedless and engine-portable
+    (plain string comparison on the hex digest — no float thresholds,
+    no RNG state), so the split is stable across runs, engines, and
+    repartitioning; appending new rows never reassigns old ones.
+    Pure column expression — map-only."""
+    prefix = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return df.withColumn(
+        "split",
+        F.when(prefix < train_hex, F.lit("train"))
+        .when(prefix < val_hex, F.lit("val"))
+        .otherwise(F.lit("test")))

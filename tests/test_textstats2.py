@@ -378,3 +378,24 @@ def test_group_top_terms_hand_computed(spark):
     assert got[("s1", 2)] == ("b", 2)
     assert got[("s2", 1)] == ("y", 2)
     assert got[("s2", 2)] == ("x", 1)
+
+
+def test_hash_split_deterministic_and_exhaustive(spark):
+    import hashlib
+    rows = [(i,) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    got = {r.doc_id: r.split
+           for r in textstats.hash_split(df).collect()}
+    for i in range(3000):
+        p = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        exp = "train" if p < "e6" else ("val" if p < "f3" else "test")
+        assert got[i] == exp, i
+    # proportions near 230/13/13 of 256
+    from collections import Counter
+    c = Counter(got.values())
+    assert 0.85 < c["train"] / 3000 < 0.93
+    assert c["val"] > 0 and c["test"] > 0
+    # stable under repartition
+    got2 = {r.doc_id: r.split
+            for r in textstats.hash_split(df.repartition(13)).collect()}
+    assert got2 == got
