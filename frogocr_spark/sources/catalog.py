@@ -87,22 +87,102 @@ class Table:
     def overwrite(self, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(os.path.join(self.data_dir, "run_id=all"))
 
+    def _run_dirs(self) -> list[str]:
+        """Live run-dir names, superseded-by-compaction dirs excluded.
+
+        A compacted snapshot carries a ``_COMPACTED_FROM`` manifest (the
+        run dirs it rewrote — the scaled-down Iceberg metadata pointer);
+        any dir named there is DEAD even while still on disk, so the
+        crash window between publishing the compacted snapshot and
+        deleting its sources never shows duplicate rows (readers honor
+        the manifest, :meth:`vacuum` finishes the cleanup)."""
+        if not os.path.isdir(self.data_dir):
+            return []
+        dirs = [n for n in sorted(os.listdir(self.data_dir))
+                if n.startswith("run_id=")]
+        dead: set[str] = set()
+        for n in dirs:
+            m = os.path.join(self.data_dir, n, "_COMPACTED_FROM")
+            if os.path.exists(m):
+                with open(m) as fh:
+                    dead.update(fh.read().split())
+        return [n for n in dirs if n not in dead]
+
     def read(self) -> DataFrame:
-        # basePath keeps the run_id partition column out of the schema
+        # explicit live-dir paths keep the run_id partition column out of
+        # the schema AND exclude compaction-superseded dirs
+        paths = [os.path.join(self.data_dir, n) for n in self._run_dirs()]
         return self.spark.read.option("recursiveFileLookup", "true").parquet(
-            self.data_dir
+            *paths
         )
 
     def snapshots(self) -> list[str]:
         """Committed run_ids (the Iceberg snapshot-log analog), sorted.
-        A run_id directory is a snapshot: present ⇔ its job committed."""
+        A run_id directory is a snapshot: present ⇔ its job committed
+        (compaction-superseded dirs excluded)."""
+        return [n.split("=", 1)[1] for n in self._run_dirs()]
+
+    def compact(self, compact_id: str | None = None,
+                num_files: int | None = None) -> str | None:
+        """Full-table file compaction (the small-file maintenance op:
+        streaming/incremental appends leave one dir of small files per
+        run_id; compaction rewrites them as ONE snapshot — the
+        scaled-down ``rewrite_data_files`` of a real Iceberg catalog,
+        which at 100 TB would rewrite incrementally per partition).
+
+        Crash-safe two-phase protocol on the rename primitive:
+
+        1. the union of all live snapshots is written to a staging dir
+           together with a ``_COMPACTED_FROM`` manifest naming them;
+        2. one atomic ``os.replace`` publishes the compacted snapshot —
+           from this instant readers exclude the superseded dirs via
+           the manifest (:meth:`_run_dirs`), so duplicates are never
+           visible;
+        3. the superseded dirs are deleted (a crash here leaves dead
+           dirs that :meth:`vacuum` removes later).
+
+        Collapses time-travel granularity: the compacted snapshot
+        replaces its sources in the log.  Returns the new snapshot id,
+        or None when there is nothing to compact."""
+        import shutil
+
+        live = self._run_dirs()
+        if len(live) <= 1:
+            return None
+        if compact_id is None:
+            compact_id = f"compact-{len(self.snapshots())}-{live[-1].split('=', 1)[1]}"
+        out = os.path.join(self.data_dir, f"run_id={compact_id}")
+        if os.path.isdir(out):
+            raise ValueError(f"snapshot {compact_id!r} already exists")
+        staging = os.path.join(self.path, f".staging-compact-{os.getpid()}")
+        shutil.rmtree(staging, ignore_errors=True)
+        df = self.read()
+        if num_files:
+            df = df.coalesce(num_files)
+        df.write.mode("overwrite").parquet(staging)
+        with open(os.path.join(staging, "_COMPACTED_FROM"), "w") as fh:
+            fh.write("\n".join(live))
+        os.replace(staging, out)        # publish: sources now dead
+        for n in live:
+            shutil.rmtree(os.path.join(self.data_dir, n),
+                          ignore_errors=True)
+        return compact_id
+
+    def vacuum(self) -> list[str]:
+        """Remove compaction-superseded run dirs still on disk (crash
+        recovery for the window between compaction phases 2 and 3).
+        Returns the removed dir names."""
+        import shutil
+
         if not os.path.isdir(self.data_dir):
             return []
-        out = []
-        for name in sorted(os.listdir(self.data_dir)):
-            if name.startswith("run_id="):
-                out.append(name.split("=", 1)[1])
-        return out
+        on_disk = {n for n in os.listdir(self.data_dir)
+                   if n.startswith("run_id=")}
+        dead = sorted(on_disk - set(self._run_dirs()))
+        for n in dead:
+            shutil.rmtree(os.path.join(self.data_dir, n),
+                          ignore_errors=True)
+        return dead
 
     def read_snapshot(self, run_id: str) -> DataFrame:
         """Read one committed run's rows (snapshot-scoped scan)."""

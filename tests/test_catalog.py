@@ -23,3 +23,69 @@ def test_snapshots_and_time_travel(spark, tmp_path):
     # idempotent re-append of the same run_id replaces, never duplicates
     t.append(df2, "r2")
     assert t.read().count() == 3
+
+
+def _file_count(root):
+    import os
+    n = 0
+    for _r, _d, files in os.walk(root):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def test_compact_merges_snapshots_and_preserves_data(spark, tmp_path):
+    t = Table(spark, str(tmp_path / "tbl"))
+    for i in range(5):
+        t.append(spark.createDataFrame(
+            [(i * 10 + j, f"v{i}") for j in range(4)],
+            "id long, v string").repartition(4), f"r{i}")
+    before = sorted((r.id, r.v) for r in t.read().collect())
+    assert _file_count(t.data_dir) >= 10
+    cid = t.compact(num_files=2)
+    assert cid is not None
+    assert t.snapshots() == [cid]
+    assert sorted((r.id, r.v) for r in t.read().collect()) == before
+    assert _file_count(t.data_dir) <= 2
+    # resume key set unchanged
+    assert t.processed_keys("id").count() == 20
+    # nothing further to compact
+    assert t.compact() is None
+
+
+def test_compact_crash_window_never_shows_duplicates(spark, tmp_path):
+    """Simulate a crash between publish (phase 2) and source deletion
+    (phase 3): the superseded dirs are still on disk but the manifest
+    excludes them — read/snapshots stay exact; vacuum cleans up."""
+    import os
+    import shutil
+
+    t = Table(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"), "r1")
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"), "r2")
+    # preserve the sources, compact, then restore them = crashed phase 3
+    backup = str(tmp_path / "backup")
+    shutil.copytree(t.data_dir, backup)
+    cid = t.compact()
+    for n in ("run_id=r1", "run_id=r2"):
+        shutil.copytree(os.path.join(backup, n),
+                        os.path.join(t.data_dir, n))
+    assert sorted(os.listdir(t.data_dir)) == sorted(
+        [f"run_id={cid}", "run_id=r1", "run_id=r2"])
+    assert t.snapshots() == [cid]                      # manifest wins
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]   # no dupes
+    removed = t.vacuum()
+    assert sorted(removed) == ["run_id=r1", "run_id=r2"]
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+
+
+def test_compact_then_append_then_recompact(spark, tmp_path):
+    t = Table(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"), "r1")
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"), "r2")
+    c1 = t.compact()
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"), "r9")
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+    c2 = t.compact()
+    assert t.snapshots() == [c2]
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+    assert c1 != c2
