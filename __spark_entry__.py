@@ -1061,6 +1061,23 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs).select("doc_id", "split")
 
 
+def _q_text_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + control/whitespace cleanup (the
+    pre-dedup canonical form).  The corpus is ASCII, so both sides
+    deterministically append a decomposed accent (e + U+0301), a C0
+    control and a whitespace run; the byte-compared ``norm_text``
+    column verifies pandas NFC == DuckDB nfc_normalize plus the
+    Java/RE2 cleanup agreement (operators/textstats.normalize_text)."""
+    from frogocr_spark.operators.textstats import normalize_text
+    docs = _read(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" caf"), F.lit("e"),
+                 F.lit("́"), F.lit(" x"), F.lit("\x07"),
+                 F.lit("y  z")).alias("text"))
+    return normalize_text(aug).select("doc_id", "norm_text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -1148,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_topterms": _q_source_topterms,
         "url_canon": _q_url_canon,
         "hash_split": _q_hash_split,
+        "text_norm": _q_text_norm,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -2090,6 +2108,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, token, CAST(t_count AS BIGINT) AS t_count,
                    CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 5
+        """,
+        "text_norm": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                       nfc_normalize(text || ' caf' || 'e' || chr(769)
+                                     || ' x' || chr(7) || 'y  z'),
+                       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                       '\s+', ' ', 'g')) AS norm_text
+            FROM documents
         """,
         "hash_split": """
             SELECT doc_id,

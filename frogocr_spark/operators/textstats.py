@@ -527,3 +527,28 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
         F.when(prefix < train_hex, F.lit("train"))
         .when(prefix < val_hex, F.lit("val"))
         .otherwise(F.lit("test")))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "norm_text") -> DataFrame:
+    """Unicode text normalization — the canonical cleanup pass before
+    hash-based dedup (byte-level duplicates often differ only in
+    combining-character form, stray control bytes, or whitespace runs):
+    NFC composition, C0/DEL control stripping, ASCII-whitespace-run
+    collapse, trim.
+
+    NFC is the ONE step Spark's built-in functions cannot express, so
+    it runs as an Arrow-batched pandas UDF (``Series.str.normalize`` —
+    batch-level, no per-row JVM crossing); the control/whitespace
+    cleanup stays JVM-side ``regexp_replace`` (Java regex ``\\s`` and
+    RE2 ``\\s`` agree on the ASCII class, so the DuckDB
+    ``nfc_normalize`` oracle reproduces the result byte-for-byte)."""
+    # no type hints: postponed annotation evaluation (PEP 563) turns them
+    # into unresolvable strings for pandas_udf's signature inspection
+    _nfc = F.pandas_udf(lambda s: s.str.normalize("NFC"), "string")
+
+    cleaned = F.trim(F.regexp_replace(
+        F.regexp_replace(_nfc(F.col(text_col)),
+                         r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""),
+        r"\s+", " "))
+    return df.withColumn(out_col, cleaned)

@@ -399,3 +399,27 @@ def test_hash_split_deterministic_and_exhaustive(spark):
     got2 = {r.doc_id: r.split
             for r in textstats.hash_split(df.repartition(13)).collect()}
     assert got2 == got
+
+
+def test_normalize_text_hand_computed(spark):
+    rows = [
+        (0, "caf" + "é" + " x"),       # NFC composes e+combining
+        (1, "a\x00b\x07c\x7fd"),             # C0/DEL controls stripped
+        (2, "  a \t\n b   "),                # ws runs collapse + trim
+        (3, "café"),                          # already NFC: unchanged
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.norm_text
+           for r in textstats.normalize_text(df).collect()}
+    assert got[0] == "café x"
+    assert got[1] == "abcd"
+    assert got[2] == "a b"
+    assert got[3] == "café"
+    assert got[4] == ""
+    # idempotent
+    df2 = spark.createDataFrame([(k, v) for k, v in got.items()],
+                                "doc_id long, text string")
+    again = {r.doc_id: r.norm_text
+             for r in textstats.normalize_text(df2).collect()}
+    assert again == got
