@@ -1052,6 +1052,24 @@ def _q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep", (F.col("doc_id") == F.min("doc_id").over(w)))
 
 
+def _q_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: the increment (doc_id % 10 == 0)
+    LSH-banded against the base — new×new and new×base candidates
+    only, base×base NEVER generated (the daily-increment shape: work
+    proportional to the increment, not the corpus).  Same md5-mode
+    signature family as dedup_minhash so DuckDB recomputes the whole
+    pipeline (operators/dedup.minhash_lsh_pairs_incremental)."""
+    from frogocr_spark.operators.dedup import minhash_lsh_pairs_incremental
+    docs = _read(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    base = docs.where(F.col("doc_id") % 10 != 0)
+    out = minhash_lsh_pairs_incremental(
+        new, base, "doc_id", "text",
+        num_hashes=32, bands=4, threshold=0.5, hash_fn="md5")
+    return out.select("id_a", "id_b",
+                      F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
 def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by md5(doc_id) hex prefix —
     seedless, engine-portable, stable under appends/repartition; pure
@@ -1164,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": _q_mix_sample,
         "source_topterms": _q_source_topterms,
         "url_canon": _q_url_canon,
+        "dedup_incr": _q_dedup_incr,
         "hash_split": _q_hash_split,
         "text_norm": _q_text_norm,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
@@ -2117,6 +2136,52 @@ def oracle_sql() -> dict[str, str]:
                        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
                        '\s+', ' ', 'g')) AS norm_text
             FROM documents
+        """,
+        "dedup_incr": r"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS token
+                FROM documents
+            ), tkh AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(token), 1, 15))::BIGINT
+                       % 2147483647 AS x
+                FROM toks WHERE token <> ''
+            ), hashes AS (
+                SELECT doc_id, i,
+                       min((x * (('0x' || substr(md5('a:' || i), 1, 7))
+                                 ::BIGINT | 1)
+                            + ('0x' || substr(md5('b:' || i), 1, 7))::BIGINT)
+                           % 2147483647) AS mh
+                FROM tkh CROSS JOIN range(0, 32) r(i)
+                GROUP BY doc_id, i
+            ), sig AS (
+                SELECT doc_id, list(mh ORDER BY i) AS s,
+                       doc_id % 10 = 0 AS is_new
+                FROM hashes GROUP BY doc_id
+            ), banded AS (
+                SELECT doc_id, is_new, b,
+                       md5(array_to_string(
+                           list_slice(s, b * 8 + 1, b * 8 + 8), ':')) AS bh
+                FROM sig CROSS JOIN range(0, 4) r(b)
+            ), cand AS (
+                -- id_a always NEW; new-new pairs once (a < b); base-base
+                -- pairs never generated (the incremental contract)
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh
+                WHERE a.is_new
+                  AND ((b.is_new AND a.doc_id < b.doc_id) OR NOT b.is_new)
+            ), est AS (
+                SELECT id_a, id_b,
+                       list_sum(list_transform(range(1, 33),
+                           j -> CASE WHEN sa.s[j] = sb.s[j]
+                                     THEN 1 ELSE 0 END)) / 32.0 AS e
+                FROM cand
+                JOIN sig sa ON sa.doc_id = id_a
+                JOIN sig sb ON sb.doc_id = id_b
+            )
+            SELECT id_a, id_b, round(e, 6) AS est_jaccard
+            FROM est WHERE e >= 0.5
         """,
         "hash_split": """
             SELECT doc_id,

@@ -235,6 +235,28 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                       .alias("signature"))
 
 
+def _band_explode(sig: DataFrame, id_col: str, bands: int,
+                  rows_per_band: int, hash_fn: str) -> DataFrame:
+    """(id, band, band_hash) rows: one bucket key per signature band —
+    md5 of the ':'-joined component strings in md5 mode (SQL-replicable)
+    or xxhash64 of the components in production mode."""
+    if hash_fn == "md5":
+        band_exprs = [
+            F.md5(F.concat_ws(":", *[
+                F.col("signature")[i].cast("string")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)]))
+            for b in range(bands)]
+    else:
+        band_exprs = [
+            F.xxhash64(*[F.col("signature")[i]
+                         for i in range(b * rows_per_band,
+                                        (b + 1) * rows_per_band)])
+            for b in range(bands)]
+    return sig.select(
+        id_col,
+        F.posexplode(F.array(*band_exprs)).alias("band", "band_hash"))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.6,
@@ -284,21 +306,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # are quadratic in bucket size); signatures are re-attached per-id
     # afterwards — two narrow joins against the signature table (AQE
     # broadcasts it when small; sort-merge on the id key at corpus scale)
-    if hash_fn == "md5":
-        band_exprs = [
-            F.md5(F.concat_ws(":", *[
-                F.col("signature")[i].cast("string")
-                for i in range(b * rows_per_band, (b + 1) * rows_per_band)]))
-            for b in range(bands)]
-    else:
-        band_exprs = [
-            F.xxhash64(*[F.col("signature")[i]
-                         for i in range(b * rows_per_band,
-                                        (b + 1) * rows_per_band)])
-            for b in range(bands)]
-    banded = sig.select(
-        id_col,
-        F.posexplode(F.array(*band_exprs)).alias("band", "band_hash"))
+    banded = _band_explode(sig, id_col, bands, rows_per_band, hash_fn)
     if max_bucket is not None:
         from pyspark.sql import Window
         w = Window.partitionBy("band", "band_hash")
@@ -324,6 +332,78 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                              F.col("signature").alias("sig_a")), "id_a")
             .join(sig.select(F.col(id_col).alias("id_b"),
                              F.col("signature").alias("sig_b")), "id_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, x: acc + x) / F.lit(float(rows_per_band * bands))
+    return (cand.withColumn("est_jaccard", est)
+            .where(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+def minhash_lsh_pairs_incremental(
+        new_df: DataFrame, base_df: DataFrame | None,
+        id_col: str, text_col: str,
+        num_hashes: int = 32, bands: int = 8, threshold: float = 0.6,
+        hash_fn: str = "xxhash64", ngram: int = 1,
+        char_shingles: int | None = None,
+        base_signatures: DataFrame | None = None) -> DataFrame:
+    """Incremental banded LSH: near-dup candidates touching at least one
+    NEW document — new×new pairs (``id_a < id_b``) and new×base pairs
+    (``id_a`` = the new doc) — while base×base pairs are NEVER
+    generated.  This is the daily-increment shape at 100 TB: the base
+    corpus is huge and already deduped; re-running the batch operator
+    would re-enumerate every base bucket's B(B-1)/2 pairs just to throw
+    them away.  Here the base side only ever band-joins against the
+    increment, so candidate work is proportional to the increment, not
+    the corpus.
+
+    ``base_signatures`` skips re-tokenizing the base entirely: pass the
+    stored (id, signature) table (:func:`minhash_signatures` output is
+    the artifact a production pipeline persists per snapshot) and the
+    base TEXT is never read.  ids must be disjoint across the two
+    inputs (same contract as the union the batch operator would see).
+    Estimated Jaccard is verified on every emitted pair exactly as in
+    :func:`minhash_lsh_pairs`; hot-bucket capping composes the same way
+    if needed (apply it to the unioned banded relation)."""
+    rows_per_band = num_hashes // bands
+    sig_new = minhash_signatures(new_df, id_col, text_col, num_hashes,
+                                 hash_fn=hash_fn, ngram=ngram,
+                                 char_shingles=char_shingles
+                                 ).localCheckpoint()
+    if base_signatures is not None:
+        sig_base = base_signatures
+    else:
+        if base_df is None:
+            raise ValueError("need base_df or base_signatures")
+        sig_base = minhash_signatures(base_df, id_col, text_col, num_hashes,
+                                      hash_fn=hash_fn, ngram=ngram,
+                                      char_shingles=char_shingles)
+    sig_base = sig_base.localCheckpoint()
+    banded_new = _band_explode(sig_new, id_col, bands, rows_per_band,
+                               hash_fn)
+    banded_base = _band_explode(sig_base, id_col, bands, rows_per_band,
+                                hash_fn)
+    a_new = banded_new.select(F.col(id_col).alias("id_a"),
+                              "band", "band_hash")
+    # new×base: every bucket co-occurrence, oriented (new, base)
+    nb = (a_new.join(banded_base.select(F.col(id_col).alias("id_b"),
+                                        "band", "band_hash"),
+                     ["band", "band_hash"])
+          .select("id_a", "id_b"))
+    # new×new: ordered to emit each pair once
+    nn = (a_new.join(banded_new.select(F.col(id_col).alias("id_b"),
+                                       "band", "band_hash"),
+                     ["band", "band_hash"])
+          .where(F.col("id_a") < F.col("id_b"))
+          .select("id_a", "id_b"))
+    cand_ids = nb.unionByName(nn).dropDuplicates(["id_a", "id_b"])
+    sig_all = sig_new.unionByName(sig_base)
+    cand = (cand_ids
+            .join(sig_all.select(F.col(id_col).alias("id_a"),
+                                 F.col("signature").alias("sig_a")), "id_a")
+            .join(sig_all.select(F.col(id_col).alias("id_b"),
+                                 F.col("signature").alias("sig_b")), "id_b"))
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b",
                    lambda x, y: F.when(x == y, 1).otherwise(0)),

@@ -302,3 +302,77 @@ def test_embedding_lsh_hot_bucket_cap(spark):
     # cosine verification still ran on star pairs
     assert all(abs(r.cosine - 1.0) < 1e-9 for r in capped
                if r.id_a == 0 and r.id_b < 10_000)
+
+
+def _pairset(rows):
+    return {frozenset((r.id_a, r.id_b)) for r in rows}
+
+
+def test_incremental_lsh_matches_batch_restricted_to_new(spark):
+    """incremental(new, base) must equal the full batch pair set
+    restricted to pairs touching at least one new doc (orientation
+    aside), at identical parameters."""
+    from frogocr_spark.operators.dedup import (minhash_lsh_pairs,
+                                               minhash_lsh_pairs_incremental)
+    texts = {}
+    for i in range(40):
+        fam = i % 8
+        texts[i] = (f"family {fam} shared shingle text body "
+                    + " ".join(f"w{fam}_{j}" for j in range(10))
+                    + (f" tail{i}" if i % 3 == 0 else ""))
+    rows = [(i, t) for i, t in texts.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = df.where("doc_id % 5 = 0")
+    base = df.where("doc_id % 5 != 0")
+    kw = dict(num_hashes=32, bands=4, threshold=0.5, hash_fn="md5")
+    batch = minhash_lsh_pairs(df, "doc_id", "text", **kw).collect()
+    new_ids = {r.doc_id for r in new.collect()}
+    expected = {p for p in _pairset(batch) if p & new_ids}
+    inc = minhash_lsh_pairs_incremental(new, base, "doc_id", "text",
+                                        **kw).collect()
+    assert _pairset(inc) == expected
+    # orientation contract: id_a is always a new doc
+    assert all(r.id_a in new_ids for r in inc)
+    # est values agree pairwise
+    batch_est = {frozenset((r.id_a, r.id_b)): r.est_jaccard for r in batch}
+    for r in inc:
+        assert batch_est[frozenset((r.id_a, r.id_b))] == r.est_jaccard
+
+
+def test_incremental_lsh_never_pairs_base_with_base(spark):
+    """A giant duplicate cluster entirely inside the BASE must produce
+    zero candidate work: the batch operator would enumerate B(B-1)/2
+    pairs; the incremental one none."""
+    from frogocr_spark.operators.dedup import (minhash_lsh_pairs,
+                                               minhash_lsh_pairs_incremental)
+    base_rows = [(i, "the same duplicated corpus text repeated often")
+                 for i in range(50)]
+    new_rows = [(1000, "a completely unrelated new document body")]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    kw = dict(num_hashes=32, bands=4, threshold=0.5, hash_fn="md5")
+    batch_n = minhash_lsh_pairs(base.union(new), "doc_id", "text",
+                                **kw).count()
+    assert batch_n == 50 * 49 // 2
+    assert minhash_lsh_pairs_incremental(new, base, "doc_id", "text",
+                                         **kw).count() == 0
+
+
+def test_incremental_lsh_accepts_precomputed_base_signatures(spark):
+    """The stored-signature path (base text never read) must produce
+    the identical pair set."""
+    from frogocr_spark.operators.dedup import (minhash_lsh_pairs_incremental,
+                                               minhash_signatures)
+    rows = [(i, "shared near dup body text " + ("x" if i % 2 else "y"))
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = df.where("doc_id >= 10")
+    base = df.where("doc_id < 10")
+    kw = dict(num_hashes=32, bands=4, threshold=0.5, hash_fn="md5")
+    via_text = minhash_lsh_pairs_incremental(new, base, "doc_id", "text",
+                                             **kw).collect()
+    sigs = minhash_signatures(base, "doc_id", "text", 32, hash_fn="md5")
+    via_sigs = minhash_lsh_pairs_incremental(
+        new, None, "doc_id", "text", base_signatures=sigs, **kw).collect()
+    assert _pairset(via_text) == _pairset(via_sigs)
+    assert len(via_text) == len(via_sigs)
