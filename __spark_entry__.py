@@ -1052,6 +1052,41 @@ def _q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep", (F.col("doc_id") == F.min("doc_id").over(w)))
 
 
+def _q_extract_tooljson_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL mapInArrow extractor over tool_json payloads — the
+    second extraction class hash-checked end to end (extract_plain_docs
+    covers plain).  Both sides build eight deterministic payload
+    variants over documents.text: content/fallback keys, JSON escapes
+    in the value (span points at the raw token, text at the unescaped
+    value), a non-string content field (type gate → deeper fallback),
+    a keyless object, a whitespace-only value (pruned-empty), and
+    truncated JSON (parse_failed).  The oracle recomputes
+    class/text/span offsets/flags per variant."""
+    from frogocr_spark.operators.extraction import extract_turns
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    v = F.col("doc_id") % 8
+    raw = (F.when(v == 0, F.concat(F.lit('{"content":"'), t, F.lit('"}')))
+           .when(v == 1, F.concat(F.lit('{"output":"'), t, F.lit('"}')))
+           .when(v == 2, F.concat(F.lit('{"note":"x","text":"'), t,
+                                  F.lit(' \\"quoted\\" end"}')))
+           .when(v == 3, F.concat(F.lit('{"content":"'), t,
+                                  F.lit('\\nline2"}')))
+           .when(v == 4, F.lit('{"other":"x","n":5}'))
+           .when(v == 5, F.lit('{"content":"  "}'))
+           .when(v == 6, F.concat(F.lit('{"content":"'), t))
+           .otherwise(F.concat(F.lit('{"content": 7, "result":"'), t,
+                               F.lit('"}'))))
+    shaped = docs.select("doc_id", raw.alias("text"))
+    out = extract_turns(shaped, passthrough=("doc_id",),
+                        with_partition_id=False)
+    return out.select(
+        "doc_id", "payload_class", "extracted_text",
+        F.try_element_at("spans", F.lit(1))["start"].alias("span_start"),
+        F.try_element_at("spans", F.lit(1))["end"].alias("span_end"),
+        "n_spans", "parse_failed", "empty_after_strip")
+
+
 def _q_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection: the increment (doc_id % 10 == 0)
     LSH-banded against the base — new×new and new×base candidates
@@ -1182,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": _q_mix_sample,
         "source_topterms": _q_source_topterms,
         "url_canon": _q_url_canon,
+        "extract_tooljson_docs": _q_extract_tooljson_docs,
         "dedup_incr": _q_dedup_incr,
         "hash_split": _q_hash_split,
         "text_norm": _q_text_norm,
@@ -2136,6 +2172,40 @@ def oracle_sql() -> dict[str, str]:
                        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
                        '\s+', ' ', 'g')) AS norm_text
             FROM documents
+        """,
+        "extract_tooljson_docs": r"""
+            WITH aug AS (
+                SELECT doc_id, text, doc_id % 8 AS v, len(text) AS n
+                FROM documents
+            )
+            SELECT doc_id,
+                   'tool_json' AS payload_class,
+                   CASE v WHEN 0 THEN text WHEN 1 THEN text
+                          WHEN 2 THEN text || ' "quoted" end'
+                          WHEN 3 THEN text || chr(10) || 'line2'
+                          WHEN 7 THEN text
+                          ELSE '' END AS extracted_text,
+                   CAST(CASE
+                       WHEN v = 0 THEN len('{"content":"')
+                       WHEN v = 1 THEN len('{"output":"')
+                       WHEN v = 2 THEN len('{"note":"x","text":"')
+                       WHEN v = 3 THEN len('{"content":"')
+                       WHEN v = 7 THEN len('{"content": 7, "result":"')
+                       ELSE NULL END AS INT) AS span_start,
+                   CAST(CASE
+                       WHEN v = 0 THEN len('{"content":"') + n
+                       WHEN v = 1 THEN len('{"output":"') + n
+                       WHEN v = 2 THEN len('{"note":"x","text":"') + n
+                                        + len(' \"quoted\" end')
+                       WHEN v = 3 THEN len('{"content":"') + n
+                                        + len('\nline2')
+                       WHEN v = 7 THEN len('{"content": 7, "result":"') + n
+                       ELSE NULL END AS INT) AS span_end,
+                   CAST(CASE WHEN v IN (0, 1, 2, 3, 7)
+                             THEN 1 ELSE 0 END AS INT) AS n_spans,
+                   v = 6 AS parse_failed,
+                   v IN (4, 5, 6) AS empty_after_strip
+            FROM aug
         """,
         "dedup_incr": r"""
             WITH toks AS (
