@@ -65,3 +65,62 @@ def curate_stream(stream_df: DataFrame, text_col: str = "text",
                            min_quality=min_quality, min_tokens=min_tokens)
     return dedup_stream_content(gated, text_col=text_col,
                                 time_col=time_col, delay=delay)
+
+
+def near_dedup_batch_fn(sink, sigs, id_col: str = "doc_id",
+                        text_col: str = "text", num_hashes: int = 32,
+                        bands: int = 8, threshold: float = 0.6,
+                        hash_fn: str = "xxhash64"):
+    """Streaming NEAR-dup ingestion: a ``foreachBatch`` function that
+    runs :func:`operators.dedup.minhash_lsh_pairs_incremental` per
+    micro-batch against the accumulated base — the streaming face of
+    the incremental operator (daily-increment shape, continuously).
+
+    Per batch: (1) the batch is LSH-banded against the persisted
+    signature table (base×base never re-paired — work proportional to
+    the batch); (2) losers drop by the greedy order-deterministic rule
+    — a batch doc matching ANY base doc loses, and of a within-batch
+    pair the larger id loses (the batch pipeline's connected-components
+    resolution is the offline twin; greedy-vs-keeper is the standard
+    ingestion rule and may over-drop on within-batch chains, which is
+    documented and tested); (3) survivors append to ``sink`` and their
+    signatures to ``sigs`` — only KEPT documents become future base, so
+    state grows with the deduped corpus, not the raw stream.
+
+    Exactly-once across restarts: both appends are ``run_id=b<batch_id>``
+    idempotent (:class:`sources.catalog.Table` staged publish), so a
+    replayed micro-batch overwrites its own files instead of
+    duplicating them."""
+    from ..operators.dedup import (minhash_lsh_pairs,
+                                   minhash_lsh_pairs_incremental,
+                                   minhash_signatures)
+
+    kw = dict(num_hashes=num_hashes, bands=bands, threshold=threshold,
+              hash_fn=hash_fn)
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()   # stabilize the source cut
+        if sigs.exists():
+            base_sigs = sigs.read().select(id_col, "signature")
+            pairs = minhash_lsh_pairs_incremental(
+                batch_df, None, id_col, text_col,
+                base_signatures=base_sigs, **kw)
+            base_ids = base_sigs.select(F.col(id_col).alias("id_b"))
+            vs_base = (pairs.join(base_ids, "id_b", "leftsemi")
+                       .select(F.col("id_a").alias("_loser")))
+            vs_new = (pairs.join(base_ids, "id_b", "left_anti")
+                      .select(F.col("id_b").alias("_loser")))
+            losers = vs_base.unionByName(vs_new).distinct()
+        else:
+            pairs = minhash_lsh_pairs(batch_df, id_col, text_col, **kw)
+            losers = pairs.select(F.col("id_b").alias("_loser")).distinct()
+        kept = batch_df.join(
+            losers, batch_df[id_col] == losers._loser, "left_anti"
+        ).localCheckpoint()
+        run = f"b{batch_id}"
+        sink.append(kept, run_id=run)
+        sigs.append(minhash_signatures(kept, id_col, text_col,
+                                       num_hashes, hash_fn=hash_fn),
+                    run_id=run)
+
+    return fn

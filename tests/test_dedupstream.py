@@ -116,3 +116,57 @@ def test_curate_stream_gates_then_dedups(spark, tmp_path):
     _drain(spark, inp, out, ckpt, op)
     texts = [r.text for r in spark.read.parquet(out).collect()]
     assert sorted(texts) == sorted([good, other])
+
+
+def test_near_dedup_stream_incremental_lsh(spark, tmp_path):
+    """foreachBatch incremental-LSH ingestion: batch docs matching any
+    KEPT base doc drop, within-batch pairs drop the larger id, and only
+    survivors' signatures enter the base; replaying the drained stream
+    (same checkpoint) appends nothing."""
+    import os
+
+    from frogocr_spark.sources.catalog import Table
+    from frogocr_spark.streaming.dedupstream import near_dedup_batch_fn
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    uniq = {1: "alpha beta gamma delta epsilon one",
+            2: "zeta eta theta iota kappa two",
+            12: "completely different twelve body words here"}
+    # file b0: 1, 2 unique; 3 = dup of 1 (within-batch: 3 loses)
+    rows0 = [(1, uniq[1]), (2, uniq[2]), (3, uniq[1])]
+    # file b1: 10 = dup of 1 (base: loses), 11 = dup of 2 (base: loses),
+    # 12 unique, 13 = dup of 12 (within-batch: loses)
+    rows1 = [(10, uniq[1]), (11, uniq[2]), (12, uniq[12]),
+             (13, uniq[12])]
+    for name, rows, mtime in (("f0", rows0, 1_700_000_000),
+                              ("f1", rows1, 1_700_000_600)):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        p = os.path.join(inp, name)
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    sink = Table(spark, str(tmp_path / "sink"))
+    sigs = Table(spark, str(tmp_path / "sigs"))
+    fn = near_dedup_batch_fn(sink, sigs, threshold=0.5, hash_fn="md5")
+
+    def drain():
+        stream = (spark.readStream
+                  .schema("doc_id long, text string")
+                  .format("parquet").option("maxFilesPerTrigger", 1)
+                  .load(inp + "/*"))
+        q = (stream.writeStream.foreachBatch(fn)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    drain()
+    kept = sorted(r.doc_id for r in sink.read().collect())
+    assert kept == [1, 2, 12]
+    # signature base = kept docs only
+    assert sorted(r.doc_id for r in sigs.read().collect()) == [1, 2, 12]
+    # replay with the same checkpoint: nothing re-processed, no dupes
+    drain()
+    assert sorted(r.doc_id for r in sink.read().collect()) == [1, 2, 12]
