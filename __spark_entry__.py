@@ -1087,6 +1087,49 @@ def _q_extract_tooljson_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_spans", "parse_failed", "empty_after_strip")
 
 
+def _q_extract_pdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL mapInArrow extractor over pdf_layout payloads — the
+    THIRD extraction class hash-checked end to end, and the one that
+    exercises the reference's signature geometry chain: F5 min-side
+    filter, header/footer strip, the LITERAL W1 (y,x)-sort +
+    single-bubble-pass reading order (PaddleTextDetector.cpp:337-352 —
+    replicated in the oracle as a carry-fold recursive CTE, quirks
+    included: a swapped-back box keeps bubbling), band line grouping,
+    and span assembly.  Both sides build identical payloads: the first
+    12 words of each document laid out on a 4-column grid with
+    alternating REVERSED rows (forces bubble swaps), one sub-min-side
+    box, one header box and one footer box (filtered), and exact
+    arithmetic char offsets."""
+    from frogocr_spark.operators.extraction import extract_turns
+    docs = _read(spark, sf_dir, "documents")
+    ws = F.slice(F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                          lambda x: x != ""), 1, 12)
+
+    def tok(w, i):
+        r = F.floor(i / 4).cast("int")
+        c = (i % 4).cast("int")
+        inv = ((F.col("doc_id") + r) % 2) == 1
+        x = F.when(inv, (3 - c) * 100).otherwise(c * 100)
+        y = (F.when(i == 7, F.lit(20))
+             .when(i == 11, F.lit(900))
+             .otherwise(100 + r * 50 + c * 3))
+        wdt = F.when(i == 5, F.lit(2)).otherwise(40 + c)
+        return F.concat(F.lit("@"), x.cast("string"), F.lit(","),
+                        y.cast("string"), F.lit(","), wdt.cast("string"),
+                        F.lit(",12|"), w)
+
+    payload = F.array_join(F.transform(ws, tok), " ")
+    shaped = docs.select("doc_id", payload.alias("text"))
+    out = extract_turns(shaped, passthrough=("doc_id",),
+                        with_partition_id=False)
+    return out.select(
+        "doc_id", "payload_class", "extracted_text", "n_blocks", "n_spans",
+        F.try_element_at("spans", F.lit(1))["start"].alias("span_start"),
+        F.try_element_at("spans", F.lit(1))["end"].alias("span_end"),
+        F.try_element_at("spans", F.lit(-1))["start"].alias("last_start"),
+        F.try_element_at("spans", F.lit(-1))["end"].alias("last_end"))
+
+
 def _q_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection: the increment (doc_id % 10 == 0)
     LSH-banded against the base — new×new and new×base candidates
@@ -1218,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_topterms": _q_source_topterms,
         "url_canon": _q_url_canon,
         "extract_tooljson_docs": _q_extract_tooljson_docs,
+        "extract_pdf_docs": _q_extract_pdf_docs,
         "dedup_incr": _q_dedup_incr,
         "hash_split": _q_hash_split,
         "text_norm": _q_text_norm,
@@ -2206,6 +2250,97 @@ def oracle_sql() -> dict[str, str]:
                    v = 6 AS parse_failed,
                    v IN (4, 5, 6) AS empty_after_strip
             FROM aug
+        """,
+        "extract_pdf_docs": r"""
+WITH RECURSIVE words AS (
+    SELECT doc_id,
+           list_slice(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> ''), 1, 12) AS ws
+    FROM documents
+), toks AS (
+    SELECT doc_id, u.t.w AS w, u.t.i - 1 AS i
+    FROM words,
+         unnest(list_transform(ws, (w0, i0) -> {'w': w0, 'i': i0})) u(t)
+), geom AS (
+    SELECT doc_id, w, i,
+           CASE WHEN (doc_id + (i // 4)) % 2 = 1
+                THEN (3 - (i % 4)) * 100 ELSE (i % 4) * 100 END AS x,
+           CASE WHEN i = 7 THEN 20 WHEN i = 11 THEN 900
+                ELSE 100 + (i // 4) * 50 + (i % 4) * 3 END AS y,
+           CASE WHEN i = 5 THEN 2 ELSE 40 + (i % 4) END AS wd
+    FROM toks
+), strs AS (
+    SELECT doc_id, w, i, x, y, wd,
+           '@' || x || ',' || y || ',' || wd || ',12|' || w AS tok
+    FROM geom
+), offs AS (
+    SELECT doc_id, w, i, x, y, wd, tok,
+           CAST(COALESCE(SUM(len(tok) + 1) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS INT) AS pre
+    FROM strs
+), kept AS (
+    SELECT doc_id, w, i, x, y,
+           pre + len(tok) - len(w) AS s,
+           pre + len(tok) AS e
+    FROM offs
+    WHERE wd >= 4 AND y >= 50 AND y < 750
+), sorted AS (
+    SELECT doc_id,
+           list({'x': x, 'y': y, 'word': w, 's': s, 'e': e}
+                ORDER BY y, x, i) AS lst
+    FROM kept GROUP BY doc_id
+), fold AS (
+    SELECT doc_id, lst, 2 AS nxt, lst[1] AS carry,
+           CAST([] AS STRUCT(x INT, y INT, word VARCHAR,
+                             s INT, e INT)[]) AS emitted
+    FROM sorted
+    UNION ALL
+    SELECT doc_id, lst, nxt + 1,
+           CASE WHEN abs((lst[nxt]).y - carry.y) < 10
+                     AND (lst[nxt]).x < carry.x
+                THEN carry ELSE lst[nxt] END,
+           list_append(emitted,
+               CASE WHEN abs((lst[nxt]).y - carry.y) < 10
+                         AND (lst[nxt]).x < carry.x
+                    THEN lst[nxt] ELSE carry END)
+    FROM fold WHERE nxt <= len(lst)
+), final_list AS (
+    SELECT doc_id, list_append(emitted, carry) AS ordered
+    FROM fold WHERE nxt = len(lst) + 1
+), emitted AS (
+    SELECT doc_id, u.t.b AS b, u.t.pos AS pos
+    FROM final_list,
+         unnest(list_transform(ordered,
+                               (b0, p0) -> {'b': b0, 'pos': p0})) u(t)
+), lined AS (
+    SELECT doc_id, b, pos,
+           CASE WHEN pos = 1 THEN TRUE
+                WHEN abs(b.y - lag(b.y) OVER
+                         (PARTITION BY doc_id ORDER BY pos)) >= 10
+                THEN TRUE ELSE FALSE END AS nl
+    FROM emitted
+), agg AS (
+    SELECT doc_id,
+           string_agg(CASE WHEN pos = 1 THEN ''
+                           WHEN nl THEN chr(10) ELSE ' ' END || b.word,
+                      '' ORDER BY pos) AS extracted_text,
+           CAST(SUM(CASE WHEN nl THEN 1 ELSE 0 END) AS INT) AS n_blocks,
+           CAST(COUNT(*) AS INT) AS n_spans,
+           CAST(min_by(b.s, pos) AS INT) AS span_start,
+           CAST(min_by(b.e, pos) AS INT) AS span_end,
+           CAST(max_by(b.s, pos) AS INT) AS last_start,
+           CAST(max_by(b.e, pos) AS INT) AS last_end
+    FROM lined GROUP BY doc_id
+)
+SELECT d.doc_id, 'pdf_layout' AS payload_class,
+       COALESCE(a.extracted_text, '') AS extracted_text,
+       COALESCE(a.n_blocks, 0) AS n_blocks,
+       COALESCE(a.n_spans, 0) AS n_spans,
+       a.span_start, a.span_end, a.last_start, a.last_end
+FROM documents d LEFT JOIN agg a USING (doc_id)
+
         """,
         "dedup_incr": r"""
             WITH toks AS (
