@@ -1130,6 +1130,47 @@ def _q_extract_pdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at("spans", F.lit(-1))["end"].alias("last_end"))
 
 
+def _q_extract_md_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL mapInArrow extractor over markdown payloads — the
+    FOURTH extraction class hash-checked end to end: heading /
+    blockquote / bullet / ordered-list marker strips, code-fence drop
+    with verbatim fenced content, inline link/strong/code keeps, the
+    whitespace-piece→glue collapse, and empty-line pruning.  Payloads
+    are built from each document's own words at arithmetic positions,
+    so the oracle recomputes extracted text AND span offsets from word
+    lengths alone (no SQL regex needed)."""
+    from frogocr_spark.operators.extraction import extract_turns
+    docs = _read(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                  lambda x: x != "")
+    n = F.size(ws)
+
+    def W(j: int):
+        return F.element_at(ws, (F.lit(j) % n) + 1)
+
+    nl = F.lit("\n")
+    payload = F.concat(
+        F.lit("# "), W(0), F.lit(" "), W(1), nl,
+        F.lit("```"), nl,
+        W(2), nl,
+        F.lit("```"), nl,
+        F.lit("- "), W(3), F.lit(" **"), W(4), F.lit("** "), W(5), nl,
+        F.lit("> > "), W(6), nl,
+        F.lit("   "), nl,
+        F.lit("["), W(7), F.lit("](http://x)"), nl,
+        F.lit("1. `"), W(8), F.lit("`"), nl,
+        F.lit("**"), W(9), F.lit("** **"), W(10), F.lit("**"))
+    shaped = docs.select("doc_id", payload.alias("text"))
+    out = extract_turns(shaped, passthrough=("doc_id",),
+                        with_partition_id=False)
+    return out.select(
+        "doc_id", "payload_class", "extracted_text", "n_blocks", "n_spans",
+        F.try_element_at("spans", F.lit(1))["start"].alias("span_start"),
+        F.try_element_at("spans", F.lit(1))["end"].alias("span_end"),
+        F.try_element_at("spans", F.lit(-1))["start"].alias("last_start"),
+        F.try_element_at("spans", F.lit(-1))["end"].alias("last_end"))
+
+
 def _q_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection: the increment (doc_id % 10 == 0)
     LSH-banded against the base — new×new and new×base candidates
@@ -1262,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": _q_url_canon,
         "extract_tooljson_docs": _q_extract_tooljson_docs,
         "extract_pdf_docs": _q_extract_pdf_docs,
+        "extract_md_docs": _q_extract_md_docs,
         "dedup_incr": _q_dedup_incr,
         "hash_split": _q_hash_split,
         "text_norm": _q_text_norm,
@@ -2340,6 +2382,60 @@ SELECT d.doc_id, 'pdf_layout' AS payload_class,
        COALESCE(a.n_spans, 0) AS n_spans,
        a.span_start, a.span_end, a.last_start, a.last_end
 FROM documents d LEFT JOIN agg a USING (doc_id)
+
+        """,
+        "extract_md_docs": r"""
+WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> '') AS ws
+    FROM documents
+), w AS (
+    SELECT doc_id,
+           ws[(0 % len(ws)) + 1] AS w0, ws[(1 % len(ws)) + 1] AS w1,
+           ws[(2 % len(ws)) + 1] AS w2, ws[(3 % len(ws)) + 1] AS w3,
+           ws[(4 % len(ws)) + 1] AS w4, ws[(5 % len(ws)) + 1] AS w5,
+           ws[(6 % len(ws)) + 1] AS w6, ws[(7 % len(ws)) + 1] AS w7,
+           ws[(8 % len(ws)) + 1] AS w8, ws[(9 % len(ws)) + 1] AS w9,
+           ws[(10 % len(ws)) + 1] AS w10
+    FROM words
+), lens AS (
+    SELECT *,
+           2 + len(w0) + 1 + len(w1) AS l0,
+           3 AS l1, len(w2) AS l2, 3 AS l3,
+           2 + len(w3) + 3 + len(w4) + 3 + len(w5) AS l4,
+           4 + len(w6) AS l5, 3 AS l6,
+           1 + len(w7) + 11 AS l7,
+           4 + len(w8) + 1 AS l8,
+           2 + len(w9) + 5 + len(w10) + 2 AS l9
+    FROM w
+), starts AS (
+    SELECT *,
+           0 AS s0,
+           l0 + 1 AS s2_unused,
+           l0 + 1 + l1 + 1 AS ls2,
+           l0 + 1 + l1 + 1 + l2 + 1 + l3 + 1 AS ls4,
+           l0 + 1 + l1 + 1 + l2 + 1 + l3 + 1 + l4 + 1 AS ls5,
+           l0 + 1 + l1 + 1 + l2 + 1 + l3 + 1 + l4 + 1 + l5 + 1 + l6 + 1
+               AS ls7,
+           l0 + 1 + l1 + 1 + l2 + 1 + l3 + 1 + l4 + 1 + l5 + 1 + l6 + 1
+               + l7 + 1 AS ls8,
+           l0 + 1 + l1 + 1 + l2 + 1 + l3 + 1 + l4 + 1 + l5 + 1 + l6 + 1
+               + l7 + 1 + l8 + 1 AS ls9
+    FROM lens
+)
+SELECT doc_id, 'markdown' AS payload_class,
+       w0 || ' ' || w1 || chr(10) || w2 || chr(10)
+       || w3 || ' ' || w4 || ' ' || w5 || chr(10) || w6 || chr(10)
+       || w7 || chr(10) || w8 || chr(10) || w9 || ' ' || w10
+       AS extracted_text,
+       CAST(7 AS INT) AS n_blocks,
+       CAST(10 AS INT) AS n_spans,
+       CAST(2 AS INT) AS span_start,
+       CAST(2 + len(w0) + 1 + len(w1) AS INT) AS span_end,
+       CAST(ls9 + 2 + len(w9) + 5 AS INT) AS last_start,
+       CAST(ls9 + 2 + len(w9) + 5 + len(w10) AS INT) AS last_end
+FROM starts
 
         """,
         "dedup_incr": r"""
