@@ -1171,6 +1171,91 @@ def _q_extract_md_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at("spans", F.lit(-1))["end"].alias("last_end"))
 
 
+def _q_extract_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL mapInArrow extractor over HTML payloads — the FIFTH
+    extraction class hash-checked end to end: blacklist subtree drop
+    (nav), the LINK-DENSITY gate (the oracle recomputes the float
+    density decision per doc — IEEE division is correctly rounded in
+    every engine, so the > 1/3 comparison is bit-identical), the
+    min-words gate, block flushing on block-level tags, and the
+    tail-text flush.  Payloads are built from each doc's own words at
+    arithmetic positions: a nav block (always dropped), a clean 4-word
+    paragraph (always kept), a div whose keep depends on its link
+    density (doc-dependent, recomputed exactly), a link-heavy
+    paragraph and a 2-word paragraph (always dropped), and kept tail
+    text after the last tag."""
+    from frogocr_spark.operators.extraction import extract_turns
+    docs = _read(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                  lambda x: x != "")
+    n = F.size(ws)
+
+    def W(j: int):
+        return F.element_at(ws, (F.lit(j) % n) + 1)
+
+    sp = F.lit(" ")
+    payload = F.concat(
+        F.lit("<nav>"), W(0), sp, W(1), sp, W(2), sp, W(3), sp, W(4),
+        F.lit("</nav>"),
+        F.lit('<p class="x">'), W(0), sp, W(1), sp, W(2), sp, W(3),
+        F.lit("</p>"),
+        F.lit("<div>"), W(4), F.lit(' <a href="u">'), W(5),
+        F.lit("</a> "), W(6), sp, W(7), F.lit("</div>"),
+        F.lit("<p>"), W(8), F.lit(' <a href="u">'), W(9), sp, W(10),
+        sp, W(2), sp, W(3), sp, W(4), F.lit("</a></p>"),
+        F.lit("<p>"), W(5), sp, W(6), F.lit("</p>"),
+        sp, W(1), F.lit(" tail "), W(2), sp, W(3))
+    shaped = docs.select("doc_id", payload.alias("text"))
+    out = extract_turns(shaped, passthrough=("doc_id",),
+                        with_partition_id=False)
+    return out.select(
+        "doc_id", "payload_class", "extracted_text", "n_blocks", "n_spans",
+        F.try_element_at("spans", F.lit(1))["start"].alias("span_start"),
+        F.try_element_at("spans", F.lit(1))["end"].alias("span_end"),
+        F.try_element_at("spans", F.lit(-1))["start"].alias("last_start"),
+        F.try_element_at("spans", F.lit(-1))["end"].alias("last_end"))
+
+
+def _q_extract_twopass_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL mapInArrow extractor over two_pass payloads — the SIXTH
+    (final) extraction class hash-checked end to end: a [[LOWCONF]]
+    region carrying REVERSED text is re-recognized by the second pass
+    (J1 coverage join → J3 gate → A4 majority relaxation → J2 word
+    erasure → J4 merge), the erased garbled readings survive as
+    Variants (n_variants = 2), and the corrected words' provenance
+    spans are MIRRORED through the reversal (span3 = [b-len, b), the
+    documented exception to the monotone-span rule) — all recomputed
+    arithmetically by the oracle.  Confidence is float32 engine math
+    and deliberately not a contract column (pinned by pytest
+    instead)."""
+    from frogocr_spark.operators.extraction import extract_turns
+    docs = _read(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                  lambda x: x != "")
+    n = F.size(ws)
+
+    def W(j: int):
+        return F.element_at(ws, (F.lit(j) % n) + 1)
+
+    sp = F.lit(" ")
+    payload = F.concat(
+        W(0), sp, W(1), F.lit(" [[LOWCONF]]"),
+        F.reverse(F.concat(W(2), sp, W(3))),
+        F.lit("[[/LOWCONF]] "), W(4), sp, W(5))
+    shaped = docs.select("doc_id", payload.alias("text"))
+    out = extract_turns(shaped, passthrough=("doc_id",),
+                        with_partition_id=False)
+    return out.select(
+        "doc_id", "payload_class", "extracted_text", "n_blocks", "n_spans",
+        "n_variants",
+        F.try_element_at("spans", F.lit(1))["start"].alias("span_start"),
+        F.try_element_at("spans", F.lit(1))["end"].alias("span_end"),
+        F.try_element_at("spans", F.lit(3))["start"].alias("span3_start"),
+        F.try_element_at("spans", F.lit(3))["end"].alias("span3_end"),
+        F.try_element_at("spans", F.lit(-1))["start"].alias("last_start"),
+        F.try_element_at("spans", F.lit(-1))["end"].alias("last_end"))
+
+
 def _q_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection: the increment (doc_id % 10 == 0)
     LSH-banded against the base — new×new and new×base candidates
@@ -1304,6 +1389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_tooljson_docs": _q_extract_tooljson_docs,
         "extract_pdf_docs": _q_extract_pdf_docs,
         "extract_md_docs": _q_extract_md_docs,
+        "extract_html_docs": _q_extract_html_docs,
+        "extract_twopass_docs": _q_extract_twopass_docs,
         "dedup_incr": _q_dedup_incr,
         "hash_split": _q_hash_split,
         "text_norm": _q_text_norm,
@@ -2436,6 +2523,105 @@ SELECT doc_id, 'markdown' AS payload_class,
        CAST(ls9 + 2 + len(w9) + 5 AS INT) AS last_start,
        CAST(ls9 + 2 + len(w9) + 5 + len(w10) AS INT) AS last_end
 FROM starts
+
+        """,
+        "extract_html_docs": r"""
+WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> '') AS ws
+    FROM documents
+), w AS (
+    SELECT doc_id,
+           ws[(0 % len(ws)) + 1] AS w0, ws[(1 % len(ws)) + 1] AS w1,
+           ws[(2 % len(ws)) + 1] AS w2, ws[(3 % len(ws)) + 1] AS w3,
+           ws[(4 % len(ws)) + 1] AS w4, ws[(5 % len(ws)) + 1] AS w5,
+           ws[(6 % len(ws)) + 1] AS w6, ws[(7 % len(ws)) + 1] AS w7,
+           ws[(8 % len(ws)) + 1] AS w8, ws[(9 % len(ws)) + 1] AS w9,
+           ws[(10 % len(ws)) + 1] AS w10
+    FROM words
+), calc AS (
+    SELECT *,
+           -- div keep: link density over (W4 | W5-link | 'W6 W7')
+           NOT (len(w5) * 1.0
+                / (len(w4) + len(w5) + len(w6) + 1 + len(w7))
+                > 1.0 / 3.0) AS keep3,
+           5 + (len(w0) + len(w1) + len(w2) + len(w3) + len(w4) + 4)
+             + 6 + 13 AS s_b,
+           len(w0) + len(w1) + len(w2) + len(w3) + 3 AS len_b
+    FROM w
+), pos AS (
+    SELECT *,
+           s_b + len_b + 4 + 5 AS s_c1
+    FROM calc
+), pos2 AS (
+    SELECT *,
+           s_c1 + len(w4) + 1 + 12 AS s_c2
+    FROM pos
+), pos3 AS (
+    SELECT *,
+           s_c2 + len(w5) + 4 AS s_c3raw
+    FROM pos2
+), pos4 AS (
+    SELECT *,
+           s_c3raw + 1 + len(w6) + 1 + len(w7) + 6 + 3 AS s_d1raw
+    FROM pos3
+), pos5 AS (
+    SELECT *,
+           s_d1raw + len(w8) + 1 + 12
+             + (len(w9) + len(w10) + len(w2) + len(w3) + len(w4) + 4)
+             + 4 + 4 + 3 + len(w5) + 1 + len(w6) + 4 + 1 AS t_start,
+           len(w1) + 6 + len(w2) + 1 + len(w3) AS t_len
+    FROM pos4
+)
+SELECT doc_id, 'html' AS payload_class,
+       w0 || ' ' || w1 || ' ' || w2 || ' ' || w3
+       || CASE WHEN keep3
+               THEN chr(10) || w4 || ' ' || w5 || ' ' || w6 || ' ' || w7
+               ELSE '' END
+       || chr(10) || w1 || ' tail ' || w2 || ' ' || w3
+       AS extracted_text,
+       CAST(2 + CASE WHEN keep3 THEN 1 ELSE 0 END AS INT) AS n_blocks,
+       CAST(2 + CASE WHEN keep3 THEN 3 ELSE 0 END AS INT) AS n_spans,
+       CAST(s_b AS INT) AS span_start,
+       CAST(s_b + len_b AS INT) AS span_end,
+       CAST(t_start AS INT) AS last_start,
+       CAST(t_start + t_len AS INT) AS last_end
+FROM pos5
+
+        """,
+        "extract_twopass_docs": r"""
+WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> '') AS ws
+    FROM documents
+), w AS (
+    SELECT doc_id,
+           ws[(0 % len(ws)) + 1] AS w0, ws[(1 % len(ws)) + 1] AS w1,
+           ws[(2 % len(ws)) + 1] AS w2, ws[(3 % len(ws)) + 1] AS w3,
+           ws[(4 % len(ws)) + 1] AS w4, ws[(5 % len(ws)) + 1] AS w5
+    FROM words
+), pos AS (
+    SELECT *,
+           len(w0) + 1 + len(w1) + 1 + 11 AS a
+    FROM w
+), pos2 AS (
+    SELECT *, a + len(w2) + 1 + len(w3) AS b FROM pos
+)
+SELECT doc_id, 'two_pass' AS payload_class,
+       w0 || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 || ' ' || w5
+       AS extracted_text,
+       CAST(1 AS INT) AS n_blocks,
+       CAST(6 AS INT) AS n_spans,
+       CAST(2 AS INT) AS n_variants,
+       CAST(0 AS INT) AS span_start,
+       CAST(len(w0) AS INT) AS span_end,
+       CAST(b - len(w2) AS INT) AS span3_start,
+       CAST(b AS INT) AS span3_end,
+       CAST(b + 13 + len(w4) + 1 AS INT) AS last_start,
+       CAST(b + 13 + len(w4) + 1 + len(w5) AS INT) AS last_end
+FROM pos2
 
         """,
         "dedup_incr": r"""

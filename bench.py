@@ -84,7 +84,7 @@ BENCH_QUERIES = [
     "tpch_q5", "tpch_q18", "vocab_topk", "lm_quality", "mix_sample",
     "source_topterms", "url_canon", "hash_split", "text_norm",
     "dedup_incr", "extract_tooljson_docs", "extract_pdf_docs",
-    "extract_md_docs",
+    "extract_md_docs", "extract_html_docs", "extract_twopass_docs",
 ]
 
 
