@@ -278,6 +278,51 @@ def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("total_qty").cast("long").alias("total_qty")))
 
 
+def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS semi-join): orders in one quarter having
+    at least one lineitem, counted per priority.  The EXISTS runs as a
+    LeftSemi against the fact table — no fan-out, no dedup needed."""
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01"))
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (orders.join(li, orders.o_orderkey == li.l_orderkey,
+                        "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (outer-join count distribution): customers by
+    number of orders INCLUDING zero-order customers — the left outer
+    join feeding a second aggregation (distribution of counts)."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").select("o_custkey",
+                                                   "o_orderkey")
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                          "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+def _q_w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window breadth: ntile(4), percent_rank and cume_dist
+    per event_type over the value order — all ratios of integers /
+    integer buckets, so cross-engine determinism is exact (ties broken
+    by event_id for a total order)."""
+    from pyspark.sql import Window
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id", "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))
+
+
 def _q_j1_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 as an interval-overlap join: per-user 1-hour activity intervals
     (event ts .. ts+3600s) overlapping with coverage > 0.75."""
@@ -1381,6 +1426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": _q_chunk_windows,
         "tpch_q5": _q_tpch_q5,
         "tpch_q18": _q_tpch_q18,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q13": _q_tpch_q13,
+        "w_rank_family": _q_w_rank_family,
         "vocab_topk": _q_vocab_topk,
         "lm_quality": _q_lm_quality,
         "mix_sample": _q_mix_sample,
@@ -2268,6 +2316,33 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey)
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q13": """
+            WITH per_cust AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "w_rank_family": """
+            SELECT event_id, event_type,
+                   CAST(ntile(4) OVER w AS INT) AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM events
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY value ASC, event_id ASC)
         """,
         "vocab_topk": r"""
             SELECT token, CAST(count(*) AS BIGINT) AS t_count
