@@ -1061,32 +1061,38 @@ def _q_source_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + URL-level dedup (web-corpus hygiene): the
     corpus carries no URLs, so both sides deterministically synthesize
-    messy variants (www/case/port/trailing-slash/fragment/tracking
-    params; four docs share each base URL, three of which collapse
-    under canonicalization, the http variant stays distinct), then
+    messy variants (www / scheme+host case / default port /
+    trailing-slash / fragment / tracking params; five docs share each
+    base URL — three collapse under canonicalization, the http variant
+    and the non-default-:8080 variant stay distinct origins), then
     canonicalize (functions/urls.canonical_url — pure parse_url +
     array column expressions, map-only on the corpus side) and flag
     the min-doc_id winner per canonical group."""
     from frogocr_spark.functions.urls import canonical_url, url_domain
     from pyspark.sql import Window
     docs = _read(spark, sf_dir, "documents")
-    base = F.expr("doc_id DIV 4")
+    base = F.expr("doc_id DIV 5")
     h = (base % 7).cast("string")
     b = base.cast("string")
     host = F.concat(F.lit("w"), h, F.lit(".example.com"))
-    url = (F.when(F.col("doc_id") % 4 == 0,
+    url = (F.when(F.col("doc_id") % 5 == 0,
                   F.concat(F.lit("https://www."), host, F.lit("/docs/"), b,
                            F.lit("/?id="), b, F.lit("&utm_source=feed")))
-           .when(F.col("doc_id") % 4 == 1,
-                 F.concat(F.upper(F.concat(F.lit("https://www."), host,
-                                           F.lit(":443/docs/"), b)),
+           .when(F.col("doc_id") % 5 == 1,
+                 # case-noise on scheme+host ONLY: the path is
+                 # case-significant and must stay lowercase to collapse
+                 F.concat(F.upper(F.concat(F.lit("https://www."), host)),
+                          F.lit(":443/docs/"), b,
                           F.lit("?utm_campaign=x&id="), b))
-           .when(F.col("doc_id") % 4 == 2,
+           .when(F.col("doc_id") % 5 == 2,
                  F.concat(F.lit("https://"), host, F.lit("/docs/"), b,
                           F.lit("?id="), b, F.lit("#sec")))
-           .otherwise(
+           .when(F.col("doc_id") % 5 == 3,
                  F.concat(F.lit("http://"), host, F.lit("/docs/"), b,
-                          F.lit("?id="), b, F.lit("&gclid=123"))))
+                          F.lit("?id="), b, F.lit("&gclid=123")))
+           .otherwise(
+                 F.concat(F.lit("https://"), host, F.lit(":8080/docs/"), b,
+                          F.lit("?id="), b)))
     aug = docs.select("doc_id", url.alias("url"))
     out = aug.select(
         "doc_id",
@@ -2757,32 +2763,35 @@ FROM pos2
         "url_canon": r"""
             WITH aug AS (
                 SELECT doc_id,
-                       CAST(doc_id // 4 AS VARCHAR) AS b,
-                       CAST((doc_id // 4) % 7 AS VARCHAR) AS h
+                       CAST(doc_id // 5 AS VARCHAR) AS b,
+                       CAST((doc_id // 5) % 7 AS VARCHAR) AS h
                 FROM documents
             ), urls AS (
                 SELECT doc_id,
-                       CASE doc_id % 4
+                       CASE doc_id % 5
                          WHEN 0 THEN 'https://www.w' || h
                               || '.example.com/docs/' || b || '/?id=' || b
                               || '&utm_source=feed'
                          WHEN 1 THEN upper('https://www.w' || h
-                              || '.example.com:443/docs/' || b)
+                              || '.example.com') || ':443/docs/' || b
                               || '?utm_campaign=x&id=' || b
                          WHEN 2 THEN 'https://w' || h
                               || '.example.com/docs/' || b
                               || '?id=' || b || '#sec'
-                         ELSE 'http://w' || h || '.example.com/docs/' || b
+                         WHEN 3 THEN 'http://w' || h
+                              || '.example.com/docs/' || b
                               || '?id=' || b || '&gclid=123'
+                         ELSE 'https://w' || h || '.example.com:8080/docs/'
+                              || b || '?id=' || b
                        END AS url
                 FROM aug
             ), parts AS (
                 SELECT doc_id,
                        lower(regexp_extract(url,
                            '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
-                       regexp_replace(regexp_replace(lower(regexp_extract(
-                           url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
-                           ':[0-9]+$', ''), '^www\.', '') AS host,
+                       lower(regexp_extract(
+                           url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)',
+                           1)) AS auth,
                        regexp_replace(regexp_extract(url,
                            '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
                            '/+$', '') AS path,
@@ -2793,14 +2802,25 @@ FROM pos2
                                '^(utm_[^=]*|ref|fbclid|gclid)=')))
                        AS params
                 FROM urls
+            ), hosts AS (
+                SELECT doc_id, scheme, path, params,
+                       regexp_replace(regexp_replace(auth, ':[0-9]+$', ''),
+                                      '^www\.', '') AS bare_host,
+                       regexp_extract(auth, ':([0-9]+)$', 1) AS port
+                FROM parts
             ), canon AS (
                 SELECT doc_id,
-                       scheme || '://' || host || path
+                       scheme || '://' || bare_host
+                       || CASE WHEN port <> ''
+                               AND NOT ((scheme = 'http' AND port = '80')
+                                    OR (scheme = 'https' AND port = '443'))
+                               THEN ':' || port ELSE '' END
+                       || path
                        || CASE WHEN len(params) > 0
                                THEN '?' || array_to_string(params, '&')
                                ELSE '' END AS canon_url,
-                       host AS domain
-                FROM parts
+                       bare_host AS domain
+                FROM hosts
             )
             SELECT doc_id, canon_url, domain,
                    doc_id = min(doc_id) OVER (PARTITION BY canon_url)

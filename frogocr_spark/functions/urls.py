@@ -18,9 +18,11 @@ asks for.
 Canonical form:
 
 - scheme lowercased
-- host lowercased, leading ``www.`` stripped, port dropped
-  (``parse_url(.., 'HOST')`` = ``java.net.URI.getHost`` already
-  excludes the port)
+- host lowercased, leading ``www.`` stripped; only the scheme's
+  DEFAULT port is dropped (``http:80`` / ``https:443``) — a
+  non-default port is a different origin serving different content
+  and must survive canonicalization (URL-level dedup would otherwise
+  merge distinct documents)
 - path: trailing slashes stripped (root collapses to empty)
 - query: parameters split on ``&``, tracking params dropped, the rest
   sorted (order-insensitive compare), rejoined; empty → no ``?``
@@ -46,7 +48,16 @@ def url_domain(url: Column) -> Column:
 def canonical_url(url: Column) -> Column:
     """Canonical form of ``url`` (module doc); null stays null."""
     scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
-    host = url_domain(url)
+    auth = F.lower(F.parse_url(url, F.lit("AUTHORITY")))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    bare_host = F.regexp_replace(F.regexp_replace(auth, r":\d+$", ""),
+                                 r"^www\.", "")
+    default_port = ((scheme == "http") & (port == "80")) | \
+                   ((scheme == "https") & (port == "443"))
+    host = F.concat(
+        bare_host,
+        F.when((port != "") & ~default_port,
+               F.concat(F.lit(":"), port)).otherwise(F.lit("")))
     path = F.regexp_replace(F.parse_url(url, F.lit("PATH")), r"/+$", "")
     q = F.parse_url(url, F.lit("QUERY"))
     params = F.array_sort(F.filter(

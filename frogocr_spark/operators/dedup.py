@@ -292,6 +292,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     key as the join; the hot bucket's window task is linear in B).
     ``None`` (default) keeps exact all-pairs semantics — what the
     SQL oracle replicates."""
+    if num_hashes % bands != 0:
+        # est_jaccard divides the zip_with match count by
+        # rows_per_band*bands; un-banded trailing components would bias
+        # the estimate (identical docs would score num_hashes/(r*b) > 1)
+        raise ValueError(f"bands ({bands}) must divide num_hashes "
+                         f"({num_hashes})")
     rows_per_band = num_hashes // bands
     # localCheckpoint, not cache(): sig is consumed three times (band
     # explode + two re-attach joins); a CacheManager entry would pin
@@ -347,7 +353,8 @@ def minhash_lsh_pairs_incremental(
         num_hashes: int = 32, bands: int = 8, threshold: float = 0.6,
         hash_fn: str = "xxhash64", ngram: int = 1,
         char_shingles: int | None = None,
-        base_signatures: DataFrame | None = None) -> DataFrame:
+        base_signatures: DataFrame | None = None,
+        new_signatures: DataFrame | None = None) -> DataFrame:
     """Incremental banded LSH: near-dup candidates touching at least one
     NEW document — new×new pairs (``id_a < id_b``) and new×base pairs
     (``id_a`` = the new doc) — while base×base pairs are NEVER
@@ -361,16 +368,28 @@ def minhash_lsh_pairs_incremental(
     ``base_signatures`` skips re-tokenizing the base entirely: pass the
     stored (id, signature) table (:func:`minhash_signatures` output is
     the artifact a production pipeline persists per snapshot) and the
-    base TEXT is never read.  ids must be disjoint across the two
-    inputs (same contract as the union the batch operator would see).
+    base TEXT is never read.  ``new_signatures`` does the same for the
+    increment — a caller that also persists the batch's signatures
+    (streaming ingestion) computes them ONCE and shares them.  ids must
+    be disjoint across the two inputs (same contract as the union the
+    batch operator would see).
     Estimated Jaccard is verified on every emitted pair exactly as in
     :func:`minhash_lsh_pairs`; hot-bucket capping composes the same way
     if needed (apply it to the unioned banded relation)."""
+    if num_hashes % bands != 0:
+        # est_jaccard divides the zip_with match count by
+        # rows_per_band*bands; un-banded trailing components would bias
+        # the estimate (identical docs would score num_hashes/(r*b) > 1)
+        raise ValueError(f"bands ({bands}) must divide num_hashes "
+                         f"({num_hashes})")
     rows_per_band = num_hashes // bands
-    sig_new = minhash_signatures(new_df, id_col, text_col, num_hashes,
-                                 hash_fn=hash_fn, ngram=ngram,
-                                 char_shingles=char_shingles
-                                 ).localCheckpoint()
+    if new_signatures is not None:
+        sig_new = new_signatures.localCheckpoint()
+    else:
+        sig_new = minhash_signatures(new_df, id_col, text_col, num_hashes,
+                                     hash_fn=hash_fn, ngram=ngram,
+                                     char_shingles=char_shingles
+                                     ).localCheckpoint()
     if base_signatures is not None:
         sig_base = base_signatures
     else:

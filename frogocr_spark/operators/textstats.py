@@ -393,13 +393,19 @@ def chunk_windows(df: DataFrame, id_col: str = "doc_id",
         .alias("tok_end"))
 
 
-def _tokens_of(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, token) pairs: whitespace tokens of the trimmed text, empty
-    strings dropped (the empty-payload `split` artifact)."""
-    return (df.select(F.col(id_col).alias("_id"),
+def _explode_tokens(df: DataFrame, text_col: str, *cols) -> DataFrame:
+    """(*cols, token) rows: whitespace tokens of the trimmed text, empty
+    strings dropped (the empty-payload `split` artifact).  The ONE
+    tokenization contract shared by every token-keyed operator here."""
+    return (df.select(*cols,
                       F.explode(F.split(F.trim(F.col(text_col)), _WS))
                       .alias("token"))
             .where(F.col("token") != ""))
+
+
+def _tokens_of(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) pairs — :func:`_explode_tokens` keyed on the doc id."""
+    return _explode_tokens(df, text_col, F.col(id_col).alias("_id"))
 
 
 def top_vocabulary(df: DataFrame, k: int, id_col: str = "doc_id",
@@ -440,7 +446,10 @@ def in_vocab_ratio(df: DataFrame, vocab: list[str],
     toks = F.split(F.trim(F.col(text_col)), _WS)
     vocab_l = sorted(set(vocab))
     n_tok = token_count(F.col(text_col))
-    n_in = F.size(F.filter(toks, lambda x: x.isin(vocab_l)))
+    # Column.isin() rejects an empty argument list — an empty vocabulary
+    # legitimately means "nothing is in-vocab"
+    n_in = (F.lit(0) if not vocab_l
+            else F.size(F.filter(toks, lambda x: x.isin(vocab_l))))
     return df.select(
         id_col, n_tok.alias("n_tok"),
         F.when(n_tok == 0, F.lit(0)).otherwise(n_in).alias("n_invocab"),
@@ -462,14 +471,25 @@ def mix_sample(df: DataFrame, strata_cols: list[str],
     Scale shape: stratum sizes are one map-side-combined aggregation
     (output = #strata rows, broadcast back onto the corpus), then the
     same two-level md5 partial top-k prune as stratified_sample — a
-    degenerate stratum never serializes into one task."""
+    degenerate stratum never serializes into one task.  Output = the
+    sampled input rows plus a ``stratum_cap`` int column (the cap that
+    admitted the row)."""
     from pyspark.sql import Window
     counts = (df.groupBy(*strata_cols)
               .agg(F.count(F.lit(1)).alias("_n"))
               .withColumn("stratum_cap",
                           F.ceil(F.sqrt(F.col("_n"))).cast("int"))
               .drop("_n"))
-    with_cap = df.join(F.broadcast(counts), strata_cols)
+    # null-SAFE equality on the stratum keys: a NULL stratum (common in
+    # scraped corpora) is a legitimate stratum — a null-unsafe equi-join
+    # would silently drop every such row
+    caps = F.broadcast(counts.select(
+        *[F.col(c).alias(f"_k_{c}") for c in strata_cols], "stratum_cap"))
+    cond = None
+    for c in strata_cols:
+        e = F.col(c).eqNullSafe(F.col(f"_k_{c}"))
+        cond = e if cond is None else (cond & e)
+    with_cap = df.join(caps, cond).drop(*[f"_k_{c}" for c in strata_cols])
     key = F.md5(F.col(id_col).cast("string"))
     w_local = (Window.partitionBy("_pid", *strata_cols)
                .orderBy(key, id_col))
@@ -495,10 +515,7 @@ def group_top_terms(df: DataFrame, group_col: str, k: int,
     group — a group holding most of the corpus never sorts in one
     task."""
     from pyspark.sql import Window
-    counts = (df.select(F.col(group_col),
-                        F.explode(F.split(F.trim(F.col(text_col)), _WS))
-                        .alias("token"))
-              .where(F.col("token") != "")
+    counts = (_explode_tokens(df, text_col, F.col(group_col))
               .groupBy(group_col, "token")
               .agg(F.count(F.lit(1)).alias("t_count")))
     order = [F.col("t_count").desc(), F.col("token").asc()]
@@ -521,6 +538,16 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     no RNG state), so the split is stable across runs, engines, and
     repartitioning; appending new rows never reassigns old ones.
     Pure column expression — map-only."""
+    import re as _re
+    for name, v in (("train_hex", train_hex), ("val_hex", val_hex)):
+        if not _re.fullmatch(r"[0-9a-f]{2}", v):
+            # md5 digests are LOWERCASE hex: an uppercase threshold would
+            # silently shift most of the corpus into val/test
+            raise ValueError(f"{name} must be two lowercase hex digits, "
+                             f"got {v!r}")
+    if not train_hex < val_hex:
+        raise ValueError(f"train_hex must sort below val_hex "
+                         f"({train_hex!r} >= {val_hex!r})")
     prefix = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
     return df.withColumn(
         "split",

@@ -154,7 +154,11 @@ class Table:
         out = os.path.join(self.data_dir, f"run_id={compact_id}")
         if os.path.isdir(out):
             raise ValueError(f"snapshot {compact_id!r} already exists")
-        staging = os.path.join(self.path, f".staging-compact-{os.getpid()}")
+        # FIXED staging name (compaction is a single-writer maintenance
+        # op): a crash between the staged write and the publish leaves a
+        # dir the NEXT compact/vacuum reclaims — a pid-keyed name would
+        # leak a full-table copy per crashed attempt
+        staging = os.path.join(self.path, ".staging-compact")
         shutil.rmtree(staging, ignore_errors=True)
         df = self.read()
         if num_files:
@@ -170,19 +174,25 @@ class Table:
 
     def vacuum(self) -> list[str]:
         """Remove compaction-superseded run dirs still on disk (crash
-        recovery for the window between compaction phases 2 and 3).
-        Returns the removed dir names."""
+        recovery for the window between compaction phases 2 and 3) and
+        any abandoned compaction staging dir (a crash during phase 1).
+        Returns the removed names."""
         import shutil
 
+        removed: list[str] = []
+        staging = os.path.join(self.path, ".staging-compact")
+        if os.path.isdir(staging):
+            shutil.rmtree(staging, ignore_errors=True)
+            removed.append(".staging-compact")
         if not os.path.isdir(self.data_dir):
-            return []
+            return removed
         on_disk = {n for n in os.listdir(self.data_dir)
                    if n.startswith("run_id=")}
         dead = sorted(on_disk - set(self._run_dirs()))
         for n in dead:
             shutil.rmtree(os.path.join(self.data_dir, n),
                           ignore_errors=True)
-        return dead
+        return removed + dead
 
     def read_snapshot(self, run_id: str) -> DataFrame:
         """Read one committed run's rows (snapshot-scoped scan)."""

@@ -91,8 +91,7 @@ def near_dedup_batch_fn(sink, sigs, id_col: str = "doc_id",
     idempotent (:class:`sources.catalog.Table` staged publish), so a
     replayed micro-batch overwrites its own files instead of
     duplicating them."""
-    from ..operators.dedup import (minhash_lsh_pairs,
-                                   minhash_lsh_pairs_incremental,
+    from ..operators.dedup import (minhash_lsh_pairs_incremental,
                                    minhash_signatures)
 
     kw = dict(num_hashes=num_hashes, bands=bands, threshold=threshold,
@@ -100,11 +99,16 @@ def near_dedup_batch_fn(sink, sigs, id_col: str = "doc_id",
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint()   # stabilize the source cut
+        # signatures computed ONCE per batch: shared by the pairing
+        # (new_signatures) and by the kept-docs persistence below
+        batch_sigs = minhash_signatures(batch_df, id_col, text_col,
+                                        num_hashes, hash_fn=hash_fn
+                                        ).localCheckpoint()
         if sigs.exists():
             base_sigs = sigs.read().select(id_col, "signature")
             pairs = minhash_lsh_pairs_incremental(
                 batch_df, None, id_col, text_col,
-                base_signatures=base_sigs, **kw)
+                base_signatures=base_sigs, new_signatures=batch_sigs, **kw)
             base_ids = base_sigs.select(F.col(id_col).alias("id_b"))
             vs_base = (pairs.join(base_ids, "id_b", "leftsemi")
                        .select(F.col("id_a").alias("_loser")))
@@ -112,15 +116,18 @@ def near_dedup_batch_fn(sink, sigs, id_col: str = "doc_id",
                       .select(F.col("id_b").alias("_loser")))
             losers = vs_base.unionByName(vs_new).distinct()
         else:
-            pairs = minhash_lsh_pairs(batch_df, id_col, text_col, **kw)
+            pairs = minhash_lsh_pairs_incremental(
+                batch_df, batch_df.limit(0), id_col, text_col,
+                new_signatures=batch_sigs, **kw)
             losers = pairs.select(F.col("id_b").alias("_loser")).distinct()
+        losers = losers.localCheckpoint()
         kept = batch_df.join(
             losers, batch_df[id_col] == losers._loser, "left_anti"
         ).localCheckpoint()
         run = f"b{batch_id}"
         sink.append(kept, run_id=run)
-        sigs.append(minhash_signatures(kept, id_col, text_col,
-                                       num_hashes, hash_fn=hash_fn),
+        sigs.append(batch_sigs.join(kept.select(id_col), id_col,
+                                    "leftsemi"),
                     run_id=run)
 
     return fn

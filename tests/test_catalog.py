@@ -89,3 +89,21 @@ def test_compact_then_append_then_recompact(spark, tmp_path):
     assert t.snapshots() == [c2]
     assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
     assert c1 != c2
+
+
+def test_vacuum_reclaims_abandoned_compact_staging(spark, tmp_path):
+    """A crash during compaction phase 1 leaves .staging-compact; the
+    fixed name means the next vacuum (or compact) reclaims it instead
+    of leaking a full-table copy per crashed attempt."""
+    import os
+
+    t = Table(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"), "r1")
+    staging = os.path.join(t.path, ".staging-compact")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "junk.parquet"), "w") as fh:
+        fh.write("x")
+    removed = t.vacuum()
+    assert ".staging-compact" in removed
+    assert not os.path.isdir(staging)
+    assert t.read().count() == 1

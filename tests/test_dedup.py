@@ -376,3 +376,15 @@ def test_incremental_lsh_accepts_precomputed_base_signatures(spark):
         new, None, "doc_id", "text", base_signatures=sigs, **kw).collect()
     assert _pairset(via_text) == _pairset(via_sigs)
     assert len(via_text) == len(via_sigs)
+
+
+def test_lsh_bands_must_divide_num_hashes(spark):
+    import pytest
+    from frogocr_spark.operators.dedup import (minhash_lsh_pairs,
+                                               minhash_lsh_pairs_incremental)
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(df, "doc_id", "text", num_hashes=32, bands=5)
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs_incremental(df, df, "doc_id", "text",
+                                      num_hashes=32, bands=5)

@@ -218,7 +218,7 @@ def test_q5_star_join_broadcasts_all_dimensions(spark):
     side is shuffled at most once (orders equi-join) and nothing
     degenerates to a cartesian/nested-loop product."""
     import __spark_entry__ as entry
-    df = entry._q_tpch_q5(spark, "/root/testdata/sf0.001")
+    df = entry._q_tpch_q5(spark, SF)
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan

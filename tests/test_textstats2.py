@@ -423,3 +423,32 @@ def test_normalize_text_hand_computed(spark):
     again = {r.doc_id: r.norm_text
              for r in textstats.normalize_text(df2).collect()}
     assert again == got
+
+
+def test_in_vocab_ratio_empty_vocab(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    r = textstats.in_vocab_ratio(df, []).collect()[0]
+    assert (r.n_tok, r.n_invocab, r.invocab_ratio) == (3, 0, 0.0)
+
+
+def test_mix_sample_null_stratum_not_dropped(spark):
+    rows = [(i, "A" if i < 9 else None) for i in range(18)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = textstats.mix_sample(df, ["src"]).collect()
+    # 9 docs per stratum → cap 3 each; NULL is a legitimate stratum
+    by = {}
+    for r in out:
+        by.setdefault(r.src, []).append(r.doc_id)
+    assert len(by["A"]) == 3
+    assert len(by[None]) == 3
+
+
+def test_hash_split_validates_thresholds(spark):
+    import pytest
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        textstats.hash_split(df, train_hex="E6")          # uppercase
+    with pytest.raises(ValueError):
+        textstats.hash_split(df, train_hex="f3", val_hex="e6")  # inverted
+    with pytest.raises(ValueError):
+        textstats.hash_split(df, train_hex="xyz")         # not hex

@@ -57,3 +57,16 @@ def test_canonical_url_is_map_only(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_default_ports_dropped_nondefault_kept(spark):
+    got = _canon(spark, [
+        "https://a.com:443/x?id=1",   # https default → dropped
+        "http://a.com:80/x?id=1",     # http default → dropped
+        "http://a.com:8080/x?id=1",   # non-default → kept
+        "https://a.com:80/x?id=1",    # 80 is NOT https default → kept
+    ])
+    assert got[0][0] == "https://a.com/x?id=1"
+    assert got[1][0] == "http://a.com/x?id=1"
+    assert got[2][0] == "http://a.com:8080/x?id=1"
+    assert got[3][0] == "https://a.com:80/x?id=1"
