@@ -323,6 +323,33 @@ def _q_w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"))
 
 
+def _q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-aggregation shape: per event_type, exact distinct users
+    and distinct calendar days alongside a plain count — the
+    multi-distinct aggregate Catalyst plans via expand."""
+    ev = _read(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.countDistinct(F.to_date("ts")).alias("n_days"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def _q_arr_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the token list: distinct size,
+    sorted-prefix join, containment — pure column expressions."""
+    docs = _read(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                  lambda x: x != "")
+    dedup = F.array_distinct(ws)
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        F.size(dedup).alias("n_distinct"),
+        F.array_join(F.slice(F.array_sort(dedup), 1, 3), ",")
+        .alias("first3"),
+        F.array_contains(ws, "the").alias("has_the"))
+
+
 def _q_j1_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 as an interval-overlap join: per-user 1-hour activity intervals
     (event ts .. ts+3600s) overlapping with coverage > 0.75."""
@@ -1432,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": _q_chunk_windows,
         "tpch_q5": _q_tpch_q5,
         "tpch_q18": _q_tpch_q18,
+        "agg_distinct": _q_agg_distinct,
+        "arr_ops": _q_arr_ops,
         "tpch_q4": _q_tpch_q4,
         "tpch_q13": _q_tpch_q13,
         "w_rank_family": _q_w_rank_family,
@@ -2322,6 +2351,29 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
+        """,
+        "agg_distinct": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS n_days,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "arr_ops": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(ws) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
+                   array_to_string(list_sort(list_distinct(ws))[1:3], ',')
+                   AS first3,
+                   list_contains(ws, 'the') AS has_the
+            FROM t
         """,
         "tpch_q4": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

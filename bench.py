@@ -81,7 +81,7 @@ BENCH_QUERIES = [
     "a7_ctc", "w5_nms", "metrics_rollup",
     "rep_stats", "seq_pack", "strat_sample", "xdoc_ngrams",
     "dup_gram_frac", "decontam", "pii_scrub", "chunk_windows",
-    "tpch_q4", "tpch_q5", "tpch_q13", "tpch_q18", "w_rank_family", "vocab_topk", "lm_quality", "mix_sample",
+    "agg_distinct", "arr_ops", "tpch_q4", "tpch_q5", "tpch_q13", "tpch_q18", "w_rank_family", "vocab_topk", "lm_quality", "mix_sample",
     "source_topterms", "url_canon", "hash_split", "text_norm",
     "dedup_incr", "extract_tooljson_docs", "extract_pdf_docs",
     "extract_md_docs", "extract_html_docs", "extract_twopass_docs",
