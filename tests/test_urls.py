@@ -70,3 +70,56 @@ def test_default_ports_dropped_nondefault_kept(spark):
     assert got[1][0] == "http://a.com/x?id=1"
     assert got[2][0] == "http://a.com:8080/x?id=1"
     assert got[3][0] == "https://a.com:80/x?id=1"
+
+
+def test_canonical_url_randomized_vs_python_twin(spark):
+    """200 seeded random well-formed URLs (scheme/www/host/port/path/
+    params/fragment all varied) against a pure-Python twin of the
+    documented canonical rules.  Constrained to the well-formed subset
+    (no userinfo, no IPv6) where java.net.URI parsing and the twin's
+    regex split agree by construction."""
+    import random
+    import re
+
+    def py_canon(url):
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)"
+                     r"(?:\?([^#]*))?(?:#.*)?$", url)
+        scheme = m.group(1).lower()
+        auth = m.group(2).lower()
+        pm = re.search(r":(\d+)$", auth)
+        port = pm.group(1) if pm else ""
+        host = re.sub(r"^www\.", "", re.sub(r":\d+$", "", auth))
+        if port and not ((scheme == "http" and port == "80")
+                         or (scheme == "https" and port == "443")):
+            host += ":" + port
+        path = re.sub(r"/+$", "", m.group(3) or "")
+        q = m.group(4) or ""
+        params = sorted(
+            p for p in q.split("&")
+            if p and not re.match(r"^(utm_[^=]*|ref|fbclid|gclid)=", p))
+        return (scheme + "://" + host + path
+                + ("?" + "&".join(params) if params else ""))
+
+    rng = random.Random(20260817)
+    urls = []
+    for _ in range(200):
+        scheme = rng.choice(["http", "https", "HTTP", "HTTPS", "Http"])
+        www = rng.choice(["", "www.", "WWW."])
+        host = rng.choice(["example.com", "A.Example.ORG", "x-y.z.net"])
+        port = rng.choice(["", ":80", ":443", ":8080", ":9090"])
+        segs = rng.randint(0, 3)
+        path = "".join("/" + rng.choice(["a", "B", "docs", "1"])
+                       for _ in range(segs))
+        path += rng.choice(["", "/", "//"])
+        n_params = rng.randint(0, 4)
+        params = [rng.choice(["id=1", "z=9", "a=2", "utm_source=x",
+                              "ref=y", "fbclid=z", "gclid=1", "b="])
+                  for _ in range(n_params)]
+        rng.shuffle(params)
+        frag = rng.choice(["", "#sec", "#x-1"])
+        url = (scheme + "://" + www + host + port + path
+               + ("?" + "&".join(params) if params else "") + frag)
+        urls.append(url)
+    got = _canon(spark, urls)
+    for u, (c, _d) in zip(urls, got):
+        assert c == py_canon(u), u
