@@ -1378,6 +1378,91 @@ def _q_text_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(aug).select("doc_id", "norm_text")
 
 
+def _q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning: the corpus is single-line, so both
+    sides deterministically assemble multi-line documents (good
+    sentences + a JS/cookie boilerplate line + a too-short line + a
+    brace line on doc_id%3 + an unterminated line on doc_id%2 + a bonus
+    kept line on doc_id%5); the byte-compared ``kept_text`` verifies
+    the per-line gates end-to-end (operators/textstats.line_filters —
+    pure map stage)."""
+    from frogocr_spark.operators.textstats import line_filters
+    docs = _read(spark, sf_dir, "documents")
+    nl = "\n"
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("." + nl),
+            F.lit("Enable javascript and cookies to continue" + nl),
+            F.lit("tiny line" + nl),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit('{"nav": 1}' + nl)).otherwise(F.lit("")),
+            F.lit("This is a complete sentence number "),
+            F.col("doc_id").cast("string"), F.lit("."),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit(nl + "no terminal punctuation here"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(nl + "Another good sentence appears here!"))
+            .otherwise(F.lit("")),
+        ).alias("text"))
+    return line_filters(aug).select(
+        "doc_id", "n_lines", "n_kept", "line_kept_frac", "kept_text")
+
+
+def _q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the 100 TB shape of `decontam`:
+    the eval split's 8-gram set is distilled into a 64 Kibit Bloom
+    filter (distributed build, driver traffic bounded by m_bits) that
+    ships as a string literal inside one column expression, so the
+    corpus-side probe is a PURE MAP stage: no explode, no join, no
+    shuffle (plan_audit check 13).  No false negatives by construction
+    (pytest quantifies FPs vs the exact semi-join)
+    (operators/textstats.bloom_build + bloom_decontaminate)."""
+    from frogocr_spark.operators.textstats import (bloom_build,
+                                                   bloom_decontaminate)
+    docs = _read(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    cand = docs.where(F.col("doc_id") % 97 != 0)
+    bloom = bloom_build(eval_df, n=8, m_bits=65536)
+    return bloom_decontaminate(cand, bloom, n=8)
+
+
+def _q_event_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event stitching — the 'stable turn ordering'
+    aggregation shape (north rule): collect_list → array_sort on
+    (ts, event_id) struct → transform/array_join reassembles each
+    user's event-type sequence deterministically regardless of
+    partitioning; one keyed shuffle, map-side combined counts."""
+    ev = _read(spark, sf_dir, "events")
+    ordered = F.array_sort(F.collect_list(
+        F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))))
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(F.transform(ordered, lambda x: x["event_type"]),
+                     ">").alias("replay"),
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("first_us"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("last_us"))
+
+
+def _q_w_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead window family over the per-user event stream: exact
+    integer-microsecond gap to the previous event and the next event's
+    type under the total order (ts, event_id) — the turn-latency shape
+    for transcripts; single keyed window, no global sort."""
+    from pyspark.sql import Window
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # session tz is UTC (frogocr_spark.session), so the NTZ→TZ cast is
+    # identity and unix_micros matches DuckDB's epoch_us on naive ts
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_id", "user_id",
+        F.coalesce(us - F.lag(us).over(w), F.lit(-1)).alias("gap_us"),
+        F.coalesce(F.lead("event_type").over(w), F.lit(""))
+        .alias("next_type"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -1477,6 +1562,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incr": _q_dedup_incr,
         "hash_split": _q_hash_split,
         "text_norm": _q_text_norm,
+        "c4_line_filters": _q_c4_line_filters,
+        "bloom_decontam": _q_bloom_decontam,
+        "event_replay": _q_event_replay,
+        "w_lag_lead": _q_w_lag_lead,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -2478,6 +2567,108 @@ def oracle_sql() -> dict[str, str]:
                        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
                        '\s+', ' ', 'g')) AS norm_text
             FROM documents
+        """,
+        "c4_line_filters": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || '.' || chr(10) ||
+                       'Enable javascript and cookies to continue'
+                       || chr(10) ||
+                       'tiny line' || chr(10) ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN '{"nav": 1}' || chr(10) ELSE '' END ||
+                       'This is a complete sentence number '
+                       || CAST(doc_id AS VARCHAR) || '.' ||
+                       CASE WHEN doc_id % 2 = 0
+                            THEN chr(10) || 'no terminal punctuation here'
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 5 = 0
+                            THEN chr(10)
+                                 || 'Another good sentence appears here!'
+                            ELSE '' END AS text
+                FROM documents
+            ), k AS (
+                SELECT doc_id,
+                       string_split(text, chr(10)) AS ls,
+                       list_filter(string_split(text, chr(10)), x ->
+                           trim(x) <> ''
+                           AND regexp_matches(trim(x), '[.!?]$')
+                           AND len(string_split_regex(trim(x), '\s+')) >= 3
+                           AND NOT contains(trim(x), '{')
+                           AND NOT contains(trim(x), '}')
+                           AND NOT contains(lower(trim(x)), 'javascript')
+                           AND NOT contains(lower(trim(x)), 'cookie')
+                           AND NOT contains(lower(trim(x)),
+                                            'all rights reserved')
+                       ) AS ks
+                FROM aug
+            )
+            SELECT doc_id,
+                   CAST(len(ls) AS INT) AS n_lines,
+                   CAST(len(ks) AS INT) AS n_kept,
+                   round(len(ks) * 1.0 / len(ls), 6) AS line_kept_frac,
+                   array_to_string(ks, chr(10)) AS kept_text
+            FROM k
+        """,
+        "bloom_decontam": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(ws) >= 8
+                                   THEN [array_to_string(ws[j:j+7], ' ')
+                                         for j in range(1, len(ws) - 6)]
+                                   ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM words
+            ), pos AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(gram), 1 + 8*j, 8))::BIGINT
+                       % 65536 AS p
+                FROM g, unnest([0, 1, 2]) t(j)
+                WHERE doc_id % 97 = 0
+            ), ch AS (
+                SELECT doc_id,
+                       (('0x' || substr(md5(gram), 1, 8))::BIGINT % 65536)
+                           IN (SELECT p FROM pos)
+                       AND (('0x' || substr(md5(gram), 9, 8))::BIGINT
+                            % 65536) IN (SELECT p FROM pos)
+                       AND (('0x' || substr(md5(gram), 17, 8))::BIGINT
+                            % 65536) IN (SELECT p FROM pos) AS hit
+                FROM g WHERE doc_id % 97 <> 0
+            ), agg AS (
+                SELECT doc_id, COUNT(*) AS n_grams,
+                       SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hits
+                FROM ch GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_grams, 0) AS INT) AS n_grams,
+                   CAST(COALESCE(a.n_hits, 0) AS INT) AS n_hits,
+                   CASE WHEN COALESCE(a.n_hits, 0) > 0
+                        THEN 1 ELSE 0 END AS flagged
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+            LEFT JOIN agg a USING (doc_id)
+        """,
+        "event_replay": """
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   string_agg(event_type, '>' ORDER BY ts, event_id)
+                   AS replay,
+                   epoch_us(min(ts)) AS first_us,
+                   epoch_us(max(ts)) AS last_us
+            FROM events GROUP BY user_id
+        """,
+        "w_lag_lead": """
+            SELECT event_id, user_id,
+                   COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id), -1)
+                   AS gap_us,
+                   COALESCE(lead(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id), '')
+                   AS next_type
+            FROM events
         """,
         "extract_tooljson_docs": r"""
             WITH aug AS (

@@ -556,6 +556,123 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
         .otherwise(F.lit("test")))
 
 
+# C4-family line-level boilerplate phrases: plain lowercase substring
+# tests (no regex), so any engine agrees byte-for-byte
+LINE_BOILERPLATE = ("javascript", "cookie", "all rights reserved")
+_LINE_TERMINAL_RE = "[.!?]$"
+
+
+def line_filters(df: DataFrame, text_col: str = "text",
+                 min_words: int = 3,
+                 boilerplate: tuple[str, ...] = LINE_BOILERPLATE) -> DataFrame:
+    """C4-style LINE-level cleaning (the public web-corpus rule set:
+    drop lines without terminal punctuation, too-short lines, lines
+    carrying JS/cookie/legal boilerplate or code braces; keep the rest
+    in order).  Appends ``n_lines``, ``n_kept``, ``kept_text`` (the
+    surviving lines re-joined by newline — gates evaluate on the
+    TRIMMED line but kept lines keep their original bytes) and
+    ``line_kept_frac``.
+
+    One split + one array filter per row — pure column expressions,
+    JVM-side, map-only (no shuffle at any scale: line cleaning is
+    embarrassingly parallel, unlike the doc-level dedup family).
+    Predicates are restricted to constructs Java regex and RE2 agree
+    on, so the DuckDB oracle reproduces the kept text byte-for-byte."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(x):
+        lt = F.trim(x)
+        ok = ((lt != "") & lt.rlike(_LINE_TERMINAL_RE)
+              & (F.size(F.split(lt, _WS)) >= min_words)
+              & ~lt.contains("{") & ~lt.contains("}"))
+        low = F.lower(lt)
+        for phrase in boilerplate:
+            ok = ok & ~low.contains(phrase)
+        return ok
+
+    with_arrays = df.withColumn("_lines", lines) \
+                    .withColumn("_kept", F.filter(F.col("_lines"), _keep))
+    return (with_arrays
+            .withColumn("n_lines", F.size("_lines"))
+            .withColumn("n_kept", F.size("_kept"))
+            .withColumn("kept_text", F.array_join("_kept", "\n"))
+            .withColumn("line_kept_frac",
+                        F.round(F.col("n_kept") / F.col("n_lines"), 6))
+            .drop("_lines", "_kept"))
+
+
+BLOOM_K = 3  # probes per key; at m/n = 8 bits/key the FP rate ≈ 3.1%
+
+
+def _bloom_positions(gram, m_bits: int) -> list:
+    """The ``BLOOM_K`` bit positions of one gram: disjoint 8-hex-char
+    windows of ``md5(gram)`` mod ``m_bits`` — engine-portable (DuckDB
+    recomputes the identical positions from the same digest)."""
+    h = F.md5(gram)
+    return [(F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long")
+             % m_bits).cast("int")
+            for j in range(BLOOM_K)]
+
+
+def bloom_build(eval_df: DataFrame, text_col: str = "text", n: int = 8,
+                m_bits: int = 8192) -> str:
+    """Build the decontamination Bloom filter over ``eval_df``'s word
+    ``n``-grams; returns an ``m_bits``-char '0'/'1' string.
+
+    Scale shape: the gram → position work is distributed (explode →
+    distinct, keyed on the gram text); only the DISTINCT positions come
+    back to the driver — bounded by ``m_bits`` (8 Ki rows by default)
+    no matter how large the eval set is.  The string representation
+    keeps the probe expressible as plain ``substring`` lookups on both
+    engines (a packed-int64 bitset would need a shift-by-column Spark
+    lacks)."""
+    from .dedup import _shingle_expr
+    grams = (eval_df.select(
+        F.explode(_shingle_expr(text_col, n, None)).alias("gram"))
+        .distinct())
+    pos = grams.select(
+        F.explode(F.array(*_bloom_positions(F.col("gram"), m_bits)))
+        .alias("p")).distinct()
+    setbits = {r["p"] for r in pos.collect()}   # ≤ m_bits rows
+    return "".join("1" if i in setbits else "0" for i in range(m_bits))
+
+
+def bloom_decontaminate(df: DataFrame, bloom: str, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 8) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the 100 TB shape of
+    :func:`decontaminate`: instead of broadcasting the full eval gram
+    SET (O(#grams × bytes), easily GBs for large benchmark suites), the
+    corpus probes a fixed ``m_bits``-wide Bloom filter that ships as a
+    string LITERAL inside one column expression.  The probe is a PURE
+    MAP stage — per-doc distinct grams via ``array_distinct``, three
+    ``substring`` bit tests per gram, no explode, no join, no shuffle
+    of any kind (plan-audited).  No false negatives by construction;
+    false positives are deterministic given the hash, bounded by the
+    standard ``(1-e^{-kn/m})^k`` estimate, and quantified against the
+    exact :func:`decontaminate` in tests.  Returns one row per input
+    row: ``n_grams`` (distinct), ``n_hits`` (Bloom-positive), and a
+    ``flagged`` int."""
+    from .dedup import _shingle_expr
+    m_bits = len(bloom)
+
+    def _hit(g):
+        ok = None
+        for p in _bloom_positions(g, m_bits):
+            c = F.substring(F.lit(bloom), p + 1, F.lit(1)) == "1"
+            ok = c if ok is None else (ok & c)
+        return ok
+
+    g = df.select(F.col(id_col),
+                  F.array_distinct(_shingle_expr(text_col, n, None))
+                  .alias("_grams"))
+    n_hits = F.size(F.filter(F.col("_grams"), _hit))
+    return g.select(
+        id_col,
+        F.size("_grams").alias("n_grams"),
+        n_hits.alias("n_hits"),
+        (n_hits > 0).cast("int").alias("flagged"))
+
+
 def normalize_text(df: DataFrame, text_col: str = "text",
                    out_col: str = "norm_text") -> DataFrame:
     """Unicode text normalization — the canonical cleanup pass before

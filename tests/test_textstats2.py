@@ -452,3 +452,124 @@ def test_hash_split_validates_thresholds(spark):
         textstats.hash_split(df, train_hex="f3", val_hex="e6")  # inverted
     with pytest.raises(ValueError):
         textstats.hash_split(df, train_hex="xyz")         # not hex
+
+
+def test_line_filters_hand_computed(spark):
+    doc = ("Good first sentence here.\n"      # kept
+           "short.\n"                         # < 3 words
+           "enable javascript to continue.\n"  # boilerplate phrase
+           "Our cookie policy applies here.\n"  # boilerplate phrase
+           "if (x) { return y; }\n"            # brace
+           "no terminal punctuation at all\n"  # no [.!?] ending
+           "   Trimmed line also counts!   \n"  # kept (trimmed, '!')
+           "\n"                                 # empty
+           "Is this a question?")               # kept ('?')
+    df = spark.createDataFrame([(0, doc), (1, "")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.line_filters(df).collect()}
+    assert got[0].n_lines == 9
+    assert got[0].n_kept == 3
+    # kept lines keep their ORIGINAL bytes: gates evaluate on the
+    # trimmed line, but the output is the raw line (byte-faithful)
+    assert got[0].kept_text == ("Good first sentence here.\n"
+                                "   Trimmed line also counts!   \n"
+                                "Is this a question?")
+    assert got[0].line_kept_frac == round(3 / 9, 6)
+    # empty doc: split('') → [''] → 1 line, 0 kept
+    assert (got[1].n_lines, got[1].n_kept, got[1].kept_text) == (1, 0, "")
+
+
+def test_line_filters_kept_lines_preserve_order_and_bytes(spark):
+    lines = [f"Sentence number {i} stands complete." for i in range(10)]
+    noise = ["{ skip }", "tiny.", "cookie banner text here."]
+    doc = "\n".join(v for pair in zip(lines, noise * 4) for v in pair)
+    df = spark.createDataFrame([(0, doc)], "doc_id long, text string")
+    out = textstats.line_filters(df).collect()[0]
+    assert out.kept_text == "\n".join(lines)
+
+
+def test_bloom_decontaminate_no_false_negatives_and_exact_twin(spark):
+    bench = "a b c d"
+    cand = spark.createDataFrame(
+        [(0, f"{bench} x"), (1, "clean text with no overlap at all"),
+         (2, "ab")],
+        "doc_id long, text string")
+    eval_df = spark.createDataFrame([(100, bench)],
+                                    "doc_id long, text string")
+    bloom = textstats.bloom_build(eval_df, n=4, m_bits=4096)
+    assert len(bloom) == 4096 and set(bloom) <= {"0", "1"}
+    # 1 eval gram × 3 probes → at most 3 set bits, at least 1
+    assert 1 <= bloom.count("1") <= 3
+    got = {r["doc_id"]: (r["n_grams"], r["n_hits"], r["flagged"])
+           for r in textstats.bloom_decontaminate(
+               cand, bloom, n=4).collect()}
+    exact = {r["doc_id"]: (r["n_grams"], r["n_overlap"], r["contaminated"])
+             for r in textstats.decontaminate(cand, eval_df, n=4).collect()}
+    for d in (0, 1, 2):
+        assert got[d][0] == exact[d][0]            # same distinct-gram count
+        assert got[d][1] >= exact[d][1]            # no false negatives
+        assert got[d][2] >= exact[d][2]
+    assert got[0] == (2, 1, 1)  # the true hit is found, "b c d x" misses
+
+
+def test_bloom_decontaminate_fp_rate_bounded(spark):
+    # 200 eval grams in a 2^16-bit filter: per-gram FP ≈ (600/65536)^3
+    # ≈ 7.7e-7 — 500 clean probe grams should see zero false positives
+    eval_rows = [(i, f"e{i} f{i} g{i} h{i}") for i in range(200)]
+    cand_rows = [(1000 + i, f"p{i} q{i} r{i} s{i}") for i in range(500)]
+    eval_df = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    cand = spark.createDataFrame(cand_rows, "doc_id long, text string")
+    bloom = textstats.bloom_build(eval_df, n=4, m_bits=65536)
+    out = textstats.bloom_decontaminate(cand, bloom, n=4).collect()
+    assert all(r["flagged"] == 0 for r in out)
+    # and every eval doc probed against its own filter must self-flag
+    self_hit = textstats.bloom_decontaminate(eval_df, bloom, n=4).collect()
+    assert all(r["flagged"] == 1 for r in self_hit)
+
+
+@pytest.fixture(scope="module")
+def tiny_events_dir(spark, tmp_path_factory):
+    """A 2-user events.parquet written in deliberately scrambled order,
+    so the ordered-stitch/lag queries must recover (ts, event_id)."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [  # (event_id, ts, user_id, event_type, value, props)
+        (3, base + dt.timedelta(seconds=30), 1, "c", 1.0, ""),
+        (1, base + dt.timedelta(seconds=10), 1, "a", 1.0, ""),
+        (2, base + dt.timedelta(seconds=20), 1, "b", 1.0, ""),
+        (5, base, 2, "y", 1.0, ""),   # same ts as event 4: id breaks tie
+        (4, base, 2, "x", 1.0, ""),
+    ]
+    d = tmp_path_factory.mktemp("tinyev")
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    df.repartition(4).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_event_replay_stable_order(spark, tiny_events_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    got = {r.user_id: r for r in
+           entry._q_event_replay(spark, tiny_events_dir).collect()}
+    assert got[1].replay == "a>b>c"
+    assert got[1].n_events == 3
+    assert got[1].first_us == 1704067210_000000
+    assert got[1].last_us == 1704067230_000000
+    # equal timestamps: event_id is the tiebreak (4 before 5)
+    assert got[2].replay == "x>y"
+
+
+def test_w_lag_lead_hand_computed(spark, tiny_events_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    got = {r.event_id: (r.gap_us, r.next_type) for r in
+           entry._q_w_lag_lead(spark, tiny_events_dir).collect()}
+    assert got[1] == (-1, "b")          # first event of user 1
+    assert got[2] == (10_000_000, "c")
+    assert got[3] == (10_000_000, "")   # last event of user 1
+    assert got[4] == (-1, "y")          # ties broken by event_id
+    assert got[5] == (0, "")

@@ -267,6 +267,22 @@ def main() -> None:
                 and "SinglePartition" not in plan,
                 f"broadcast_joins={plan.count('BroadcastHashJoin')}")
 
+    # 13. Bloom decontamination probe: the filter ships as a string
+    #     LITERAL inside one column expression, so the corpus-side probe
+    #     plan is a PURE MAP stage — no exchange, no join, no explode-
+    #     driven generator (unlike the exact decontam's semi-join, it
+    #     stays shuffle-free no matter how large the eval set grows).
+    from frogocr_spark.operators.textstats import (bloom_build,
+                                                   bloom_decontaminate)
+    bloom = bloom_build(docs.limit(50), n=8, m_bits=8192)
+    plan = executed(bloom_decontaminate(docs, bloom, n=8))
+    ok &= check("bloom_decontaminate probe is map-only",
+                "Exchange" not in plan and "Join" not in plan
+                and "Generate" not in plan,
+                f"exchanges={plan.count('Exchange')}, "
+                f"joins={plan.count('Join')}, "
+                f"generates={plan.count('Generate')}")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
