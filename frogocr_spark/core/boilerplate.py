@@ -39,7 +39,7 @@ BLOCK_TAGS = frozenset({
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:\s[^<>]*)?/?>")
 
 
-@dataclass
+@dataclass(slots=True)
 class _RawBlock:
     segments: list[Segment] = field(default_factory=list)
     chars: int = 0
@@ -66,10 +66,13 @@ def extract_html(raw: str) -> list[Block]:
     pos = 0
 
     def flush() -> None:
+        # an empty cur is pristine (every field is only touched when a
+        # segment lands), so it is reused instead of reallocated — flush
+        # runs twice per block element, mostly on empty blocks
         nonlocal cur
         if cur.segments:
             blocks.append(cur)
-        cur = _RawBlock()
+            cur = _RawBlock()
 
     for m in _TAG_RE.finditer(raw):
         text = raw[pos:m.start()]

@@ -22,7 +22,8 @@ import pandas as pd
 
 from . import assemble, boilerplate, markdown, segment, sniff, tooljson
 from .assemble import Block, Segment
-from .secondpass import extract_two_pass
+from .secondpass import extract_two_pass, two_pass_arrays as \
+    extract_two_pass_arrays
 from .settings import Settings
 
 OUTPUT_COLUMNS = [
@@ -193,12 +194,14 @@ def extract_batch(texts: pd.Series,
         a_eas[tj_pos] = ~kept
 
     # structured classes: per-row extractors (regex state machines — not
-    # cross-row vectorizable), but everything AROUND them is batched:
-    # direct extractor call (no extract_turn dispatch / Settings parse),
-    # fused prune+assemble+confidence (assemble.finalize), positional
-    # bulk column fill per class
+    # cross-row vectorizable), but everything AROUND them is batched and
+    # allocation-light: two_pass and pdf_layout go straight from their
+    # internal word/box lists to the output arrays (no Segment/Block
+    # objects at all — secondpass.two_pass_arrays / segment.pdf_arrays);
+    # html/markdown keep their Block builders but prune+assemble+
+    # confidence run as ONE fused walk (assemble.finalize_pruned);
+    # per-class bulk column fill by position
     _EXTRACTORS = {"html": boilerplate.extract_html,
-                   "pdf_layout": segment.extract_pdf_layout,
                    "markdown": markdown.extract_markdown}
     for cls in ("html", "pdf_layout", "markdown", "two_pass"):
         pos = np.flatnonzero(cls_np == cls)
@@ -212,19 +215,20 @@ def extract_batch(texts: pd.Series,
         confs: list[float] = []
         eas: list[bool] = []
         for pos_i, raw in zip(pos.tolist(), s.iloc[pos].tolist()):
-            if fn is None:
-                blocks, conf = extract_two_pass(raw, True)
+            if cls == "two_pass":
+                extracted, spans, n_segs, n_var, conf = \
+                    extract_two_pass_arrays(raw, True)
+                n_blocks = 1 if n_segs else 0
+            elif cls == "pdf_layout":
+                extracted, spans, n_blocks, n_segs = segment.pdf_arrays(raw)
+                n_var, conf = 0, 1.0
             else:
-                blocks = fn(raw)
-            blocks, _dropped = assemble.prune_empty(blocks)
-            extracted, spans, n_segs, n_var, mean_conf = \
-                assemble.finalize(blocks)
-            if fn is not None:
-                conf = mean_conf
+                extracted, spans, n_blocks, n_segs, n_var, conf = \
+                    assemble.finalize_pruned(fn(raw))
             texts_l.append(extracted)
             spans_col[pos_i] = (spans if pairs else
                                 [{"start": a, "end": b} for a, b in spans])
-            nbl.append(len(blocks))
+            nbl.append(n_blocks)
             nsp.append(n_segs)
             nvar.append(n_var)
             confs.append(conf)

@@ -66,7 +66,8 @@ class Word:
     start: int
     end: int
     conf: float
-    # reading-order key: equals ``start`` for first-pass words; for
+    # reading-order key: equals ``start`` for first-pass words (callers
+    # pass it explicitly — no __post_init__ on the hot path); for
     # second-pass words it is region_start + corrected-text offset, so the
     # corrected sequence reads forward even though the provenance spans are
     # mirrored through the reversal (module doc).
@@ -76,10 +77,6 @@ class Word:
     # erased by the J2 replacement becomes a Variant of the second-pass
     # word that covered it
     variants: list = field(default_factory=list)
-
-    def __post_init__(self) -> None:
-        if self.order_key < 0:
-            self.order_key = self.start
 
 
 def interval_coverage(a: tuple[int, int], b: tuple[int, int]) -> float:
@@ -111,12 +108,10 @@ _WORD_RE = re.compile(r"\S+")
 
 
 def _words_of(text: str, base: int, conf: np.float32) -> list[Word]:
-    words: list[Word] = []
     conf_f = float(conf)
-    for m in _WORD_RE.finditer(text):
-        words.append(Word(m.group(), base + m.start(), base + m.end(),
-                          conf_f))
-    return words
+    return [Word(m.group(), base + m.start(), base + m.end(), conf_f,
+                 base + m.start())
+            for m in _WORD_RE.finditer(text)]
 
 
 def first_pass(raw: str) -> tuple[list[Word], list[tuple[int, int]]]:
@@ -148,15 +143,16 @@ def second_pass_recognize(raw: str, region: tuple[int, int]) -> list[Word]:
     return out
 
 
-def extract_two_pass(raw: str, run_second: bool = True) -> tuple[list[Block], float]:
-    """Full two-pass flow; returns (blocks, doc_confidence).
-
-    ``run_second=False`` = the reference with the second pass disabled
-    (Settings ``SecondPass=off``): first-pass words only."""
+def _merge_two_pass(raw: str, run_second: bool) -> tuple[list[Word], float]:
+    """The full two-pass merge up to (but not including) Segment/Block
+    construction; returns ``(merged_words_in_reading_order, doc_conf)``.
+    Shared by the scalar :func:`extract_two_pass` and the allocation-light
+    batch twin :func:`two_pass_arrays`."""
     fp_words, regions = first_pass(raw)
     if not run_second:
         regions = []
-    fp_conf = np.array([w.conf for w in fp_words], dtype=np.float32)
+    fp_conf = np.fromiter((w.conf for w in fp_words), np.float32,
+                          len(fp_words))
     fp_mean = np.float32(fp_conf.mean(dtype=np.float32)
                          if len(fp_conf) else 1.0)
 
@@ -240,7 +236,15 @@ def extract_two_pass(raw: str, run_second: bool = True) -> tuple[list[Block], fl
         doc_conf = float((fp_mean + sp_mean) / np.float32(2.0))  # A6
     else:
         doc_conf = float(fp_mean)
+    return merged, doc_conf
 
+
+def extract_two_pass(raw: str, run_second: bool = True) -> tuple[list[Block], float]:
+    """Full two-pass flow; returns (blocks, doc_confidence).
+
+    ``run_second=False`` = the reference with the second pass disabled
+    (Settings ``SecondPass=off``): first-pass words only."""
+    merged, doc_conf = _merge_two_pass(raw, run_second)
     segs = [Segment(text=w.text, start=w.start, end=w.end,
                     glue=GLUE_SPACE if i else "", confidence=w.conf,
                     variants=list(w.variants))
@@ -248,3 +252,20 @@ def extract_two_pass(raw: str, run_second: bool = True) -> tuple[list[Block], fl
     blocks = [Block(segments=segs, kind="merged",
                     detector="lowconf", recognizer="twopass")] if segs else []
     return blocks, doc_conf
+
+
+def two_pass_arrays(raw: str, run_second: bool = True
+                    ) -> tuple[str, list[tuple[int, int]], int, int, float]:
+    """Allocation-light batch twin of :func:`extract_two_pass` +
+    ``assemble.finalize_pruned``: the merged words go STRAIGHT to the
+    output arrays — no Segment/Block objects, no prune walk (every Word
+    text is ``\\S+`` so pruning can never drop one).  Returns
+    ``(extracted_text, span_pairs, n_spans, n_variants, doc_conf)``;
+    ``n_blocks`` is ``1 if n_spans else 0`` by construction (the merge
+    emits a single Block).  Byte/bit parity with the scalar path is
+    asserted row-by-row in tests/test_extract.py."""
+    merged, doc_conf = _merge_two_pass(raw, run_second)
+    text = " ".join(w.text for w in merged)
+    spans = [(w.start, w.end) for w in merged]
+    n_var = sum(len(w.variants) for w in merged)
+    return text, spans, len(merged), n_var, doc_conf

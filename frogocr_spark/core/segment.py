@@ -104,3 +104,28 @@ def extract_pdf_layout(raw: str) -> list[Block]:
         blocks.append(Block(segments=segs, kind="line",
                             detector="xycut", recognizer="layout"))
     return blocks
+
+
+def pdf_arrays(raw: str) -> tuple[str, list[tuple[int, int]], int, int]:
+    """Allocation-light batch twin of :func:`extract_pdf_layout` +
+    ``assemble.finalize_pruned``: the same parse/filter/order/group
+    pipeline (shared code — no drift), but the grouped boxes go straight
+    to the output arrays: no Segment/Block objects, no prune walk (box
+    texts are ``\\S+`` so pruning can never drop one), confidence is the
+    constant 1.0 finalize would compute.  Returns ``(extracted_text,
+    span_pairs, n_blocks, n_spans)``; parity with the scalar path is
+    asserted row-by-row in tests/test_extract.py."""
+    ordered = reading_order(filter_boxes(parse_layout(raw)))
+    lines = group_lines(ordered)
+    parts: list[str] = []
+    spans: list[tuple[int, int]] = []
+    for li, line in enumerate(lines):
+        for i, b in enumerate(line):
+            if i:
+                parts.append(GLUE_SPACE + b.text)
+            elif li:
+                parts.append(GLUE_LINE + b.text)
+            else:
+                parts.append(b.text)
+            spans.append((b.start, b.end))
+    return "".join(parts), spans, len(lines), len(spans)

@@ -25,6 +25,9 @@ def test_batch_matches_scalar_oracle(corpus):
         assert rec["confidence"] == row["confidence"]
         assert rec["parse_failed"] == row["parse_failed"]
         assert rec["empty_after_strip"] == row["empty_after_strip"]
+        assert rec["n_blocks"] == row["n_blocks"]
+        assert rec["n_spans"] == row["n_spans"]
+        assert rec["n_variants"] == row["n_variants"]
 
 
 def test_span_raw_slice_invariant(corpus):
