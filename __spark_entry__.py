@@ -1463,6 +1463,18 @@ def _q_w_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("next_type"))
 
 
+def _q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup resolution: duplicated word 8-grams
+    (appearing in >= 2 docs) are cut out of every document except the
+    smallest containing doc_id; kept tokens are reassembled in order —
+    the fix for what whole-document minhash misses
+    (operators/textstats.substring_dedup_cut; every stage keyed on the
+    gram text or (doc, pos), no cartesian)."""
+    from frogocr_spark.operators.textstats import substring_dedup_cut
+    docs = _read(spark, sf_dir, "documents")
+    return substring_dedup_cut(docs, n=8, min_docs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -1566,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam": _q_bloom_decontam,
         "event_replay": _q_event_replay,
         "w_lag_lead": _q_w_lag_lead,
+        "dedup_substring": _q_dedup_substring,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -2650,6 +2663,45 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS flagged
             FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
             LEFT JOIN agg a USING (doc_id)
+        """,
+        "dedup_substring": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), toks AS (
+                SELECT doc_id, j AS pos, ws[j] AS tok
+                FROM words, unnest(range(1, len(ws) + 1)) t(j)
+            ), g AS (
+                SELECT doc_id, j AS gpos,
+                       array_to_string(ws[j:j+7], ' ') AS gram
+                FROM words, unnest(range(1, len(ws) - 6)) t(j)
+                WHERE len(ws) >= 8
+            ), freq AS (
+                SELECT gram, min(doc_id) AS owner
+                FROM g GROUP BY gram
+                HAVING count(DISTINCT doc_id) >= 2
+            ), cov AS (
+                SELECT DISTINCT g.doc_id, g.gpos + k AS pos
+                FROM g JOIN freq USING (gram), unnest(range(0, 8)) u(k)
+                WHERE g.doc_id <> freq.owner
+            ), kept AS (
+                SELECT t.doc_id, t.pos, t.tok
+                FROM toks t LEFT JOIN cov c
+                  ON t.doc_id = c.doc_id AND t.pos = c.pos
+                WHERE c.pos IS NULL
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   CAST(len(w.ws) AS INT) AS n_tokens,
+                   CAST(len(w.ws) - COALESCE(a.n_kept, 0) AS INT)
+                   AS n_removed,
+                   COALESCE(a.cleaned_text, '') AS cleaned_text
+            FROM words w LEFT JOIN agg a USING (doc_id)
         """,
         "event_replay": """
             SELECT user_id,

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "agg_distinct", "arr_ops", "tpch_q4", "tpch_q5", "tpch_q13", "tpch_q18", "w_rank_family", "vocab_topk", "lm_quality", "mix_sample",
     "source_topterms", "url_canon", "hash_split", "text_norm",
     "c4_line_filters", "bloom_decontam", "event_replay", "w_lag_lead",
+    "dedup_substring",
     "dedup_incr", "extract_tooljson_docs", "extract_pdf_docs",
     "extract_md_docs", "extract_html_docs", "extract_twopass_docs",
 ]

@@ -556,6 +556,69 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
         .otherwise(F.lit("test")))
 
 
+def substring_dedup_cut(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 8,
+                        min_docs: int = 2) -> DataFrame:
+    """Substring-level dedup RESOLUTION (the public exact-substring-dedup
+    recipe: cut long verbatim duplicated ranges out of all but one copy —
+    what whole-document minhash/simhash cannot fix): word ``n``-grams
+    occurring in ≥ ``min_docs`` distinct documents are 'duplicated'; the
+    smallest containing ``id`` OWNS each gram and keeps its text; every
+    other document has the tokens covered by that gram's occurrences
+    removed.  Returns one row per input row: ``n_tokens``,
+    ``n_removed``, and ``cleaned_text`` (kept tokens re-joined in
+    original order).
+
+    Plan (every stage keyed, no cartesian, linear in the corpus gram
+    count): positional shingle expr (JVM-side) → gram-keyed (owner,
+    doc-frequency) aggregation (map-side combined) → frequency re-join
+    fans each duplicated gram back ONLY to its containing docs → covered
+    (doc, pos) pairs → anti-join against the token stream → per-doc
+    ordered reassembly (sort_array on (pos, token) structs — the same
+    stable-order aggregation shape as event stitching)."""
+    idc = F.col(id_col)
+    words = F.filter(F.split(F.trim(F.col(text_col)), _WS),
+                     lambda w: w != "")
+    base = df.select(idc.alias("_id"), words.alias("_ws"))
+    toks = base.select(
+        "_id", F.posexplode("_ws").alias("_p0", "tok")) \
+        .select("_id", (F.col("_p0") + 1).alias("pos"), "tok")
+    grams = (base.where(F.size("_ws") >= n)
+             .select("_id", F.explode(F.transform(
+                 F.sequence(F.lit(1), F.size("_ws") - n + 1),
+                 lambda i: F.struct(
+                     i.alias("gpos"),
+                     F.concat_ws(" ", F.slice("_ws", i, n)).alias("gram"))))
+                 .alias("_g"))
+             .select("_id", F.col("_g.gpos").alias("gpos"),
+                     F.col("_g.gram").alias("gram")))
+    freq = (grams.groupBy("gram")
+            .agg(F.min("_id").alias("_owner"),
+                 F.countDistinct("_id").alias("_dfreq"))
+            .where(F.col("_dfreq") >= min_docs))
+    covered = (grams.join(freq, "gram")
+               .where(F.col("_id") != F.col("_owner"))
+               .select("_id", F.explode(
+                   F.sequence(F.col("gpos"),
+                              F.col("gpos") + (n - 1))).alias("pos"))
+               .distinct())
+    kept = toks.join(covered, ["_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda x: x["tok"]), " ").alias("cleaned_text"))
+    return (df.select(idc, words.alias("_ws"))
+            .join(rebuilt, idc == rebuilt["_id"], "left")
+            .select(
+                idc,
+                F.size("_ws").alias("n_tokens"),
+                (F.size("_ws") - F.coalesce("_n_kept", F.lit(0)))
+                .cast("int").alias("n_removed"),
+                F.coalesce("cleaned_text", F.lit(""))
+                .alias("cleaned_text")))
+
+
 # C4-family line-level boilerplate phrases: plain lowercase substring
 # tests (no regex), so any engine agrees byte-for-byte
 LINE_BOILERPLATE = ("javascript", "cookie", "all rights reserved")

@@ -573,3 +573,34 @@ def test_w_lag_lead_hand_computed(spark, tiny_events_dir):
     assert got[3] == (10_000_000, "")   # last event of user 1
     assert got[4] == (-1, "y")          # ties broken by event_id
     assert got[5] == (0, "")
+
+
+def test_substring_dedup_cut_hand_computed(spark):
+    rows = [
+        (1, "a b c d e f g h tail one"),   # min doc_id → owns the gram
+        (2, "x a b c d e f g h y"),        # shared gram cut
+        (3, "unique words only in this document here now"),
+        (4, "a b c d e f g h"),            # exactly the gram → emptied
+        (5, "short doc"),                  # < n tokens → no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+           for r in textstats.substring_dedup_cut(
+               df, n=8, min_docs=2).collect()}
+    assert got[1] == (10, 0, "a b c d e f g h tail one")  # owner untouched
+    assert got[2] == (10, 8, "x y")
+    assert got[3] == (8, 0, "unique words only in this document here now")
+    assert got[4] == (8, 8, "")
+    assert got[5] == (2, 0, "short doc")
+
+
+def test_substring_dedup_cut_overlapping_occurrences(spark):
+    # non-owner doc repeats the duplicated gram twice, overlapping ranges
+    # union cleanly through the (doc, pos) distinct
+    rows = [(1, "a b c d"), (2, "a b c d a b c d tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_removed, r.cleaned_text)
+           for r in textstats.substring_dedup_cut(
+               df, n=4, min_docs=2).collect()}
+    assert got[1] == (0, "a b c d")
+    assert got[2] == (8, "tail")
