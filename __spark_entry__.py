@@ -1475,6 +1475,85 @@ def _q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup_cut(docs, n=8, min_docs=2)
 
 
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count sketch (p=8, md5-based
+    so DuckDB recomputes register values and estimate bit-for-bit) next
+    to the exact count — the 100 TB shape of COUNT(DISTINCT): the
+    shuffle carries <= 256 register rows per group instead of the key
+    universe (operators/sketches.hll_estimate)."""
+    from frogocr_spark.operators.sketches import hll_estimate
+    ev = _read(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact"))
+    est = hll_estimate(ev, ["event_type"], "user_id", p=8)
+    return exact.join(est, "event_type")
+
+
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token -> document frequency + the 50
+    smallest containing doc ids (sorted; min_df=2) — retrieval surface
+    for corpus audits.  Posting cap via two-level partial top-k so a
+    stopword's postings never sort in one task
+    (operators/textstats.inverted_index)."""
+    from frogocr_spark.operators.textstats import inverted_index
+    docs = _read(spark, sf_dir, "documents")
+    idx = inverted_index(docs, k_postings=50, min_df=2)
+    return idx.select("token", "df",
+                      F.array_join("postings", ",").alias("postings"))
+
+
+def _q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (reciprocal-frequency idf:
+    score = tf*N/df — ONE IEEE division of exact integers, so the
+    rank order is engine-portable; rank over the rounded score per the
+    cosine-top-k lesson) (operators/textstats.tfidf_top_terms)."""
+    from frogocr_spark.operators.textstats import tfidf_top_terms
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=5)
+
+
+def _q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM table: per head token the top-3 continuations by count
+    with exact integer-ratio conditional probability — grouped partial
+    top-k, a stopword head never sorts in one task
+    (operators/textstats.bigram_top_continuations)."""
+    from frogocr_spark.operators.textstats import bigram_top_continuations
+    docs = _read(spark, sf_dir, "documents")
+    return bigram_top_continuations(docs, k=3)
+
+
+def _q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector min-max int8 quantization of the embedding column —
+    pure map-stage column expressions (array_min/max + transform), the
+    float widening and +0.5-floor tie rule chosen so every engine
+    computes identical integers
+    (operators/similarity.quantize_minmax_int8)."""
+    from frogocr_spark.operators.similarity import quantize_minmax_int8
+    emb = _read(spark, sf_dir, "embeddings")
+    q = quantize_minmax_int8(emb)
+    return q.select("vec_id", "lo", "hi",
+                    F.array_join("qvec", ",").alias("qstr"))
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (3 iterations, damping 85/100, scale
+    10^12) over the supplier->customer shipment graph (distinct edges
+    from lineitem x orders).  All-integer power iteration: order-
+    independent sums, so the scores hash-match any engine; one keyed
+    join + one map-side-combined agg per iteration
+    (operators/graph.pagerank_int)."""
+    from frogocr_spark.operators.graph import pagerank_int
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .select(F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                     .alias("src"),
+                     F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                     .alias("dst"))
+             .distinct())
+    return pagerank_int(edges, iters=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -1579,6 +1658,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_replay": _q_event_replay,
         "w_lag_lead": _q_w_lag_lead,
         "dedup_substring": _q_dedup_substring,
+        "hll_distinct": _q_hll_distinct,
+        "inverted_index": _q_inverted_index,
+        "tfidf_topterms": _q_tfidf_topterms,
+        "ngram_lm": _q_ngram_lm,
+        "emb_quantize": _q_emb_quantize,
+        "pagerank": _q_pagerank,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -3331,4 +3416,125 @@ FROM pos2
     # the partial-reduction top-k has the IDENTICAL result
     # contract as the broadcast brute force - one oracle serves both
     o["sim_cosine_topk_partial"] = o["sim_cosine_topk"]
+
+    # HLL constants interpolated from the SAME source as the Spark side
+    # (operators/sketches.hll_constants) so the two engines share the
+    # exact alpha literal and bit layout
+    from frogocr_spark.operators.sketches import hll_constants
+    _c = hll_constants(8)
+    o["hll_distinct"] = f"""
+        WITH h AS (
+            SELECT event_type,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   ::BIGINT AS h
+            FROM events
+        ), r AS (
+            SELECT event_type, h >> {_c['w']} AS bucket,
+                   CASE WHEN (h & {_c['rem_mask']}) = 0 THEN {_c['maxrho']}
+                        ELSE {_c['w']} + 1
+                             - length(bin(h & {_c['rem_mask']})) END AS rho
+            FROM h
+        ), regs AS (
+            SELECT event_type, bucket, max(rho) AS reg
+            FROM r GROUP BY 1, 2
+        ), agg AS (
+            SELECT event_type,
+                   CAST(CAST(sum(1::BIGINT << ({_c['maxrho']} - reg))
+                             AS BIGINT)
+                        + ({_c['m']} - count(*)) * {_c['empty_term']}
+                        AS BIGINT) AS reg_sum_scaled,
+                   CAST({_c['m']} - count(*) AS INT) AS n_zero_regs
+            FROM regs GROUP BY 1
+        ), ex AS (
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY 1
+        )
+        SELECT event_type, n_exact, n_zero_regs, reg_sum_scaled,
+               round({_c['est_num']!r} / reg_sum_scaled, 3) AS hll_est
+        FROM ex JOIN agg USING (event_type)
+    """
+    o["inverted_index"] = r"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(trim(text), '\s+'),
+                x -> x <> '')) AS token
+            FROM documents
+        ), t AS (SELECT DISTINCT doc_id, token FROM tok),
+        d AS (SELECT token, count(*) AS df FROM t GROUP BY 1),
+        p AS (SELECT token, list_sort(list(doc_id)) AS pl
+              FROM t GROUP BY 1)
+        SELECT d.token, CAST(d.df AS BIGINT) AS df,
+               array_to_string(pl[1:50], ',') AS postings
+        FROM d JOIN p USING (token) WHERE d.df >= 2
+    """
+    o["tfidf_topterms"] = r"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(trim(text), '\s+'),
+                x -> x <> '')) AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+        ), d AS (SELECT token, count(*) AS t_df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        s AS (SELECT tf.doc_id, tf.token, tf.tf, d.t_df,
+                     round(CAST(tf.tf * n.n_docs AS DOUBLE) / d.t_df, 6)
+                     AS score
+              FROM tf JOIN d USING (token) CROSS JOIN n)
+        SELECT doc_id, token AS term, CAST(tf AS INT) AS tf,
+               CAST(t_df AS BIGINT) AS t_df, score,
+               CAST(rnk AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, token ASC) AS rnk FROM s)
+        WHERE rnk <= 5
+    """
+    o["ngram_lm"] = r"""
+        WITH words AS (
+            SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), pairs AS (
+            SELECT unnest(CASE WHEN len(ws) >= 2
+                               THEN [array_to_string(ws[j:j+1], ' ')
+                                     for j in range(1, len(ws))]
+                               ELSE CAST([] AS VARCHAR[]) END) AS gram
+            FROM words
+        ), pc AS (
+            SELECT string_split(gram, ' ')[1] AS head,
+                   string_split(gram, ' ')[2] AS cont,
+                   count(*) AS pair_n
+            FROM pairs GROUP BY 1, 2
+        ), hc AS (SELECT head, sum(pair_n) AS head_n FROM pc GROUP BY 1)
+        SELECT head, cont, CAST(pair_n AS BIGINT) AS pair_n,
+               CAST(head_n AS BIGINT) AS head_n,
+               round(pair_n * 1.0 / head_n, 6) AS p_cont,
+               CAST(rnk AS INT) AS rank
+        FROM (SELECT pc.head, pc.cont, pc.pair_n, hc.head_n,
+                     row_number() OVER (PARTITION BY pc.head
+                         ORDER BY pc.pair_n DESC, pc.cont ASC) AS rnk
+              FROM pc JOIN hc USING (head))
+        WHERE rnk <= 3
+    """
+    o["emb_quantize"] = r"""
+        WITH lh AS (
+            SELECT vec_id, embedding,
+                   CAST(list_min(embedding) AS DOUBLE) AS lo,
+                   CAST(list_max(embedding) AS DOUBLE) AS hi
+            FROM embeddings
+        )
+        SELECT vec_id, lo, hi,
+               array_to_string(list_transform(embedding, x ->
+                   CASE WHEN hi = lo THEN 0
+                        ELSE CAST(floor((CAST(x AS DOUBLE) - lo) * 255.0
+                                        / (hi - lo) + 0.5) - 128 AS INT)
+                   END), ',') AS qstr
+        FROM lh
+    """
+    from frogocr_spark.operators.graph import pagerank_int_oracle_sql
+    o["pagerank"] = pagerank_int_oracle_sql(
+        "SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src, "
+        "'c' || CAST(o_custkey AS VARCHAR) AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+        iters=3)
     return o

@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "dedup_substring",
     "dedup_incr", "extract_tooljson_docs", "extract_pdf_docs",
     "extract_md_docs", "extract_html_docs", "extract_twopass_docs",
+    "hll_distinct", "inverted_index", "tfidf_topterms", "ngram_lm",
+    "emb_quantize", "pagerank",
 ]
 
 

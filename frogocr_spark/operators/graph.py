@@ -1,0 +1,126 @@
+"""Iterative graph algorithms over edge DataFrames — integer-exact
+PageRank.
+
+This is the second iterative-distributed-algorithm surface next to the
+connected-components operator (operators/dedup.py star-contraction):
+power iteration over a directed graph, the shape used for page/domain
+authority scoring when ranking a crawl before curation.
+
+Determinism is the design constraint: float PageRank sums per-node
+contributions in WHATEVER order the shuffle delivers them, so two runs
+(or two engines) disagree in the last ulp and a value-hash check is
+impossible.  Here scores are INTEGERS (initial mass ``scale`` per
+node) and every step is integer arithmetic:
+
+- contribution = ``score DIV out_degree``  (truncating integer div —
+  all scores non-negative, so trunc == floor in every engine);
+- update   = ``base + (damp_num · Σ contrib) DIV damp_den`` with
+  ``base = (scale · (damp_den − damp_num)) DIV damp_den`` — the
+  d = damp_num/damp_den damping factor as an exact rational.
+
+Integer addition is associative/commutative, so the aggregation is
+order-independent: same result under any partitioning, any engine.
+Overflow headroom: Σ contrib ≤ N·scale, so ``damp_num · Σ`` needs
+``N·scale·damp_num < 2^63`` — with the default scale 10^12 and
+damp 85/100 that allows ~10^5 nodes; pass a smaller ``scale`` for
+bigger graphs (raises if the bound is violated when ``n_nodes`` is
+supplied).
+
+Semantics notes (documented variants, mirrored exactly by the SQL
+oracle): mass lost to ``DIV`` truncation and to dangling nodes (no
+out-edges) is dropped, not redistributed — per-iteration mass is not
+conserved, as in the common "toy" PR formulation; nodes with no
+in-edges settle at ``base``.
+
+Scale shape: per iteration ONE equi-join (edges ⋈ scores, keyed on
+src) and ONE keyed aggregation (keyed on dst, map-side combined — a
+high-in-degree hub partial-aggregates in every task).  The score
+relation is node-sized, edges are scanned once per iteration, nothing
+is ever collected to the driver, and the iteration count is a fixed
+plan depth (no driver-side convergence loop in the contract path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SCALE = 10**12
+
+
+def pagerank_int(edges: DataFrame, iters: int = 3,
+                 scale: int = DEFAULT_SCALE,
+                 damp_num: int = 85, damp_den: int = 100,
+                 n_nodes_hint: int | None = None) -> DataFrame:
+    """Integer-exact PageRank over distinct directed ``(src, dst)``
+    edges.  Returns ``(node, score)`` with ``score`` a BIGINT — the
+    exact same integers any engine computes.
+
+    ``edges`` must be duplicate-free (dedupe upstream: multi-edges
+    would double-count contributions)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0 < damp_num < damp_den:
+        raise ValueError(f"need 0 < damp_num < damp_den, "
+                         f"got {damp_num}/{damp_den}")
+    if n_nodes_hint is not None and n_nodes_hint * scale * damp_num >= 2**63:
+        raise ValueError(
+            f"overflow risk: n_nodes*scale*damp_num = "
+            f"{n_nodes_hint * scale * damp_num} >= 2^63; lower scale")
+    base = (scale * (damp_den - damp_num)) // damp_den
+
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # degree rides WITH the edge list: joined once, reused every iteration
+    edges_deg = edges.join(out_deg, "src")
+
+    scores = nodes.select("node", F.lit(scale).cast("long").alias("score"))
+    for _ in range(iters):
+        contrib = (edges_deg
+                   .join(scores, edges_deg["src"] == scores["node"])
+                   .select(F.col("dst").alias("node"),
+                           F.expr("score DIV out_deg").alias("c"))
+                   .groupBy("node")
+                   .agg(F.sum("c").alias("in_mass")))
+        scores = (nodes.join(contrib, "node", "left")
+                  .select("node",
+                          (F.lit(base)
+                           + F.expr(f"(coalesce(in_mass, 0L) * "
+                                    f"{damp_num}) DIV {damp_den}"))
+                          .cast("long").alias("score")))
+    return scores
+
+
+def pagerank_int_oracle_sql(edges_sql: str, iters: int = 3,
+                            scale: int = DEFAULT_SCALE,
+                            damp_num: int = 85,
+                            damp_den: int = 100) -> str:
+    """The DuckDB twin: chained CTEs computing the IDENTICAL integers
+    (``//`` truncates like Spark's ``DIV`` on non-negative values).
+    ``edges_sql`` must yield distinct (src, dst)."""
+    base = (scale * (damp_den - damp_num)) // damp_den
+    sql = [f"WITH e AS ({edges_sql}),"]
+    sql.append("nodes AS (SELECT src AS node FROM e "
+               "UNION SELECT dst FROM e),")
+    sql.append("deg AS (SELECT src, count(*) AS out_deg FROM e "
+               "GROUP BY src),")
+    sql.append("ed AS (SELECT e.src, e.dst, deg.out_deg FROM e "
+               "JOIN deg USING (src)),")
+    sql.append(f"it0 AS (SELECT node, CAST({scale} AS BIGINT) AS score "
+               f"FROM nodes),")
+    for i in range(1, iters + 1):
+        sql.append(
+            f"m{i} AS (SELECT ed.dst AS node, "
+            f"CAST(sum(s.score // ed.out_deg) AS BIGINT) AS in_mass "
+            f"FROM ed JOIN it{i-1} s ON ed.src = s.node "
+            f"GROUP BY ed.dst),")
+        sql.append(
+            f"it{i} AS (SELECT n.node, CAST({base} + "
+            f"(COALESCE(m.in_mass, 0) * {damp_num}) // {damp_den} "
+            f"AS BIGINT) AS score "
+            f"FROM nodes n LEFT JOIN m{i} m USING (node)),")
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(f"SELECT node, score FROM it{iters}")
+    return "\n".join(sql)

@@ -335,3 +335,33 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
             .join(F.broadcast(q), "query_id"))
     scored = cand.withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
     return _rank_topk(scored, k, rank_round)
+
+
+def quantize_minmax_int8(df: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """Per-vector min-max int8 quantization — the storage/ANN-shrink
+    pass (4 bytes/dim → 1): each component maps to
+    ``floor((x − lo) · 255 / (hi − lo) + 0.5) − 128 ∈ [−128, 127]``
+    with per-vector ``lo = min, hi = max`` kept alongside so the vector
+    dequantizes to within half a step.  A constant vector (hi == lo)
+    quantizes to all-zero.
+
+    Engine-portable by construction: every input float widens to
+    double EXACTLY, and the formula is plain IEEE ``−·/+`` plus
+    ``floor`` — all correctly rounded and identically ordered in any
+    engine, so a DuckDB oracle reproduces the integers bit-for-bit (no
+    libm call, no half-even-vs-half-up ``round`` ambiguity: the
+    ``+0.5 then floor`` idiom pins the tie behavior).
+
+    Scale shape: pure column expressions (array_min/array_max/
+    transform) inside the scan's map stage — no shuffle, no UDF, no
+    driver involvement; whole-stage codegen keeps it JVM-side."""
+    v = F.col(vec_col)
+    lo = F.array_min(v).cast("double")
+    hi = F.array_max(v).cast("double")
+    q = F.transform(
+        v, lambda x: F.when(hi == lo, F.lit(0))
+        .otherwise((F.floor((x.cast("double") - lo) * 255.0 / (hi - lo)
+                            + 0.5) - 128).cast("int")).cast("int"))
+    return df.select(id_col, lo.alias("lo"), hi.alias("hi"),
+                     q.alias("qvec"))

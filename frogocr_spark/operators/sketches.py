@@ -1,0 +1,149 @@
+"""Distributed cardinality sketches — a deterministic, engine-portable
+HyperLogLog.
+
+Why not ``approx_count_distinct``: Spark's built-in is HLL++ with an
+engine-private hash — correct, but unverifiable against any other
+engine.  This module builds the classic Flajolet HLL from ``md5`` so a
+DuckDB oracle recomputes the sketch BIT-FOR-BIT: same hash, same
+register values, same estimate.  That turns the usual "approximate ≈
+exact within ε" smoke test into an exact cross-engine value check,
+while keeping the genuine distributed-sketch shape:
+
+- map side: hash → (bucket, rho) is a pure column expression;
+- the register table is ``max(rho)`` per (group, bucket) — an
+  associative/commutative monoid, so partial aggregation combines
+  map-side and the shuffle carries at most ``m`` rows per group no
+  matter how many input rows (the whole point of a sketch at 100 TB);
+- merge of two sketches = element-wise register max (union semantics),
+  which is exactly what the partial aggregation performs.
+
+Determinism details (the cross-engine contract):
+
+- hash = first 15 hex chars of ``md5(key)`` → a 60-bit non-negative
+  int64 (same construction as the minhash/simhash operators here);
+- bucket = top ``p`` bits, rho = leading-zero count of the remaining
+  ``60 - p`` bits + 1, computed EXACTLY via the binary-string length
+  (``bin()`` prints no leading zeros in either engine) — no ``log2``
+  float call whose last ulp could differ between libms;
+- the register sum ``Σ 2^-reg`` is kept as an INTEGER, scaled by
+  ``2^(60-p+1)``: each term is ``1 << (maxrho - reg)`` and empty
+  registers contribute ``1 << maxrho``; with p ≥ 6 the total stays
+  far below 2^63, and integer addition is order-independent — no
+  float-summation ambiguity across partitionings or engines;
+- the estimate ``alpha_m · m² / Σ 2^-reg`` is then ONE float division
+  of two exactly-agreed numbers (the alpha constant is embedded as a
+  Python ``repr`` literal both sides parse to the same double).
+
+The raw (no small/large-range correction) estimator is the verified
+column; the standard linear-counting small-range correction uses
+``ln`` (libm-dependent last ulp) so it is exposed separately and
+accuracy-tested in pytest rather than hash-compared.
+
+Reference parity: the reference keeps exact per-run counters
+(Source/Core/Database.cpp task-count queries); at 10^12 rows exact
+COUNT(DISTINCT) per group is a full shuffle of the key universe —
+this sketch is the scale path a 100 TB pipeline actually uses.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_BITS = 60  # 15 md5 hex chars — fits int64, matches dedup/minhash
+
+
+def _alpha(m: int) -> float:
+    """The standard HLL bias constant for m ≥ 128."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_constants(p: int) -> dict:
+    """The derived constants for precision ``p`` — exposed so the SQL
+    oracle embeds the IDENTICAL literals (``repr`` round-trips the
+    double exactly in both parsers)."""
+    if not 6 <= p <= 16:
+        raise ValueError(f"p must be in [6, 16], got {p}")
+    m = 1 << p
+    w = HASH_BITS - p          # width of the rho field
+    maxrho = w + 1             # rho when the field is all zeros
+    return {
+        "m": m,
+        "w": w,
+        "maxrho": maxrho,
+        "rem_mask": (1 << w) - 1,
+        "empty_term": 1 << maxrho,          # scaled 2^-0 per empty register
+        # alpha_m * m^2 * 2^maxrho — numerator of the one-division estimate
+        "est_num": _alpha(m) * m * m * float(1 << maxrho),
+    }
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], key_col: str,
+                  p: int = 8) -> DataFrame:
+    """The register table: one row per (group, bucket) seen, with the
+    max-rho register value.  This IS the sketch — mergeable by further
+    ``max`` — and the only shuffled relation (≤ m rows per group)."""
+    c = hll_constants(p)
+    h = (F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+                16, 10).cast("long"))
+    bucket = F.shiftright(h, c["w"])
+    rem = h.bitwiseAND(F.lit(c["rem_mask"]))
+    # leading zeros of the w-bit field, exactly: bin() prints no leading
+    # zeros, so rho = w - bitlength(rem) + 1; rem == 0 → maxrho
+    rho = (F.when(rem == 0, F.lit(c["maxrho"]))
+           .otherwise(F.lit(c["w"]) + 1 - F.length(F.bin(rem))))
+    return (df.select(*group_cols, bucket.alias("bucket"),
+                      rho.alias("rho"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("rho").alias("reg")))
+
+
+def hll_estimate(df: DataFrame, group_cols: list[str], key_col: str,
+                 p: int = 8) -> DataFrame:
+    """Per-group HLL cardinality estimate.
+
+    Output: ``group_cols…, n_zero_regs int, reg_sum_scaled long,
+    hll_est double`` (raw estimator, rounded to 3 dp).  Every column is
+    exactly reproducible in any engine with md5 + integer ops."""
+    c = hll_constants(p)
+    regs = hll_registers(df, group_cols, key_col, p)
+    # column-valued shift amount → SQL expr (the PySpark shiftleft
+    # wrapper only takes a literal bit count)
+    term = F.expr(f"shiftleft(cast(1 as bigint), "
+                  f"cast({c['maxrho']} - reg as int))")
+    agg = (regs.groupBy(*group_cols)
+           .agg(F.sum(term).alias("_hit_sum"),
+                F.count(F.lit(1)).alias("_n_hit")))
+    reg_sum = (F.col("_hit_sum")
+               + (F.lit(c["m"]) - F.col("_n_hit"))
+               * F.lit(c["empty_term"]))
+    return agg.select(
+        *group_cols,
+        (F.lit(c["m"]) - F.col("_n_hit")).cast("int")
+        .alias("n_zero_regs"),
+        reg_sum.cast("long").alias("reg_sum_scaled"),
+        F.round(F.lit(c["est_num"]) / reg_sum.cast("double"), 3)
+        .alias("hll_est"))
+
+
+def hll_estimate_corrected(df: DataFrame, group_cols: list[str],
+                           key_col: str, p: int = 8) -> DataFrame:
+    """Raw estimate + the standard linear-counting small-range
+    correction (``m·ln(m/V)`` when raw ≤ 2.5·m and V > 0).  The
+    correction uses ``ln`` — accuracy-tested in pytest, NOT part of the
+    hash contract (libm last-ulp differences)."""
+    c = hll_constants(p)
+    est = hll_estimate(df, group_cols, key_col, p)
+    raw = F.lit(c["est_num"]) / F.col("reg_sum_scaled").cast("double")
+    lc = F.lit(float(c["m"])) * F.log(
+        F.lit(float(c["m"])) / F.col("n_zero_regs").cast("double"))
+    corrected = (F.when((raw <= 2.5 * c["m"]) & (F.col("n_zero_regs") > 0),
+                        lc).otherwise(raw))
+    return est.withColumn("hll_est_corrected", F.round(corrected, 3))
+
+
+def hll_relative_error(p: int) -> float:
+    """The theoretical standard error 1.04/sqrt(m) — pytest bound."""
+    return 1.04 / math.sqrt(float(1 << p))

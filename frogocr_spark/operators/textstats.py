@@ -759,3 +759,125 @@ def normalize_text(df: DataFrame, text_col: str = "text",
                          r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""),
         r"\s+", " "))
     return df.withColumn(out_col, cleaned)
+
+
+def inverted_index(df: DataFrame, k_postings: int = 50, min_df: int = 2,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Inverted-index build: per token, its document frequency and the
+    posting list — the ``k_postings`` smallest containing doc ids,
+    sorted ascending (the retrieval / exact-match-search primitive a
+    curation pipeline builds for audit lookups: "which documents
+    contain this token?").  ``min_df`` drops the hapax tail before the
+    index materializes.
+
+    Scale shape: per-doc-distinct tokens (one keyed aggregation), then
+    (a) df counts via a token-keyed count — map-side combined, a hot
+    token like "the" never concentrates rows — and (b) the posting
+    CAP via the same two-level partial top-k as
+    :func:`stratified_sample`: local smallest-k doc ids per
+    (input-partition, token), then global smallest-k over the ≤ k·P
+    survivors — so a stopword's millions of postings are pruned in
+    parallel and ``collect_list`` only ever sees ≤ k rows per token.
+    Exact: a global smallest-k id is necessarily a local smallest-k id
+    of its own partition, and (doc_id) is a total order per token
+    (post-distinct).  The collected array is sorted for a canonical,
+    engine-portable representation."""
+    from pyspark.sql import Window
+    toks = (_tokens_of(df, id_col, text_col)
+            .dropDuplicates(["_id", "token"]))
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w_local = Window.partitionBy("_pid", "token").orderBy("_id")
+    pruned = (toks.withColumn("_pid", F.spark_partition_id())
+              .withColumn("_rn", F.row_number().over(w_local))
+              .where(F.col("_rn") <= k_postings).drop("_pid", "_rn"))
+    w = Window.partitionBy("token").orderBy("_id")
+    top = (pruned.withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") <= k_postings).drop("_rn"))
+    postings = (top.groupBy("token")
+                .agg(F.sort_array(F.collect_list("_id"))
+                     .alias("postings")))
+    return (dfreq.where(F.col("df") >= min_df)
+            .join(postings, "token")
+            .select("token", F.col("df").cast("long").alias("df"),
+                    "postings"))
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document characteristic terms: top-``k`` tokens by TF-IDF
+    with a reciprocal-frequency idf — ``score = tf · N / df`` (NOT
+    ``tf · ln(N/df)``: the linear idf keeps the score a single IEEE
+    division of exact integers, so every engine computes the identical
+    double and the identical rounding — a libm ``ln`` is only
+    faithfully rounded and its last ulp can flip a rank at the k-cut;
+    the rank-stability lesson from the cosine top-k family applied at
+    design time).  Ties break (score desc, term asc) over the ROUNDED
+    score.  Exact while ``tf · N < 2^53`` (int64 product, lossless as
+    double) — at 10^12 docs pre-aggregate or cap tf.
+
+    Scale shape: tf = one (doc, token)-keyed count; df = one
+    token-keyed count over the tf relation (already per-doc distinct;
+    both map-side combined); N rides in as a broadcast 1-row aggregate
+    (no eager ``count()`` — the plan stays one job); the final rank is
+    a per-document window — millions of tiny groups, no skew."""
+    from pyspark.sql import Window
+    tf = (_tokens_of(df, id_col, text_col)
+          .groupBy("_id", "token").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("t_df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_n_docs"))
+    scored = (tf.join(dfreq, "token")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn(
+                  "score",
+                  F.round((F.col("tf") * F.col("_n_docs"))
+                          .cast("double") / F.col("t_df"), 6)))
+    w = (Window.partitionBy("_id")
+         .orderBy(F.col("score").desc(), F.col("token").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("_id").alias(id_col),
+                    F.col("token").alias("term"),
+                    F.col("tf").cast("int").alias("tf"),
+                    F.col("t_df").cast("long").alias("t_df"),
+                    "score", F.col("rank").cast("int").alias("rank")))
+
+
+def bigram_top_continuations(df: DataFrame, k: int = 3,
+                             text_col: str = "text") -> DataFrame:
+    """Bigram language-model table: per head token, the top-``k``
+    continuations by count with the exact conditional probability —
+    the count-based Markov-LM build (the first stage of any n-gram LM
+    / next-token-statistics audit over a corpus).  ``p_cont`` is a
+    ratio of two exact integers, rounded once — no float summation.
+
+    Scale shape: bigrams come from the shared shingle expression
+    (JVM-side, map stage) → ONE (head, cont)-keyed count (map-side
+    combined); head totals are a second aggregation OVER THE PAIR
+    COUNTS (already tiny vs the corpus); the k-cut is the two-level
+    partial top-k — a stopword head with a million distinct
+    continuations never sorts in one task."""
+    from pyspark.sql import Window
+    from .dedup import _shingle_expr
+    pairs = (df.select(F.explode(_shingle_expr(text_col, 2, None))
+                       .alias("gram"))
+             .select(F.split(F.col("gram"), " ").getItem(0).alias("head"),
+                     F.split(F.col("gram"), " ").getItem(1).alias("cont"))
+             .groupBy("head", "cont")
+             .agg(F.count(F.lit(1)).alias("pair_n")))
+    heads = pairs.groupBy("head").agg(F.sum("pair_n").alias("head_n"))
+    order = [F.col("pair_n").desc(), F.col("cont").asc()]
+    w_local = Window.partitionBy("_pid", "head").orderBy(*order)
+    pruned = (pairs.withColumn("_pid", F.spark_partition_id())
+              .withColumn("_rn", F.row_number().over(w_local))
+              .where(F.col("_rn") <= k).drop("_pid", "_rn"))
+    w = Window.partitionBy("head").orderBy(*order)
+    top = (pruned.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k))
+    return (top.join(heads, "head")
+            .select("head", "cont",
+                    F.col("pair_n").cast("long").alias("pair_n"),
+                    F.col("head_n").cast("long").alias("head_n"),
+                    F.round(F.col("pair_n") / F.col("head_n"), 6)
+                    .alias("p_cont"),
+                    F.col("rank").cast("int").alias("rank")))

@@ -283,6 +283,45 @@ def main() -> None:
                 f"joins={plan.count('Join')}, "
                 f"generates={plan.count('Generate')}")
 
+    # 14. int8 quantization: pure map stage — array_min/max + transform
+    #     are column expressions, so the 100 TB embedding relation is
+    #     never shuffled or joined.
+    from frogocr_spark.operators.similarity import quantize_minmax_int8
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = executed(quantize_minmax_int8(emb))
+    ok &= check("quantize_minmax_int8 is map-only",
+                "Exchange" not in plan and "Join" not in plan,
+                f"exchanges={plan.count('Exchange')}, "
+                f"joins={plan.count('Join')}")
+
+    # 15. HLL sketch: the whole point at 100 TB is that the shuffle
+    #     carries REGISTERS, not keys — two keyed hash aggregations
+    #     (partial+final over (group,bucket), then over group), both
+    #     map-side combined, no join, no window, no global sort.
+    from frogocr_spark.operators.sketches import hll_estimate
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = executed(hll_estimate(ev, ["event_type"], "user_id", p=8))
+    ok &= check("hll_estimate shuffles registers, not keys",
+                "HashAggregate" in plan and "Join" not in plan
+                and "Sort" not in plan
+                and plan.count("Exchange hashpartitioning") <= 2,
+                f"exchanges={plan.count('Exchange hashpartitioning')}, "
+                f"map-side partial_max combine present="
+                f"{'partial_max' in plan or 'max#' in plan}")
+
+    # 16. integer PageRank: per-iteration equi-joins + keyed aggs only —
+    #     no cartesian/nested-loop anywhere in the 3-iteration plan, and
+    #     the contribution sum partial-aggregates map-side.
+    from frogocr_spark.operators.graph import pagerank_int
+    edges = (ev.select(F.concat(F.lit("u"), F.col("user_id").cast("string"))
+                       .alias("src"),
+                       F.col("event_type").alias("dst")).distinct())
+    plan = executed(pagerank_int(edges, iters=3))
+    ok &= check("pagerank_int is equi-join + keyed agg only",
+                "CartesianProduct" not in plan
+                and "BroadcastNestedLoopJoin" not in plan,
+                f"joins={plan.count('Join')}, cartesian=False")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
