@@ -1554,6 +1554,81 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, iters=3)
 
 
+def _q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: tokens whose CMS estimate (d=4,
+    w=512, md5 hashes) reaches 0.1% of the token stream, with the exact
+    count alongside.  The sketch is d*w cells regardless of vocabulary
+    size — broadcast into the probe (operators/sketches.cms_build)."""
+    from frogocr_spark.operators.sketches import cms_build, cms_estimate
+    docs = _read(spark, sf_dir, "documents")
+    toks = (docs.select(F.explode(F.split(F.trim("text"), r"\s+"))
+                        .alias("token"))
+            .filter(F.col("token") != ""))
+    sketch = cms_build(toks, "token", d=4, w=512)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_true"))
+    est = cms_estimate(sketch, exact.select("token"), "token", d=4, w=512)
+    n_tok = toks.agg(F.count(F.lit(1)).alias("n_tok"))
+    return (est.join(exact, "token").crossJoin(F.broadcast(n_tok))
+            .filter(F.col("cms_est") * 1000 >= F.col("n_tok"))
+            .select("token", F.col("cms_est").cast("long").alias("cms_est"),
+                    F.col("n_true").cast("long").alias("n_true")))
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, 8 merges: vocabulary-level
+    pair counting (the corpus collapses to (word, cnt) once), top-1 via
+    TakeOrdered, greedy-fold merge application as a map stage.  EAGER —
+    collects one winning pair per iteration (operators/bpe.bpe_train);
+    the oracle re-runs the identical 8-iteration chain in one WITH."""
+    from frogocr_spark.operators.bpe import bpe_train
+    docs = _read(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=8)
+    return merges
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel signup -> view -> click -> purchase: users
+    reaching each step with each later step STRICTLY after the
+    previous one.  One keyed shuffle + an array fold; the oracle uses
+    the classic K-join formulation, so the hash match also proves the
+    fold == the K-join (operators/analytics.funnel_counts)."""
+    from frogocr_spark.operators.analytics import funnel_counts
+    ev = _read(spark, sf_dir, "events")
+    return funnel_counts(ev, ["signup", "view", "click", "purchase"])
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over integer epoch-weeks (no
+    calendar week rules): first-event agg + one user-keyed join back +
+    distinct rollup (operators/analytics.cohort_retention)."""
+    from frogocr_spark.operators.analytics import cohort_retention
+    ev = _read(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-range histogram of event value per type (10 buckets of
+    width 50, integer floor bucketing) — one keyed aggregation
+    (operators/analytics.histogram_fixed)."""
+    from frogocr_spark.operators.analytics import histogram_fixed
+    ev = _read(spark, sf_dir, "events")
+    return histogram_fixed(ev, "value", "event_type",
+                           width=50.0, n_buckets=10)
+
+
+def _q_decimal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag mean/variance/correlation of (quantity, price
+    cents) with exact DECIMAL(38,0) second-moment sums — no float-SUM
+    order ambiguity at ANY row count; the float finish is a fixed tree
+    of correctly-rounded IEEE ops (operators/analytics
+    .moment_stats_exact)."""
+    from frogocr_spark.operators.analytics import moment_stats_exact
+    li = _read(spark, sf_dir, "lineitem")
+    return moment_stats_exact(
+        li, F.col("l_quantity"),
+        F.round(F.col("l_extendedprice") * 100, 0), "l_returnflag")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -1664,6 +1739,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm": _q_ngram_lm,
         "emb_quantize": _q_emb_quantize,
         "pagerank": _q_pagerank,
+        "cms_heavy": _q_cms_heavy,
+        "bpe_merges": _q_bpe_merges,
+        "funnel": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
+        "histogram": _q_histogram,
+        "decimal_stats": _q_decimal_stats,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -3532,6 +3613,132 @@ FROM pos2
         FROM lh
     """
     from frogocr_spark.operators.graph import pagerank_int_oracle_sql
+    o["cms_heavy"] = r"""
+        WITH tok AS (
+            SELECT unnest(list_filter(
+                string_split_regex(trim(text), '\s+'),
+                x -> x <> '')) AS token
+            FROM documents
+        ), n AS (SELECT count(*) AS n_tok FROM tok),
+        rows_d AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        cells AS (
+            SELECT token, i,
+                   ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || token),
+                                   1, 15))::BIGINT % 512 AS col
+            FROM tok CROSS JOIN rows_d
+        ), sk AS (SELECT i, col, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        keys AS (SELECT token, count(*) AS n_true FROM tok GROUP BY 1),
+        probe AS (
+            SELECT k.token, min(coalesce(sk.cnt, 0)) AS cms_est
+            FROM keys k CROSS JOIN rows_d ii
+            LEFT JOIN sk ON sk.i = ii.i AND sk.col =
+                ('0x' || substr(md5(CAST(ii.i AS VARCHAR) || ':'
+                                    || k.token), 1, 15))::BIGINT % 512
+            GROUP BY 1
+        )
+        SELECT p.token, CAST(p.cms_est AS BIGINT) AS cms_est,
+               CAST(k.n_true AS BIGINT) AS n_true
+        FROM probe p JOIN keys k USING (token) CROSS JOIN n
+        WHERE p.cms_est * 1000 >= n.n_tok
+    """
+    from frogocr_spark.operators.bpe import bpe_train_oracle_sql
+    o["bpe_merges"] = bpe_train_oracle_sql(8)
+    o["funnel"] = """
+        WITH e AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us
+            FROM events
+            WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+        ),
+        t1 AS (SELECT user_id, min(us) AS t FROM e
+               WHERE event_type = 'signup' GROUP BY 1),
+        t2 AS (SELECT e.user_id, min(us) AS t FROM e
+               JOIN t1 USING (user_id)
+               WHERE event_type = 'view' AND us > t1.t GROUP BY 1),
+        t3 AS (SELECT e.user_id, min(us) AS t FROM e
+               JOIN t2 USING (user_id)
+               WHERE event_type = 'click' AND us > t2.t GROUP BY 1),
+        t4 AS (SELECT e.user_id, min(us) AS t FROM e
+               JOIN t3 USING (user_id)
+               WHERE event_type = 'purchase' AND us > t3.t GROUP BY 1)
+        SELECT CAST(step AS INT) AS step, step_name,
+               CAST(n_users AS BIGINT) AS n_users
+        FROM (
+            SELECT 1 AS step, 'signup' AS step_name,
+                   (SELECT count(*) FROM t1) AS n_users
+            UNION ALL SELECT 2, 'view', (SELECT count(*) FROM t2)
+            UNION ALL SELECT 3, 'click', (SELECT count(*) FROM t3)
+            UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM t4))
+    """
+    o["cohort_retention"] = """
+        WITH ev AS (
+            SELECT user_id,
+                   CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS w
+            FROM events
+        ), f AS (SELECT user_id, min(w) AS cohort_week FROM ev GROUP BY 1),
+        d AS (SELECT DISTINCT cohort_week, w - cohort_week AS week_offset,
+                     user_id
+              FROM ev JOIN f USING (user_id))
+        SELECT cohort_week, week_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM d GROUP BY 1, 2
+    """
+    o["histogram"] = """
+        SELECT event_type,
+               CAST(least(9, greatest(0,
+                    CAST(floor(CAST(value AS DOUBLE) / 50.0) AS INT)))
+                    AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               min(CAST(value AS DOUBLE)) AS v_min,
+               max(CAST(value AS DOUBLE)) AS v_max
+        FROM events GROUP BY 1, 2
+    """
+    o["decimal_stats"] = """
+        WITH b AS (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+            FROM lineitem
+        ), a AS (
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                   sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                   sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
+                   sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+            FROM b GROUP BY 1
+        )
+        SELECT l_returnflag, n,
+               round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_x,
+               round((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE))
+                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   AS var_x,
+               round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_y,
+               round((CAST(syy AS DOUBLE) / CAST(n AS DOUBLE))
+                     - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   AS var_y,
+               round(CASE WHEN
+                       (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE))
+                       - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                       AND
+                       (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE))
+                       - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                     THEN ((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE))
+                      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / (sqrt((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE))
+                             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                        * sqrt((CAST(syy AS DOUBLE) / CAST(n AS DOUBLE))
+                             - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+                     ELSE NULL END,
+                     6) AS corr_xy
+        FROM a
+    """
     o["pagerank"] = pagerank_int_oracle_sql(
         "SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src, "
         "'c' || CAST(o_custkey AS VARCHAR) AS dst "

@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "extract_md_docs", "extract_html_docs", "extract_twopass_docs",
     "hll_distinct", "inverted_index", "tfidf_topterms", "ngram_lm",
     "emb_quantize", "pagerank",
+    "cms_heavy", "bpe_merges", "funnel", "cohort_retention",
+    "histogram", "decimal_stats",
 ]
 
 

@@ -1,0 +1,172 @@
+"""Event-analytics operators: ordered funnels, cohort retention,
+fixed-range histograms, and exact-decimal moment statistics.
+
+All four follow the repo's determinism contract — integer event time
+(``unix_micros`` == DuckDB ``epoch_us`` on naive timestamps), integer
+bucket arithmetic, and exact DECIMAL(38,0) second-moment sums so the
+only floating-point steps are IEEE-correctly-rounded single operations
+(one division, one sqrt) on values both engines agree on exactly.
+
+Scale shapes:
+
+- funnel: ONE keyed shuffle (collect per-user events) + an array fold —
+  not K sequential self-joins.  The oracle deliberately uses the
+  K-join formulation, so the hash match also proves the two
+  formulations equivalent.
+- cohort retention: first-event agg + one equi-join back on the user
+  key + a distinct-rollup — all map-side combinable.
+- histogram: pure keyed aggregation; bucket index is integer floor
+  division (no float bins to disagree on).
+- moment stats: one aggregation carrying five DECIMAL(38,0) sums —
+  order-independent exact integers, so variance/correlation hash-match
+  any engine (a float ``SUM`` would differ per partitioning).
+
+Reference parity: the reference's per-run counter rollups
+(Source/Core/Database.cpp) are the A10 analog; these generalize that
+surface to the event-funnel/cohort analytics a transcript pipeline
+runs on its telemetry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+US_PER_DAY = 86_400_000_000
+
+
+def funnel_counts(events: DataFrame, steps: list[str],
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """Ordered-funnel analysis: how many users performed ``steps[0]``,
+    then ``steps[1]`` STRICTLY AFTER it, and so on.
+
+    Per user: sort that user's events by (ts, event_id) and fold once,
+    recording the first step-k event whose ts is strictly greater than
+    the recorded step-(k-1) time — identical to the classic K-fold
+    self-join ``min(ts) WHERE type = step_k AND ts > t_{k-1}`` but with
+    one shuffle instead of K.  Output: ``step int, step_name string,
+    n_users long`` (users reaching >= step).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = (events
+          .filter(F.col(type_col).isin(list(steps)))
+          .select(user_col, F.struct(us.alias("us"),
+                                     F.col("event_id").alias("eid"),
+                                     F.col(type_col).alias("et"))
+                  .alias("e")))
+    per_user = (ev.groupBy(user_col)
+                .agg(F.array_sort(F.collect_list("e")).alias("es")))
+
+    # fold state: array<long> of length k, -1 = step not reached yet
+    init = F.array(*[F.lit(-1).cast("long") for _ in range(k)])
+
+    def fold(acc, e):
+        out = acc
+        for i, s in enumerate(steps):
+            prev_ok = (F.lit(True) if i == 0
+                       else (F.element_at(acc, i) >= 0)
+                       & (e["us"] > F.element_at(acc, i)))
+            hit = ((e["et"] == F.lit(s))
+                   & (F.element_at(acc, i + 1) < 0) & prev_ok)
+            upd = F.concat(
+                F.slice(acc, F.lit(1), F.lit(i)),
+                F.array(e["us"]),
+                F.slice(acc, F.lit(i + 2), F.lit(k - i - 1)))
+            out = F.when(hit, upd).otherwise(out)
+        return out
+
+    stages = per_user.select(
+        F.aggregate(F.col("es"), init, fold).alias("t"))
+    aggs = [F.sum((F.element_at(F.col("t"), i + 1) >= 0).cast("long"))
+            .alias(f"n{i}") for i in range(k)]
+    wide = stages.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(i + 1).alias("step"),
+                 F.lit(steps[i]).alias("step_name"),
+                 F.col(f"n{i}").alias("n_users"))
+        for i in range(k)])
+    return (wide.select(F.explode(rows).alias("r"))
+            .select("r.step", "r.step_name",
+                    F.col("r.n_users").cast("long").alias("n_users")))
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort retention: cohort = epoch-week of a user's first
+    event (integer ``epoch_us // (7 days)`` — no calendar/locale week
+    rules to disagree on), offset = event week - cohort week.  Output:
+    ``cohort_week long, week_offset long, n_users long``."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    week = F.floor(us / F.lit(US_PER_DAY * 7)).cast("long")
+    ev = events.select(user_col, week.alias("w"))
+    first = ev.groupBy(user_col).agg(F.min("w").alias("cohort_week"))
+    return (ev.join(first, user_col)
+            .select("cohort_week",
+                    (F.col("w") - F.col("cohort_week"))
+                    .alias("week_offset"), user_col)
+            .distinct()
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def histogram_fixed(df: DataFrame, value_col: str, group_col: str,
+                    width: float, n_buckets: int) -> DataFrame:
+    """Fixed-range histogram per group: bucket = clamp(floor(v/width),
+    0, n_buckets-1) — floor of one IEEE division, identical in every
+    engine.  Output: ``<group_col>, bucket int, n long, v_min double,
+    v_max double``."""
+    if n_buckets < 1 or width <= 0:
+        raise ValueError(f"bad histogram shape w={width} k={n_buckets}")
+    v = F.col(value_col).cast("double")
+    b = F.least(F.lit(n_buckets - 1),
+                F.greatest(F.lit(0),
+                           F.floor(v / F.lit(float(width))).cast("int")))
+    return (df.select(group_col, b.alias("bucket"), v.alias("v"))
+            .groupBy(group_col, "bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("v").alias("v_min"), F.max("v").alias("v_max")))
+
+
+def moment_stats_exact(df: DataFrame, x_col: "F.Column", y_col: "F.Column",
+                       group_col: str) -> DataFrame:
+    """Per-group mean / population variance / Pearson correlation with
+    NO float-summation ambiguity: x and y must be integer-valued
+    columns; the five sums (Σx, Σy, Σx², Σy², Σxy) are carried as
+    DECIMAL(38,0) (exact at any row count), and the float part is a
+    fixed expression tree of individually correctly-rounded IEEE ops
+    over the exactly-agreed sums.  Output: ``<group_col>, n long,
+    mean_x, var_x, mean_y, var_y, corr_xy`` (6 dp)."""
+    dec = "decimal(38,0)"
+    x = x_col.cast("long")
+    y = y_col.cast("long")
+    base = df.select(group_col, x.alias("x"), y.alias("y"))
+    agg = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"))
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    # identical parenthesization in the SQL oracle — see oracle_sql()
+    var_x = (sxx / nd) - (sx / nd) * (sx / nd)
+    var_y = (syy / nd) - (sy / nd) * (sy / nd)
+    cov = (sxy / nd) - (sx / nd) * (sy / nd)
+    # correlation is undefined for a constant series -> NULL (and ANSI
+    # mode would raise on the 0-divide); oracle mirrors the CASE
+    corr = F.when((var_x > 0) & (var_y > 0),
+                  cov / (F.sqrt(var_x) * F.sqrt(var_y)))
+    return agg.select(
+        group_col, "n",
+        F.round(sx / nd, 6).alias("mean_x"),
+        F.round(var_x, 6).alias("var_x"),
+        F.round(sy / nd, 6).alias("mean_y"),
+        F.round(var_y, 6).alias("var_y"),
+        F.round(corr, 6).alias("corr_xy"))

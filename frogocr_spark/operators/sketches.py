@@ -147,3 +147,75 @@ def hll_estimate_corrected(df: DataFrame, group_cols: list[str],
 def hll_relative_error(p: int) -> float:
     """The theoretical standard error 1.04/sqrt(m) — pytest bound."""
     return 1.04 / math.sqrt(float(1 << p))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — the frequency-estimation sibling of the HLL above.
+# Same determinism contract: every hash is md5-derived, every counter is
+# an exact integer sum, so a DuckDB oracle recomputes the sketch (and
+# every estimate read from it) bit-for-bit.
+#
+# Scale shape (the reason a 100 TB pipeline uses this instead of a full
+# token->count table): the sketch is d*w int64 cells REGARDLESS of the
+# key universe.  Building it is one keyed aggregation whose shuffle
+# carries at most d*w rows per map task (map-side combine collapses the
+# corpus); probing it is a join against a relation small enough to
+# broadcast BY CONSTRUCTION.  CMS guarantees est >= true count (only
+# over-estimates, from hash collisions), with error < eps*N at
+# probability 1-delta for w = ceil(e/eps), d = ceil(ln(1/delta)).
+# Reference keeps exact per-key counters (Source/Core/Database.cpp task
+# counts); this is the bounded-state analog for unbounded key spaces.
+# ---------------------------------------------------------------------------
+
+
+def _cms_col(key: "F.Column", row: int, w: int) -> "F.Column":
+    """Cell column for hash row ``row``: md5('<row>:'||key) -> 60-bit
+    int64 -> % w.  Portable: ('0x'||substr(md5(...),1,15))::BIGINT % w."""
+    h = (F.conv(F.substring(F.md5(F.concat(F.lit(f"{row}:"), key)), 1, 15),
+                16, 10).cast("long"))
+    return (h % w).alias(f"c{row}")
+
+
+def cms_build(df: DataFrame, key_col: str, d: int = 4,
+              w: int = 512) -> DataFrame:
+    """Build the sketch: one row per touched (row, col) cell with the
+    exact integer count of keys hashing there.  Output: ``row int,
+    col long, cnt long`` — at most d*w rows total."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2, got d={d}, w={w}")
+    key = F.col(key_col).cast("string")
+    cells = F.array(*[_cms_col(key, i, w) for i in range(d)])
+    return (df.select(F.posexplode(cells).alias("row", "col"))
+            .groupBy("row", "col")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
+                 d: int = 4, w: int = 512) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: the CMS
+    estimate is min over the d cells (missing cell -> 0).  The sketch
+    side is <= d*w rows — broadcast it so the key side never shuffles."""
+    from pyspark.sql.functions import broadcast
+    key = F.col(key_col).cast("string")
+    cells = F.array(*[_cms_col(key, i, w) for i in range(d)])
+    probe = keys.select(key_col,
+                        F.posexplode(cells).alias("row", "col"))
+    joined = probe.join(broadcast(sketch), ["row", "col"], "left")
+    return (joined.groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("cms_est")))
+
+
+def cms_heavy_hitters(df: DataFrame, key_col: str, threshold: int,
+                      d: int = 4, w: int = 512) -> DataFrame:
+    """Keys whose CMS estimate reaches ``threshold``, with the exact
+    count alongside (est >= true always; rows where true < threshold <=
+    est are the sketch's documented false positives).  Output:
+    ``<key_col>, cms_est long, n_true long``."""
+    sketch = cms_build(df, key_col, d, w)
+    exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_true"))
+    est = cms_estimate(sketch, exact.select(key_col), key_col, d, w)
+    return (est.filter(F.col("cms_est") >= threshold)
+            .join(exact, key_col)
+            .select(key_col, F.col("cms_est").cast("long"),
+                    F.col("n_true").cast("long")))

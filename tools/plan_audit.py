@@ -322,6 +322,67 @@ def main() -> None:
                 and "BroadcastNestedLoopJoin" not in plan,
                 f"joins={plan.count('Join')}, cartesian=False")
 
+    # 17. Count-min probe: the sketch relation is <= d*w rows BY
+    #     CONSTRUCTION — it must enter the probe as a broadcast, so the
+    #     (100 TB) key side never shuffles for the lookup.
+    from frogocr_spark.operators.sketches import cms_build, cms_estimate
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = (docs.select(F.explode(F.split(F.trim("text"), r"\s+"))
+                        .alias("token"))
+            .filter(F.col("token") != ""))
+    sketch = cms_build(toks, "token", d=4, w=512)
+    probe = cms_estimate(sketch, toks.distinct(), "token", d=4, w=512)
+    plan = executed(probe)
+    ok &= check("cms_estimate broadcasts the sketch",
+                "BroadcastHashJoin" in plan
+                and "SortMergeJoin" not in plan,
+                f"broadcast_joins={plan.count('BroadcastHashJoin')}")
+
+    # 18. Funnel: ONE keyed shuffle (collect per-user events) + a fold —
+    #     no join chain, no window sort over all users in one task.
+    from frogocr_spark.operators.analytics import funnel_counts
+    fu = funnel_counts(ev, ["signup", "view", "click", "purchase"])
+    plan = executed(fu)
+    ok &= check("funnel is one keyed agg, not K self-joins",
+                "Join" not in plan
+                and plan.count("Exchange hashpartitioning") <= 1,
+                f"joins={plan.count('Join')}, "
+                f"keyed_exchanges={plan.count('Exchange hashpartitioning')}")
+
+    # 19. Exact moment stats: one partial-aggregated keyed agg — the
+    #     decimal sums combine map-side, so the shuffle carries one row
+    #     per (partition, group).
+    from frogocr_spark.operators.analytics import moment_stats_exact
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    ms = moment_stats_exact(li, F.col("l_quantity"),
+                            F.round(F.col("l_extendedprice") * 100, 0),
+                            "l_returnflag")
+    plan = executed(ms)
+    ok &= check("moment_stats is one map-side-combined agg",
+                "Join" not in plan and "Sort" not in plan
+                and plan.count("Exchange hashpartitioning") == 1
+                and "partial" in plan.lower(),
+                f"exchanges={plan.count('Exchange hashpartitioning')}")
+
+    # 20. BPE: per-iteration best pair must be TakeOrderedAndProject
+    #     (per-partition top-1 + driver merge), never a global sort of
+    #     the pair-count table.
+    from frogocr_spark.operators.bpe import word_vocab
+    vocab = word_vocab(docs)
+    pairs = (vocab.filter(F.size("syms") >= 2)
+             .select("cnt", F.explode(F.arrays_zip(
+                 F.slice(F.col("syms"), F.lit(1),
+                         F.size("syms") - 1).alias("a"),
+                 F.slice(F.col("syms"), F.lit(2),
+                         F.size("syms") - 1).alias("b"))).alias("p"))
+             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+             .agg(F.sum("cnt").alias("pc")))
+    top = pairs.orderBy(F.desc("pc"), F.asc("a"), F.asc("b")).limit(1)
+    plan = executed(top)
+    ok &= check("bpe top-1 pair is TakeOrdered, not a global sort",
+                "TakeOrderedAndProject" in plan,
+                "per-partition top-1 + driver merge")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
