@@ -1629,6 +1629,31 @@ def _q_decimal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100, 0), "l_returnflag")
 
 
+def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout assignment over (user_id, floor(value))
+    — the OPTIMIZE ... ZORDER BY primitive: exact integer bit
+    interleave (pure map stage) + equal-width bucketing from a 1-row
+    broadcast min-max (operators/layout.zorder_buckets); the write-side
+    twin zorder_write is footer-stat-verified in pytest."""
+    from frogocr_spark.operators.layout import zorder_buckets
+    ev = (_read(spark, sf_dir, "events")
+          .select("event_id", F.col("user_id").alias("x"),
+                  F.floor(F.col("value")).cast("long").alias("y")))
+    return (zorder_buckets(ev, "x", "y", n_buckets=16, bits=16)
+            .select("event_id", "zval", "zbucket"))
+
+
+def _q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler over orders (count / nulls / exact
+    distinct / native-typed min-max), unpivoted without a collect; the
+    oracle is the classic per-column UNION ALL — the hash match proves
+    the one-pass Expand plan equivalent (operators/profile)."""
+    from frogocr_spark.operators.profile import profile_table
+    o = _read(spark, sf_dir, "orders")
+    return profile_table(o, ["o_orderkey", "o_custkey", "o_orderstatus",
+                             "o_orderpriority"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -1745,6 +1770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "histogram": _q_histogram,
         "decimal_stats": _q_decimal_stats,
+        "zorder_layout": _q_zorder_layout,
+        "profile": _q_profile,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -3739,6 +3766,21 @@ FROM pos2
                      6) AS corr_xy
         FROM a
     """
+    from frogocr_spark.operators.layout import zvalue_sql
+    _zv = zvalue_sql("user_id", "CAST(floor(value) AS BIGINT)", bits=16)
+    o["zorder_layout"] = f"""
+        WITH z AS (
+            SELECT event_id, {_zv} AS zval FROM events
+        ), ext AS (SELECT min(zval) AS zmin, max(zval) AS zmax FROM z)
+        SELECT event_id, zval,
+               CAST(floor(((zval - zmin) * 16)
+                          / (zmax - zmin + 1)) AS INT) AS zbucket
+        FROM z CROSS JOIN ext
+    """
+    from frogocr_spark.operators.profile import profile_oracle_sql
+    o["profile"] = profile_oracle_sql(
+        "orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                   "o_orderpriority"])
     o["pagerank"] = pagerank_int_oracle_sql(
         "SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src, "
         "'c' || CAST(o_custkey AS VARCHAR) AS dst "

@@ -90,7 +90,7 @@ BENCH_QUERIES = [
     "hll_distinct", "inverted_index", "tfidf_topterms", "ngram_lm",
     "emb_quantize", "pagerank",
     "cms_heavy", "bpe_merges", "funnel", "cohort_retention",
-    "histogram", "decimal_stats",
+    "histogram", "decimal_stats", "zorder_layout", "profile",
 ]
 
 

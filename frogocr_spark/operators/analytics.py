@@ -50,6 +50,8 @@ def funnel_counts(events: DataFrame, steps: list[str],
     """
     if not steps:
         raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct, got {steps}")
     k = len(steps)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     ev = (events

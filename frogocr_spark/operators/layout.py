@@ -1,0 +1,112 @@
+"""Z-order (Morton-curve) data layout — multi-dimensional file
+clustering for scan pruning.
+
+At 100 TB the cheapest query is the one that never reads the file:
+parquet keeps per-file / per-row-group min-max statistics, and Spark
+prunes scans against them.  Sorting by ONE key makes that key's ranges
+tight and every other key's ranges useless; interleaving the bits of
+two keys (the Morton / Z-order curve) makes BOTH dimensions' ranges
+narrow in every file, so predicates on either column skip most of the
+table (the technique Delta/Iceberg expose as ``OPTIMIZE ... ZORDER
+BY``).
+
+Everything here is exact integer column arithmetic (shifts, masks,
+adds) — JVM-codegen'd, engine-portable, and reproducible bit-for-bit
+by the SQL twin that :func:`zvalue_sql` emits.
+
+Scale shape: computing z-values is a pure map stage; bucketing needs
+one tiny min-max aggregation (2 longs to the driver-side plan — NOT a
+collect of data) broadcast back as literals via a 1-row cross join;
+the actual re-layout is ``repartitionByRange`` on the z-value — a
+range shuffle whose sampled boundaries Spark computes without a global
+sort.  The tests prove the payoff by reading parquet footer statistics
+of the written files: z-ordered files have narrow min-max ranges on
+BOTH dimensions, an unordered layout does not.
+
+Reference parity: the reference reads page images sequentially and has
+no layout optimizer; this is part of the 100 TB curation surface the
+brief adds (SURVEY.md §2 S-family is the scan side; this is the
+write-side dual).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zvalue(x: "F.Column", y: "F.Column", bits: int = 16) -> "F.Column":
+    """Interleave the low ``bits`` bits of two non-negative integer
+    columns: bit i of x lands at position 2i, bit i of y at 2i+1.
+    ``bits <= 31`` keeps the result in a non-negative int64.  Values
+    must already fit in ``bits`` bits — mask-truncated otherwise
+    (callers clamp/scale first, as OPTIMIZE implementations do)."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    xl = x.cast("long")
+    yl = y.cast("long")
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(xl, i).bitwiseAND(F.lit(1)),
+                                 2 * i))
+        terms.append(F.shiftleft(F.shiftright(yl, i).bitwiseAND(F.lit(1)),
+                                 2 * i + 1))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def zvalue_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
+    """The identical interleave as ANSI SQL (DuckDB-runnable) — emitted
+    programmatically so oracle and operator can never drift."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((CAST({x_expr} AS BIGINT) >> {i}) & 1) "
+                     f"<< {2 * i})")
+        terms.append(f"(((CAST({y_expr} AS BIGINT) >> {i}) & 1) "
+                     f"<< {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_buckets(df: DataFrame, x_col: str, y_col: str,
+                   n_buckets: int, bits: int = 16) -> DataFrame:
+    """Assign each row a z-order bucket in [0, n_buckets): equal-width
+    ranges of the z-value between the observed min and max.  Exact
+    integer arithmetic: bucket = (z - zmin) * n_buckets / (zmax -
+    zmin + 1) using floor division — requires (zmax - zmin) *
+    n_buckets < 2^63 (always true for bits <= 25 and n_buckets <=
+    4096; the z-value spans 2*bits bits).
+
+    Adds columns ``zval long, zbucket int``.  The min-max aggregation
+    is O(1) output broadcast back via a 1-row cross join — no data
+    collect, no global sort."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if 2 * bits + max(n_buckets - 1, 1).bit_length() > 62:
+        raise ValueError(
+            f"bits={bits} with n_buckets={n_buckets} can overflow int64")
+    z = zvalue(F.col(x_col), F.col(y_col), bits)
+    with_z = df.withColumn("zval", z)
+    ext = with_z.agg(F.min("zval").alias("_zmin"),
+                     F.max("zval").alias("_zmax"))
+    span = F.col("_zmax") - F.col("_zmin") + 1
+    bucket = F.floor(((F.col("zval") - F.col("_zmin"))
+                      * F.lit(n_buckets)) / span).cast("int")
+    return (with_z.crossJoin(F.broadcast(ext))
+            .withColumn("zbucket", bucket)
+            .drop("_zmin", "_zmax"))
+
+
+def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str,
+                 n_files: int, bits: int = 16) -> None:
+    """Rewrite ``df`` as ~``n_files`` z-clustered parquet files:
+    range-partition on the z-value (sampled boundaries — no global
+    sort) and sort within each partition so parquet row-group min-max
+    stats are tight on BOTH x and y."""
+    with_z = df.withColumn("zval", zvalue(F.col(x_col), F.col(y_col),
+                                          bits))
+    (with_z.repartitionByRange(n_files, "zval")
+     .sortWithinPartitions("zval")
+     .drop("zval")
+     .write.mode("overwrite").parquet(path))

@@ -193,6 +193,8 @@ def test_funnel_first_qualifying_event_is_min(spark):
 def test_funnel_validates_steps(spark):
     with pytest.raises(ValueError):
         funnel_counts(_ev(spark, []), [])
+    with pytest.raises(ValueError):
+        funnel_counts(_ev(spark, []), ["view", "view"])
 
 
 # ------------------------------------------------------- cohort

@@ -383,6 +383,32 @@ def main() -> None:
                 "TakeOrderedAndProject" in plan,
                 "per-partition top-1 + driver merge")
 
+    # 21. Z-order bucketing: interleave is a pure map stage; the only
+    #     non-map work is the 1-row min-max aggregate broadcast back —
+    #     no data shuffle keyed on rows, no sort in the bucket
+    #     assignment.
+    from frogocr_spark.operators.layout import zorder_buckets
+    zin = ev.select("event_id", F.col("user_id").alias("x"),
+                    F.floor(F.col("value")).cast("long").alias("y"))
+    plan = executed(zorder_buckets(zin, "x", "y", n_buckets=16, bits=16))
+    ok &= check("zorder_buckets is map + 1-row broadcast extremes",
+                "BroadcastNestedLoopJoin" in plan
+                and "Exchange hashpartitioning" not in plan
+                and "Sort" not in plan,
+                f"row_exchanges=0, broadcast_1row_join=True")
+
+    # 22. Profiler: k exact count(DISTINCT) in ONE pass — the Expand
+    #     operator, one scan of the table, no per-column re-scan union.
+    from frogocr_spark.operators.profile import profile_table
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = executed(profile_table(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority"]))
+    ok &= check("profile_table is one Expand pass, not k scans",
+                "Expand" in plan
+                and plan.count("Scan parquet") == 1,
+                f"scans={plan.count('Scan parquet')}, expand=True")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
