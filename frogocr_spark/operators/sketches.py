@@ -100,15 +100,22 @@ def hll_registers(df: DataFrame, group_cols: list[str], key_col: str,
             .agg(F.max("rho").alias("reg")))
 
 
-def hll_estimate(df: DataFrame, group_cols: list[str], key_col: str,
-                 p: int = 8) -> DataFrame:
-    """Per-group HLL cardinality estimate.
+def hll_merge_registers(regs: DataFrame,
+                        group_cols: list[str]) -> DataFrame:
+    """Union-merge register tables: element-wise max per (group,
+    bucket).  max is idempotent/commutative/associative, so merging is
+    safe under ANY delivery semantics — replayed or duplicated register
+    rows cannot change the result (the streaming ingest relies on
+    this)."""
+    return (regs.groupBy(*group_cols, "bucket")
+            .agg(F.max("reg").alias("reg")))
 
-    Output: ``group_cols…, n_zero_regs int, reg_sum_scaled long,
-    hll_est double`` (raw estimator, rounded to 3 dp).  Every column is
-    exactly reproducible in any engine with md5 + integer ops."""
+
+def hll_estimate_from_registers(regs: DataFrame, group_cols: list[str],
+                                p: int = 8) -> DataFrame:
+    """The estimate finish over an (already-merged) register table —
+    shared by the batch estimator and the streaming ingest reader."""
     c = hll_constants(p)
-    regs = hll_registers(df, group_cols, key_col, p)
     # column-valued shift amount → SQL expr (the PySpark shiftleft
     # wrapper only takes a literal bit count)
     term = F.expr(f"shiftleft(cast(1 as bigint), "
@@ -126,6 +133,17 @@ def hll_estimate(df: DataFrame, group_cols: list[str], key_col: str,
         reg_sum.cast("long").alias("reg_sum_scaled"),
         F.round(F.lit(c["est_num"]) / reg_sum.cast("double"), 3)
         .alias("hll_est"))
+
+
+def hll_estimate(df: DataFrame, group_cols: list[str], key_col: str,
+                 p: int = 8) -> DataFrame:
+    """Per-group HLL cardinality estimate.
+
+    Output: ``group_cols…, n_zero_regs int, reg_sum_scaled long,
+    hll_est double`` (raw estimator, rounded to 3 dp).  Every column is
+    exactly reproducible in any engine with md5 + integer ops."""
+    regs = hll_registers(df, group_cols, key_col, p)
+    return hll_estimate_from_registers(regs, group_cols, p)
 
 
 def hll_estimate_corrected(df: DataFrame, group_cols: list[str],
