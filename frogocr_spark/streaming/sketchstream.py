@@ -67,3 +67,53 @@ def start_hll_ingest(spark: SparkSession, input_dir: str, schema,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Count-min streaming ingest — the instructive CONTRAST to the HLL path
+# above.  CMS cells merge by SUM: associative and commutative but NOT
+# idempotent, so a replayed micro-batch WOULD double-count.  Here
+# exactly-once must come from the sink — the catalog Table's
+# run_id=b<batch_id> staged append replaces a replayed batch's own files
+# instead of adding to them.  The test suite pins both facts: a replay
+# through the idempotent append changes nothing, and a raw duplicate
+# append (bypassing the guard) visibly inflates counts — the failure
+# mode the HLL monoid is immune to.
+# ---------------------------------------------------------------------------
+
+
+def cms_ingest_batch_fn(cells_table, key_col: str, d: int = 4,
+                        w: int = 512):
+    """``foreachBatch``: collapse each micro-batch to its d*w-bounded
+    cell table and append under ``run_id=b<batch_id>``."""
+    from ..operators.sketches import cms_build
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        cells = cms_build(batch_df, key_col, d, w)
+        cells_table.append(cells, run_id=f"b{batch_id}")
+
+    return fn
+
+
+def cms_read_sketch(spark: SparkSession, cells_table) -> DataFrame:
+    """Current sketch over everything ingested: SUM-merge all appended
+    cell runs (cnt is additive across batches)."""
+    from pyspark.sql import functions as F
+    return (cells_table.read()
+            .groupBy("row", "col")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def start_cms_ingest(spark: SparkSession, input_dir: str, schema,
+                     cells_table, key_col: str, checkpoint_dir: str,
+                     d: int = 4, w: int = 512,
+                     available_now: bool = True):
+    """File-source stream -> CMS cell sink (see start_hll_ingest)."""
+    reader = (spark.readStream.schema(schema).parquet(input_dir))
+    writer = (reader.writeStream
+              .foreachBatch(cms_ingest_batch_fn(cells_table, key_col,
+                                                d, w))
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

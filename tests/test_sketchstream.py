@@ -114,3 +114,59 @@ def test_checkpoint_incremental_drain(spark, tmp_path):
              for r in hll_estimate(_rows(spark, 0, 800), ["grp"],
                                    "key").collect()}
     assert est3 == batch
+
+
+# --------------------------------------------------------------- CMS
+
+def test_cms_stream_drain_equals_batch_sketch(spark, tmp_path):
+    from frogocr_spark.operators.sketches import cms_build, cms_estimate
+    from frogocr_spark.streaming.sketchstream import (cms_read_sketch,
+                                                      start_cms_ingest)
+    input_dir = str(tmp_path / "in")
+    cells_dir = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+    _rows(spark, 0, 300).coalesce(1).write.mode("append").parquet(input_dir)
+    _rows(spark, 100, 500).coalesce(1).write.mode("append") \
+        .parquet(input_dir)
+    q = start_cms_ingest(spark, input_dir, SCHEMA, Table(spark, cells_dir),
+                         "key", ckpt, d=3, w=64)
+    q.awaitTermination()
+    streamed = {(r["row"], r["col"]): r["cnt"] for r in
+                cms_read_sketch(spark, Table(spark, cells_dir)).collect()}
+    batch = {(r["row"], r["col"]): r["cnt"] for r in
+             cms_build(_rows(spark, 0, 300)
+                       .union(_rows(spark, 100, 500)), "key",
+                       d=3, w=64).collect()}
+    assert streamed == batch
+    # and estimates read off the merged sketch respect the CMS bound
+    merged = cms_read_sketch(spark, Table(spark, cells_dir))
+    keys = _rows(spark, 0, 500).select("key").distinct()
+    est = {r["key"]: r["cms_est"] for r in
+           cms_estimate(merged, keys, "key", d=3, w=64).collect()}
+    assert all(est[k] >= (2 if 100 <= k < 300 else 1)
+               for k in range(0, 500))
+
+
+def test_cms_replay_idempotent_append_vs_raw_duplicate(spark, tmp_path):
+    """The monoid contrast: CMS cells are sum-merged, so exactly-once
+    rests on the idempotent run_id append — a replay through it is a
+    no-op, while a raw duplicate under a NEW run_id double-counts."""
+    from frogocr_spark.operators.sketches import cms_build
+    from frogocr_spark.streaming.sketchstream import cms_read_sketch
+    t = Table(spark, str(tmp_path / "cells"))
+    cells = cms_build(_rows(spark, 0, 200), "key", d=3, w=64)
+    t.append(cells, run_id="b0")
+    base = {(r["row"], r["col"]): r["cnt"]
+            for r in cms_read_sketch(spark, t).collect()}
+    # replayed batch, SAME run id -> staged append replaces its own
+    # files; sketch unchanged
+    t.append(cells, run_id="b0")
+    again = {(r["row"], r["col"]): r["cnt"]
+             for r in cms_read_sketch(spark, t).collect()}
+    assert again == base
+    # raw duplicate under a fresh run id -> counts double (the failure
+    # mode HLL's max-merge is immune to; see test_replayed_batch_*)
+    t.append(cells, run_id="b0dup")
+    doubled = {(r["row"], r["col"]): r["cnt"]
+               for r in cms_read_sketch(spark, t).collect()}
+    assert doubled == {c: 2 * n for c, n in base.items()}
