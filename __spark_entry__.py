@@ -1654,6 +1654,38 @@ def _q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "o_orderpriority"])
 
 
+def _q_tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated min subquery), adapted to the
+    available tables: per part supplied by a EUROPE supplier, the rows
+    achieving the minimum price.  Spark-first DECORRELATION: one
+    map-side-combined groupBy-min + an equi-join back on (part, price)
+    — never a per-row subquery; the oracle keeps the LITERAL correlated
+    subquery, so the hash match proves the rewrite.  Dimensions
+    (supplier×nation×region, part) broadcast; the fact table shuffles
+    once on the part key."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice")
+    sup = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    eu = (sup.join(nat, sup["s_nationkey"] == nat["n_nationkey"])
+          .join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+          .select("s_suppkey", "s_name", "n_name"))
+    supply = li.join(F.broadcast(eu),
+                     li["l_suppkey"] == eu["s_suppkey"])
+    mins = (supply.groupBy("l_partkey")
+            .agg(F.min("l_extendedprice").alias("min_price")))
+    best = supply.join(
+        mins, (supply["l_partkey"] == mins["l_partkey"])
+        & (supply["l_extendedprice"] == mins["min_price"])).drop(
+        mins["l_partkey"])
+    return (best.join(F.broadcast(part),
+                      best["l_partkey"] == part["p_partkey"])
+            .select("p_partkey", "p_type", "s_name", "n_name",
+                    "min_price"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -1772,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decimal_stats": _q_decimal_stats,
         "zorder_layout": _q_zorder_layout,
         "profile": _q_profile,
+        "tpch_q2_mincost": _q_tpch_q2_mincost,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -3776,6 +3809,24 @@ FROM pos2
                CAST(floor(((zval - zmin) * 16)
                           / (zmax - zmin + 1)) AS INT) AS zbucket
         FROM z CROSS JOIN ext
+    """
+    o["tpch_q2_mincost"] = """
+        WITH eu AS (
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ), sup AS (
+            SELECT l_partkey, l_suppkey, l_extendedprice, s_name, n_name
+            FROM lineitem JOIN eu ON l_suppkey = eu.s_suppkey
+        )
+        SELECT p.p_partkey, p.p_type, s.s_name, s.n_name,
+               s.l_extendedprice AS min_price
+        FROM sup s JOIN part p ON s.l_partkey = p.p_partkey
+        WHERE s.l_extendedprice = (
+            SELECT min(s2.l_extendedprice) FROM sup s2
+            WHERE s2.l_partkey = s.l_partkey)
     """
     from frogocr_spark.operators.profile import profile_oracle_sql
     o["profile"] = profile_oracle_sql(

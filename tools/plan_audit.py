@@ -409,6 +409,19 @@ def main() -> None:
                 and plan.count("Scan parquet") == 1,
                 f"scans={plan.count('Scan parquet')}, expand=True")
 
+    # 23. Q2 decorrelation: the correlated min subquery runs as ONE
+    #     map-side-combined groupBy-min + an equi-join back — dims
+    #     broadcast, no cartesian/nested-loop re-evaluation per row.
+    import __spark_entry__ as entry
+    plan = executed(entry.queries()["tpch_q2_mincost"](spark, SF))
+    ok &= check("tpch_q2 min-subquery is decorrelated",
+                "CartesianProduct" not in plan
+                and "BroadcastNestedLoopJoin" not in plan
+                and "BroadcastHashJoin" in plan
+                and "partial_min" in plan,
+                f"broadcast_joins={plan.count('BroadcastHashJoin')}, "
+                f"map_side_min={'partial_min' in plan}")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
