@@ -1686,6 +1686,25 @@ def _q_tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "min_price"))
 
 
+def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column surface: the event ``props`` payload parsed BOTH
+    ways Spark offers — path extraction (``get_json_object``, the
+    schema-less probe) and schema'd parsing (``from_json`` -> struct
+    field) — emitted side by side so the hash check also pins the two
+    APIs as agreeing.  Pure map stage; corrupt-input semantics differ
+    between engines (Spark -> NULL, DuckDB -> error) and the corpus is
+    well-formed by construction, which the n_bad gate makes explicit."""
+    from pyspark.sql.types import IntegerType, StructField as SF_
+    from pyspark.sql.types import StructType as ST_
+    ev = _read(spark, sf_dir, "events")
+    k_gjo = F.get_json_object("props", "$.k").cast("int")
+    k_fj = F.from_json(F.col("props"),
+                       ST_([SF_("k", IntegerType())]))["k"]
+    return (ev.select("event_id", "event_type",
+                      k_gjo.alias("k_gjo"), k_fj.alias("k_fj"))
+            .filter(F.col("k_gjo") >= 90))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -1805,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "profile": _q_profile,
         "tpch_q2_mincost": _q_tpch_q2_mincost,
+        "json_extract": _q_json_extract,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -3809,6 +3829,13 @@ FROM pos2
                CAST(floor(((zval - zmin) * 16)
                           / (zmax - zmin + 1)) AS INT) AS zbucket
         FROM z CROSS JOIN ext
+    """
+    o["json_extract"] = """
+        SELECT event_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_gjo,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_fj
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 90
     """
     o["tpch_q2_mincost"] = """
         WITH eu AS (

@@ -91,7 +91,7 @@ BENCH_QUERIES = [
     "emb_quantize", "pagerank",
     "cms_heavy", "bpe_merges", "funnel", "cohort_retention",
     "histogram", "decimal_stats", "zorder_layout", "profile",
-    "tpch_q2_mincost",
+    "tpch_q2_mincost", "json_extract",
 ]
 
 
