@@ -1418,14 +1418,24 @@ def _q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-side probe is a PURE MAP stage: no explode, no join, no
     shuffle (plan_audit check 13).  No false negatives by construction
     (pytest quantifies FPs vs the exact semi-join)
-    (operators/textstats.bloom_build + bloom_decontaminate)."""
+    (operators/textstats.bloom_build + bloom_decontaminate).
+
+    min_parallelism: the local test table is ONE parquet row group —
+    unsplittable by any maxPartitionBytes — while the probe is ~3
+    substring bit-tests per distinct gram; the defensive round-robin
+    repartition before the compute-heavy map costs one exchange of the
+    raw rows and buys full-core execution (30x here).  A production
+    corpus with normal row-group counts skips it (the operator only
+    repartitions when the scan yields fewer partitions)."""
     from frogocr_spark.operators.textstats import (bloom_build,
                                                    bloom_decontaminate)
     docs = _read(spark, sf_dir, "documents")
     eval_df = docs.where(F.col("doc_id") % 97 == 0)
     cand = docs.where(F.col("doc_id") % 97 != 0)
     bloom = bloom_build(eval_df, n=8, m_bits=65536)
-    return bloom_decontaminate(cand, bloom, n=8)
+    return bloom_decontaminate(
+        cand, bloom, n=8,
+        min_parallelism=spark.sparkContext.defaultParallelism)
 
 
 def _q_event_replay(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -701,7 +701,8 @@ def bloom_build(eval_df: DataFrame, text_col: str = "text", n: int = 8,
 
 
 def bloom_decontaminate(df: DataFrame, bloom: str, id_col: str = "doc_id",
-                        text_col: str = "text", n: int = 8) -> DataFrame:
+                        text_col: str = "text", n: int = 8,
+                        min_parallelism: int | None = None) -> DataFrame:
     """Bloom-filter benchmark decontamination — the 100 TB shape of
     :func:`decontaminate`: instead of broadcasting the full eval gram
     SET (O(#grams × bytes), easily GBs for large benchmark suites), the
@@ -714,13 +715,34 @@ def bloom_decontaminate(df: DataFrame, bloom: str, id_col: str = "doc_id",
     standard ``(1-e^{-kn/m})^k`` estimate, and quantified against the
     exact :func:`decontaminate` in tests.  Returns one row per input
     row: ``n_grams`` (distinct), ``n_hits`` (Bloom-positive), and a
-    ``flagged`` int."""
+    ``flagged`` int.
+
+    ``min_parallelism``: the probe costs ~3 substring bit-tests per
+    distinct gram — far more compute per byte than the scan.  When the
+    input's parquet layout yields fewer scan partitions than this (one
+    row group can NEVER split, whatever maxPartitionBytes says), a
+    round-robin repartition of the raw rows is cheaper than running
+    the probe serially — the classic defensive repartition before an
+    expensive map over an under-split source (same trade as
+    non-splittable gzip inputs).  A well-laid-out 100 TB corpus has
+    thousands of row groups and skips the exchange (the default)."""
     from .dedup import _shingle_expr
     m_bits = len(bloom)
+    if min_parallelism is not None:
+        if df.rdd.getNumPartitions() < min_parallelism:
+            df = df.repartition(min_parallelism)
 
-    def _hit(g):
+    # ONE md5 per gram: map grams -> digests first, then the three bit
+    # tests are substring/conv over the cached digest.  (The naive form
+    # recomputes md5 inside each of the k position expressions, and
+    # higher-order-function lambdas don't get common-subexpression
+    # elimination — measured 3x the hash work inside an interpreted
+    # HOF.)
+    def _hit(h):
         ok = None
-        for p in _bloom_positions(g, m_bits):
+        for j in range(BLOOM_K):
+            p = (F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10)
+                 .cast("long") % m_bits).cast("int")
             c = F.substring(F.lit(bloom), p + 1, F.lit(1)) == "1"
             ok = c if ok is None else (ok & c)
         return ok
@@ -728,12 +750,15 @@ def bloom_decontaminate(df: DataFrame, bloom: str, id_col: str = "doc_id",
     g = df.select(F.col(id_col),
                   F.array_distinct(_shingle_expr(text_col, n, None))
                   .alias("_grams"))
-    n_hits = F.size(F.filter(F.col("_grams"), _hit))
-    return g.select(
+    digests = F.transform(F.col("_grams"), F.md5)
+    # materialize n_hits ONCE, derive flagged from the column (the
+    # inline form evaluates the whole filter twice — once per output
+    # expression)
+    return (g.select(
         id_col,
         F.size("_grams").alias("n_grams"),
-        n_hits.alias("n_hits"),
-        (n_hits > 0).cast("int").alias("flagged"))
+        F.size(F.filter(digests, _hit)).alias("n_hits"))
+        .withColumn("flagged", (F.col("n_hits") > 0).cast("int")))
 
 
 def normalize_text(df: DataFrame, text_col: str = "text",

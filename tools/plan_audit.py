@@ -282,6 +282,19 @@ def main() -> None:
                 f"exchanges={plan.count('Exchange')}, "
                 f"joins={plan.count('Join')}, "
                 f"generates={plan.count('Generate')}")
+    # 13b. …and the defensive repartition for an under-split source
+    #      (one parquet row group can never split) is exactly ONE
+    #      round-robin exchange of the raw rows — still no join, no
+    #      keyed shuffle (the probe itself stays a map).
+    plan = executed(bloom_decontaminate(docs, bloom, n=8,
+                                        min_parallelism=32))
+    ok &= check("bloom defensive repartition is one round-robin only",
+                plan.count("Exchange") == 1
+                and "RoundRobinPartitioning" in plan
+                and "Join" not in plan
+                and "Exchange hashpartitioning" not in plan,
+                f"exchanges={plan.count('Exchange')}, "
+                f"round_robin={'RoundRobinPartitioning' in plan}")
 
     # 14. int8 quantization: pure map stage — array_min/max + transform
     #     are column expressions, so the 100 TB embedding relation is
