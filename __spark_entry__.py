@@ -27,6 +27,23 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _read_split(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """``_read`` + a defensive round-robin repartition to session
+    parallelism.  The local test tables are each ONE parquet row group,
+    which no ``maxPartitionBytes`` setting can split — so a query whose
+    pre-shuffle map work dominates (gram explosion, per-token hashing,
+    regex scans) would otherwise run that stage on one core.  The
+    repartition costs one exchange of the raw rows and buys full-core
+    execution — the classic defensive repartition before expensive map
+    work over an under-split source (same trade as non-splittable gzip
+    inputs).  A production layout with normal row-group counts makes
+    this a no-op-grade cost; queries whose runtime is post-shuffle
+    (candidate-pair enumeration, band joins) measurably DON'T benefit
+    and keep plain ``_read``."""
+    df = _read(spark, sf_dir, table)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -471,7 +488,7 @@ def _q_dedup_jaccard_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     comprehension over the word array) and reruns its own
     rank-window/relational-count implementation."""
     from frogocr_spark.operators.dedup import ngram_jaccard_pairs
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_split(spark, sf_dir, "documents")
     out = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.7,
                               ngram=3)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -594,7 +611,7 @@ def _q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frogocr_spark.operators.textstats import with_textstats
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_split(spark, sf_dir, "documents")
     return with_textstats(docs).select(
         "doc_id", "n_tokens", "n_bpe_tokens", "lang_id", "quality",
         "fingerprint")
@@ -940,7 +957,7 @@ def _q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle recomputes every aggregate
     (operators/textstats.repetition_stats)."""
     from frogocr_spark.operators.textstats import repetition_stats
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_split(spark, sf_dir, "documents")
     return repetition_stats(docs).select(
         "doc_id", F.col("n_lines").cast("long").alias("n_lines"),
         "dup_line_frac", "top_2gram_frac")
@@ -979,7 +996,7 @@ def _q_xdoc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents with its document frequency
     (operators/textstats.cross_doc_ngrams)."""
     from frogocr_spark.operators.textstats import cross_doc_ngrams
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_split(spark, sf_dir, "documents")
     return cross_doc_ngrams(docs, n=8, min_docs=2)
 
 
@@ -988,7 +1005,7 @@ def _q_dup_gram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct word 8-grams occurring in >= 2 documents — the resolution
     side of xdoc_ngrams (operators/textstats.dup_gram_fraction)."""
     from frogocr_spark.operators.textstats import dup_gram_fraction
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_split(spark, sf_dir, "documents")
     return dup_gram_fraction(docs, n=8, min_docs=2)
 
 
@@ -998,7 +1015,7 @@ def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the BROADCAST eval gram set — the corpus side is never
     shuffled (operators/textstats.decontaminate)."""
     from frogocr_spark.operators.textstats import decontaminate
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_split(spark, sf_dir, "documents")
     eval_df = docs.where(F.col("doc_id") % 97 == 0)
     cand = docs.where(F.col("doc_id") % 97 != 0)
     return decontaminate(cand, eval_df, n=8)
@@ -1011,7 +1028,7 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     `scrubbed` column verifies the Java-regex / RE2 replace semantics
     agree (operators/textstats.redact_pii)."""
     from frogocr_spark.operators.textstats import redact_pii
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_split(spark, sf_dir, "documents")
     aug = docs.select(
         "doc_id",
         F.concat(
@@ -1387,7 +1404,7 @@ def _q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-line gates end-to-end (operators/textstats.line_filters —
     pure map stage)."""
     from frogocr_spark.operators.textstats import line_filters
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_split(spark, sf_dir, "documents")
     nl = "\n"
     aug = docs.select(
         "doc_id",
@@ -1481,7 +1498,7 @@ def _q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textstats.substring_dedup_cut; every stage keyed on the
     gram text or (doc, pos), no cartesian)."""
     from frogocr_spark.operators.textstats import substring_dedup_cut
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_split(spark, sf_dir, "documents")
     return substring_dedup_cut(docs, n=8, min_docs=2)
 
 
@@ -1528,7 +1545,7 @@ def _q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k, a stopword head never sorts in one task
     (operators/textstats.bigram_top_continuations)."""
     from frogocr_spark.operators.textstats import bigram_top_continuations
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_split(spark, sf_dir, "documents")
     return bigram_top_continuations(docs, k=3)
 
 
@@ -1570,7 +1587,7 @@ def _q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     count alongside.  The sketch is d*w cells regardless of vocabulary
     size — broadcast into the probe (operators/sketches.cms_build)."""
     from frogocr_spark.operators.sketches import cms_build, cms_estimate
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_split(spark, sf_dir, "documents")
     toks = (docs.select(F.explode(F.split(F.trim("text"), r"\s+"))
                         .alias("token"))
             .filter(F.col("token") != ""))
