@@ -1732,6 +1732,68 @@ def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("k_gjo") >= 90))
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup pairs: deterministic smallest-md5
+    seed pick (bounded TakeOrdered), LITERAL-seed argmax assignment
+    (pure map stage — corpus never shuffled to get cluster ids), then
+    within-cluster exact cosine with the threshold applied to the
+    ROUNDED value (ulp-robust, the sim_cosine_lsh lesson).  The oracle
+    recomputes seeds, assignments and pairs from scratch in SQL
+    (operators/similarity.semdedup_pairs)."""
+    from frogocr_spark.operators.similarity import semdedup_pairs
+    emb = _read(spark, sf_dir, "embeddings")
+    return semdedup_pairs(emb, n_seeds=10, threshold=0.4)
+
+
+def _q_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-LM quality gate: top-200 corpus bigram table (bounded,
+    ships as a literal) scores every doc by its known-bigram fraction;
+    the keep cut is a comparison of exact integers
+    (operators/textstats.known_bigram_filter)."""
+    from frogocr_spark.operators.textstats import known_bigram_filter
+    docs = _read_split(spark, sf_dir, "documents")
+    return known_bigram_filter(docs, lm_size=200, min_ratio_millis=500)
+
+
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs |A∩B|/|A| ≥ 0.5 over distinct
+    8-grams with the df ≤ 64 boilerplate cap applied BEFORE the
+    candidate join — quote/subset detection Jaccard structurally
+    misses (operators/textstats.containment_pairs)."""
+    from frogocr_spark.operators.textstats import containment_pairs
+    docs = _read_split(spark, sf_dir, "documents")
+    return containment_pairs(docs, ngram=8, threshold_millis=500,
+                             max_df=64)
+
+
+def _q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 3σ outliers with the z-test restated over exact
+    DECIMAL(38,0) integers — (n·x−Σx)² > 9·(n·Σx²−(Σx)²) — so the
+    decision is order-independent and engine-exact; moments table
+    broadcast back, flag is map-stage column math
+    (operators/analytics.zscore_outliers)."""
+    from frogocr_spark.operators.analytics import zscore_outliers
+    ev = _read(spark, sf_dir, "events")
+    return zscore_outliers(ev, F.round(F.col("value") * 100, 0),
+                           "event_type", "event_id", z=3)
+
+
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) semantics as one anti-join + union: a CDC
+    batch of updates (every doc_id % 10 == 0, text uppercased, source
+    re-tagged) and inserts (doc_id % 10 == 3 cloned past 10M) applied
+    to the documents table (operators/tables.upsert; the crash-safe
+    snapshot twin is sources/catalog.Table.merge, pytest-covered)."""
+    from frogocr_spark.operators.tables import upsert
+    docs = _read(spark, sf_dir, "documents")
+    updates = (docs.where(F.col("doc_id") % 10 == 0)
+               .withColumn("text", F.upper(F.col("text")))
+               .withColumn("source", F.lit("cdc")))
+    inserts = (docs.where(F.col("doc_id") % 10 == 3)
+               .withColumn("doc_id", F.col("doc_id") + 10_000_000))
+    return upsert(docs, updates.unionByName(inserts), ["doc_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -1852,6 +1914,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile": _q_profile,
         "tpch_q2_mincost": _q_tpch_q2_mincost,
         "json_extract": _q_json_extract,
+        "semdedup": _q_semdedup,
+        "lm_filter": _q_lm_filter,
+        "containment": _q_containment,
+        "outliers": _q_outliers,
+        "merge_upsert": _q_merge_upsert,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -3891,4 +3958,127 @@ FROM pos2
         "'c' || CAST(o_custkey AS VARCHAR) AS dst "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
         iters=3)
+    o["semdedup"] = """
+        WITH seeds AS (
+            SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 10
+        ), assign AS (
+            SELECT vec_id, seed_id, emb FROM (
+                SELECT e.vec_id, s.seed_id,
+                       CAST(e.embedding AS DOUBLE[]) AS emb,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]), s.sv), 4)
+                               DESC, s.seed_id) AS rk
+                FROM embeddings e CROSS JOIN seeds s
+            ) WHERE rk = 1
+        )
+        SELECT id_a, id_b, cluster_id, cosine FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   a.seed_id AS cluster_id,
+                   round(list_cosine_similarity(a.emb, b.emb), 4)
+                   AS cosine
+            FROM assign a JOIN assign b
+              ON a.seed_id = b.seed_id AND a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.4
+    """
+    o["lm_filter"] = r"""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), bi AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 2
+                        THEN [array_to_string(ws[j:j+1], ' ')
+                              for j in range(1, len(ws))]
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM words
+        ), lm AS (
+            SELECT gram FROM (
+                SELECT unnest(grams) AS gram FROM bi
+            ) GROUP BY gram
+            ORDER BY COUNT(*) DESC, gram ASC LIMIT 200
+        ), lmset AS (SELECT list(gram) AS known FROM lm)
+        SELECT doc_id,
+               CAST(len(grams) AS INT) AS n_bigrams,
+               CAST(len(list_filter(grams,
+                    g -> list_contains(known, g))) AS INT) AS n_known,
+               round(CASE WHEN len(grams) = 0 THEN 0.0
+                          ELSE len(list_filter(grams,
+                               g -> list_contains(known, g)))
+                               * 1.0 / len(grams) END, 6) AS known_ratio,
+               CAST(len(list_filter(grams, g -> list_contains(known, g)))
+                    * 1000 >= 500 * len(grams) AS BOOLEAN) AS keep
+        FROM bi CROSS JOIN lmset
+    """
+    o["containment"] = r"""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id,
+                   unnest(CASE WHEN len(ws) >= 8
+                               THEN [array_to_string(ws[j:j+7], ' ')
+                                     for j in range(1, len(ws) - 6)]
+                               ELSE CAST([] AS VARCHAR[]) END) AS gram
+            FROM words
+        ), f AS (
+            SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
+        ), kept AS (
+            SELECT g.doc_id, g.gram FROM g JOIN f USING (gram)
+            WHERE f.df <= 64
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS inter
+            FROM kept a JOIN kept b USING (gram)
+            WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+               CAST(s.n AS BIGINT) AS n_a,
+               round(inter * 1.0 / s.n, 6) AS containment
+        FROM inter JOIN sizes s ON s.doc_id = inter.id_a
+        WHERE inter * 1000 >= 500 * s.n
+    """
+    o["outliers"] = """
+        WITH b AS (
+            SELECT event_type, event_id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS x
+            FROM events
+        ), s AS (
+            SELECT event_type, COUNT(*)::HUGEINT AS n,
+                   SUM(x::HUGEINT) AS sx, SUM(x::HUGEINT * x) AS sxx
+            FROM b GROUP BY event_type
+        )
+        SELECT b.event_type, b.event_id, b.x,
+               CAST(s.n AS BIGINT) AS n,
+               CAST(CASE WHEN s.n * b.x - s.sx > 0 THEN 1 ELSE -1 END
+                    AS INT) AS side
+        FROM b JOIN s USING (event_type)
+        WHERE (s.n * b.x - s.sx) * (s.n * b.x - s.sx)
+              > 9 * (s.n * s.sxx - s.sx * s.sx)
+    """
+    o["merge_upsert"] = """
+        WITH src AS (
+            SELECT doc_id, upper(text) AS text, lang, 'cdc' AS source,
+                   n_chars
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, text, lang, source,
+                   n_chars
+            FROM documents WHERE doc_id % 10 = 3
+        )
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM src)
+        UNION ALL
+        SELECT doc_id, text, lang, source, n_chars FROM src
+    """
     return o

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "cms_heavy", "bpe_merges", "funnel", "cohort_retention",
     "histogram", "decimal_stats", "zorder_layout", "profile",
     "tpch_q2_mincost", "json_extract",
+    "semdedup", "lm_filter", "containment", "outliers", "merge_upsert",
 ]
 
 

@@ -172,3 +172,42 @@ def moment_stats_exact(df: DataFrame, x_col: "F.Column", y_col: "F.Column",
         F.round(sy / nd, 6).alias("mean_y"),
         F.round(var_y, 6).alias("var_y"),
         F.round(corr, 6).alias("corr_xy"))
+
+
+def zscore_outliers(df: DataFrame, value_col: "F.Column", group_col: str,
+                    id_col: str, z: int = 3) -> DataFrame:
+    """Per-group z-score anomaly detection with ZERO float ambiguity:
+    a row is an outlier iff ``(x − mean)² > z²·var``, restated over
+    exact integers as ``(n·x − Σx)² > z²·(n·Σx² − (Σx)²)`` — both sides
+    are DECIMAL(38,0) products of exactly-aggregated sums, so the
+    decision is order-independent and bit-identical in any engine (the
+    float mean/σ a naive z-score uses would hash-differ per
+    partitioning).  ``value_col`` must be integer-valued (pre-scale
+    floats, e.g. ``round(value·100)`` cents — the proven
+    ``moment_stats_exact`` recipe).  Headroom: exact while
+    ``n·|x| < 10^19`` per group (the squared terms then stay under
+    DECIMAL(38,0)) — 10^12 rows of 10^4-scaled values fit.
+
+    Scale shape: one map-side-combined aggregation produces a
+    #groups-sized moments table, broadcast back onto the corpus; the
+    flag itself is then pure column math inside the probe's map stage —
+    the big side is never shuffled.  Output: the outlier rows
+    (``group, id, x``) plus the group's ``n`` and the deviation
+    ``side`` (+1 above the mean, −1 below)."""
+    dec = "decimal(38,0)"
+    x = value_col.cast("long")
+    base = df.select(group_col, id_col, x.alias("x"))
+    agg = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(F.col("x").cast(dec)).alias("_sx"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("_sxx"))
+    j = base.join(F.broadcast(agg), group_col)
+    dev = F.col("_n") * F.col("x").cast(dec) - F.col("_sx")
+    lhs = dev * dev
+    rhs = (F.lit(int(z) * int(z)).cast(dec)
+           * (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")))
+    return (j.where(lhs > rhs)
+            .select(group_col, id_col, F.col("x").cast("long").alias("x"),
+                    F.col("_n").cast("long").alias("n"),
+                    F.when(dev > 0, F.lit(1)).otherwise(F.lit(-1))
+                    .cast("int").alias("side")))

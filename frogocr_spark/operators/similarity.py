@@ -365,3 +365,76 @@ def quantize_minmax_int8(df: DataFrame, vec_col: str = "embedding",
                             + 0.5) - 128).cast("int")).cast("int"))
     return df.select(id_col, lo.alias("lo"), hi.alias("hi"),
                      q.alias("qvec"))
+
+
+def seed_assignments(corpus: DataFrame, n_seeds: int, *,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     rank_round: int = 4) -> DataFrame:
+    """Deterministic one-shot clustering for SemDeDup-style semantic
+    dedup: the ``n_seeds`` vectors with the smallest ``md5(id)`` are the
+    cluster seeds (a seedless, engine-portable pick — no RNG, no
+    iterative k-means, so an ANSI-SQL oracle reproduces the exact same
+    clustering), and every vector is assigned to the seed with the
+    highest ROUNDED cosine (ties → smaller seed id).  Rounding the
+    ARGMAX key is the same ulp-robustness trick as the top-k rank
+    windows: a last-ulp summation-order difference between two engines
+    cannot flip an assignment (see :func:`_rank_topk`).
+
+    Scale shape: the seed pick is a bounded TakeOrdered (``n_seeds``
+    rows to the driver — documented eager step, same class as the IVF
+    sample fit); seeds then ship as LITERALS inside one
+    ``greatest(struct(cos, -seed_id))`` column expression, so the
+    assignment is a pure map stage — the 100 TB corpus is never
+    shuffled, joined, or exploded to get its cluster ids."""
+    if n_seeds < 2:
+        raise ValueError("n_seeds must be >= 2")
+    seeds = (corpus.select(id_col, vec_col)
+             .orderBy(F.md5(F.col(id_col).cast("string")),
+                      F.col(id_col))
+             .limit(n_seeds).collect())
+    cands = []
+    for row in seeds:
+        sid = int(row[id_col])
+        svec = F.array(*[F.lit(float(v)) for v in row[vec_col]])
+        cos = _cosine(F.col(vec_col), svec)
+        cands.append(F.struct(
+            F.round(cos, rank_round).alias("c"),
+            F.lit(-sid).cast("long").alias("neg"),
+            F.lit(sid).cast("long").alias("sid")))
+    best = F.greatest(*cands)
+    return corpus.withColumn("cluster_id", best.getField("sid"))
+
+
+def semdedup_pairs(corpus: DataFrame, n_seeds: int, threshold: float, *,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   rank_round: int = 4) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic near-duplicate pairs:
+    cluster the embedding space (:func:`seed_assignments`), then compare
+    vectors ONLY within their cluster — the classic way to avoid the
+    O(N²) all-pairs cosine at corpus scale.  Emits every within-cluster
+    pair with rounded cosine ≥ ``threshold`` (the threshold is applied
+    to the ROUNDED value so an engine's last-ulp cosine difference
+    cannot admit/drop a boundary pair).
+
+    Scale shape: assignment is a map stage (literal seeds); the only
+    shuffle is the cluster-keyed self-join, whose cost is
+    Σ cluster_size² — bounded by growing ``n_seeds`` with the corpus
+    (SemDeDup's design point).  A degenerate hot cluster is the same
+    hazard class as a hot LSH bucket; cap it with the same max-bucket star-expansion mitigation the LSH
+    band join uses (operators/dedup.py ``max_bucket``) if the seed
+    layout cannot be re-tuned.  Zero-norm vectors are undefined input here (NaN cosine),
+    as in the top-k paths."""
+    assigned = (seed_assignments(corpus, n_seeds, id_col=id_col,
+                                 vec_col=vec_col, rank_round=rank_round)
+                .select(F.col(id_col).alias("_sd_id"),
+                        F.col(vec_col).alias("_sd_vec"), "cluster_id"))
+    a = assigned.select(F.col("_sd_id").alias("id_a"),
+                        F.col("_sd_vec").alias("_va"), "cluster_id")
+    b = assigned.select(F.col("_sd_id").alias("id_b"),
+                        F.col("_sd_vec").alias("_vb"), "cluster_id")
+    pairs = (a.join(b, "cluster_id")
+             .where(F.col("id_a") < F.col("id_b")))
+    cos = F.round(_cosine(F.col("_va"), F.col("_vb")), rank_round)
+    return (pairs.withColumn("cosine", cos)
+            .where(F.col("cosine") >= F.lit(threshold))
+            .select("id_a", "id_b", "cluster_id", "cosine"))

@@ -906,3 +906,97 @@ def bigram_top_continuations(df: DataFrame, k: int = 3,
                     F.round(F.col("pair_n") / F.col("head_n"), 6)
                     .alias("p_cont"),
                     F.col("rank").cast("int").alias("rank")))
+
+
+def known_bigram_filter(df: DataFrame, lm_size: int = 200,
+                        min_ratio_millis: int = 500,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Count-LM quality filtering (the CCNet-style "perplexity gate"
+    restated with integer-exact arithmetic): build a bounded bigram LM
+    table — the ``lm_size`` most frequent word bigrams of the corpus
+    (count desc, gram asc: seedless deterministic cut) — then score
+    every document by the fraction of ITS bigrams found in that table.
+    Documents whose mass sits on unseen bigrams are gibberish /
+    wrong-language / shuffled text — exactly what a perplexity filter
+    flags, but as a ratio of two exact integers (``n_known·1000 ≥
+    min_ratio_millis·n_bigrams``) instead of a float log-prob sum, so
+    the keep decision has no cross-engine summation ambiguity.
+    Documents with no bigrams (< 2 tokens) pass the gate: the filter
+    has no evidence against them (mirrors the curation-gate stance).
+
+    Scale shape: the LM build is one gram-keyed map-side-combined count
+    + TakeOrdered (≤ ``lm_size`` rows to the driver — bounded, the same
+    documented eager step as the top-k vocabulary); the table then
+    ships as a LITERAL into one array-filter expression, so scoring is
+    a pure map stage — the 100 TB corpus is never joined or shuffled to
+    be scored."""
+    from .dedup import _shingle_expr
+    grams = df.select(F.explode(_shingle_expr(text_col, 2, None))
+                      .alias("gram"))
+    top = (grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.col("n").desc(), F.col("gram").asc())
+           .limit(lm_size))
+    known = sorted(r["gram"] for r in top.collect())
+    g = _shingle_expr(text_col, 2, None)
+    n_bi = F.size(g)
+    n_known = (F.lit(0) if not known
+               else F.size(F.filter(g, lambda x: x.isin(known))))
+    return df.select(
+        id_col,
+        n_bi.cast("int").alias("n_bigrams"),
+        n_known.cast("int").alias("n_known"),
+        F.round(F.when(n_bi == 0, F.lit(0.0))
+                .otherwise(n_known / n_bi), 6).alias("known_ratio"),
+        (n_known * 1000 >= F.lit(int(min_ratio_millis)) * n_bi)
+        .alias("keep"))
+
+
+def containment_pairs(df: DataFrame, ngram: int = 8,
+                      threshold_millis: int = 500, max_df: int = 64,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """ASYMMETRIC near-duplicate detection: containment
+    ``C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)|`` — what Jaccard
+    misses by construction: a short document quoted wholesale inside a
+    long one scores near 1.0 containment but tiny Jaccard.  Emits every
+    ORDERED pair (both directions scored independently) with
+    ``inter·1000 ≥ threshold_millis·n_a`` — a comparison of exact
+    integers, so the cut has no float ambiguity; the reported ratio is
+    rounded once for display.
+
+    Scale shape: per-doc DISTINCT grams (one keyed dedup) → grams seen
+    in > ``max_df`` documents are dropped BEFORE the candidate join
+    (boilerplate grams are non-discriminative and fan out
+    quadratically — the standard df-cap from the set-similarity-join
+    literature; dropped grams shrink BOTH the numerator and the
+    denominator consistently because the per-doc gram counts are taken
+    AFTER the cap) → gram-keyed equi-join generates candidates only
+    for docs sharing a surviving gram → one pair-keyed count.  Every
+    stage is map-side combinable; nothing is all-pairs."""
+    from .dedup import _shingle_expr
+    grams = (df.select(F.col(id_col).alias("_id"),
+                       F.explode_outer(_shingle_expr(text_col, ngram,
+                                                     None)).alias("gram"))
+             .where(F.col("gram").isNotNull())
+             .dropDuplicates(["_id", "gram"]))
+    fdf = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+    kept = (grams.join(fdf.where(F.col("_df") <= max_df), "gram")
+            .select("_id", "gram"))
+    sizes = kept.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = kept.select(F.col("_id").alias("id_a"), "gram")
+    b = kept.select(F.col("_id").alias("id_b"), "gram")
+    inter = (a.join(b, "gram")
+             .where(F.col("id_a") != F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    na = sizes.select(F.col("_id").alias("id_a"),
+                      F.col("n_grams").alias("n_a"))
+    return (inter.join(na, "id_a")
+            .where(F.col("inter") * 1000
+                   >= F.lit(int(threshold_millis)) * F.col("n_a"))
+            .select("id_a", "id_b",
+                    F.col("inter").cast("long").alias("inter"),
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.round(F.col("inter") / F.col("n_a"), 6)
+                    .alias("containment")))

@@ -172,18 +172,62 @@ class Table:
                           ignore_errors=True)
         return compact_id
 
+    def merge(self, source: DataFrame, key_cols: list[str],
+              merge_id: str | None = None) -> str:
+        """MERGE INTO (upsert) as a snapshot operation: the live table is
+        rewritten as ``(target ANTI-JOIN source keys) ∪ source`` —
+        matched rows replaced, unmatched kept, new rows inserted
+        (operators/tables.upsert is the pure-DataFrame combinator) —
+        and published with the SAME crash-safe two-phase protocol as
+        :meth:`compact`: staged write + ``_COMPACTED_FROM`` manifest
+        naming every superseded snapshot, one atomic ``os.replace`` to
+        publish (readers flip from old to new state at that instant —
+        no window showing both versions of a row), then source-dir
+        cleanup that :meth:`vacuum` finishes after a crash.  Returns the
+        new snapshot id.  Single-writer maintenance op (fixed staging
+        name), like compaction.  A real Iceberg MERGE rewrites only the
+        data files containing matches; this full-table rewrite is the
+        sandbox-scale analog — the protocol (manifest supersede + atomic
+        publish) is the part that transfers."""
+        import shutil
+
+        from frogocr_spark.operators.tables import upsert
+
+        live = self._run_dirs()
+        if merge_id is None:
+            merge_id = f"merge-{len(self.snapshots())}"
+        out = os.path.join(self.data_dir, f"run_id={merge_id}")
+        if os.path.isdir(out):
+            raise ValueError(f"snapshot {merge_id!r} already exists")
+        if not live:
+            self.append(source, merge_id)
+            return merge_id
+        merged = upsert(self.read(), source, key_cols)
+        staging = os.path.join(self.path, ".staging-merge")
+        shutil.rmtree(staging, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(staging)
+        with open(os.path.join(staging, "_COMPACTED_FROM"), "w") as fh:
+            fh.write("\n".join(live))
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.replace(staging, out)        # publish: old state now dead
+        for n in live:
+            shutil.rmtree(os.path.join(self.data_dir, n),
+                          ignore_errors=True)
+        return merge_id
+
     def vacuum(self) -> list[str]:
         """Remove compaction-superseded run dirs still on disk (crash
         recovery for the window between compaction phases 2 and 3) and
-        any abandoned compaction staging dir (a crash during phase 1).
-        Returns the removed names."""
+        any abandoned compaction/merge staging dir (a crash during
+        phase 1).  Returns the removed names."""
         import shutil
 
         removed: list[str] = []
-        staging = os.path.join(self.path, ".staging-compact")
-        if os.path.isdir(staging):
-            shutil.rmtree(staging, ignore_errors=True)
-            removed.append(".staging-compact")
+        for sname in (".staging-compact", ".staging-merge"):
+            staging = os.path.join(self.path, sname)
+            if os.path.isdir(staging):
+                shutil.rmtree(staging, ignore_errors=True)
+                removed.append(sname)
         if not os.path.isdir(self.data_dir):
             return removed
         on_disk = {n for n in os.listdir(self.data_dir)

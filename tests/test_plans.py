@@ -258,3 +258,48 @@ def test_mix_sample_broadcasts_stratum_caps(spark):
     plan = _plan(mix_sample(df, ["src"]))
     assert "BroadcastHashJoin" in plan
     assert "SinglePartition" not in plan
+
+
+def test_semdedup_assignment_is_map_only(spark):
+    """Literal-seed argmax assignment: no join, no exchange — the
+    corpus is never shuffled to get its cluster ids; and the pair
+    stage is an equi-join on cluster_id, never a cartesian."""
+    from frogocr_spark.operators.similarity import (seed_assignments,
+                                                    semdedup_pairs)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(seed_assignments(emb, 4))
+    assert "Exchange" not in plan and "Join" not in plan
+    plan = _plan(semdedup_pairs(emb, 4, 0.4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_filter_scoring_is_map_only(spark):
+    """After the bounded LM build, scoring is literal-array column math:
+    no join, no exchange, no explode in the probe plan."""
+    from frogocr_spark.operators.textstats import known_bigram_filter
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(known_bigram_filter(docs, lm_size=20))
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "Generate" not in plan
+
+
+def test_zscore_outliers_broadcasts_moments(spark):
+    """The #groups-sized moments table broadcasts back onto the corpus;
+    the probe side never sort-merge-shuffles, and the moment agg
+    partial-combines map-side."""
+    from frogocr_spark.operators.analytics import zscore_outliers
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(zscore_outliers(ev, F.round(F.col("value") * 100, 0),
+                                 "event_type", "event_id"))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_upsert_is_anti_join_plus_union_no_sort(spark):
+    from frogocr_spark.operators.tables import upsert
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = docs.where(F.col("doc_id") % 10 == 0)
+    plan = _plan(upsert(docs, src, ["doc_id"]))
+    assert "LeftAnti" in plan and "Union" in plan
+    assert "rangepartitioning" not in plan.lower()

@@ -1,0 +1,304 @@
+"""Session-7 operators: SemDeDup seed clustering, count-LM quality gate,
+containment pairs, exact z-score outliers, MERGE INTO upsert (DataFrame
+combinator + crash-safe Table.merge snapshot op)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from frogocr_spark.operators.analytics import zscore_outliers
+from frogocr_spark.operators.similarity import (seed_assignments,
+                                                semdedup_pairs)
+from frogocr_spark.operators.tables import upsert
+from frogocr_spark.operators.textstats import (containment_pairs,
+                                               known_bigram_filter)
+from frogocr_spark.sources.catalog import Table
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+def _py_seed_assign(vecs: dict[int, list[float]], n_seeds: int,
+                    rank_round: int = 4) -> dict[int, int]:
+    """Pure-Python twin of seed_assignments: smallest-md5 seed pick,
+    argmax rounded cosine, tie -> smaller seed id."""
+    seeds = sorted(vecs, key=lambda i: (hashlib.md5(
+        str(i).encode()).hexdigest(), i))[:n_seeds]
+    out = {}
+    for i, v in vecs.items():
+        best = None
+        for s in seeds:
+            a, b = np.asarray(v, dtype=np.float64), np.asarray(
+                vecs[s], dtype=np.float64)
+            cos = round(float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b))),
+                        rank_round)
+            key = (cos, -s)
+            if best is None or key > best[0]:
+                best = (key, s)
+        out[i] = best[1]
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        base = np.zeros(8)
+        base[i % 4] = 1.0                      # 4 coarse directions
+        v = base + 0.05 * rng.randn(8)
+        rows.append((i, [float(x) for x in v]))
+    # two exact near-dups of vector 0 (same direction, tiny noise)
+    rows.append((100, [x + 0.001 for x in rows[0][1]]))
+    rows.append((101, [x + 0.002 for x in rows[0][1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_seed_assignments_match_python_twin(spark, emb_df):
+    got = {r.vec_id: r.cluster_id
+           for r in seed_assignments(emb_df, 4).collect()}
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb_df.collect()}
+    want = _py_seed_assign(vecs, 4)
+    assert got == want
+
+
+def test_seed_assignment_tie_prefers_smaller_seed_id(spark):
+    # seeds are ALL FOUR rows (n_seeds=4); rows 2 and 3 are identical,
+    # so for row 2 the cosine vs seed 2 and seed 3 ties at 1.0 exactly
+    # -> must pick seed 2 (the smaller id)
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+            (2, [1.0, 1.0]), (3, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.cluster_id
+           for r in seed_assignments(df, 4).collect()}
+    assert got[2] == 2 and got[3] == 2
+
+
+def test_semdedup_finds_planted_near_dups_and_only_within_cluster(
+        spark, emb_df):
+    pairs = semdedup_pairs(emb_df, n_seeds=4, threshold=0.9).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # the planted near-dups of vector 0 must be found
+    assert (0, 100) in got and (0, 101) in got and (100, 101) in got
+    # every reported pair sits in ONE cluster and meets the threshold
+    assign = {r.vec_id: r.cluster_id
+              for r in seed_assignments(emb_df, 4).collect()}
+    for r in pairs:
+        assert assign[r.id_a] == assign[r.id_b] == r.cluster_id
+        assert r.cosine >= 0.9
+    # cross-direction vectors (orthogonal-ish) never pair
+    for r in pairs:
+        assert r.id_a % 4 == r.id_b % 4 or r.id_a >= 100 or r.id_b >= 100
+
+
+def test_semdedup_rejects_single_seed(spark, emb_df):
+    with pytest.raises(ValueError):
+        seed_assignments(emb_df, 1)
+
+
+# ---------------------------------------------------------------------------
+# count-LM quality gate
+# ---------------------------------------------------------------------------
+
+def test_known_bigram_filter_hand_computed(spark):
+    rows = [
+        (0, "the cat sat on the mat"),     # bigrams all in-LM (common)
+        (1, "zq xv qqq zz yy"),            # junk: no known bigrams
+        (2, "the cat zq xv"),              # mixed: 1 of 3 known
+        (3, "single"),                     # no bigrams -> passes
+        (4, ""),                           # empty -> passes
+    ]
+    # corpus made of doc 0 repeated so its bigrams dominate the LM
+    corpus = rows + [(10 + i, "the cat sat on the mat") for i in range(5)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           known_bigram_filter(df, lm_size=5, min_ratio_millis=500)
+           .collect()}
+    assert out[0].n_bigrams == 5 and out[0].n_known == 5 and out[0].keep
+    assert out[1].n_known == 0 and not out[1].keep
+    # doc 2: bigrams = [the cat, cat zq, zq xv]; LM(top5 of corpus) holds
+    # the repeated doc's bigrams -> only "the cat" known -> 1/3 < 0.5
+    assert out[2].n_bigrams == 3 and out[2].n_known == 1 and not out[2].keep
+    assert out[3].n_bigrams == 0 and out[3].keep      # no evidence against
+    assert out[4].n_bigrams == 0 and out[4].keep
+    assert out[0].known_ratio == 1.0 and out[2].known_ratio == round(1 / 3, 6)
+
+
+def test_known_bigram_filter_boundary_is_inclusive(spark):
+    # 1 known of 2 bigrams at min_ratio_millis=500: 1*1000 >= 500*2 -> keep
+    rows = [(0, "a b c"), (1, "a b a b"), (2, "a b x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           known_bigram_filter(df, lm_size=1, min_ratio_millis=500)
+           .collect()}
+    # LM = top-1 bigram = "a b" (count 3)
+    assert out[2].n_bigrams == 2 and out[2].n_known == 1 and out[2].keep
+
+
+# ---------------------------------------------------------------------------
+# containment
+# ---------------------------------------------------------------------------
+
+def test_containment_is_asymmetric(spark):
+    short = "w1 w2 w3 w4 w5 w6 w7 w8"                     # exactly 1 8-gram
+    long_ = short + " t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"     # contains short
+    df = spark.createDataFrame([(0, short), (1, long_)],
+                               "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r for r in
+           containment_pairs(df, ngram=8, threshold_millis=500,
+                             max_df=64).collect()}
+    # short -> long: 1/1 = 1.0 containment
+    assert (0, 1) in out and out[(0, 1)].containment == 1.0
+    assert out[(0, 1)].inter == 1 and out[(0, 1)].n_a == 1
+    # long -> short: 1/11 < 0.5 -> absent
+    assert (1, 0) not in out
+
+
+def test_containment_df_cap_drops_boilerplate_grams(spark):
+    # the same 8-gram in 5 docs; with max_df=2 it is dropped entirely,
+    # so no pairs survive (their only shared gram is boilerplate)
+    g = "b1 b2 b3 b4 b5 b6 b7 b8"
+    df = spark.createDataFrame([(i, g) for i in range(5)],
+                               "doc_id long, text string")
+    assert containment_pairs(df, ngram=8, max_df=2).count() == 0
+    # with the cap above the df, all ordered pairs appear at 1.0
+    out = containment_pairs(df, ngram=8, max_df=10).collect()
+    assert len(out) == 20 and all(r.containment == 1.0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# exact z-score outliers
+# ---------------------------------------------------------------------------
+
+def test_zscore_outliers_hand_computed(spark):
+    # A single spike needs n > 10 to clear 3 sigma: one extreme point
+    # among n-1 identical values has z = sqrt(n-1) EXACTLY (so 9+1 rows
+    # sit precisely ON the boundary and the strict > excludes them —
+    # asserted below).  Use 15 tens + one 200: z = sqrt(15) > 3.
+    rows = [("g", i, 10.0) for i in range(15)] + [("g", 15, 200.0)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    out = zscore_outliers(df, F.round(F.col("v") * 100, 0), "grp", "id",
+                          z=3).collect()
+    xs = [1000] * 15 + [20000]
+    n, sx = len(xs), sum(xs)
+    sxx = sum(x * x for x in xs)
+    outliers = [i for i, x in enumerate(xs)
+                if (n * x - sx) ** 2 > 9 * (n * sxx - sx * sx)]
+    assert sorted(r.id for r in out) == outliers == [15]
+    assert out[0].side == 1 and out[0].n == 16 and out[0].x == 20000
+    # and the exact-boundary case (nine 10s, one 100: z = sqrt(9) = 3
+    # exactly, for ANY spike value) yields NO outlier
+    xs100 = [1000] * 9 + [10000]
+    n1, sx1 = len(xs100), sum(xs100)
+    sxx1 = sum(x * x for x in xs100)
+    assert (n1 * 10000 - sx1) ** 2 == 9 * (n1 * sxx1 - sx1 * sx1)
+    rows100 = [("g", i, 10.0) for i in range(9)] + [("g", 9, 100.0)]
+    df100 = spark.createDataFrame(rows100, "grp string, id long, v double")
+    assert zscore_outliers(df100, F.round(F.col("v") * 100, 0), "grp",
+                           "id", z=3).count() == 0
+
+
+def test_zscore_outliers_boundary_strict_and_constant_group(spark):
+    # constant group: rhs == 0 and every dev == 0 -> 0 > 0 false, no rows
+    rows = [("c", i, 5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    assert zscore_outliers(df, F.round(F.col("v") * 100, 0), "grp", "id",
+                           z=3).count() == 0
+    # two-point group {0, 10}: dev^2 == z^2*var exactly at z=1 -> strict
+    # > means NO outlier (boundary excluded)
+    rows2 = [("b", 0, 0.0), ("b", 1, 10.0)]
+    df2 = spark.createDataFrame(rows2, "grp string, id long, v double")
+    assert zscore_outliers(df2, F.round(F.col("v") * 100, 0), "grp", "id",
+                           z=1).count() == 0
+
+
+def test_zscore_outliers_per_group_isolation(spark):
+    # an extreme value in group A must not flag rows in group B
+    rows = ([("a", i, 10.0) for i in range(15)] + [("a", 15, 1000.0)]
+            + [("b", 20 + i, float(i)) for i in range(10)])
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    out = zscore_outliers(df, F.round(F.col("v") * 100, 0), "grp", "id",
+                          z=3).collect()
+    assert [(r.grp, r.id) for r in out] == [("a", 15)]
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO upsert
+# ---------------------------------------------------------------------------
+
+def test_upsert_replaces_keeps_inserts(spark):
+    target = spark.createDataFrame(
+        [(1, "old1"), (2, "old2"), (3, "old3")], "id long, v string")
+    source = spark.createDataFrame(
+        [(2, "new2"), (9, "new9")], "id long, v string")
+    got = {r.id: r.v for r in upsert(target, source, ["id"]).collect()}
+    assert got == {1: "old1", 2: "new2", 3: "old3", 9: "new9"}
+
+
+def test_table_merge_end_to_end_and_snapshot_log(spark, tmp_path):
+    t = Table(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "id long, v string"), "r1")
+    t.append(spark.createDataFrame([(3, "c")],
+                                   "id long, v string"), "r2")
+    mid = t.merge(spark.createDataFrame([(2, "B"), (4, "d")],
+                                        "id long, v string"), ["id"])
+    assert t.snapshots() == [mid]      # merge supersedes all prior runs
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_table_merge_on_empty_table_is_insert(spark, tmp_path):
+    t = Table(spark, str(tmp_path / "tbl"))
+    mid = t.merge(spark.createDataFrame([(1, "a")],
+                                        "id long, v string"), ["id"])
+    assert t.snapshots() == [mid]
+    assert {r.id for r in t.read().collect()} == {1}
+
+
+def test_table_merge_crash_window_never_shows_duplicates(spark, tmp_path):
+    """Simulate a crash between publish (phase 2) and source cleanup
+    (phase 3): superseded dirs still on disk must be invisible to
+    readers (manifest honored), and vacuum finishes the cleanup.  Also:
+    a crash DURING phase 1 leaves .staging-merge, which vacuum
+    reclaims."""
+    import os
+    import shutil
+
+    t = Table(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "id long, v string"), "r1")
+    # phase-1 crash: abandoned staging dir
+    staging = os.path.join(t.path, ".staging-merge")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "junk.parquet"), "w") as fh:
+        fh.write("x")
+    removed = t.vacuum()
+    assert ".staging-merge" in removed and not os.path.isdir(staging)
+
+    # phase-2/3 crash: publish happened, then re-create a superseded
+    # source dir as if cleanup never ran
+    src_backup = str(tmp_path / "backup")
+    shutil.copytree(os.path.join(t.data_dir, "run_id=r1"), src_backup)
+    t.merge(spark.createDataFrame([(2, "B")], "id long, v string"), ["id"])
+    shutil.copytree(src_backup, os.path.join(t.data_dir, "run_id=r1"))
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {1: "a", 2: "B"}     # dead dir invisible, no dup of id=1
+    dead = t.vacuum()
+    assert "run_id=r1" in dead
+    assert not os.path.isdir(os.path.join(t.data_dir, "run_id=r1"))
+
+
+def test_table_merge_refuses_existing_snapshot_id(spark, tmp_path):
+    t = Table(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"), "r1")
+    with pytest.raises(ValueError):
+        t.merge(spark.createDataFrame([(1, "x")], "id long, v string"),
+                ["id"], merge_id="r1")

@@ -435,6 +435,58 @@ def main() -> None:
                 f"broadcast_joins={plan.count('BroadcastHashJoin')}, "
                 f"map_side_min={'partial_min' in plan}")
 
+    # 24. SemDeDup: cluster ASSIGNMENT is a pure map stage (literal
+    #     seeds — greatest(struct(cos, -sid)) column math, no join,
+    #     no exchange); only the within-cluster pair join shuffles.
+    from frogocr_spark.operators.similarity import (seed_assignments,
+                                                    semdedup_pairs)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = executed(seed_assignments(emb, 10))
+    ok &= check("semdedup assignment is map-only (literal seeds)",
+                "Exchange" not in plan and "Join" not in plan,
+                f"exchanges={plan.count('Exchange')}, "
+                f"joins={plan.count('Join')}")
+    plan = executed(semdedup_pairs(emb, 10, 0.4))
+    ok &= check("semdedup pair join is equi-join on cluster, no cartesian",
+                "CartesianProduct" not in plan
+                and "BroadcastNestedLoopJoin" not in plan,
+                f"cartesian=0, plan_joins={plan.count('Join')}")
+
+    # 25. lm_filter: after the bounded LM build (eager TakeOrdered),
+    #     SCORING is a single map stage over the corpus — no join, no
+    #     exchange, no explode in the probe plan.
+    from frogocr_spark.operators.textstats import known_bigram_filter
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = executed(known_bigram_filter(docs, lm_size=50))
+    ok &= check("lm_filter scoring is map-only (literal LM table)",
+                "Exchange" not in plan and "Join" not in plan
+                and "Generate" not in plan,
+                f"exchanges={plan.count('Exchange')}, "
+                f"joins={plan.count('Join')}")
+
+    # 26. zscore_outliers: the moments table (one map-side-combined agg)
+    #     is BROADCAST back — the corpus probe side never shuffles for
+    #     the flag, and the partial agg combines map-side.
+    from frogocr_spark.operators.analytics import zscore_outliers
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = executed(zscore_outliers(
+        ev, F.round(F.col("value") * 100, 0), "event_type", "event_id"))
+    ok &= check("zscore_outliers broadcasts moments, combines map-side",
+                "BroadcastHashJoin" in plan
+                and "SortMergeJoin" not in plan
+                and "partial_sum" in plan,
+                f"broadcast={'BroadcastHashJoin' in plan}, "
+                f"smj={'SortMergeJoin' in plan}")
+
+    # 27. upsert: one anti-join + union — no global sort anywhere.
+    from frogocr_spark.operators.tables import upsert
+    src = docs.where(F.col("doc_id") % 10 == 0)
+    plan = executed(upsert(docs, src, ["doc_id"]))
+    ok &= check("upsert is one anti join + union, no global sort",
+                "LeftAnti" in plan and "Union" in plan
+                and "rangepartitioning" not in plan.lower(),
+                f"anti={'LeftAnti' in plan}, union={'Union' in plan}")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
