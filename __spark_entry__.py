@@ -1602,11 +1602,14 @@ def _q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training, 8 merges: vocabulary-level
-    pair counting (the corpus collapses to (word, cnt) once), top-1 via
-    TakeOrdered, greedy-fold merge application as a map stage.  EAGER —
-    collects one winning pair per iteration (operators/bpe.bpe_train);
-    the oracle re-runs the identical 8-iteration chain in one WITH."""
+    """Distributed BPE tokenizer training, 8 merges: the corpus
+    collapses to (word, cnt) once (the only corpus-wide shuffle); the
+    merge iterations then run on the bounded vocabulary — distributed
+    rounds (pair-count agg + TakeOrdered top-1 + greedy-fold map) above
+    the 200k-word driver budget, a bit-identical local loop below it
+    (the dup_clusters_star hybrid-finish pattern; differential-tested).
+    The oracle re-runs the identical 8-iteration chain in one WITH
+    (operators/bpe.bpe_train)."""
     from frogocr_spark.operators.bpe import bpe_train
     docs = _read(spark, sf_dir, "documents")
     merges, _ = bpe_train(docs, n_merges=8)
@@ -1778,6 +1781,18 @@ def _q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "event_type", "event_id", z=3)
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-biased top-k sample (priority = md5-derived
+    60-bit integer / weight — ONE correctly-rounded IEEE division on
+    exact integer inputs, so the order is engine-exact; the A-ES
+    u^(1/w) form needs pow/ln, which are not); TakeOrdered, never a
+    global sort (operators/textstats.weighted_sample)."""
+    from frogocr_spark.operators.textstats import weighted_sample
+    docs = _read(spark, sf_dir, "documents")
+    return weighted_sample(docs, k=50, weight_col="n_chars") \
+        .select("doc_id", "n_chars", "priority")
+
+
 def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO (upsert) semantics as one anti-join + union: a CDC
     batch of updates (every doc_id % 10 == 0, text uppercased, source
@@ -1918,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_filter": _q_lm_filter,
         "containment": _q_containment,
         "outliers": _q_outliers,
+        "weighted_sample": _q_weighted_sample,
         "merge_upsert": _q_merge_upsert,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
@@ -4064,6 +4080,15 @@ FROM pos2
         FROM b JOIN s USING (event_type)
         WHERE (s.n * b.x - s.sx) * (s.n * b.x - s.sx)
               > 9 * (s.n * s.sxx - s.sx * s.sx)
+    """
+    o["weighted_sample"] = """
+        SELECT doc_id, n_chars, pri AS priority FROM (
+            SELECT doc_id, n_chars,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 15))::BIGINT AS DOUBLE)
+                   / CAST(n_chars AS DOUBLE) AS pri
+            FROM documents WHERE n_chars > 0
+        ) ORDER BY pri ASC, doc_id ASC LIMIT 50
     """
     o["merge_upsert"] = """
         WITH src AS (

@@ -92,7 +92,8 @@ BENCH_QUERIES = [
     "cms_heavy", "bpe_merges", "funnel", "cohort_retention",
     "histogram", "decimal_stats", "zorder_layout", "profile",
     "tpch_q2_mincost", "json_extract",
-    "semdedup", "lm_filter", "containment", "outliers", "merge_upsert",
+    "semdedup", "lm_filter", "containment", "outliers",
+    "weighted_sample", "merge_upsert",
 ]
 
 

@@ -88,17 +88,72 @@ def _apply_merge(syms: F.Column, a: str, b: str, merged: str) -> F.Column:
     return F.aggregate(rest, F.array(F.element_at(syms, 1)), fold)
 
 
+def _bpe_finish_local(spark: SparkSession, vocab: DataFrame,
+                      n_merges: int) -> tuple[DataFrame, DataFrame]:
+    """Local merge loop over the collected (bounded) vocabulary —
+    bit-identical semantics to the distributed rounds: exact int64 pair
+    counts weighted by word count, top-1 tie-broken (pc DESC, a ASC,
+    b ASC), greedy left-to-right non-overlapping replacement."""
+    from collections import Counter
+
+    rows = [(r["word"], int(r["cnt"]), list(r["syms"]))
+            for r in vocab.collect()]
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for _, cnt, syms in rows:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += cnt
+        if not pc:
+            break
+        (a, b), n = min(pc.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merged = a + b
+        merges.append((rank, a, b, merged, int(n)))
+        for row in rows:
+            syms = row[2]
+            out = [syms[0]]
+            for x in syms[1:]:
+                if out[-1] == a and x == b:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            row[2][:] = out
+    merges_df = spark.createDataFrame(merges, MERGES_SCHEMA)
+    vocab_df = spark.createDataFrame(
+        [(w, c, s) for w, c, s in rows],
+        "word string, cnt long, syms array<string>")
+    return merges_df, vocab_df
+
+
 def bpe_train(docs: DataFrame, n_merges: int = 6,
-              text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+              text_col: str = "text",
+              driver_finish_words: int = 200_000
+              ) -> tuple[DataFrame, DataFrame]:
     """Train ``n_merges`` BPE merges.  Returns ``(merges, vocab)``:
     merges = (merge_rank, a, b, merged, cnt) in training order; vocab =
     the symbolized word table AFTER all merges (word, cnt, syms).
 
-    EAGER: runs ~2 Spark jobs per merge (see module docstring)."""
+    EAGER: runs ~2 Spark jobs per merge (see module docstring).
+
+    **Hybrid driver finish** (the :func:`~frogocr_spark.operators.dedup.
+    dup_clusters_star` pattern): the corpus-wide collapse to
+    ``(word, cnt, syms)`` is always distributed, but once that table
+    fits ``driver_finish_words`` the ``n_merges`` iterations run as a
+    LOCAL loop over the collected vocabulary instead of ~3 whole-cluster
+    jobs each — per-iteration job latency is exactly where distributed
+    rounds are pure overhead, because every post-collapse iteration
+    touches only vocabulary-sized data no matter how big the corpus is.
+    Driver cost at the 200k default: ≈ tens of MB.  A vocabulary above
+    the budget keeps the fully-distributed rounds.  Both paths produce
+    bit-identical merges (differential-tested in
+    tests/test_analytics_bpe.py)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     spark = docs.sparkSession
     vocab = word_vocab(docs, text_col).localCheckpoint(eager=True)
+    if vocab.count() <= driver_finish_words:
+        return _bpe_finish_local(spark, vocab, n_merges)
     merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
         pairs = (vocab

@@ -1000,3 +1000,37 @@ def containment_pairs(df: DataFrame, ngram: int = 8,
                     F.col("n_a").cast("long").alias("n_a"),
                     F.round(F.col("inter") / F.col("n_a"), 6)
                     .alias("containment")))
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weight-biased sampling without replacement: each
+    row gets the priority ``h / w`` — ``h`` = a 60-bit integer from
+    ``md5(id)`` (the engine's seedless uniform), ``w`` = the row's
+    weight — and the ``k`` smallest priorities win, so a row's chance
+    of selection grows with its weight (the rational-priority variant
+    of the Efraimidis-Spirakis A-ES key ``u^(1/w)``; the exponential
+    form needs ``pow``/``ln``, which are NOT correctly rounded
+    cross-engine — the single IEEE division here IS, so the order is
+    engine-exact given the exact integer inputs, with (priority, id)
+    as the deterministic total order).  Rows with ``w <= 0`` or NULL
+    are excluded (zero-weight rows are unsampleable by definition).
+
+    Scale shape: priority is one map-stage expression;
+    ``orderBy(...).limit(k)`` plans as TakeOrderedAndProject —
+    per-partition top-k, ≤ k·P rows merge at the driver, never a
+    global sort (locked in tests/test_plans.py)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    w = F.col(weight_col).cast("long")
+    pri = h.cast("double") / w.cast("double")
+    # the priority is emitted RAW: both engines compute the identical
+    # double (one correctly-rounded division of identical integers), so
+    # the bits agree exactly — while round(x, 6) on a ~1e14 double is
+    # engine-ambiguous (the decimal re-rounding differs in the last ulp)
+    return (df.where(w > 0)
+            .withColumn("priority", pri)
+            .orderBy(F.col("priority").asc(), F.col(id_col).asc())
+            .limit(k))

@@ -149,6 +149,24 @@ def test_bpe_validates_n_merges(spark):
         bpe_train(docs, n_merges=0)
 
 
+def test_bpe_distributed_and_driver_paths_are_bit_identical(spark):
+    """driver_finish_words=0 forces the fully-distributed rounds; the
+    default takes the hybrid driver finish — same merges, same final
+    vocab, and both equal the reference algorithm."""
+    words = {"low": 6, "lower": 2, "newest": 7, "widest": 3, "wide": 1,
+             "west": 4, "best": 4, "lowest": 2}
+    text = " ".join(" ".join([w] * c) for w, c in words.items())
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    m_dist, v_dist = bpe_train(docs, n_merges=8, driver_finish_words=0)
+    m_loc, v_loc = bpe_train(docs, n_merges=8)
+    exp_merges, exp_vocab = _py_bpe(words, 8)
+    assert ([tuple(r) for r in m_dist.collect()]
+            == [tuple(r) for r in m_loc.collect()] == exp_merges)
+    vd = {r["word"]: list(r["syms"]) for r in v_dist.collect()}
+    vl = {r["word"]: list(r["syms"]) for r in v_loc.collect()}
+    assert vd == vl == exp_vocab
+
+
 # ------------------------------------------------------------- funnel
 
 def _ev(spark, rows):

@@ -303,3 +303,11 @@ def test_upsert_is_anti_join_plus_union_no_sort(spark):
     plan = _plan(upsert(docs, src, ["doc_id"]))
     assert "LeftAnti" in plan and "Union" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_weighted_sample_is_take_ordered_not_global_sort(spark):
+    from frogocr_spark.operators.textstats import weighted_sample
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(weighted_sample(docs, 20, "n_chars"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -302,3 +302,39 @@ def test_table_merge_refuses_existing_snapshot_id(spark, tmp_path):
     with pytest.raises(ValueError):
         t.merge(spark.createDataFrame([(1, "x")], "id long, v string"),
                 ["id"], merge_id="r1")
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_matches_python_twin_and_excludes_nonpositive(
+        spark):
+    from frogocr_spark.operators.textstats import weighted_sample
+    rows = [(i, 10 + 90 * (i % 7)) for i in range(60)]
+    rows += [(100, 0), (101, -5)]          # unsampleable
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = [(r.doc_id, r.priority)
+           for r in weighted_sample(df, 10, "n_chars").collect()]
+    # pure-Python twin: same 60-bit md5 integer, same single division
+    def pri(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return float(h) / float(w)
+    want = sorted(((i, pri(i, w)) for i, w in rows if w > 0),
+                  key=lambda t: (t[1], t[0]))[:10]
+    assert got == want
+    assert all(i < 100 for i, _ in got)
+
+
+def test_weighted_sample_bias_toward_heavy_rows(spark):
+    from frogocr_spark.operators.textstats import weighted_sample
+    # weight 1000 vs weight 1: the heavy half must dominate the sample
+    rows = ([(i, 1000) for i in range(200)]
+            + [(200 + i, 1) for i in range(200)])
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = [r.doc_id for r in weighted_sample(df, 40, "n_chars").collect()]
+    heavy = sum(1 for i in got if i < 200)
+    assert heavy >= 35           # ~1000:1 odds per slot
+
+    with pytest.raises(ValueError):
+        weighted_sample(df, 0, "n_chars")
