@@ -1781,6 +1781,53 @@ def _q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "event_type", "event_id", z=3)
 
 
+# ONE ANSI string executed verbatim by BOTH engines: Spark runs it
+# through spark.sql() (the SQL front-end produces the same Catalyst
+# plan the DataFrame API would), DuckDB runs it as the oracle — a
+# single source of truth, so the two sides CANNOT drift.  Aggregation
+# is integer-exact (TPC-H quantities are whole numbers; the BIGINT cast
+# makes the sum order-independent) and the top-k tie-breaks on the key.
+SQL_SURFACE_TEXT = """
+WITH t AS (
+    SELECT o_custkey AS cust, o_orderkey AS okey,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_custkey, o_orderkey
+)
+SELECT cust, okey, qty, rk FROM (
+    SELECT cust, okey, qty,
+           ROW_NUMBER() OVER (PARTITION BY cust
+                              ORDER BY qty DESC, okey) AS rk
+    FROM t
+) ranked WHERE rk <= 2
+"""
+
+
+def _q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end end-to-end: temp views + ``spark.sql`` running
+    the EXACT text the DuckDB oracle runs (``SQL_SURFACE_TEXT`` — one
+    string, two engines).  Per-customer top-2 orders by total quantity:
+    join → keyed agg (map-side combined) → per-key rank window; no
+    global sort."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_SURFACE_TEXT)
+
+
+def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-apply face of BPE training: the word vocabulary
+    AFTER all 8 merges (word -> its merged symbol sequence), i.e. the
+    lookup table a corpus encoder joins against.  Same train chain as
+    bpe_merges (hybrid driver finish; operators/bpe.bpe_train); the
+    oracle re-runs the identical 8 iterations and emits the final
+    symbolized vocabulary."""
+    from frogocr_spark.operators.bpe import bpe_train
+    docs = _read(spark, sf_dir, "documents")
+    _, vocab = bpe_train(docs, n_merges=8)
+    return vocab.select("word", F.col("cnt").cast("long").alias("cnt"),
+                        F.concat_ws(" ", "syms").alias("tokens"))
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weight-biased top-k sample (priority = md5-derived
     60-bit integer / weight — ONE correctly-rounded IEEE division on
@@ -1934,6 +1981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": _q_containment,
         "outliers": _q_outliers,
         "weighted_sample": _q_weighted_sample,
+        "sql_surface": _q_sql_surface,
+        "bpe_vocab": _q_bpe_vocab,
         "merge_upsert": _q_merge_upsert,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
@@ -3831,8 +3880,11 @@ FROM pos2
         FROM probe p JOIN keys k USING (token) CROSS JOIN n
         WHERE p.cms_est * 1000 >= n.n_tok
     """
-    from frogocr_spark.operators.bpe import bpe_train_oracle_sql
+    from frogocr_spark.operators.bpe import (bpe_train_oracle_sql,
+                                             bpe_vocab_oracle_sql)
     o["bpe_merges"] = bpe_train_oracle_sql(8)
+    o["bpe_vocab"] = bpe_vocab_oracle_sql(8)
+    o["sql_surface"] = SQL_SURFACE_TEXT
     o["funnel"] = """
         WITH e AS (
             SELECT user_id, event_type, epoch_us(ts) AS us

@@ -227,3 +227,18 @@ def bpe_train_oracle_sql(n_merges: int = 6,
     sql.append(f" SELECT CAST(merge_rank AS INT) AS merge_rank, a, b, "
                f"merged, cnt FROM ({finals}) ORDER BY merge_rank")
     return "".join(sql)
+
+
+def bpe_vocab_oracle_sql(n_merges: int = 6,
+                         docs_table: str = "documents",
+                         text_col: str = "text") -> str:
+    """DuckDB oracle for the FINAL vocabulary after ``n_merges`` (the
+    tokenizer-apply lookup table): the identical iteration chain as
+    :func:`bpe_train_oracle_sql`, finishing with the merged symbol
+    sequence per word instead of the merge list."""
+    chain = bpe_train_oracle_sql(n_merges, docs_table, text_col)
+    # reuse the WITH chain verbatim; replace only the final SELECT
+    cut = chain.rindex(" SELECT CAST(merge_rank AS INT)")
+    return (chain[:cut]
+            + f" SELECT word, CAST(cnt AS BIGINT) AS cnt, "
+              f"array_to_string(syms, ' ') AS tokens FROM s{n_merges}")

@@ -195,7 +195,7 @@ class Table:
 
         live = self._run_dirs()
         if merge_id is None:
-            merge_id = f"merge-{len(self.snapshots())}"
+            merge_id = f"merge-{self._next_version()}"
         out = os.path.join(self.data_dir, f"run_id={merge_id}")
         if os.path.isdir(out):
             raise ValueError(f"snapshot {merge_id!r} already exists")
@@ -203,17 +203,73 @@ class Table:
             self.append(source, merge_id)
             return merge_id
         merged = upsert(self.read(), source, key_cols)
-        staging = os.path.join(self.path, ".staging-merge")
+        self._publish_rewrite(merged, merge_id, live, ".staging-merge")
+        return merge_id
+
+    def delete(self, predicate: str,
+               delete_id: str | None = None) -> str | None:
+        """DELETE WHERE as a snapshot operation (the third leg of the
+        DML triad: :meth:`append`, :meth:`merge`, delete): the live
+        table is rewritten WITHOUT the rows matching ``predicate`` (a
+        SQL boolean expression over the table's columns — e.g. the
+        GDPR/right-to-be-forgotten purge, the retention sweep) and
+        published with the same crash-safe two-phase manifest protocol.
+        Returns the new snapshot id, or None on an empty table.  A real
+        Iceberg DELETE rewrites only files containing matches (or
+        writes delete files); the full rewrite is the sandbox-scale
+        analog.  Deleting EVERY row leaves a data-less snapshot —
+        ``read()`` then raises exactly as on a never-written table."""
+        live = self._run_dirs()
+        if not live:
+            return None
+        if delete_id is None:
+            delete_id = f"delete-{self._next_version()}"
+        out = os.path.join(self.data_dir, f"run_id={delete_id}")
+        if os.path.isdir(out):
+            raise ValueError(f"snapshot {delete_id!r} already exists")
+        remaining = self.read().where(f"NOT ({predicate})")
+        self._publish_rewrite(remaining, delete_id, live,
+                              ".staging-delete")
+        return delete_id
+
+    def _next_version(self) -> int:
+        """Monotonic snapshot-version counter for auto-generated
+        merge/delete ids (ids derived from the LIVE snapshot count
+        repeat once a rewrite supersedes its sources — the counter
+        never reuses a number).  Reserved BEFORE the publish, so a
+        crash mid-operation skips a version rather than colliding.
+        Single-writer maintenance assumption, like the fixed staging
+        names."""
+        p = os.path.join(self.path, "_VERSION")
+        v = 0
+        if os.path.exists(p):
+            with open(p) as fh:
+                v = int(fh.read().strip() or 0)
+        v += 1
+        os.makedirs(self.path, exist_ok=True)
+        with open(p, "w") as fh:
+            fh.write(str(v))
+        return v
+
+    def _publish_rewrite(self, df: DataFrame, new_id: str,
+                         live: list[str], staging_name: str) -> None:
+        """Shared phase-1/2/3 of every full-table rewrite (merge,
+        delete): staged write + ``_COMPACTED_FROM`` manifest naming the
+        superseded snapshots, one atomic publish, then source cleanup
+        (:meth:`vacuum` finishes it after a crash)."""
+        import shutil
+
+        staging = os.path.join(self.path, staging_name)
         shutil.rmtree(staging, ignore_errors=True)
-        merged.write.mode("overwrite").parquet(staging)
+        df.write.mode("overwrite").parquet(staging)
         with open(os.path.join(staging, "_COMPACTED_FROM"), "w") as fh:
             fh.write("\n".join(live))
         os.makedirs(self.data_dir, exist_ok=True)
+        out = os.path.join(self.data_dir, f"run_id={new_id}")
         os.replace(staging, out)        # publish: old state now dead
         for n in live:
             shutil.rmtree(os.path.join(self.data_dir, n),
                           ignore_errors=True)
-        return merge_id
 
     def vacuum(self) -> list[str]:
         """Remove compaction-superseded run dirs still on disk (crash
@@ -223,7 +279,8 @@ class Table:
         import shutil
 
         removed: list[str] = []
-        for sname in (".staging-compact", ".staging-merge"):
+        for sname in (".staging-compact", ".staging-merge",
+                      ".staging-delete"):
             staging = os.path.join(self.path, sname)
             if os.path.isdir(staging):
                 shutil.rmtree(staging, ignore_errors=True)

@@ -338,3 +338,48 @@ def test_weighted_sample_bias_toward_heavy_rows(spark):
 
     with pytest.raises(ValueError):
         weighted_sample(df, 0, "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# DELETE WHERE + snapshot-id uniqueness
+# ---------------------------------------------------------------------------
+
+def test_table_delete_where(spark, tmp_path):
+    t = Table(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "id long, v string"), "r1")
+    did = t.delete("id % 2 = 0")
+    assert t.snapshots() == [did]
+    assert sorted(r.id for r in t.read().collect()) == [1, 3, 5]
+    # empty table -> None
+    t2 = Table(spark, str(tmp_path / "tbl2"))
+    assert t2.delete("id = 1") is None
+
+
+def test_table_rewrite_ids_never_collide(spark, tmp_path):
+    """Auto ids once derived from the LIVE snapshot count collide after
+    a rewrite supersedes its sources; the version counter must not."""
+    t = Table(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                   "id long, v string"), "r1")
+    ids = []
+    for k in range(3):       # merge, merge, delete back-to-back
+        ids.append(t.merge(spark.createDataFrame(
+            [(10 + k, "n")], "id long, v string"), ["id"]))
+    ids.append(t.delete("id = 1"))
+    ids.append(t.delete("id = 2"))
+    assert len(set(ids)) == 5
+    got = sorted(r.id for r in t.read().collect())
+    assert got == [3, 10, 11, 12]
+
+
+def test_vacuum_reclaims_abandoned_delete_staging(spark, tmp_path):
+    import os
+
+    t = Table(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"), "r1")
+    staging = os.path.join(t.path, ".staging-delete")
+    os.makedirs(staging)
+    removed = t.vacuum()
+    assert ".staging-delete" in removed and not os.path.isdir(staging)
+    assert t.read().count() == 1
