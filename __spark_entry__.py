@@ -1840,6 +1840,39 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", "priority")
 
 
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (local clustering-coefficient numerator)
+    over the co-supply graph — suppliers linked when they ship the same
+    part.  Degree-oriented enumeration: each triangle found exactly
+    once, hub fanout bounded by arboricity (operators/graph
+    .triangle_counts); the oracle recomputes the textbook definition,
+    so the hash match proves the oriented plan equivalent."""
+    from frogocr_spark.operators.graph import triangle_counts
+    ps = (_read(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey").dropDuplicates())
+    a = ps.select(F.col("l_partkey").alias("pk"),
+                  F.col("l_suppkey").alias("src"))
+    b = ps.select(F.col("l_partkey").alias("pk"),
+                  F.col("l_suppkey").alias("dst"))
+    edges = (a.join(b, "pk").where(F.col("src") < F.col("dst"))
+             .select("src", "dst").dropDuplicates())
+    return triangle_counts(edges)
+
+
+def _q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector centroid (the k-means update / class-prototype
+    primitive) made engine-exact: int8-quantized components summed
+    element-wise as int64 — order-independent where a float vector mean
+    never is (operators/similarity.quantized_centroids).  The exact sum
+    vector is emitted (comma-joined; the float mean finish is derivable
+    as sum/n and stays out of the hash)."""
+    from frogocr_spark.operators.similarity import quantized_centroids
+    emb = _read(spark, sf_dir, "embeddings")
+    out = quantized_centroids(emb, "label")
+    return out.select("label", F.col("n").cast("long").alias("n"),
+                      F.concat_ws(",", "centroid_sum").alias("sum_str"))
+
+
 def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO (upsert) semantics as one anti-join + union: a CDC
     batch of updates (every doc_id % 10 == 0, text uppercased, source
@@ -1983,6 +2016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "sql_surface": _q_sql_surface,
         "bpe_vocab": _q_bpe_vocab,
+        "triangles": _q_triangles,
+        "emb_centroids": _q_emb_centroids,
         "merge_upsert": _q_merge_upsert,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
@@ -3851,7 +3886,43 @@ FROM pos2
                    END), ',') AS qstr
         FROM lh
     """
-    from frogocr_spark.operators.graph import pagerank_int_oracle_sql
+    from frogocr_spark.operators.graph import (pagerank_int_oracle_sql,
+                                               triangle_counts_oracle_sql)
+    o["triangles"] = triangle_counts_oracle_sql(
+        "SELECT a.l_suppkey AS src, b.l_suppkey AS dst "
+        "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a "
+        "JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b "
+        "USING (l_partkey) WHERE a.l_suppkey < b.l_suppkey")
+    o["emb_centroids"] = r"""
+        WITH lh AS (
+            SELECT label, embedding,
+                   CAST(list_min(embedding) AS DOUBLE) AS lo,
+                   CAST(list_max(embedding) AS DOUBLE) AS hi
+            FROM embeddings
+        ), q AS (
+            SELECT label,
+                   list_transform(embedding, x ->
+                       CASE WHEN hi = lo THEN 0
+                            ELSE CAST(floor((CAST(x AS DOUBLE) - lo)
+                                            * 255.0 / (hi - lo) + 0.5)
+                                      - 128 AS BIGINT)
+                       END) AS qvec
+            FROM lh
+        ), ex AS (
+            SELECT label, pp.pos AS pos, pp.qv AS qv FROM (
+                SELECT label,
+                       unnest([{'pos': j, 'qv': qvec[j]}
+                               for j in range(1, len(qvec) + 1)]) AS pp
+                FROM q)
+        ), agg AS (
+            SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS s,
+                   COUNT(*) AS n
+            FROM ex GROUP BY label, pos
+        )
+        SELECT label, CAST(MAX(n) AS BIGINT) AS n,
+               array_to_string(list(s ORDER BY pos), ',') AS sum_str
+        FROM agg GROUP BY label
+    """
     o["cms_heavy"] = r"""
         WITH tok AS (
             SELECT unnest(list_filter(

@@ -93,7 +93,8 @@ BENCH_QUERIES = [
     "histogram", "decimal_stats", "zorder_layout", "profile",
     "tpch_q2_mincost", "json_extract",
     "semdedup", "lm_filter", "containment", "outliers",
-    "weighted_sample", "sql_surface", "bpe_vocab", "merge_upsert",
+    "weighted_sample", "sql_surface", "bpe_vocab", "triangles",
+    "emb_centroids", "merge_upsert",
 ]
 
 

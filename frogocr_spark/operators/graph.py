@@ -124,3 +124,105 @@ def pagerank_int_oracle_sql(edges_sql: str, iters: int = 3,
     sql[-1] = sql[-1].rstrip(",")
     sql.append(f"SELECT node, score FROM it{iters}")
     return "\n".join(sql)
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an undirected graph (the local
+    clustering-coefficient numerator; the classic multi-way-join
+    distributed-graph benchmark).  Input: an edge list in ANY mix of
+    directions/duplicates/self-loops — normalized to a canonical
+    undirected simple graph first.
+
+    Scale shape — degree orientation, the standard trick: every edge is
+    oriented from its lower-(degree, id) endpoint to the higher one, so
+    each triangle is enumerated EXACTLY once as a path u→v→w plus one
+    closing-edge semi-join, and a high-degree hub never fans out as a
+    join source (out-degree under this orientation is bounded by
+    O(sqrt(|E|)) / graph arboricity — the wedge count collapses from
+    Σ deg² to Σ oriented-deg², the difference between infeasible and
+    linear-ish on power-law graphs).  Two equi-joins + one broadcastable
+    degree join; no cartesian anywhere.  Output: ``(node, n_triangles)``
+    for every node of the graph (0 for triangle-free nodes)."""
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .where("u <> v"))
+    und = (und.select(F.least("u", "v").alias("u"),
+                      F.greatest("u", "v").alias("v"))
+           .dropDuplicates(["u", "v"]))
+    nodes = (und.select(F.col("u").alias("node"))
+             .unionByName(und.select(F.col("v").alias("node")))
+             .dropDuplicates(["node"]))
+    deg = (und.select(F.col("u").alias("node"))
+           .unionByName(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    # orient by (deg, id): a -> b iff (deg_a, a) < (deg_b, b)
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = (und.join(du, "u").join(dv, "v")
+                .select(
+                    F.when((F.col("du") < F.col("dv"))
+                           | ((F.col("du") == F.col("dv"))
+                              & (F.col("u") < F.col("v"))),
+                           F.struct(F.col("u").alias("a"),
+                                    F.col("v").alias("b")))
+                    .otherwise(F.struct(F.col("v").alias("a"),
+                                        F.col("u").alias("b")))
+                    .alias("e"))
+                .select("e.a", "e.b"))
+    # wedges a->b, a->c (b < c by id to de-duplicate the unordered pair)
+    e1 = oriented.select(F.col("a"), F.col("b"))
+    e2 = oriented.select(F.col("a"), F.col("b").alias("c"))
+    wedges = (e1.join(e2, "a").where(F.col("b") < F.col("c")))
+    # closing edge: (b, c) present in the UNDIRECTED canonical set
+    closing = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])
+    per_node = (tris.select(F.explode(F.array("a", "b", "c"))
+                            .alias("node"))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("n_tri")))
+    return (nodes.join(per_node, "node", "left")
+            .select("node",
+                    F.coalesce(F.col("n_tri"), F.lit(0)).cast("long")
+                    .alias("n_triangles")))
+
+
+def triangle_counts_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin: canonicalize, orient by (degree, id), wedge join +
+    closing-edge join, explode the three corners — identical semantics,
+    so the hash match proves the degree-oriented plan equivalent to the
+    textbook definition."""
+    return f"""
+        WITH raw AS ({edges_sql}),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        ), nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        ), deg AS (
+            SELECT node, COUNT(*) AS d FROM (
+                SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+            GROUP BY node
+        ), oriented AS (
+            SELECT CASE WHEN (da.d < db.d)
+                             OR (da.d = db.d AND und.u < und.v)
+                        THEN und.u ELSE und.v END AS a,
+                   CASE WHEN (da.d < db.d)
+                             OR (da.d = db.d AND und.u < und.v)
+                        THEN und.v ELSE und.u END AS b
+            FROM und JOIN deg da ON da.node = und.u
+                     JOIN deg db ON db.node = und.v
+        ), tris AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM oriented e1 JOIN oriented e2 ON e1.a = e2.a
+            WHERE e1.b < e2.b
+              AND EXISTS (SELECT 1 FROM und
+                          WHERE und.u = e1.b AND und.v = e2.b)
+        ), corners AS (
+            SELECT unnest([a, b, c]) AS node FROM tris
+        ), cnt AS (
+            SELECT node, COUNT(*) AS n FROM corners GROUP BY node
+        )
+        SELECT nodes.node, CAST(COALESCE(cnt.n, 0) AS BIGINT)
+               AS n_triangles
+        FROM nodes LEFT JOIN cnt USING (node)
+    """

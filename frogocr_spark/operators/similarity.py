@@ -338,7 +338,8 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
 
 
 def quantize_minmax_int8(df: DataFrame, vec_col: str = "embedding",
-                         id_col: str = "vec_id") -> DataFrame:
+                         id_col: str = "vec_id",
+                         keep_cols: tuple = ()) -> DataFrame:
     """Per-vector min-max int8 quantization — the storage/ANN-shrink
     pass (4 bytes/dim → 1): each component maps to
     ``floor((x − lo) · 255 / (hi − lo) + 0.5) − 128 ∈ [−128, 127]``
@@ -363,7 +364,7 @@ def quantize_minmax_int8(df: DataFrame, vec_col: str = "embedding",
         v, lambda x: F.when(hi == lo, F.lit(0))
         .otherwise((F.floor((x.cast("double") - lo) * 255.0 / (hi - lo)
                             + 0.5) - 128).cast("int")).cast("int"))
-    return df.select(id_col, lo.alias("lo"), hi.alias("hi"),
+    return df.select(id_col, *keep_cols, lo.alias("lo"), hi.alias("hi"),
                      q.alias("qvec"))
 
 
@@ -438,3 +439,39 @@ def semdedup_pairs(corpus: DataFrame, n_seeds: int, threshold: float, *,
     return (pairs.withColumn("cosine", cos)
             .where(F.col("cosine") >= F.lit(threshold))
             .select("id_a", "id_b", "cluster_id", "cosine"))
+
+
+def quantized_centroids(df: DataFrame, group_col: str = "label",
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Distributed per-group vector mean — the k-means centroid-update /
+    class-prototype primitive — made ENGINE-EXACT: vectors pass through
+    the int8 min-max grid (:func:`quantize_minmax_int8`, every step
+    exactly representable) and the centroid is the element-wise INT64
+    SUM of the quantized components plus the group count.  Integer
+    addition is order-independent, so the centroid bits cannot depend
+    on partitioning or engine — a float vector mean differs in the last
+    ulp per shuffle order and can never be value-hash-checked.  The
+    ``centroid_mean`` column is the one-IEEE-division finish
+    (``sum/n`` per component, rounded once).
+
+    Scale shape: posexplode → ONE (group, position)-keyed aggregation —
+    map-side combined, shuffle bounded by #groups × dim regardless of
+    corpus size — then a #groups-sized reassembly (sort-by-position
+    collect_list).  No joins; the corpus is read once."""
+    q = quantize_minmax_int8(df, vec_col, id_col,
+                             keep_cols=(group_col,))
+    ex = q.select(group_col, F.posexplode("qvec").alias("pos", "qv"))
+    agg = (ex.groupBy(group_col, "pos")
+           .agg(F.sum(F.col("qv").cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n")))
+    cent = (agg.groupBy(group_col)
+            .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                     lambda x: x["s"]).alias("centroid_sum"),
+                 F.max("n").alias("n")))
+    return cent.select(
+        group_col, "n", "centroid_sum",
+        F.transform(F.col("centroid_sum"),
+                    lambda s: F.round(s.cast("double") / F.col("n"), 6))
+        .alias("centroid_mean"))

@@ -383,3 +383,76 @@ def test_vacuum_reclaims_abandoned_delete_staging(spark, tmp_path):
     removed = t.vacuum()
     assert ".staging-delete" in removed and not os.path.isdir(staging)
     assert t.read().count() == 1
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+def test_triangle_counts_hand_computed(spark):
+    from frogocr_spark.operators.graph import triangle_counts
+    # K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant 5 + isolated
+    # edge (6,7); input deliberately messy: reversed dirs, dups, a
+    # self-loop
+    edges = [(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (2, 3), (4, 2),
+             (3, 4), (4, 5), (6, 7), (7, 6), (5, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0}
+
+
+def test_triangle_counts_triangle_free_and_total(spark):
+    from frogocr_spark.operators.graph import triangle_counts
+    # bipartite (no triangles)
+    df = spark.createDataFrame([(1, 10), (1, 11), (2, 10), (2, 11)],
+                               "src long, dst long")
+    got = triangle_counts(df).collect()
+    assert all(r.n_triangles == 0 for r in got) and len(got) == 4
+    # chained triangles sharing an edge: (1,2,3) and (2,3,4)
+    df2 = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)],
+                                "src long, dst long")
+    got2 = {r.node: r.n_triangles
+            for r in triangle_counts(df2).collect()}
+    assert got2 == {1: 1, 2: 2, 3: 2, 4: 1}
+    # sum of per-node counts = 3 * #triangles
+    assert sum(got2.values()) == 3 * 2
+
+
+# ---------------------------------------------------------------------------
+# quantized centroids
+# ---------------------------------------------------------------------------
+
+def test_quantized_centroids_hand_computed(spark):
+    from frogocr_spark.operators.similarity import (quantize_minmax_int8,
+                                                    quantized_centroids)
+    rows = [(0, 0, [0.0, 1.0]), (1, 0, [1.0, 0.0]),
+            (2, 1, [0.5, 0.5]), (3, 1, [2.0, 2.0])]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, label int, embedding array<float>")
+    # quantization: [0,1] -> [-128, 127]; constant vector -> all 0
+    q = {r.vec_id: list(r.qvec)
+         for r in quantize_minmax_int8(df).collect()}
+    assert q == {0: [-128, 127], 1: [127, -128], 2: [0, 0], 3: [0, 0]}
+    got = {r.label: (r.n, list(r.centroid_sum), list(r.centroid_mean))
+           for r in quantized_centroids(df, "label").collect()}
+    assert got[0] == (2, [-1, -1], [-0.5, -0.5])
+    assert got[1] == (2, [0, 0], [0.0, 0.0])
+
+
+def test_quantized_centroids_order_independent(spark):
+    """The whole point: identical bits under any partitioning."""
+    from frogocr_spark.operators.similarity import quantized_centroids
+    import random
+    rng = random.Random(3)
+    rows = [(i, i % 3, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(60)]
+    df1 = spark.createDataFrame(rows,
+                                "vec_id long, label int, embedding array<float>")
+    df2 = spark.createDataFrame(list(reversed(rows)),
+                                "vec_id long, label int, embedding array<float>"
+                                ).repartition(7)
+    a = {r.label: list(r.centroid_sum)
+         for r in quantized_centroids(df1, "label").collect()}
+    b = {r.label: list(r.centroid_sum)
+         for r in quantized_centroids(df2, "label").collect()}
+    assert a == b

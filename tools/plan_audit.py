@@ -487,6 +487,30 @@ def main() -> None:
                 and "rangepartitioning" not in plan.lower(),
                 f"anti={'LeftAnti' in plan}, union={'Union' in plan}")
 
+    # 28. Triangle counting: equi-joins only — degree orientation means
+    #     no cartesian/nested-loop anywhere in the wedge + closing plan.
+    from frogocr_spark.operators.graph import triangle_counts
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    ps = li.select("l_partkey", "l_suppkey").dropDuplicates()
+    eg = (ps.selectExpr("l_partkey pk", "l_suppkey src")
+          .join(ps.selectExpr("l_partkey pk", "l_suppkey dst"), "pk")
+          .where("src < dst").select("src", "dst").dropDuplicates())
+    plan = executed(triangle_counts(eg))
+    ok &= check("triangle counting is equi-joins only, no cartesian",
+                "CartesianProduct" not in plan
+                and "BroadcastNestedLoopJoin" not in plan,
+                f"joins={plan.count('Join')}, cartesian=0")
+
+    # 29. Quantized centroids: ONE corpus scan, no joins — the shuffle
+    #     carries (group, position) partial sums, map-side combined.
+    from frogocr_spark.operators.similarity import quantized_centroids
+    plan = executed(quantized_centroids(emb, "label"))
+    ok &= check("quantized centroids: one scan, keyed agg, no join",
+                plan.count("Scan parquet") == 1 and "Join" not in plan
+                and "partial_sum" in plan,
+                f"scans={plan.count('Scan parquet')}, "
+                f"joins={plan.count('Join')}")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
