@@ -1873,6 +1873,40 @@ def _q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.concat_ws(",", "centroid_sum").alias("sum_str"))
 
 
+def _q_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: blocked edit-distance self-join over the corpus
+    vocabulary (every word pair within Levenshtein 2).  Blocking is
+    COMPLETE — |len(a)−len(b)| ≤ d is necessary for lev ≤ d, so the
+    asymmetric length-key expansion loses no pairs — and the oracle is
+    the textbook all-pairs formulation, so the hash match proves the
+    blocked plan equivalent (operators/joins.fuzzy_self_join_blocked)."""
+    from frogocr_spark.operators.dedup import _shingle_expr
+    from frogocr_spark.operators.joins import fuzzy_self_join_blocked
+    words = (_read(spark, sf_dir, "documents")
+             .select(F.explode(_shingle_expr("text", 1, None))
+                     .alias("w"))
+             .dropDuplicates(["w"]))
+    return fuzzy_self_join_blocked(words, "w", "w", max_dist=2)
+
+
+def _q_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch × event time: per-hour per-type distinct users via the
+    same deterministic HLL as hll_distinct, keyed on an integer
+    epoch-hour window (unix_micros DIV 3600000000 — the session-UTC
+    identity on naive timestamps, == DuckDB epoch_us; no calendar or
+    locale rules).  The dashboard shape of streaming distinct
+    counting; state per (window, type) is ≤ m registers regardless of
+    traffic (operators/sketches.hll_estimate)."""
+    from frogocr_spark.operators.sketches import hll_estimate
+    ev = (_read(spark, sf_dir, "events")
+          .withColumn("win", F.expr(
+              "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000")))
+    exact = ev.groupBy("win", "event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact"))
+    est = hll_estimate(ev, ["win", "event_type"], "user_id", p=8)
+    return exact.join(est, ["win", "event_type"])
+
+
 def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO (upsert) semantics as one anti-join + union: a CDC
     batch of updates (every doc_id % 10 == 0, text uppercased, source
@@ -2018,6 +2052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": _q_bpe_vocab,
         "triangles": _q_triangles,
         "emb_centroids": _q_emb_centroids,
+        "fuzzy_vocab": _q_fuzzy_vocab,
+        "hll_windows": _q_hll_windows,
         "merge_upsert": _q_merge_upsert,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
@@ -3808,6 +3844,52 @@ FROM pos2
         SELECT event_type, n_exact, n_zero_regs, reg_sum_scaled,
                round({_c['est_num']!r} / reg_sum_scaled, 3) AS hll_est
         FROM ex JOIN agg USING (event_type)
+    """
+    o["hll_windows"] = f"""
+        WITH h AS (
+            SELECT epoch_us(ts) // 3600000000 AS win,
+                   event_type,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   ::BIGINT AS h,
+                   user_id
+            FROM events
+        ), r AS (
+            SELECT win, event_type, h >> {_c['w']} AS bucket,
+                   CASE WHEN (h & {_c['rem_mask']}) = 0 THEN {_c['maxrho']}
+                        ELSE {_c['w']} + 1
+                             - length(bin(h & {_c['rem_mask']})) END AS rho
+            FROM h
+        ), regs AS (
+            SELECT win, event_type, bucket, max(rho) AS reg
+            FROM r GROUP BY 1, 2, 3
+        ), agg AS (
+            SELECT win, event_type,
+                   CAST(CAST(sum(1::BIGINT << ({_c['maxrho']} - reg))
+                             AS BIGINT)
+                        + ({_c['m']} - count(*)) * {_c['empty_term']}
+                        AS BIGINT) AS reg_sum_scaled,
+                   CAST({_c['m']} - count(*) AS INT) AS n_zero_regs
+            FROM regs GROUP BY 1, 2
+        ), ex AS (
+            SELECT win, event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM h GROUP BY 1, 2
+        )
+        SELECT win, event_type, n_exact, n_zero_regs, reg_sum_scaled,
+               round({_c['est_num']!r} / reg_sum_scaled, 3) AS hll_est
+        FROM ex JOIN agg USING (win, event_type)
+    """
+    o["fuzzy_vocab"] = r"""
+        WITH w AS (
+            SELECT DISTINCT unnest(list_filter(
+                string_split_regex(trim(text), '\s+'),
+                x -> x <> '')) AS w
+            FROM documents
+        )
+        SELECT a.w AS id_a, b.w AS id_b, a.w AS val_a, b.w AS val_b,
+               CAST(levenshtein(a.w, b.w) AS INT) AS lev
+        FROM w a JOIN w b ON a.w < b.w
+        WHERE levenshtein(a.w, b.w) <= 2
     """
     o["inverted_index"] = r"""
         WITH tok AS (

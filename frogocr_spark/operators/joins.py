@@ -116,3 +116,48 @@ def nearest_neighbor_join(left: DataFrame, right: DataFrame, keys: list[str],
     w = Window.partitionBy(*left_id).orderBy(dist.asc(), F.col("_rv").asc())
     return (joined.withColumn("_rk", F.row_number().over(w))
             .where("_rk = 1").drop("_rk", "_rv"))
+
+
+def fuzzy_self_join_blocked(df: DataFrame, col: str, id_col: str,
+                            max_dist: int = 2) -> DataFrame:
+    """Blocked edit-distance self-join — record linkage / fuzzy entity
+    matching: every unordered pair of rows whose ``col`` values are
+    within Levenshtein distance ``max_dist``.
+
+    Blocking is COMPLETE (no recall loss): ``|len(a) − len(b)| ≤ d`` is
+    a NECESSARY condition for ``lev(a,b) ≤ d``, so candidates are
+    generated by an asymmetric length-key expansion — each row probes
+    as "left" under keys ``len .. len+d`` while standing as "right"
+    under its own length — and every qualifying pair meets EXACTLY once
+    (shorter side left; equal lengths tie-break on id).  This replaces
+    the O(N²) all-pairs comparison with per-length-bucket joins; the
+    expensive ``levenshtein`` runs only on survivors.  A length bucket
+    is only as selective as the length distribution — for heavier
+    corpora compose with a second block key (e.g. a character n-gram,
+    the standard multi-pass record-linkage setup).
+
+    Output: ``(id_a, id_b, val_a, val_b, lev)`` with ``id_a < id_b``."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    base = (df.select(F.col(id_col).alias("_fid"),
+                      F.col(col).alias("_fval"))
+            .where(F.col(col).isNotNull()))
+    ln = F.length("_fval")
+    left = base.select(
+        "_fid", "_fval", ln.alias("_flen"),
+        F.explode(F.sequence(ln, ln + max_dist)).alias("_k"))
+    right = base.select(F.col("_fid").alias("_gid"),
+                        F.col("_fval").alias("_gval"),
+                        ln.alias("_k"))
+    cand = (left.join(right, "_k")
+            .where(((F.col("_flen") < F.col("_k"))
+                    | (F.col("_fid") < F.col("_gid"))))
+            .where(F.levenshtein("_fval", "_gval") <= max_dist))
+    return cand.select(
+        F.least("_fid", "_gid").alias("id_a"),
+        F.greatest("_fid", "_gid").alias("id_b"),
+        F.when(F.col("_fid") < F.col("_gid"), F.col("_fval"))
+        .otherwise(F.col("_gval")).alias("val_a"),
+        F.when(F.col("_fid") < F.col("_gid"), F.col("_gval"))
+        .otherwise(F.col("_fval")).alias("val_b"),
+        F.levenshtein("_fval", "_gval").cast("int").alias("lev"))

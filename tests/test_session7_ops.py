@@ -456,3 +456,47 @@ def test_quantized_centroids_order_independent(spark):
     b = {r.label: list(r.centroid_sum)
          for r in quantized_centroids(df2, "label").collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# blocked fuzzy self-join
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_self_join_blocked_matches_all_pairs(spark):
+    from frogocr_spark.operators.joins import fuzzy_self_join_blocked
+    words = ["kitten", "sitting", "kitchen", "cat", "cap", "cart",
+             "dog", "do", "door"]
+    df = spark.createDataFrame([(w, w) for w in words],
+                               "wid string, w string")
+    got = {(r.id_a, r.id_b, r.lev) for r in
+           fuzzy_self_join_blocked(df, "w", "wid", max_dist=2).collect()}
+    import itertools
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            nd = [i]
+            for j, cb in enumerate(b, 1):
+                nd.append(min(d[j] + 1, nd[-1] + 1,
+                              d[j - 1] + (ca != cb)))
+            d = nd
+        return d[-1]
+    want = {(min(a, b), max(a, b), lev(a, b))
+            for a, b in itertools.combinations(words, 2)
+            if lev(a, b) <= 2}
+    assert got == want
+    # completeness across a length gap: ("do","door") lev 2 is present
+    assert ("do", "door", 2) in got
+    # no duplicates: ordered-pair set size equals row count
+    rows = fuzzy_self_join_blocked(df, "w", "wid", max_dist=2).collect()
+    assert len(rows) == len(got)
+
+
+def test_fuzzy_self_join_max_dist_zero_is_exact_dup(spark):
+    from frogocr_spark.operators.joins import fuzzy_self_join_blocked
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abc"), (3, "abd")], "wid long, w string")
+    got = {(r.id_a, r.id_b) for r in
+           fuzzy_self_join_blocked(df, "w", "wid", max_dist=0).collect()}
+    assert got == {(1, 2)}
+    with pytest.raises(ValueError):
+        fuzzy_self_join_blocked(df, "w", "wid", max_dist=-1)
