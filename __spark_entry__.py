@@ -1842,19 +1842,24 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (local clustering-coefficient numerator)
-    over the co-supply graph — suppliers linked when they ship the same
-    part.  Degree-oriented enumeration: each triangle found exactly
-    once, hub fanout bounded by arboricity (operators/graph
-    .triangle_counts); the oracle recomputes the textbook definition,
-    so the hash match proves the oriented plan equivalent."""
+    over the co-event graph — users linked when they act inside the
+    same 1-minute window (the co-occurrence graph every social/abuse
+    analysis starts from; the co-supply alternative is near-COMPLETE on
+    this synthetic universe — every part has ~30 suppliers — which
+    makes triangle output cubic by construction, a property of that
+    graph, not of the operator).  Degree-oriented enumeration: each
+    triangle found exactly once, hub fanout bounded by arboricity
+    (operators/graph.triangle_counts); the oracle recomputes the
+    textbook definition, so the hash match proves the oriented plan
+    equivalent."""
     from frogocr_spark.operators.graph import triangle_counts
-    ps = (_read(spark, sf_dir, "lineitem")
-          .select("l_partkey", "l_suppkey").dropDuplicates())
-    a = ps.select(F.col("l_partkey").alias("pk"),
-                  F.col("l_suppkey").alias("src"))
-    b = ps.select(F.col("l_partkey").alias("pk"),
-                  F.col("l_suppkey").alias("dst"))
-    edges = (a.join(b, "pk").where(F.col("src") < F.col("dst"))
+    b = (_read(spark, sf_dir, "events")
+         .select(F.expr("unix_micros(CAST(ts AS TIMESTAMP)) "
+                        "DIV 60000000").alias("win"), "user_id")
+         .dropDuplicates())
+    a1 = b.select("win", F.col("user_id").alias("src"))
+    a2 = b.select("win", F.col("user_id").alias("dst"))
+    edges = (a1.join(a2, "win").where(F.col("src") < F.col("dst"))
              .select("src", "dst").dropDuplicates())
     return triangle_counts(edges)
 
@@ -1905,6 +1910,36 @@ def _q_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("n_exact"))
     est = hll_estimate(ev, ["win", "event_type"], "user_id", p=8)
     return exact.join(est, ["win", "event_type"])
+
+
+def _q_entity_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution — the capstone composition: blocked
+    fuzzy matching (lev ≤ 2 vocabulary pairs) → star-contraction
+    connected components → canonical form per entity cluster (the
+    lexicographically-smallest member; word ids are ascending-order
+    dense ranks, so min id ≡ min word and the oracle's recursive-CTE
+    min-label closure names the identical canonical).  Words in no pair
+    canonicalize to themselves.  The hash match verifies matcher,
+    clustering AND resolution in one row set."""
+    from frogocr_spark.operators.dedup import _shingle_expr, dup_clusters_star
+    from frogocr_spark.operators.joins import fuzzy_self_join_blocked
+    from frogocr_spark.operators.ranking import global_rank
+
+    words = (_read(spark, sf_dir, "documents")
+             .select(F.explode(_shingle_expr("text", 1, None)).alias("w"))
+             .dropDuplicates(["w"]))
+    ranked = global_rank(words, ["w"], rank_col="wid")
+    pairs = (fuzzy_self_join_blocked(ranked, "w", "wid", max_dist=2)
+             .select("id_a", "id_b"))
+    clusters = dup_clusters_star(pairs)       # (doc_id, cluster_id) = ids
+    ids = ranked.select(F.col("wid").alias("doc_id"), "w")
+    canon = ranked.select(F.col("wid").alias("cluster_id"),
+                          F.col("w").alias("canonical"))
+    resolved = (ids.join(clusters, "doc_id", "left")
+                .withColumn("cluster_id",
+                            F.coalesce("cluster_id", F.col("doc_id")))
+                .join(canon, "cluster_id"))
+    return resolved.select("w", "canonical")
 
 
 def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2054,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_centroids": _q_emb_centroids,
         "fuzzy_vocab": _q_fuzzy_vocab,
         "hll_windows": _q_hll_windows,
+        "entity_resolve": _q_entity_resolve,
         "merge_upsert": _q_merge_upsert,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
@@ -3879,6 +3915,22 @@ FROM pos2
                round({_c['est_num']!r} / reg_sum_scaled, 3) AS hll_est
         FROM ex JOIN agg USING (win, event_type)
     """
+    o["entity_resolve"] = r"""
+        WITH RECURSIVE w AS (
+            SELECT DISTINCT unnest(list_filter(
+                string_split_regex(trim(text), '\s+'),
+                x -> x <> '')) AS w
+            FROM documents
+        ), e AS (
+            SELECT a.w AS u, b.w AS v FROM w a JOIN w b ON a.w <> b.w
+            WHERE levenshtein(a.w, b.w) <= 2
+        ), lbl(node, l) AS (
+            SELECT w, w FROM w
+            UNION
+            SELECT e.v, lbl.l FROM lbl JOIN e ON e.u = lbl.node
+        )
+        SELECT node AS w, min(l) AS canonical FROM lbl GROUP BY node
+    """
     o["fuzzy_vocab"] = r"""
         WITH w AS (
             SELECT DISTINCT unnest(list_filter(
@@ -3971,10 +4023,12 @@ FROM pos2
     from frogocr_spark.operators.graph import (pagerank_int_oracle_sql,
                                                triangle_counts_oracle_sql)
     o["triangles"] = triangle_counts_oracle_sql(
-        "SELECT a.l_suppkey AS src, b.l_suppkey AS dst "
-        "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a "
-        "JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b "
-        "USING (l_partkey) WHERE a.l_suppkey < b.l_suppkey")
+        "SELECT a.user_id AS src, b.user_id AS dst FROM "
+        "(SELECT DISTINCT epoch_us(ts) // 60000000 AS win, user_id "
+        " FROM events) a JOIN "
+        "(SELECT DISTINCT epoch_us(ts) // 60000000 AS win, user_id "
+        " FROM events) b "
+        "ON a.win = b.win AND a.user_id < b.user_id")
     o["emb_centroids"] = r"""
         WITH lh AS (
             SELECT label, embedding,

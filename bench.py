@@ -94,7 +94,8 @@ BENCH_QUERIES = [
     "tpch_q2_mincost", "json_extract",
     "semdedup", "lm_filter", "containment", "outliers",
     "weighted_sample", "sql_surface", "bpe_vocab", "triangles",
-    "emb_centroids", "fuzzy_vocab", "hll_windows", "merge_upsert",
+    "emb_centroids", "fuzzy_vocab", "hll_windows", "entity_resolve",
+    "merge_upsert",
 ]
 
 

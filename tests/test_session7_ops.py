@@ -500,3 +500,33 @@ def test_fuzzy_self_join_max_dist_zero_is_exact_dup(spark):
     assert got == {(1, 2)}
     with pytest.raises(ValueError):
         fuzzy_self_join_blocked(df, "w", "wid", max_dist=-1)
+
+
+# ---------------------------------------------------------------------------
+# entity resolution (fuzzy pairs -> CC -> canonical)
+# ---------------------------------------------------------------------------
+
+def test_entity_resolution_transitive_chain(spark):
+    """A chain aaaa-aaab-aabb-abbb links transitively (ends are lev 3
+    apart, over max_dist) — the whole chain must resolve to one
+    canonical; unrelated words keep themselves."""
+    from frogocr_spark.operators.dedup import dup_clusters_star
+    from frogocr_spark.operators.joins import fuzzy_self_join_blocked
+    from frogocr_spark.operators.ranking import global_rank
+
+    words = ["aaaa", "aaab", "aabb", "abbb", "zzzz"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    ranked = global_rank(df, ["w"], rank_col="wid")
+    pairs = (fuzzy_self_join_blocked(ranked, "w", "wid", max_dist=2)
+             .select("id_a", "id_b"))
+    clusters = dup_clusters_star(pairs)
+    ids = ranked.selectExpr("wid AS doc_id", "w")
+    canon = ranked.selectExpr("wid AS cluster_id", "w AS canonical")
+    from pyspark.sql import functions as FF
+    resolved = (ids.join(clusters, "doc_id", "left")
+                .withColumn("cluster_id",
+                            FF.coalesce("cluster_id", FF.col("doc_id")))
+                .join(canon, "cluster_id"))
+    got = {r.w: r.canonical for r in resolved.collect()}
+    assert got == {"aaaa": "aaaa", "aaab": "aaaa", "aabb": "aaaa",
+                   "abbb": "aaaa", "zzzz": "zzzz"}

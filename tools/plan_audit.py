@@ -490,10 +490,11 @@ def main() -> None:
     # 28. Triangle counting: equi-joins only — degree orientation means
     #     no cartesian/nested-loop anywhere in the wedge + closing plan.
     from frogocr_spark.operators.graph import triangle_counts
-    li = spark.read.parquet(f"{SF}/lineitem.parquet")
-    ps = li.select("l_partkey", "l_suppkey").dropDuplicates()
-    eg = (ps.selectExpr("l_partkey pk", "l_suppkey src")
-          .join(ps.selectExpr("l_partkey pk", "l_suppkey dst"), "pk")
+    bo = (ev.selectExpr("unix_micros(CAST(ts AS TIMESTAMP)) "
+                        "DIV 60000000 AS win", "user_id")
+          .dropDuplicates())
+    eg = (bo.selectExpr("win", "user_id src")
+          .join(bo.selectExpr("win", "user_id dst"), "win")
           .where("src < dst").select("src", "dst").dropDuplicates())
     plan = executed(triangle_counts(eg))
     ok &= check("triangle counting is equi-joins only, no cartesian",
