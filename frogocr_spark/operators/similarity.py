@@ -393,6 +393,13 @@ def seed_assignments(corpus: DataFrame, n_seeds: int, *,
              .orderBy(F.md5(F.col(id_col).cast("string")),
                       F.col(id_col))
              .limit(n_seeds).collect())
+    if not seeds:
+        raise ValueError("seed_assignments: empty corpus")
+    if len(seeds) == 1:
+        # one-row corpus: a single cluster, trivially (greatest()
+        # needs >= 2 operands)
+        return corpus.withColumn(
+            "cluster_id", F.lit(int(seeds[0][id_col])).cast("long"))
     cands = []
     for row in seeds:
         sid = int(row[id_col])

@@ -530,3 +530,13 @@ def test_entity_resolution_transitive_chain(spark):
     got = {r.w: r.canonical for r in resolved.collect()}
     assert got == {"aaaa": "aaaa", "aaab": "aaaa", "aabb": "aaaa",
                    "abbb": "aaaa", "zzzz": "zzzz"}
+
+
+def test_seed_assignments_degenerate_corpora(spark):
+    one = spark.createDataFrame([(7, [1.0, 0.0])],
+                                "vec_id long, embedding array<float>")
+    got = seed_assignments(one, 4).collect()
+    assert len(got) == 1 and got[0].cluster_id == 7
+    empty = one.where("vec_id < 0")
+    with pytest.raises(ValueError, match="empty corpus"):
+        seed_assignments(empty, 4)
