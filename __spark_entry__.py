@@ -1958,6 +1958,87 @@ def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert(docs, updates.unionByName(inserts), ["doc_id"])
 
 
+def _q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history from the append-only event log:
+    per user, consecutive repeats of event_type compress into versions
+    with [valid_from_us, valid_to_us) validity and a NULL-open current
+    version — the lakehouse dimension-history materialization, built
+    with two same-key windows instead of a MERGE loop
+    (operators/analytics.scd2_history)."""
+    from frogocr_spark.operators.analytics import scd2_history
+    ev = _read(spark, sf_dir, "events")
+    return scd2_history(ev, "user_id", "event_type")
+
+
+def _q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type: open/close picked by min_by/
+    max_by over the (unix_micros, event_id) total order in ONE keyed
+    aggregation (not the naive row_number-then-filter double shuffle);
+    the oracle uses the row_number formulation, so the hash match
+    proves the argmin/argmax plan equivalent
+    (operators/analytics.ohlc_bars)."""
+    from frogocr_spark.operators.analytics import ohlc_bars
+    ev = _read(spark, sf_dir, "events")
+    return ohlc_bars(ev, "event_type")
+
+
+def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly grid densification with last-observation-
+    carried-forward fill — the resampling step before any windowed
+    model over an irregular stream: bucket pre-agg -> bounds ->
+    distributed sequence-explode grid -> one keyed left join + one
+    keyed running window (operators/analytics.gap_fill_locf)."""
+    from frogocr_spark.operators.analytics import gap_fill_locf
+    ev = _read(spark, sf_dir, "events")
+    return gap_fill_locf(ev, "user_id")
+
+
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-to-dim join: events (5 distinct event_type
+    values — key cardinality far below task count, the skew class AQE's
+    byte-based split can't always see) joined to per-type totals on
+    (key, salt) with the dim replicated 8x and a deterministic
+    xxhash64(event_id) salt; shuffle_hash hint pins the non-broadcast
+    path so the salted shuffle is the demonstrated plan.  The oracle is
+    the PLAIN join, so the hash match proves salting a pure plan
+    transform (operators/skew.salted_equi_join)."""
+    from frogocr_spark.operators.skew import salted_equi_join
+    ev = _read(spark, sf_dir, "events")
+    dim = (ev.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_type"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                .alias("type_cents")))
+    fact = ev.select("event_id", "event_type",
+                     F.round(F.col("value") * 100, 0).cast("long")
+                     .alias("cents"))
+    return salted_equi_join(fact, dim, "event_type", 8,
+                            fact_salt_col="event_id")
+
+
+_KCORE_K = 8
+_KCORE_ROUNDS = 8
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=8) of the co-event graph (users sharing
+    a 1-minute window): iterative peeling of nodes with degree < k —
+    the community-density / spam-farm filter.  Fixed 8-round plan depth
+    (peeling is monotone, so extra rounds past the fixpoint are no-ops;
+    convergence within 8 is pytest-pinned on this corpus), matching the
+    oracle's unrolled 8-round CTE chain exactly — the hash match proves
+    the distributed peel (operators/graph.kcore)."""
+    from frogocr_spark.operators.graph import kcore
+    b = (_read(spark, sf_dir, "events")
+         .select(F.expr("unix_micros(CAST(ts AS TIMESTAMP)) "
+                        "DIV 60000000").alias("win"), "user_id")
+         .dropDuplicates())
+    a1 = b.select("win", F.col("user_id").alias("src"))
+    a2 = b.select("win", F.col("user_id").alias("dst"))
+    edges = (a1.join(a2, "win").where(F.col("src") < F.col("dst"))
+             .select("src", "dst").dropDuplicates())
+    return kcore(edges, _KCORE_K, rounds=_KCORE_ROUNDS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -2091,6 +2172,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_windows": _q_hll_windows,
         "entity_resolve": _q_entity_resolve,
         "merge_upsert": _q_merge_upsert,
+        "scd2_build": _q_scd2_build,
+        "ohlc_bars": _q_ohlc_bars,
+        "gap_fill": _q_gap_fill,
+        "salted_join": _q_salted_join,
+        "kcore": _q_kcore,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -4349,6 +4435,92 @@ FROM pos2
             FROM documents WHERE n_chars > 0
         ) ORDER BY pri ASC, doc_id ASC LIMIT 50
     """
+    o["scd2_build"] = """
+        WITH b AS (
+            SELECT user_id, event_type AS attr, epoch_us(ts) AS us,
+                   event_id
+            FROM events
+        ), c AS (
+            SELECT *, lag(attr) OVER (
+                PARTITION BY user_id ORDER BY us, event_id) AS prev
+            FROM b
+        ), ch AS (
+            SELECT user_id, attr, us, event_id FROM c
+            WHERE prev IS NULL OR prev <> attr
+        )
+        SELECT user_id,
+               CAST(row_number() OVER w AS INT) AS version,
+               attr,
+               us AS valid_from_us,
+               lead(us) OVER w AS valid_to_us,
+               lead(us) OVER w IS NULL AS is_current
+        FROM ch
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    """
+    o["ohlc_bars"] = """
+        WITH b AS (
+            SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+                   value AS v, epoch_us(ts) AS us, event_id,
+                   row_number() OVER (
+                       PARTITION BY event_type, epoch_us(ts) // 3600000000
+                       ORDER BY epoch_us(ts), event_id) AS rn_a,
+                   row_number() OVER (
+                       PARTITION BY event_type, epoch_us(ts) // 3600000000
+                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        SELECT event_type, bucket,
+               max(CASE WHEN rn_a = 1 THEN v END) AS open,
+               max(v) AS high,
+               min(v) AS low,
+               max(CASE WHEN rn_d = 1 THEN v END) AS close,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(v * 100, 0) AS BIGINT)) AS BIGINT)
+               AS vol_cents
+        FROM b GROUP BY event_type, bucket
+    """
+    o["gap_fill"] = """
+        WITH hv AS (
+            SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+                   max(CAST(round(value * 100, 0) AS BIGINT)) AS v_cents
+            FROM events GROUP BY user_id, bucket
+        ), bounds AS (
+            SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+            FROM hv GROUP BY user_id
+        ), grid AS (
+            SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+            FROM bounds
+        )
+        SELECT g.user_id, g.bucket, hv.v_cents,
+               last_value(hv.v_cents IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_cents,
+               hv.v_cents IS NULL AS is_gap
+        FROM grid g LEFT JOIN hv
+          ON g.user_id = hv.user_id AND g.bucket = hv.bucket
+    """
+    o["salted_join"] = """
+        WITH dim AS (
+            SELECT event_type, count(*) AS n_type,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS type_cents
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, e.event_id,
+               CAST(round(e.value * 100, 0) AS BIGINT) AS cents,
+               d.n_type, d.type_cents
+        FROM events e JOIN dim d USING (event_type)
+    """
+    from frogocr_spark.operators.graph import kcore_oracle_sql
+    o["kcore"] = kcore_oracle_sql(
+        "SELECT a.user_id AS src, b.user_id AS dst FROM "
+        "(SELECT DISTINCT epoch_us(ts) // 60000000 AS win, user_id "
+        " FROM events) a JOIN "
+        "(SELECT DISTINCT epoch_us(ts) // 60000000 AS win, user_id "
+        " FROM events) b "
+        "ON a.win = b.win AND a.user_id < b.user_id",
+        _KCORE_K, _KCORE_ROUNDS)
     o["merge_upsert"] = """
         WITH src AS (
             SELECT doc_id, upper(text) AS text, lang, 'cdc' AS source,

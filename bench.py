@@ -95,7 +95,8 @@ BENCH_QUERIES = [
     "semdedup", "lm_filter", "containment", "outliers",
     "weighted_sample", "sql_surface", "bpe_vocab", "triangles",
     "emb_centroids", "fuzzy_vocab", "hll_windows", "entity_resolve",
-    "merge_upsert",
+    "merge_upsert", "scd2_build", "ohlc_bars", "gap_fill",
+    "salted_join", "kcore",
 ]
 
 

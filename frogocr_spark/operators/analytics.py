@@ -211,3 +211,118 @@ def zscore_outliers(df: DataFrame, value_col: "F.Column", group_col: str,
                     F.col("_n").cast("long").alias("n"),
                     F.when(dev > 0, F.lit(1)).otherwise(F.lit(-1))
                     .cast("int").alias("side")))
+
+
+def scd2_history(df: DataFrame, key_col: str, attr_col: str,
+                 ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build from an append-only event
+    log: per key, compress consecutive repeats of ``attr_col`` into
+    versions, each valid ``[valid_from_us, valid_to_us)`` with the open
+    (current) version's ``valid_to_us`` NULL — the standard lakehouse
+    dimension-history materialization (Kimball SCD2), derived here with
+    windows instead of a MERGE loop.
+
+    Determinism: events are totally ordered per key by the integer
+    event time ``unix_micros(ts)`` with ``id_col`` as tiebreak, so the
+    version numbering and validity bounds are engine-exact (DuckDB
+    ``epoch_us`` computes the identical integers on naive timestamps).
+
+    Scale shape: two windows over the SAME partitioning key (one
+    change-detection lag on the full log, one lead/row_number on the
+    compressed change rows — Catalyst reuses the exchange) — no join,
+    no global sort, output bounded by the number of CHANGES, not
+    events.  Output: ``key, version int, attr, valid_from_us,
+    valid_to_us (null = current), is_current``."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy("us", id_col)
+    base = (df.select(key_col, F.col(attr_col).alias("attr"),
+                      us.alias("us"), id_col)
+            .withColumn("_prev", F.lag("attr").over(w)))
+    changes = base.where(F.col("_prev").isNull()
+                         | (F.col("_prev") != F.col("attr")))
+    w2 = Window.partitionBy(key_col).orderBy("us", id_col)
+    return (changes.select(
+        key_col,
+        F.row_number().over(w2).cast("int").alias("version"),
+        "attr",
+        F.col("us").alias("valid_from_us"),
+        F.lead("us").over(w2).alias("valid_to_us"))
+        .withColumn("is_current", F.col("valid_to_us").isNull()))
+
+
+def ohlc_bars(df: DataFrame, group_col: str, ts_col: str = "ts",
+              val_col: str = "value", id_col: str = "event_id",
+              bucket_us: int = 3_600_000_000) -> DataFrame:
+    """Time-bucketed OHLC bars per group: open/close = the value at the
+    first/last event of the bucket under the total order
+    ``(unix_micros(ts), id)``, high/low = max/min — the downsampling
+    primitive behind every metrics/telemetry dashboard (and candlestick
+    charts), expressed as ONE keyed aggregation via ``min_by``/
+    ``max_by`` over a struct ordering key instead of the naive
+    row_number-then-filter double shuffle.
+
+    Engine-exactness: open/close/high/low are PICKED raw doubles (no
+    float arithmetic to reorder); the only sum is over integer cents.
+    Output: ``group, bucket (integer epoch-buckets), open, high, low,
+    close, n_events, vol_cents``."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ordkey = F.struct(F.col("us").alias("us"),
+                      F.col(id_col).alias("id"))
+    return (df.select(group_col, us.alias("us"), id_col,
+                      F.col(val_col).alias("v"))
+            .withColumn("bucket",
+                        F.expr(f"us DIV {int(bucket_us)}"))
+            .groupBy(group_col, "bucket")
+            .agg(F.min_by("v", ordkey).alias("open"),
+                 F.max("v").alias("high"),
+                 F.min("v").alias("low"),
+                 F.max_by("v", ordkey).alias("close"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("v") * 100, 0).cast("long"))
+                 .alias("vol_cents")))
+
+
+def gap_fill_locf(df: DataFrame, key_col: str, ts_col: str = "ts",
+                  val_col: str = "value",
+                  bucket_us: int = 3_600_000_000) -> DataFrame:
+    """Time-grid densification with last-observation-carried-forward
+    fill: per key, materialize EVERY bucket between that key's first
+    and last observation, carrying the last seen value across the gaps
+    — the resampling step before any windowed model over irregular
+    event streams (sensor/metrics/feature time series).
+
+    Engine-exactness: the per-bucket observation is ``max`` of integer
+    cents (exact), and LOCF picks integers — no float arithmetic.
+
+    Scale shape: bucket pre-aggregation (map-side combined, shrinks the
+    stream to ≤ one row per (key, bucket)) → per-key bounds agg →
+    ``sequence``-explode grid (output-bound, no driver loop) → ONE
+    keyed left join + ONE keyed running window.  Nothing global,
+    nothing collected; the grid is generated distributed.  Output:
+    ``key, bucket, v_cents (null on gap rows), filled_cents, is_gap``."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    hv = (df.select(key_col,
+                    us.alias("_us"),
+                    F.round(F.col(val_col) * 100, 0).cast("long")
+                    .alias("cents"))
+          .select(key_col,
+                    F.expr(f"_us DIV {int(bucket_us)}").alias("bucket"),
+                    "cents")
+          .groupBy(key_col, "bucket")
+          .agg(F.max("cents").alias("v_cents")))
+    grid = (hv.groupBy(key_col)
+            .agg(F.min("bucket").alias("_b0"),
+                 F.max("bucket").alias("_b1"))
+            .select(key_col,
+                    F.explode(F.sequence("_b0", "_b1")).alias("bucket")))
+    w = (Window.partitionBy(key_col).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(hv, [key_col, "bucket"], "left")
+            .select(key_col, "bucket", "v_cents",
+                    F.last("v_cents", ignorenulls=True).over(w)
+                    .alias("filled_cents"),
+                    F.col("v_cents").isNull().alias("is_gap")))

@@ -226,3 +226,99 @@ def triangle_counts_oracle_sql(edges_sql: str) -> str:
                AS n_triangles
         FROM nodes LEFT JOIN cnt USING (node)
     """
+
+
+def kcore(edges: DataFrame, k: int, rounds: int | None = None,
+          src: str = "src", dst: str = "dst",
+          max_rounds: int = 100) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    every node whose degree in the SURVIVING graph is < ``k`` until no
+    node changes (the classic community-density / spam-farm filter;
+    Seidman 1983).  Input: an edge list in any mix of directions /
+    duplicates / self-loops — normalized to a canonical undirected
+    simple graph first (same contract as :func:`triangle_counts`).
+
+    Two modes:
+
+    - ``rounds=None`` (default): peel to the FIXPOINT with an
+      early-exit driver loop (one O(1)-row count job per round —
+      eager, like the star-contraction CC loop in operators/dedup.py);
+      raises after ``max_rounds`` without convergence.
+    - ``rounds=R``: run EXACTLY R peel rounds as a fixed plan depth —
+      peeling is monotone (each round's survivor set shrinks or is
+      stable), so extra rounds past the fixpoint are no-ops and an
+      R-round run equals the true k-core whenever convergence happens
+      within R.  This is the contract-query mode: the DuckDB oracle
+      (:func:`kcore_oracle_sql`) unrolls the identical R rounds, so a
+      hash match proves the distributed peel equivalent.
+
+    Scale shape: per round ONE degree aggregation (map-side combined,
+    node-sized output) + TWO left-semi equi-joins restricting edges to
+    surviving endpoints — everything keyed, nothing collected, the
+    edge relation only ever shrinks.  ``localCheckpoint`` per round
+    cuts the lineage so plan depth stays constant (eager — documented
+    per the global_rank precedent).  Output: ``(node, core_degree)``
+    for every node of the k-core (its degree WITHIN the core, ≥ k).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .where("u <> v")
+           .select(F.least("u", "v").alias("u"),
+                   F.greatest("u", "v").alias("v"))
+           .dropDuplicates(["u", "v"]))
+    cur = und.localCheckpoint()
+    n_rounds = rounds if rounds is not None else max_rounds
+    prev_edges = cur.count() if rounds is None else None
+    for _ in range(n_rounds):
+        deg = (cur.select(F.col("u").alias("node"))
+               .unionByName(cur.select(F.col("v").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+        alive = deg.where(F.col("d") >= k).select("node")
+        cur = (cur
+               .join(alive.withColumnRenamed("node", "u"), "u",
+                     "left_semi")
+               .join(alive.withColumnRenamed("node", "v"), "v",
+                     "left_semi")
+               .localCheckpoint())
+        if rounds is None:
+            n = cur.count()
+            if n == prev_edges:
+                break
+            prev_edges = n
+    else:
+        if rounds is None:
+            raise RuntimeError(
+                f"kcore did not converge within max_rounds={max_rounds}")
+    return (cur.select(F.col("u").alias("node"))
+            .unionByName(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_degree")))
+
+
+def kcore_oracle_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """DuckDB twin of ``kcore(..., rounds=R)``: the peel unrolled as a
+    chain of plain CTEs (recursive CTEs cannot reference the working
+    table twice, which the two-endpoint restriction needs — same
+    unrolling pattern as :func:`pagerank_int_oracle_sql`)."""
+    sql = [f"WITH raw AS ({edges_sql}),"]
+    sql.append("e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+               "greatest(src, dst) AS v FROM raw WHERE src <> dst),")
+    for i in range(1, rounds + 1):
+        sql.append(
+            f"d{i} AS MATERIALIZED (SELECT node, count(*) AS d FROM ("
+            f"SELECT u AS node FROM e{i-1} UNION ALL "
+            f"SELECT v FROM e{i-1}) GROUP BY node),")
+        sql.append(
+            f"a{i} AS MATERIALIZED (SELECT node FROM d{i} "
+            f"WHERE d >= {k}),")
+        sql.append(
+            f"e{i} AS MATERIALIZED (SELECT e.u, e.v FROM e{i-1} e "
+            f"JOIN a{i} x ON e.u = x.node "
+            f"JOIN a{i} y ON e.v = y.node),")
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(
+        f"SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM ("
+        f"SELECT u AS node FROM e{rounds} UNION ALL "
+        f"SELECT v FROM e{rounds}) GROUP BY node")
+    return "\n".join(sql)

@@ -35,3 +35,40 @@ def salted_repartition(df: DataFrame, num_partitions: int | None = None,
     else:
         out = df.repartition(F.col(conv_col), salt)
     return out.sortWithinPartitions(conv_col, turn_col)
+
+
+def salted_equi_join(fact: DataFrame, dim: DataFrame, key: str,
+                     salt_buckets: int = 8, *, fact_salt_col: str,
+                     how: str = "inner") -> DataFrame:
+    """Skew-salted equi-join: spread a hot join key's fact rows over
+    ``salt_buckets`` tasks by joining on ``(key, salt)`` with the dim
+    side REPLICATED once per salt value — the standard hand-salting
+    remedy when the key cardinality is below the task count or one key
+    dominates (the hazard class AQE's byte-based skew split cannot
+    always see; cf. the LSH hot-bucket analysis, plan_audit 8a/8b).
+
+    The salt is DETERMINISTIC — ``pmod(xxhash64(fact_salt_col), B)``
+    over a fact-side column (use a unique id) — never ``rand()``, so
+    retried/recomputed tasks salt identically (a rand() salt breaks
+    exactly-once under task retry).  The dim side explodes a literal
+    0..B-1 sequence (B× replication of the SMALL side only).  A
+    ``shuffle_hash`` hint pins the non-broadcast path: with a broadcast
+    dim the salt would be a no-op; the hint makes the salted shuffle
+    the demonstrated plan at any dim size.
+
+    Semantics: exactly an equi-join on ``key`` (every fact row meets
+    every matching dim row exactly once — it carries one salt value and
+    the dim has exactly one replica per salt).  Output: the plain-join
+    columns (salt dropped)."""
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+    fact_s = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(fact_salt_col)),
+               F.lit(salt_buckets)).cast("int"))
+    dim_s = dim.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
+    return (fact_s.join(dim_s.hint("shuffle_hash"),
+                        [key, "_salt"], how)
+            .drop("_salt"))

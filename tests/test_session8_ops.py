@@ -1,0 +1,185 @@
+"""Session-8 operators: SCD2 history, OHLC bars, LOCF gap fill,
+skew-salted join, k-core decomposition.
+
+Hand-computed small cases + structural checks; the DuckDB contract
+twins (scd2_build / ohlc_bars / gap_fill / salted_join / kcore) carry
+the at-scale value verification.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from frogocr_spark.operators.analytics import (gap_fill_locf, ohlc_bars,
+                                               scd2_history)
+from frogocr_spark.operators.graph import kcore
+from frogocr_spark.operators.skew import salted_equi_join
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    """rows: (event_id, user_id, event_type, value, seconds_offset)."""
+    return spark.createDataFrame(
+        [(eid, T0 + dt.timedelta(seconds=s), uid, et, v)
+         for (eid, uid, et, v, s) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double")
+
+
+# ---------------------------------------------------------------- scd2
+
+def test_scd2_compresses_repeats_and_versions(spark):
+    ev = _ev(spark, [
+        (1, 7, "A", 0.0, 0),
+        (2, 7, "A", 0.0, 10),     # repeat — no new version
+        (3, 7, "B", 0.0, 20),     # change -> v2
+        (4, 7, "A", 0.0, 30),     # change back -> v3 (A appears twice)
+        (5, 8, "X", 0.0, 5),
+    ])
+    got = {(r.user_id, r.version): r
+           for r in scd2_history(ev, "user_id", "event_type").collect()}
+    us = lambda s: int((T0 + dt.timedelta(seconds=s)
+                        - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+    assert len(got) == 4
+    v1, v2, v3 = got[(7, 1)], got[(7, 2)], got[(7, 3)]
+    assert (v1.attr, v1.valid_from_us, v1.valid_to_us) == ("A", us(0), us(20))
+    assert (v2.attr, v2.valid_from_us, v2.valid_to_us) == ("B", us(20), us(30))
+    assert (v3.attr, v3.valid_from_us, v3.valid_to_us) == ("A", us(30), None)
+    assert v3.is_current and not v1.is_current and not v2.is_current
+    assert got[(8, 1)].is_current
+
+
+def test_scd2_equal_ts_tiebreak_on_id(spark):
+    # two changes at the SAME timestamp: event_id order decides the
+    # version sequence deterministically
+    ev = _ev(spark, [(2, 7, "B", 0.0, 0), (1, 7, "A", 0.0, 0)])
+    got = sorted(scd2_history(ev, "user_id", "event_type").collect(),
+                 key=lambda r: r.version)
+    assert [r.attr for r in got] == ["A", "B"]
+    assert got[0].valid_to_us == got[1].valid_from_us
+
+
+# ---------------------------------------------------------------- ohlc
+
+def test_ohlc_hand_computed(spark):
+    ev = _ev(spark, [
+        (1, 7, "m", 10.0, 0),
+        (2, 7, "m", 99.0, 60),
+        (3, 7, "m", 1.0, 120),
+        (4, 7, "m", 50.0, 180),
+        (5, 7, "m", 7.0, 3700),   # second hour
+    ])
+    got = {r.bucket: r for r in ohlc_bars(ev, "event_type").collect()}
+    b0 = min(got)
+    first, second = got[b0], got[b0 + 1]
+    assert (first.open, first.high, first.low, first.close) == \
+        (10.0, 99.0, 1.0, 50.0)
+    assert first.n_events == 4 and first.vol_cents == 16000
+    assert (second.open, second.close, second.n_events) == (7.0, 7.0, 1)
+
+
+def test_ohlc_equal_ts_tiebreak_on_id(spark):
+    # all events at the same instant: open = lowest event_id's value,
+    # close = highest event_id's value
+    ev = _ev(spark, [(3, 7, "m", 30.0, 0), (1, 7, "m", 10.0, 0),
+                     (2, 7, "m", 20.0, 0)])
+    row = ohlc_bars(ev, "event_type").collect()[0]
+    assert (row.open, row.close) == (10.0, 30.0)
+
+
+# ------------------------------------------------------------- gapfill
+
+def test_gap_fill_locf_hand_computed(spark):
+    # observations in hours 0, 1, 4 -> grid 0..4, hours 2-3 carry hour
+    # 1's value
+    ev = _ev(spark, [
+        (1, 7, "m", 1.0, 0),
+        (2, 7, "m", 2.5, 3600),
+        (3, 7, "m", 9.0, 4 * 3600),
+        (4, 7, "m", 3.0, 3600 + 60),   # same hour as #2: max cents wins
+    ])
+    rows = sorted(gap_fill_locf(ev, "user_id").collect(),
+                  key=lambda r: r.bucket)
+    assert len(rows) == 5
+    assert [r.is_gap for r in rows] == [False, False, True, True, False]
+    assert [r.filled_cents for r in rows] == [100, 300, 300, 300, 900]
+    assert [r.v_cents for r in rows] == [100, 300, None, None, 900]
+
+
+def test_gap_fill_no_gaps_and_single_obs(spark):
+    ev = _ev(spark, [(1, 7, "m", 1.0, 0), (2, 8, "m", 5.0, 7200)])
+    rows = gap_fill_locf(ev, "user_id").collect()
+    # each user has exactly one observed bucket -> one grid row, no gap
+    assert len(rows) == 2 and not any(r.is_gap for r in rows)
+
+
+# -------------------------------------------------------------- salted
+
+def test_salted_join_equals_plain_join(spark):
+    ev = _ev(spark, [(i, i % 3, "t" + str(i % 2), float(i), i)
+                     for i in range(40)])
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    fact = ev.select("event_id", "event_type")
+    plain = {(r.event_id, r.event_type, r.n)
+             for r in fact.join(dim, "event_type").collect()}
+    for b in (1, 3, 8):
+        salted = {(r.event_id, r.event_type, r.n)
+                  for r in salted_equi_join(
+                      fact, dim, "event_type", b,
+                      fact_salt_col="event_id").collect()}
+        assert salted == plain
+    with pytest.raises(ValueError, match="salt_buckets"):
+        salted_equi_join(fact, dim, "event_type", 0,
+                         fact_salt_col="event_id")
+
+
+def test_salted_join_plan_is_salted_shuffle(spark):
+    ev = _ev(spark, [(i, i, "t", float(i), i) for i in range(10)])
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    out = salted_equi_join(ev.select("event_id", "event_type"), dim,
+                           "event_type", 8, fact_salt_col="event_id")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+    assert "_salt" in plan
+
+
+# --------------------------------------------------------------- kcore
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_kcore_triangle_with_tail(spark):
+    # triangle 1-2-3 (each degree 2) + tail 3-4 (node 4 degree 1):
+    # 2-core = the triangle, every core degree exactly 2
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    got = {r.node: r.core_degree for r in kcore(e, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cascade_peels_everything(spark):
+    # path graph: peeling the endpoints exposes new degree-1 nodes each
+    # round — the multi-round cascade; 2-core is empty
+    e = _edges(spark, [(i, i + 1) for i in range(1, 8)])
+    assert kcore(e, 2).count() == 0
+
+
+def test_kcore_fixed_rounds_equals_fixpoint_and_normalizes(spark):
+    # messy input: duplicates, reversed directions, a self-loop
+    e = _edges(spark, [(1, 2), (2, 1), (2, 3), (3, 1), (3, 4), (4, 4),
+                       (1, 2)])
+    fix = {(r.node, r.core_degree) for r in kcore(e, 2).collect()}
+    fixed = {(r.node, r.core_degree)
+             for r in kcore(e, 2, rounds=6).collect()}
+    assert fix == fixed == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_kcore_validates_k(spark):
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="k must be"):
+        kcore(e, 0)

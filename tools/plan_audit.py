@@ -512,6 +512,44 @@ def main() -> None:
                 f"scans={plan.count('Scan parquet')}, "
                 f"joins={plan.count('Join')}")
 
+    # 30. Salted join: the executed join must be the salted SHUFFLE
+    #     (non-broadcast, salt in the join keys) — with a broadcast dim
+    #     the salt would be a no-op and the skew remedy untested.
+    from frogocr_spark.operators.skew import salted_equi_join
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    plan = executed(salted_equi_join(
+        ev.select("event_id", "event_type"), dim, "event_type", 8,
+        fact_salt_col="event_id"))
+    ok &= check("salted join shuffles on (key, salt), not broadcast",
+                "ShuffledHashJoin" in plan
+                and "BroadcastHashJoin" not in plan
+                and "_salt" in plan,
+                f"shj={'ShuffledHashJoin' in plan}, "
+                f"salt_in_keys={'_salt' in plan}")
+
+    # 31. k-core: keyed equi-joins + keyed aggs only — no cartesian,
+    #     no single-partition exchange, nothing collected but the
+    #     O(1)-row convergence counts.
+    from frogocr_spark.operators.graph import kcore
+    plan = executed(kcore(eg, 8, rounds=2))
+    ok &= check("kcore peel is keyed equi-joins, no cartesian",
+                "CartesianProduct" not in plan
+                and "BroadcastNestedLoopJoin" not in plan
+                and "SinglePartition" not in plan,
+                f"joins={plan.count('Join')}, cartesian=0")
+
+    # 32. Gap fill: grid generated DISTRIBUTED (explode of sequence —
+    #     no driver loop), one keyed left join, one keyed window.
+    from frogocr_spark.operators.analytics import gap_fill_locf
+    plan = executed(gap_fill_locf(ev, "user_id"))
+    ok &= check("gap fill: distributed explode grid + keyed join/window",
+                ("Generate explode" in plan or "Expand" in plan
+                 or "explode" in plan.lower())
+                and "CartesianProduct" not in plan
+                and "SinglePartition" not in plan,
+                f"explode={'explode' in plan.lower()}, "
+                f"single_part={'SinglePartition' in plan}")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
