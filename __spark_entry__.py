@@ -2039,6 +2039,131 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, _KCORE_K, rounds=_KCORE_ROUNDS)
 
 
+_PQ_M = 4
+_PQ_KSUB = 8
+
+
+def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compression pass (Jégou et al. 2011): every
+    64-dim embedding shrinks to 4 codebook codes — per subspace, argmin
+    integer-exact L2 vs 8 LITERAL centroids (deterministic smallest-md5
+    seed pick, the SQL-reproducible stand-in for k-means).  A pure map
+    stage: the corpus is never shuffled/joined/exploded to get its
+    codes (operators/similarity.pq_fit/pq_codes)."""
+    from frogocr_spark.operators.similarity import pq_codes, pq_fit
+    emb = _read(spark, sf_dir, "embeddings")
+    return pq_codes(emb, pq_fit(emb, _PQ_M, _PQ_KSUB))
+
+
+def _q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-10: per query (the 5 largest-md5
+    vectors — disjoint pick from the codebook seeds), corpus distance
+    approximated as the exact-integer sum of per-subspace
+    query→centroid[code] lookups — table lookups instead of 64-dim
+    scans, the PQ search primitive; one corpus scan, no corpus join
+    (operators/similarity.pq_adc_topk)."""
+    from frogocr_spark.operators.similarity import (pq_adc_topk, pq_codes,
+                                                    pq_fit)
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = pq_fit(emb, _PQ_M, _PQ_KSUB)
+    codes = pq_codes(emb, cents)
+    qs = (emb.orderBy(F.md5(F.col("vec_id").cast("string")).desc(),
+                      F.col("vec_id").desc())
+          .limit(5).select(F.col("vec_id").alias("query_id"),
+                           "embedding"))
+    return pq_adc_topk(codes, cents, qs, k=10)
+
+
+def _q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the audit/reconciliation primitive between two
+    table versions): full outer join on the key, rows classified
+    added / removed / changed (same rows dropped).  One keyed shuffle;
+    output bounded by the CHANGES.  The new version is derived
+    deterministically from documents (delete %7, uppercase %5,
+    insert shifted ids) so the oracle reproduces it."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source")
+    new = (docs.where(F.col("doc_id") % 7 != 0)
+           .withColumn("text", F.when(F.col("doc_id") % 5 == 0,
+                                      F.upper(F.col("text")))
+                       .otherwise(F.col("text")))
+           .unionByName(docs.where(F.col("doc_id") % 9 == 4)
+                        .withColumn("doc_id",
+                                    F.col("doc_id") + 20_000_000)))
+    o = docs.select(F.col("doc_id").alias("key"),
+                    F.col("text").alias("old_text"))
+    n = new.select(F.col("doc_id").alias("key"),
+                   F.col("text").alias("new_text"))
+    j = o.join(n, "key", "full_outer")
+    return (j.withColumn(
+        "change",
+        F.when(F.col("old_text").isNull(), F.lit("added"))
+        .when(F.col("new_text").isNull(), F.lit("removed"))
+        .when(F.col("old_text") != F.col("new_text"),
+              F.lit("changed")))
+        .where(F.col("change").isNotNull())
+        .select("key", "change", "old_text", "new_text"))
+
+
+def _q_tpch_q7_natvol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — shipping volume between nation pairs per year:
+    the two-dimension star join (supplier nation x customer nation).
+    Dims broadcast; the fact side shuffles ONCE on the orders key;
+    revenue summed as exact integer cents."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    rev = F.round(F.col("l_extendedprice")
+                  * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    return (li
+            .join(F.broadcast(s.select("s_suppkey",
+                                       F.col("s_nationkey")
+                                       .alias("s_nk"))),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(o.select("o_orderkey", "o_custkey"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c.select("c_custkey",
+                                       F.col("c_nationkey")
+                                       .alias("c_nk"))),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n1), "s_nk")
+            .join(F.broadcast(n2), "c_nk")
+            .where(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.sum(rev).alias("revenue_cents"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def _q_tpch_q17_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue from small-quantity orders: lineitems
+    with quantity < 0.2 x the part's average quantity.  The correlated
+    AVG subquery decorrelates into one map-side-combined per-part agg +
+    an equi-join back; the 0.2x-avg cut is INTEGER-exact
+    (5*qty_cents*n < sum_cents — no float division to disagree on)."""
+    li = _read(spark, sf_dir, "lineitem")
+    qc = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    base = li.select("l_orderkey", "l_linenumber", "l_partkey",
+                     qc.alias("qty_cents"),
+                     F.round(F.col("l_extendedprice") * 100, 0)
+                     .cast("long").alias("price_cents"))
+    pa = (base.groupBy("l_partkey")
+          .agg(F.sum("qty_cents").alias("sum_qc"),
+               F.count(F.lit(1)).alias("n_li")))
+    j = base.join(pa, "l_partkey")
+    small = j.where(F.lit(5) * F.col("qty_cents") * F.col("n_li")
+                    < F.col("sum_qc"))
+    return small.agg(
+        F.sum("price_cents").alias("small_qty_revenue_cents"),
+        F.count(F.lit(1)).alias("n_small"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -2177,6 +2302,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": _q_gap_fill,
         "salted_join": _q_salted_join,
         "kcore": _q_kcore,
+        "pq_codes": _q_pq_codes,
+        "pq_search": _q_pq_search,
+        "table_diff": _q_table_diff,
+        "tpch_q7_natvol": _q_tpch_q7_natvol,
+        "tpch_q17_smallqty": _q_tpch_q17_smallqty,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -4521,6 +4651,135 @@ FROM pos2
         " FROM events) b "
         "ON a.win = b.win AND a.user_id < b.user_id",
         _KCORE_K, _KCORE_ROUNDS)
+    _pq_codes_ctes = """
+        seeds AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS sv,
+                   CAST(row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                       AS INT) - 1 AS j
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+        ), cents AS (
+            SELECT j, mi, sv[mi*16+1 : (mi+1)*16] AS cv
+            FROM seeds, range(4) t(mi)
+        ), vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), dists AS (
+            SELECT vecs.vec_id, cents.mi, cents.j,
+                   CAST(round(list_distance(
+                       vecs.v[cents.mi*16+1 : (cents.mi+1)*16],
+                       cents.cv) * 10000, 0) AS BIGINT) AS di
+            FROM vecs CROSS JOIN cents
+        ), best AS (
+            SELECT vec_id, mi, j FROM (
+                SELECT vec_id, mi, j,
+                       row_number() OVER (PARTITION BY vec_id, mi
+                                          ORDER BY di, j) AS rk
+                FROM dists
+            ) WHERE rk = 1
+        ), codes AS (
+            SELECT vec_id,
+                   max(CASE WHEN mi = 0 THEN j END) AS code_0,
+                   max(CASE WHEN mi = 1 THEN j END) AS code_1,
+                   max(CASE WHEN mi = 2 THEN j END) AS code_2,
+                   max(CASE WHEN mi = 3 THEN j END) AS code_3
+            FROM best GROUP BY vec_id
+        )
+    """
+    o["pq_codes"] = f"""
+        WITH {_pq_codes_ctes}
+        SELECT vec_id, code_0, code_1, code_2, code_3 FROM codes
+    """
+    o["pq_search"] = f"""
+        WITH {_pq_codes_ctes},
+        qs AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) DESC, vec_id DESC
+            LIMIT 5
+        ), dtab AS (
+            SELECT qs.query_id, cents.mi, cents.j,
+                   CAST(round(list_distance(
+                       qs.qv[cents.mi*16+1 : (cents.mi+1)*16],
+                       cents.cv) * 10000, 0) AS BIGINT) AS di
+            FROM qs CROSS JOIN cents
+        ), code_long AS (
+            SELECT vec_id, 0 AS mi, code_0 AS j FROM codes UNION ALL
+            SELECT vec_id, 1, code_1 FROM codes UNION ALL
+            SELECT vec_id, 2, code_2 FROM codes UNION ALL
+            SELECT vec_id, 3, code_3 FROM codes
+        ), adc AS (
+            SELECT d.query_id, c.vec_id AS neighbor_id,
+                   CAST(sum(d.di) AS BIGINT) AS adc_dist_i
+            FROM code_long c JOIN dtab d
+              ON c.mi = d.mi AND c.j = d.j
+            GROUP BY d.query_id, c.vec_id
+        )
+        SELECT query_id, neighbor_id, adc_dist_i,
+               CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_dist_i, neighbor_id) AS rank
+            FROM adc
+        ) WHERE rank <= 10
+    """
+    o["table_diff"] = """
+        WITH docs AS (
+            SELECT doc_id, text FROM documents
+        ), new AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN upper(text)
+                        ELSE text END AS text
+            FROM docs WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT doc_id + 20000000 AS doc_id, text
+            FROM docs WHERE doc_id % 9 = 4
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS key,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change,
+               o.text AS old_text, n.text AS new_text
+        FROM docs o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
+    """
+    o["tpch_q7_natvol"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l.l_shipdate) AS l_year,
+               CAST(sum(CAST(round(l.l_extendedprice
+                                   * (1 - l.l_discount) * 100, 0)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY supp_nation, cust_nation, l_year
+    """
+    o["tpch_q17_smallqty"] = """
+        WITH base AS (
+            SELECT l_partkey,
+                   CAST(round(l_quantity * 100, 0) AS BIGINT)
+                   AS qty_cents,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                   AS price_cents
+            FROM lineitem
+        ), pa AS (
+            SELECT l_partkey,
+                   CAST(sum(qty_cents) AS BIGINT) AS sum_qc,
+                   count(*) AS n_li
+            FROM base GROUP BY l_partkey
+        )
+        SELECT CAST(sum(b.price_cents) AS BIGINT)
+               AS small_qty_revenue_cents,
+               count(*) AS n_small
+        FROM base b JOIN pa USING (l_partkey)
+        WHERE 5 * b.qty_cents * pa.n_li < pa.sum_qc
+    """
     o["merge_upsert"] = """
         WITH src AS (
             SELECT doc_id, upper(text) AS text, lang, 'cdc' AS source,

@@ -96,7 +96,8 @@ BENCH_QUERIES = [
     "weighted_sample", "sql_surface", "bpe_vocab", "triangles",
     "emb_centroids", "fuzzy_vocab", "hll_windows", "entity_resolve",
     "merge_upsert", "scd2_build", "ohlc_bars", "gap_fill",
-    "salted_join", "kcore",
+    "salted_join", "kcore", "pq_codes", "pq_search", "table_diff",
+    "tpch_q7_natvol", "tpch_q17_smallqty",
 ]
 
 

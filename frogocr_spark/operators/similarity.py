@@ -482,3 +482,137 @@ def quantized_centroids(df: DataFrame, group_col: str = "label",
         F.transform(F.col("centroid_sum"),
                     lambda s: F.round(s.cast("double") / F.col("n"), 6))
         .alias("centroid_mean"))
+
+
+def _l2_dist_int(a, b):
+    """Engine-exact L2 distance key: sqrt of the left-to-right double
+    fold, scaled to integer ten-thousandths (``round(d*10000)`` —
+    half-away-from-zero in both Spark and DuckDB for non-negatives).
+    Integer keys make every downstream compare/sum exact."""
+    sq = F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    return F.round(F.sqrt(sq) * 10000, 0).cast("long")
+
+
+def pq_fit(corpus: DataFrame, m: int = 4, ksub: int = 8, *,
+           id_col: str = "vec_id",
+           vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the vector space is
+    split into ``m`` orthogonal subspaces and each gets its own
+    ``ksub``-entry codebook, so a D-dim float vector compresses to m
+    small codes (here m bytes) while distances stay computable from
+    per-subspace lookup tables (ADC).
+
+    Training is the repo's deterministic seed pick instead of k-means
+    (the :func:`seed_assignments` / IVF precedent): the ``ksub``
+    vectors with the smallest ``md5(id)`` donate their subvectors as
+    centroids — seedless, engine-portable, SQL-reproducible.  Bounded
+    TakeOrdered (``ksub`` rows to the driver — documented eager step).
+
+    Returns ``centroids[mi][j] = subvector`` (plain floats, ready to
+    ship as literals)."""
+    if ksub < 2:
+        raise ValueError("ksub must be >= 2")
+    seeds = (corpus.select(id_col, vec_col)
+             .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+             .limit(ksub).collect())
+    if len(seeds) < ksub:
+        raise ValueError(f"corpus has {len(seeds)} rows < ksub={ksub}")
+    dim = len(seeds[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [[[float(v) for v in row[vec_col][mi * sub:(mi + 1) * sub]]
+             for row in seeds] for mi in range(m)]
+
+
+def pq_codes(corpus: DataFrame, centroids: list[list[list[float]]], *,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector its PQ code word: per subspace, the argmin
+    over the ``ksub`` LITERAL centroids of the integer-exact distance
+    key (ties → smaller code).  A pure map stage — the corpus is never
+    shuffled, joined, or exploded to get its codes (the semdedup
+    assignment shape); at 100 TB this is the compression pass that
+    shrinks a 256-byte embedding to m bytes.  Output: ``id, code_0 ..
+    code_{m-1} (int)``."""
+    m = len(centroids)
+    sub = len(centroids[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+    out = corpus.select(id_col, vec.alias("_v"))
+    for mi in range(m):
+        sv = F.slice(F.col("_v"), mi * sub + 1, sub)
+        cands = [F.struct(
+            _l2_dist_int(sv, F.array(*[F.lit(c) for c in cent]))
+            .alias("d"),
+            F.lit(j).cast("int").alias("j"))
+            for j, cent in enumerate(centroids[mi])]
+        out = out.withColumn(f"code_{mi}",
+                             F.least(*cands).getField("j"))
+    return out.drop("_v")
+
+
+def pq_adc_topk(codes: DataFrame, centroids: list[list[list[float]]],
+                queries: DataFrame, k: int, *,
+                id_col: str = "vec_id", query_id_col: str = "query_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, the
+    distance to every corpus vector is APPROXIMATED as the sum of
+    per-subspace distances query→centroid[code] — a table lookup per
+    subspace instead of a D-dim scan, the PQ search primitive.
+
+    Engine-exactness: the Q×m×ksub lookup table is computed IN the
+    plan from literal centroids (same fold as :func:`pq_codes`), as
+    integer ten-thousandths — the ADC sum is an exact integer sum.
+    Scale shape: the table is query-bounded and rides inside one map
+    stage over the codes (literal CASE per subspace — no join against
+    the corpus, which is only scanned once); the final top-k is the
+    rank-window cut (ties → smaller id).  Output: ``query_id,
+    neighbor_id, adc_dist_i (integer ten-thousandths), rank``."""
+    m = len(centroids)
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("pq_adc_topk: empty query set")
+    sub = len(centroids[0][0])
+    # Lookup table: evaluate the SAME _l2_dist_int expression once over
+    # a Q*m*ksub-row literal DataFrame (one tiny job) — engine-exact by
+    # construction, and the ADC plan then carries only INT LITERALS
+    # (element_at on a literal array per (query, subspace)) instead of
+    # Q*m*ksub inlined 16-term fold trees (codegen-bound otherwise).
+    spark = codes.sparkSession
+    tpairs = [(int(qr[query_id_col]), mi, j,
+               [float(v) for v in qr[vec_col]][mi * sub:(mi + 1) * sub],
+               centroids[mi][j])
+              for qr in qrows for mi in range(m)
+              for j in range(len(centroids[mi]))]
+    tdf = spark.createDataFrame(
+        tpairs, "qid long, mi int, j int, qv array<double>, "
+                "cv array<double>")
+    table: dict[tuple[int, int], list[int]] = {}
+    for r in (tdf.select("qid", "mi", "j",
+                         _l2_dist_int(F.col("qv"), F.col("cv"))
+                         .alias("d")).collect()):
+        table.setdefault((r.qid, r.mi), [0] * len(centroids[r.mi]))
+        table[(r.qid, r.mi)][r.j] = int(r.d)
+    per_query = []
+    for qr in qrows:
+        qid = int(qr[query_id_col])
+        total = None
+        for mi in range(m):
+            row = F.element_at(
+                F.array(*[F.lit(d).cast("long")
+                          for d in table[(qid, mi)]]),
+                F.col(f"code_{mi}") + 1)
+            total = row if total is None else total + row
+        per_query.append(
+            F.struct(F.lit(qid).cast("long").alias("query_id"),
+                     total.alias("adc")))
+    scored = (codes.withColumn("_q", F.explode(F.array(*per_query)))
+              .select(F.col("_q.query_id").alias("query_id"),
+                      F.col(id_col).alias("neighbor_id"),
+                      F.col("_q.adc").alias("adc_dist_i")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist_i").asc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

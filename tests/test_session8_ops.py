@@ -183,3 +183,77 @@ def test_kcore_validates_k(spark):
     e = _edges(spark, [(1, 2)])
     with pytest.raises(ValueError, match="k must be"):
         kcore(e, 0)
+
+
+# ------------------------------------------------------------------ pq
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_fit_validates_and_shapes(spark):
+    from frogocr_spark.operators.similarity import pq_fit
+    v = _vecs(spark, [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(6)])
+    cents = pq_fit(v, m=2, ksub=4)
+    assert len(cents) == 2 and len(cents[0]) == 4 and len(cents[0][0]) == 2
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(v, m=3, ksub=4)
+    with pytest.raises(ValueError, match="ksub"):
+        pq_fit(v, m=2, ksub=1)
+    with pytest.raises(ValueError, match="rows < ksub"):
+        pq_fit(v.limit(2), m=2, ksub=4)
+
+
+def test_pq_codes_picks_nearest_centroid_per_subspace(spark):
+    from frogocr_spark.operators.similarity import pq_codes
+    # explicit codebooks: subspace 0 centroids at x=0 and x=10;
+    # subspace 1 centroids at y=0 and y=100
+    cents = [[[0.0, 0.0], [10.0, 10.0]], [[0.0, 0.0], [100.0, 100.0]]]
+    v = _vecs(spark, [
+        (1, [1.0, 1.0, 2.0, 2.0]),      # near c0 in both
+        (2, [9.0, 9.0, 99.0, 99.0]),    # near c1 in both
+        (3, [8.0, 8.0, 3.0, 3.0]),      # near c1 then c0
+    ])
+    got = {r.vec_id: (r.code_0, r.code_1)
+           for r in pq_codes(v, cents).collect()}
+    assert got == {1: (0, 0), 2: (1, 1), 3: (1, 0)}
+
+
+def test_pq_codes_tie_breaks_to_smaller_code(spark):
+    from frogocr_spark.operators.similarity import pq_codes
+    cents = [[[0.0], [2.0]]]
+    v = _vecs(spark, [(1, [1.0])])          # exactly between both
+    assert pq_codes(v, cents).collect()[0].code_0 == 0
+
+
+def test_pq_adc_hand_computed(spark):
+    from frogocr_spark.operators.similarity import pq_adc_topk, pq_codes
+    cents = [[[0.0], [10.0]], [[0.0], [10.0]]]
+    v = _vecs(spark, [(1, [0.0, 0.0]), (2, [10.0, 0.0]),
+                      (3, [10.0, 10.0])])
+    codes = pq_codes(v, cents)
+    q = spark.createDataFrame([(99, [0.0, 0.0])],
+                              "query_id long, embedding array<float>")
+    rows = sorted(pq_adc_topk(codes, cents, q, k=3).collect(),
+                  key=lambda r: r.rank)
+    # ADC dist = sum of query->centroid[code] per subspace, in 1e-4 units
+    assert [(r.neighbor_id, r.adc_dist_i) for r in rows] == \
+        [(1, 0), (2, 100000), (3, 200000)]
+    with pytest.raises(ValueError, match="empty query"):
+        pq_adc_topk(codes, cents, q.where("query_id < 0"), k=3)
+
+
+def test_pq_adc_ranks_full_corpus_without_joining_it(spark):
+    from frogocr_spark.operators.similarity import (pq_adc_topk, pq_codes,
+                                                    pq_fit)
+    v = _vecs(spark, [(i, [float((i * 7) % 13), float((i * 3) % 5),
+                           float(i % 4), float((i * 11) % 9)])
+                      for i in range(40)])
+    cents = pq_fit(v, m=2, ksub=4)
+    codes = pq_codes(v, cents)
+    q = v.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = pq_adc_topk(codes, cents, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 10                     # 2 queries x top-5
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan                  # table lookups, not a join
