@@ -2164,6 +2164,48 @@ def _q_tpch_q17_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_small"))
 
 
+def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution pairs per user within a 10-minute
+    window — the batch twin of the watermarked stream-stream interval
+    join (streaming/streamjoin.interval_stream_join; streaming-mode
+    state bounding pytest-verified).  Keyed equi-join on user with the
+    time range as a residual predicate — never a cartesian."""
+    from frogocr_spark.streaming.streamjoin import interval_stream_join
+    ev = _read(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      "ts"))
+    buys = (ev.where(F.col("event_type") == "purchase")
+            .select("user_id", F.col("event_id").alias("purchase_id"),
+                    "ts"))
+    out = interval_stream_join(clicks, buys, "user_id",
+                               max_lag="10 minutes")
+    return out.select("user_id", "l_click_id", "r_purchase_id", "lag_us")
+
+
+def _q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences
+    (user-behavior modeling): consecutive (state → next) counts under
+    the (unix_micros, event_id) total order, with the from-state
+    marginal so the MLE probability is the exact ratio n/n_from
+    (operators/analytics.markov_transitions)."""
+    from frogocr_spark.operators.analytics import markov_transitions
+    ev = _read(spark, sf_dir, "events")
+    return markov_transitions(ev, "user_id", "event_type")
+
+
+def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust stats of event value (cents) per type: clamp
+    to the nearest-rank [p5, p95] empirical percentiles — integer-exact
+    cutoffs both engines compute identically, where interpolating
+    percentile functions are float-ambiguous cross-engine
+    (operators/analytics.winsorize_stats)."""
+    from frogocr_spark.operators.analytics import winsorize_stats
+    ev = _read(spark, sf_dir, "events")
+    return winsorize_stats(ev, "event_type",
+                           F.round(F.col("value") * 100, 0))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -2307,6 +2349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": _q_table_diff,
         "tpch_q7_natvol": _q_tpch_q7_natvol,
         "tpch_q17_smallqty": _q_tpch_q17_smallqty,
+        "attribution": _q_attribution,
+        "markov_transitions": _q_markov_transitions,
+        "winsorize": _q_winsorize,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -4779,6 +4824,71 @@ FROM pos2
                count(*) AS n_small
         FROM base b JOIN pa USING (l_partkey)
         WHERE 5 * b.qty_cents * pa.n_li < pa.sum_qc
+    """
+    o["attribution"] = """
+        WITH c AS (
+            SELECT user_id, event_id AS click_id, ts FROM events
+            WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, event_id AS purchase_id, ts FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT c.user_id, c.click_id AS l_click_id,
+               p.purchase_id AS r_purchase_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        FROM c JOIN p ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    """
+    o["markov_transitions"] = """
+        WITH seq AS (
+            SELECT user_id, event_type AS from_state,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS to_state
+            FROM events
+        ), pairs AS (
+            SELECT from_state, to_state, count(*) AS n
+            FROM seq WHERE to_state IS NOT NULL
+            GROUP BY from_state, to_state
+        )
+        SELECT from_state, to_state, n,
+               CAST(sum(n) OVER (PARTITION BY from_state) AS BIGINT)
+               AS n_from
+        FROM pairs
+    """
+    o["winsorize"] = """
+        WITH base AS (
+            SELECT event_type, event_id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY cents, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM base
+        ), cuts AS (
+            SELECT event_type,
+                   max(CASE WHEN rn = greatest((n * 5 + 99) // 100, 1)
+                            THEN cents END) AS lo_cents,
+                   max(CASE WHEN rn = greatest((n * 95 + 99) // 100, 1)
+                            THEN cents END) AS hi_cents,
+                   max(n) AS n
+            FROM ranked GROUP BY event_type
+        )
+        SELECT b.event_type, CAST(max(c.n) AS BIGINT) AS n,
+               max(c.lo_cents) AS lo_cents,
+               max(c.hi_cents) AS hi_cents,
+               CAST(sum(greatest(least(b.cents, c.hi_cents),
+                                 c.lo_cents)) AS BIGINT)
+               AS winsorized_sum_cents,
+               CAST(sum(CASE WHEN b.cents < c.lo_cents THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_lo,
+               CAST(sum(CASE WHEN b.cents > c.hi_cents THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_hi
+        FROM base b JOIN cuts c USING (event_type)
+        GROUP BY b.event_type
     """
     o["merge_upsert"] = """
         WITH src AS (

@@ -97,7 +97,8 @@ BENCH_QUERIES = [
     "emb_centroids", "fuzzy_vocab", "hll_windows", "entity_resolve",
     "merge_upsert", "scd2_build", "ohlc_bars", "gap_fill",
     "salted_join", "kcore", "pq_codes", "pq_search", "table_diff",
-    "tpch_q7_natvol", "tpch_q17_smallqty",
+    "tpch_q7_natvol", "tpch_q17_smallqty", "attribution",
+    "markov_transitions", "winsorize",
 ]
 
 

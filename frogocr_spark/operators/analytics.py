@@ -326,3 +326,82 @@ def gap_fill_locf(df: DataFrame, key_col: str, ts_col: str = "ts",
                     F.last("v_cents", ignorenulls=True).over(w)
                     .alias("filled_cents"),
                     F.col("v_cents").isNull().alias("is_gap")))
+
+
+def markov_transitions(df: DataFrame, key_col: str, state_col: str,
+                       ts_col: str = "ts",
+                       id_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition counts over per-key event
+    sequences (the user-behavior / process-mining primitive): for each
+    key's events in ``(unix_micros(ts), id)`` order, count every
+    consecutive (state → next state) pair, plus the from-state marginal
+    so the MLE transition probability is derivable as the exact ratio
+    ``n / n_from`` (no float division in the contract columns).
+
+    Scale shape: ONE keyed window (lead) + one map-side-combined pair
+    count; the marginal re-aggregates the COUNTED pairs (state-pair
+    cardinality, not events) and broadcasts back.  Output: ``from_state,
+    to_state, n, n_from``."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy("us", id_col)
+    pairs = (df.select(key_col, F.col(state_col).alias("from_state"),
+                       us.alias("us"), id_col)
+             .withColumn("to_state",
+                         F.lead("from_state").over(w))
+             .where(F.col("to_state").isNotNull())
+             .groupBy("from_state", "to_state")
+             .agg(F.count(F.lit(1)).alias("n")))
+    marg = (pairs.groupBy("from_state")
+            .agg(F.sum("n").alias("n_from")))
+    return pairs.join(F.broadcast(marg), "from_state")
+
+
+def winsorize_stats(df: DataFrame, group_col: str, value_col,
+                    id_col: str = "event_id",
+                    p_lo: int = 5, p_hi: int = 95) -> DataFrame:
+    """Winsorized robust statistics per group: values are clamped to
+    the empirical [p_lo, p_hi] percentiles (NEAREST-RANK method —
+    cutoff = the value at rank ``ceil(n·p/100)`` under the total order
+    ``(value, id)``, an integer-exact definition both engines compute
+    identically; interpolating percentiles are float-ambiguous
+    cross-engine).  The outlier-robust aggregation used before fitting
+    anything to heavy-tailed telemetry.
+
+    Scale shape: one keyed rank window + one map-side-combined cutoff
+    agg (group-sized) broadcast back; sums are integer cents.  Output:
+    ``group, n, lo_cents, hi_cents, winsorized_sum_cents, n_lo, n_hi``."""
+    from pyspark.sql import Window
+
+    if not (0 <= p_lo < p_hi <= 100):
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 100, got "
+                         f"({p_lo}, {p_hi})")
+    base = df.select(group_col, id_col,
+                     value_col.cast("long").alias("cents"))
+    w = Window.partitionBy(group_col).orderBy("cents", id_col)
+    ranked = (base
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy(group_col))))
+    lo_rank = F.greatest(F.expr(f"(n * {p_lo} + 99) DIV 100"), F.lit(1))
+    hi_rank = F.greatest(F.expr(f"(n * {p_hi} + 99) DIV 100"), F.lit(1))
+    cuts = (ranked
+            .groupBy(group_col)
+            .agg(F.max(F.when(F.col("rn") == lo_rank,
+                              F.col("cents"))).alias("lo_cents"),
+                 F.max(F.when(F.col("rn") == hi_rank,
+                              F.col("cents"))).alias("hi_cents"),
+                 F.max("n").alias("n")))
+    j = base.join(F.broadcast(cuts), group_col)
+    clamped = F.greatest(F.least(F.col("cents"), F.col("hi_cents")),
+                         F.col("lo_cents"))
+    return (j.groupBy(group_col)
+            .agg(F.max("n").alias("n"),
+                 F.max("lo_cents").alias("lo_cents"),
+                 F.max("hi_cents").alias("hi_cents"),
+                 F.sum(clamped).alias("winsorized_sum_cents"),
+                 F.sum(F.when(F.col("cents") < F.col("lo_cents"), 1)
+                       .otherwise(0)).alias("n_lo"),
+                 F.sum(F.when(F.col("cents") > F.col("hi_cents"), 1)
+                       .otherwise(0)).alias("n_hi")))

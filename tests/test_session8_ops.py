@@ -257,3 +257,55 @@ def test_pq_adc_ranks_full_corpus_without_joining_it(spark):
     assert len(rows) == 10                     # 2 queries x top-5
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan                  # table lookups, not a join
+
+
+# -------------------------------------------------------------- markov
+
+def test_markov_transitions_hand_computed(spark):
+    from frogocr_spark.operators.analytics import markov_transitions
+    ev = _ev(spark, [
+        (1, 7, "A", 0.0, 0), (2, 7, "B", 0.0, 10), (3, 7, "A", 0.0, 20),
+        (4, 7, "B", 0.0, 30),          # user 7: A->B, B->A, A->B
+        (5, 8, "A", 0.0, 0), (6, 8, "B", 0.0, 10),   # user 8: A->B
+        (7, 9, "C", 0.0, 0),           # singleton: no transition
+    ])
+    got = {(r.from_state, r.to_state): (r.n, r.n_from)
+           for r in markov_transitions(ev, "user_id",
+                                       "event_type").collect()}
+    assert got == {("A", "B"): (3, 3), ("B", "A"): (1, 1)}
+
+
+def test_markov_equal_ts_tiebreak(spark):
+    from frogocr_spark.operators.analytics import markov_transitions
+    # same-instant events ordered by event_id: A(1) -> B(2)
+    ev = _ev(spark, [(2, 7, "B", 0.0, 0), (1, 7, "A", 0.0, 0)])
+    got = [(r.from_state, r.to_state)
+           for r in markov_transitions(ev, "user_id",
+                                       "event_type").collect()]
+    assert got == [("A", "B")]
+
+
+# ----------------------------------------------------------- winsorize
+
+def test_winsorize_hand_computed(spark):
+    from frogocr_spark.operators.analytics import winsorize_stats
+    # 10 values 1..9 plus an outlier 1000 (cents).  Nearest-rank p5 of
+    # n=10 -> rank ceil(0.5)=1 -> lo=1; p95 -> rank ceil(9.5)=10 ->
+    # hi=1000: nothing clamps at (5,95).  At (10,90): lo=rank1=1,
+    # hi=rank9=9 -> the outlier clamps to 9.
+    vals = list(range(1, 10)) + [1000]
+    ev = _ev(spark, [(i, 7, "m", v / 100.0, i)
+                     for i, v in enumerate(vals)])
+    r95 = winsorize_stats(ev, "event_type",
+                          F.round(F.col("value") * 100, 0)).collect()[0]
+    assert (r95.n, r95.lo_cents, r95.hi_cents) == (10, 1, 1000)
+    assert r95.winsorized_sum_cents == sum(vals)
+    assert (r95.n_lo, r95.n_hi) == (0, 0)
+    r90 = winsorize_stats(ev, "event_type",
+                          F.round(F.col("value") * 100, 0),
+                          p_lo=10, p_hi=90).collect()[0]
+    assert (r90.lo_cents, r90.hi_cents) == (1, 9)
+    assert r90.winsorized_sum_cents == sum(range(1, 10)) + 9
+    assert (r90.n_lo, r90.n_hi) == (0, 1)
+    with pytest.raises(ValueError, match="p_lo < p_hi"):
+        winsorize_stats(ev, "event_type", F.col("value"), p_lo=95, p_hi=5)
