@@ -2206,6 +2206,130 @@ def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.round(F.col("value") * 100, 0))
 
 
+def _q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint report over orders (the Deequ-style
+    publish gate): completeness, uniqueness, positivity, enum-domain
+    and referential-integrity checks — every row-local check rides ONE
+    map-side-combined agg over a single scan, unpivoted without a
+    collect; referential integrity is one counted anti-join
+    (operators/quality.dq_report)."""
+    from frogocr_spark.operators.quality import dq_report
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    return dq_report(
+        o,
+        not_null=["o_custkey", "o_orderdate"],
+        unique=["o_orderkey"],
+        positive=["o_totalprice"],
+        enum={"o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                  "4-NOT SPECIFIED", "5-LOW"]},
+        ref=("o_custkey", c, "c_custkey"))
+
+
+def _q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — top-20 customers by returned-item revenue:
+    fact filter pushed to the scan, dims broadcast, one fact shuffle,
+    integer-cents revenue, TakeOrdered top-k (never a global sort)."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    rev = F.round(F.col("l_extendedprice")
+                  * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    return (li.where(F.col("l_returnflag") == "R")
+            .select("l_orderkey", rev.alias("rev_cents"))
+            .join(o.select("o_orderkey", "o_custkey"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c.select("c_custkey", "c_name",
+                                       "c_nationkey")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n.select(F.col("n_nationkey")
+                                       .alias("c_nationkey"),
+                                       "n_name")), "c_nationkey")
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum("rev_cents").alias("revenue_cents"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey"))
+            .limit(20))
+
+
+_Q19_BRANDS = ("Brand#12", "Brand#23", "Brand#34")
+
+
+def _q_tpch_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — the disjunctive-predicate join: three
+    (brand, size-range, quantity-range) OR-arms over one lineitem×part
+    equi-join; Catalyst pushes the common partkey equi-condition into
+    the join and the per-arm column constraints to the scans, keeping
+    the disjunction a post-join residual — never a cartesian."""
+    li = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part")
+    qc = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    j = (li.select("l_partkey", qc.alias("qty_cents"),
+                   F.round(F.col("l_extendedprice") * 100, 0)
+                   .cast("long").alias("price_cents"))
+         .join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+               F.col("l_partkey") == F.col("p_partkey")))
+    arm = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1) & (F.col("p_size") <= smax)
+        & (F.col("qty_cents") >= qlo * 100)
+        & (F.col("qty_cents") <= qhi * 100))
+    return (j.where(arm(_Q19_BRANDS[0], 10, 1, 15)
+                    | arm(_Q19_BRANDS[1], 20, 10, 25)
+                    | arm(_Q19_BRANDS[2], 30, 20, 35))
+            .agg(F.sum("price_cents").alias("disjunct_revenue_cents"),
+                 F.count(F.lit(1)).alias("n_matched")))
+
+
+def _q_tpch_q22_idle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — above-average-balance customers with NO
+    urgent orders, per nation: the global-average subquery decorrelates
+    to a 1-row broadcast (integer-exact cut: bal·n > Σbal over positive
+    balances), the NOT EXISTS to a broadcast-able anti-join.  (Every
+    customer in this synthetic universe HAS orders, so the classic
+    no-orders predicate is degenerate; no-URGENT-orders keeps the
+    NOT-EXISTS shape with a non-empty answer.)"""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    bal = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    base = c.select("c_custkey", "c_nationkey", bal.alias("bal_cents"))
+    stats = (base.where(F.col("bal_cents") > 0)
+             .agg(F.sum("bal_cents").alias("sum_pos"),
+                  F.count(F.lit(1)).alias("n_pos")))
+    return (base.where(F.col("bal_cents") > 0)
+            .crossJoin(F.broadcast(stats))
+            .where(F.col("bal_cents") * F.col("n_pos")
+                   > F.col("sum_pos"))
+            .join(o.where(F.col("o_orderpriority") == "1-URGENT")
+                  .select(F.col("o_custkey").alias("c_custkey"))
+                  .dropDuplicates(), "c_custkey", "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_idle_rich"),
+                 F.sum("bal_cents").alias("idle_bal_cents")))
+
+
+def _q_w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame sliding window — per user, for every event, the
+    count and cents-sum of that user's events in the PRECEDING HOUR
+    (``RANGE BETWEEN 3.6e9 PRECEDING AND CURRENT ROW`` over integer
+    epoch-micros).  A RANGE frame includes ALL equal-timestamp peers,
+    so the result is deterministic under any tie order — the frame
+    family row-frames can't express."""
+    ev = _read(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    base = ev.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    w = (Window.partitionBy("user_id").orderBy("us")
+         .rangeBetween(-3_600_000_000, 0))
+    return base.select(
+        "event_id", "user_id", "us",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("cents").over(w).alias("sum_cents_1h"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -2352,6 +2476,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": _q_attribution,
         "markov_transitions": _q_markov_transitions,
         "winsorize": _q_winsorize,
+        "dq_checks": _q_dq_checks,
+        "tpch_q10_returns": _q_tpch_q10_returns,
+        "tpch_q19_disjunct": _q_tpch_q19_disjunct,
+        "tpch_q22_idle": _q_tpch_q22_idle,
+        "w_range_frame": _q_w_range_frame,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -4889,6 +5018,110 @@ FROM pos2
                              ELSE 0 END) AS BIGINT) AS n_hi
         FROM base b JOIN cuts c USING (event_type)
         GROUP BY b.event_type
+    """
+    o["dq_checks"] = """
+        WITH w AS (
+            SELECT count(*) AS n,
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                   AS v1,
+                   sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                   AS v2,
+                   count(*) - count(DISTINCT o_orderkey) AS v3,
+                   sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                   AS v4,
+                   sum(CASE WHEN o_orderpriority IS NOT NULL
+                             AND o_orderpriority NOT IN
+                                 ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                                  '4-NOT SPECIFIED', '5-LOW')
+                            THEN 1 ELSE 0 END) AS v5
+            FROM orders
+        ), r AS (
+            SELECT count(*) AS v6 FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        )
+        SELECT 'not_null:o_custkey' AS "check",
+               CAST(COALESCE(w.v1, 0) AS BIGINT) AS n_violations,
+               CAST(w.n AS BIGINT) AS n_rows FROM w
+        UNION ALL SELECT 'not_null:o_orderdate',
+               CAST(COALESCE(w.v2, 0) AS BIGINT), CAST(w.n AS BIGINT)
+               FROM w
+        UNION ALL SELECT 'unique:o_orderkey',
+               CAST(w.v3 AS BIGINT), CAST(w.n AS BIGINT) FROM w
+        UNION ALL SELECT 'positive:o_totalprice',
+               CAST(COALESCE(w.v4, 0) AS BIGINT), CAST(w.n AS BIGINT)
+               FROM w
+        UNION ALL SELECT 'enum:o_orderpriority',
+               CAST(COALESCE(w.v5, 0) AS BIGINT), CAST(w.n AS BIGINT)
+               FROM w
+        UNION ALL SELECT 'ref:o_custkey',
+               CAST(r.v6 AS BIGINT), CAST(w.n AS BIGINT) FROM w, r
+    """
+    o["tpch_q10_returns"] = """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(sum(CAST(round(l.l_extendedprice
+                                   * (1 - l.l_discount) * 100, 0)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue_cents DESC, c.c_custkey LIMIT 20
+    """
+    o["tpch_q19_disjunct"] = """
+        WITH j AS (
+            SELECT p.p_brand, p.p_size,
+                   CAST(round(l.l_quantity * 100, 0) AS BIGINT)
+                   AS qty_cents,
+                   CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                   AS price_cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        )
+        SELECT CAST(sum(price_cents) AS BIGINT)
+               AS disjunct_revenue_cents,
+               count(*) AS n_matched
+        FROM j
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+               AND qty_cents BETWEEN 100 AND 1500)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+               AND qty_cents BETWEEN 1000 AND 2500)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30
+               AND qty_cents BETWEEN 2000 AND 3500)
+    """
+    o["tpch_q22_idle"] = """
+        WITH base AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+            FROM customer
+        ), stats AS (
+            SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_pos,
+                   count(*) AS n_pos
+            FROM base WHERE bal_cents > 0
+        )
+        SELECT b.c_nationkey, count(*) AS n_idle_rich,
+               CAST(sum(b.bal_cents) AS BIGINT) AS idle_bal_cents
+        FROM base b, stats s
+        WHERE b.bal_cents > 0
+          AND b.bal_cents * s.n_pos > s.sum_pos
+          AND b.c_custkey NOT IN (SELECT o_custkey FROM orders
+                                  WHERE o_orderpriority = '1-URGENT')
+        GROUP BY b.c_nationkey
+    """
+    o["w_range_frame"] = """
+        WITH b AS (
+            SELECT event_id, user_id, epoch_us(ts) AS us,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT event_id, user_id, us,
+               count(*) OVER w AS n_1h,
+               CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_1h
+        FROM b
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN 3600000000 PRECEDING
+                           AND CURRENT ROW)
     """
     o["merge_upsert"] = """
         WITH src AS (

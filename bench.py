@@ -98,7 +98,8 @@ BENCH_QUERIES = [
     "merge_upsert", "scd2_build", "ohlc_bars", "gap_fill",
     "salted_join", "kcore", "pq_codes", "pq_search", "table_diff",
     "tpch_q7_natvol", "tpch_q17_smallqty", "attribution",
-    "markov_transitions", "winsorize",
+    "markov_transitions", "winsorize", "dq_checks", "tpch_q10_returns",
+    "tpch_q19_disjunct", "tpch_q22_idle", "w_range_frame",
 ]
 
 

@@ -1,0 +1,86 @@
+"""Declarative data-quality constraint report (the Deequ/Great-
+Expectations primitive): completeness, uniqueness, range, enum-domain
+and referential-integrity checks over a table, emitted as one
+long-form report row per check — the validation gate a production
+pipeline runs before publishing a snapshot.
+
+Scale shape: every row-local check (not-null / positive / enum) is a
+conditional sum in ONE map-side-combined aggregation over a SINGLE
+scan; uniqueness rides the same pass as a count(DISTINCT); referential
+integrity is one broadcast-able anti-join counted.  The report is
+O(#checks) rows — nothing proportional to the data leaves the
+executors.  The single wide agg row is unpivoted with the literal-
+struct explode trick (operators/profile.py precedent) — no collect,
+no per-check scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dq_report(df: DataFrame, *,
+              not_null: list[str] | None = None,
+              unique: list[str] | None = None,
+              positive: list[str] | None = None,
+              enum: dict[str, list[str]] | None = None,
+              ref: tuple[str, DataFrame, str] | None = None) -> DataFrame:
+    """Constraint report: one row per check with ``check (string),
+    n_violations, n_rows``.  Checks:
+
+    - ``not_null``: NULL entries violate.
+    - ``unique``: ``n_rows - count(DISTINCT col)`` violations (NULLs
+      count as one distinct value, matching SQL ``COUNT(DISTINCT)``).
+    - ``positive``: entries ``<= 0`` violate (NULL does not).
+    - ``enum``: entries outside the literal allowed list violate
+      (NULL does not — compose with ``not_null`` for totality).
+    - ``ref``: ``(col, dim, dim_col)`` — rows whose ``col`` has no
+      match in ``dim.dim_col`` violate (left anti join, counted).
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    names: list[str] = []
+    for c in (not_null or []):
+        names.append(f"not_null:{c}")
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .alias(f"_v{len(names)}"))
+    for c in (unique or []):
+        names.append(f"unique:{c}")
+        aggs.append((F.count(F.lit(1)) - F.countDistinct(F.col(c)))
+                    .alias(f"_v{len(names)}"))
+    for c in (positive or []):
+        names.append(f"positive:{c}")
+        aggs.append(F.sum(F.when(F.col(c) <= 0, 1).otherwise(0))
+                    .alias(f"_v{len(names)}"))
+    for c, allowed in (enum or {}).items():
+        names.append(f"enum:{c}")
+        aggs.append(F.sum(F.when(F.col(c).isNotNull()
+                                 & ~F.col(c).isin(list(allowed)), 1)
+                          .otherwise(0)).alias(f"_v{len(names)}"))
+    if not names and ref is None:
+        raise ValueError("dq_report: no checks requested")
+
+    wide = df.agg(*aggs)
+    entries = [F.struct(F.lit(name).alias("check"),
+                        F.coalesce(F.col(f"_v{i + 1}"), F.lit(0))
+                        .cast("long").alias("n_violations"))
+               for i, name in enumerate(names)]
+    report = None
+    if entries:
+        report = (wide.select(
+            F.explode(F.array(*entries)).alias("e"), "_n")
+            .select("e.check", "e.n_violations",
+                    F.col("_n").cast("long").alias("n_rows")))
+    if ref is not None:
+        col, dim, dim_col = ref
+        viol = (df.select(F.col(col))
+                .join(dim.select(F.col(dim_col).alias(col))
+                      .dropDuplicates(), col, "left_anti")
+                .agg(F.count(F.lit(1)).cast("long")
+                     .alias("n_violations")))
+        rrow = (viol.crossJoin(wide.select(F.col("_n").cast("long")
+                                           .alias("n_rows")))
+                .select(F.lit(f"ref:{col}").alias("check"),
+                        "n_violations", "n_rows"))
+        report = rrow if report is None else report.unionByName(rrow)
+    return report

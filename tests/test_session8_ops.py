@@ -309,3 +309,53 @@ def test_winsorize_hand_computed(spark):
     assert (r90.n_lo, r90.n_hi) == (0, 1)
     with pytest.raises(ValueError, match="p_lo < p_hi"):
         winsorize_stats(ev, "event_type", F.col("value"), p_lo=95, p_hi=5)
+
+
+# ------------------------------------------------------------- quality
+
+def test_dq_report_hand_computed(spark):
+    from frogocr_spark.operators.quality import dq_report
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (2, None, 0.0), (4, "zz", 3.0)],
+        "id long, tag string, amt double")
+    dim = spark.createDataFrame([("a",), ("b",)], "tag string")
+    rep = {r.check: (r.n_violations, r.n_rows)
+           for r in dq_report(
+               df, not_null=["tag"], unique=["id"], positive=["amt"],
+               enum={"tag": ["a", "b"]},
+               ref=("tag", dim, "tag")).collect()}
+    assert rep == {
+        "not_null:tag": (1, 4),
+        "unique:id": (1, 4),       # id 2 twice
+        "positive:amt": (2, 4),    # -1.0 and 0.0
+        "enum:tag": (1, 4),        # 'zz' (NULL not counted)
+        "ref:tag": (2, 4),         # 'zz' and NULL have no dim match
+    }
+
+
+def test_dq_report_requires_checks_and_clean_table_is_zero(spark):
+    from frogocr_spark.operators.quality import dq_report
+    df = spark.createDataFrame([(1, "a")], "id long, tag string")
+    with pytest.raises(ValueError, match="no checks"):
+        dq_report(df)
+    rep = dq_report(df, not_null=["tag"], unique=["id"]).collect()
+    assert all(r.n_violations == 0 for r in rep)
+
+
+# ---------------------------------------------------------- range frame
+
+def test_range_frame_includes_all_equal_ts_peers(spark):
+    """RANGE frames include every equal-ORDER-KEY peer on both sides —
+    the determinism property row frames lack under ties."""
+    from pyspark.sql import Window
+    df = spark.createDataFrame(
+        [(1, 7, 1000, 10), (2, 7, 1000, 20), (3, 7, 5000, 30)],
+        "event_id long, user_id long, us long, cents long")
+    w = (Window.partitionBy("user_id").orderBy("us")
+         .rangeBetween(-3000, 0))
+    got = {r.event_id: (r.n, r.s) for r in df.select(
+        "event_id", F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cents").over(w).alias("s")).collect()}
+    # both us=1000 rows see BOTH peers; us=5000 sees only itself
+    # (5000-3000 > 1000)
+    assert got == {1: (2, 30), 2: (2, 30), 3: (1, 30)}
