@@ -2330,6 +2330,51 @@ def _q_w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w).alias("sum_cents_1h"))
 
 
+_BFS_ROUNDS = 4
+
+_GROUPING_SETS_TEXT = """
+    SELECT event_type, user_id,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents,
+           CAST(grouping(event_type) AS INT) AS g_type,
+           CAST(grouping(user_id) AS INT) AS g_user
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id), ())
+"""
+
+
+def _q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS blast radius over the co-event graph: minimum
+    hop distance from the seed users (user_id % 97 == 0) within 4
+    rounds — the Pregel expansion step as one equi-join + one min-merge
+    per round, fixed plan depth matching the oracle's unrolled chain
+    (operators/graph.bfs_levels)."""
+    from frogocr_spark.operators.graph import bfs_levels
+    b = (_read(spark, sf_dir, "events")
+         .select(F.expr("unix_micros(CAST(ts AS TIMESTAMP)) "
+                        "DIV 60000000").alias("win"), "user_id")
+         .dropDuplicates())
+    a1 = b.select("win", F.col("user_id").alias("src"))
+    a2 = b.select("win", F.col("user_id").alias("dst"))
+    edges = (a1.join(a2, "win").where(F.col("src") < F.col("dst"))
+             .select("src", "dst").dropDuplicates())
+    seeds = (_read(spark, sf_dir, "events")
+             .select(F.col("user_id").alias("node"))
+             .where(F.col("node") % 97 == 0).dropDuplicates())
+    return bfs_levels(edges, seeds, rounds=_BFS_ROUNDS)
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond rollup/cube: the exact set list
+    ((type), (user), ()) with grouping() flags) — executed as ONE
+    Expand-planned ANSI string that the DuckDB oracle runs VERBATIM
+    (the sql_surface single-source-of-truth trick: two engines, one
+    text, cannot drift)."""
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_GROUPING_SETS_TEXT)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -2481,6 +2526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_disjunct": _q_tpch_q19_disjunct,
         "tpch_q22_idle": _q_tpch_q22_idle,
         "w_range_frame": _q_w_range_frame,
+        "bfs_levels": _q_bfs_levels,
+        "grouping_sets": _q_grouping_sets,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -5123,6 +5170,18 @@ FROM pos2
                      RANGE BETWEEN 3600000000 PRECEDING
                            AND CURRENT ROW)
     """
+    from frogocr_spark.operators.graph import bfs_levels_oracle_sql
+    o["bfs_levels"] = bfs_levels_oracle_sql(
+        "SELECT a.user_id AS src, b.user_id AS dst FROM "
+        "(SELECT DISTINCT epoch_us(ts) // 60000000 AS win, user_id "
+        " FROM events) a JOIN "
+        "(SELECT DISTINCT epoch_us(ts) // 60000000 AS win, user_id "
+        " FROM events) b "
+        "ON a.win = b.win AND a.user_id < b.user_id",
+        "SELECT DISTINCT user_id AS node FROM events "
+        "WHERE user_id % 97 = 0",
+        _BFS_ROUNDS)
+    o["grouping_sets"] = _GROUPING_SETS_TEXT
     o["merge_upsert"] = """
         WITH src AS (
             SELECT doc_id, upper(text) AS text, lang, 'cdc' AS source,

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "tpch_q7_natvol", "tpch_q17_smallqty", "attribution",
     "markov_transitions", "winsorize", "dq_checks", "tpch_q10_returns",
     "tpch_q19_disjunct", "tpch_q22_idle", "w_range_frame",
+    "bfs_levels", "grouping_sets",
 ]
 
 

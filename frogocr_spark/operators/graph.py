@@ -322,3 +322,72 @@ def kcore_oracle_sql(edges_sql: str, k: int, rounds: int) -> str:
         f"SELECT u AS node FROM e{rounds} UNION ALL "
         f"SELECT v FROM e{rounds}) GROUP BY node")
     return "\n".join(sql)
+
+
+def bfs_levels(edges: DataFrame, seeds: DataFrame, rounds: int,
+               src: str = "src", dst: str = "dst",
+               seed_col: str = "node") -> DataFrame:
+    """Multi-source BFS over an undirected graph: every node reachable
+    from the seed set within ``rounds`` hops, labeled with its MINIMUM
+    hop distance — the influence-propagation / blast-radius primitive
+    (abuse spread, contamination reach, social distance).
+
+    Fixed plan depth: exactly ``rounds`` expansion rounds (matching the
+    oracle's unrolled CTE chain — :func:`bfs_levels_oracle_sql`); BFS
+    levels are monotone under expansion, so rounds past the eccentricity
+    are no-ops, and the R-round result equals true min-distance for
+    every node within R hops (nodes further out are absent, by
+    contract).
+
+    Scale shape: per round ONE equi-join (frontier ⋈ edges, keyed on
+    the node) + one min-agg merge (map-side combined) — the classic
+    Pregel step as DataFrame ops; ``localCheckpoint`` per round keeps
+    plan depth constant.  Output: ``(node, level)``."""
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .where("u <> v"))
+    bi = und.unionByName(und.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+    bi = bi.dropDuplicates(["u", "v"]).localCheckpoint()
+    levels = (seeds.select(F.col(seed_col).alias("node"))
+              .dropDuplicates()
+              .withColumn("level", F.lit(0).cast("int"))
+              .localCheckpoint())
+    for i in range(1, rounds + 1):
+        frontier = levels.where(F.col("level") == i - 1)
+        nxt = (frontier
+               .join(bi, frontier["node"] == bi["u"])
+               .select(F.col("v").alias("node"),
+                       F.lit(i).cast("int").alias("level")))
+        levels = (levels.unionByName(nxt)
+                  .groupBy("node")
+                  .agg(F.min("level").cast("int").alias("level"))
+                  .localCheckpoint())
+    return levels
+
+
+def bfs_levels_oracle_sql(edges_sql: str, seeds_sql: str,
+                          rounds: int) -> str:
+    """DuckDB twin: the identical fixed-round expansion unrolled as a
+    MATERIALIZED CTE chain (the :func:`kcore_oracle_sql` pattern —
+    min-merge per round, so the hash match proves the Pregel-style
+    plan computes true min hop distances)."""
+    sql = [f"WITH raw AS ({edges_sql}),"]
+    sql.append("bi AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+               "SELECT src AS u, dst AS v FROM raw WHERE src <> dst "
+               "UNION ALL "
+               "SELECT dst, src FROM raw WHERE src <> dst)),")
+    sql.append(f"l0 AS MATERIALIZED (SELECT DISTINCT node, "
+               f"0 AS level FROM ({seeds_sql})),")
+    for i in range(1, rounds + 1):
+        sql.append(
+            f"l{i} AS MATERIALIZED (SELECT node, min(level) AS level "
+            f"FROM (SELECT node, level FROM l{i-1} UNION ALL "
+            f"SELECT bi.v AS node, {i} AS level FROM l{i-1} f "
+            f"JOIN bi ON f.node = bi.u AND f.level = {i-1}) "
+            f"GROUP BY node),")
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(f"SELECT node, CAST(level AS INT) AS level "
+               f"FROM l{rounds}")
+    return "\n".join(sql)

@@ -359,3 +359,38 @@ def test_range_frame_includes_all_equal_ts_peers(spark):
     # both us=1000 rows see BOTH peers; us=5000 sees only itself
     # (5000-3000 > 1000)
     assert got == {1: (2, 30), 2: (2, 30), 3: (1, 30)}
+
+
+# ----------------------------------------------------------------- bfs
+
+def test_bfs_levels_path_and_unreachable(spark):
+    from frogocr_spark.operators.graph import bfs_levels
+    # path 1-2-3-4-5 plus isolated component 8-9; seed = 1, rounds = 3
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.level
+           for r in bfs_levels(e, seeds, rounds=3).collect()}
+    # node 5 is 4 hops away -> absent at rounds=3; 8/9 unreachable
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_levels_min_distance_on_diamond_multi_seed(spark):
+    from frogocr_spark.operators.graph import bfs_levels
+    # diamond 1-2, 1-3, 2-4, 3-4 plus a long way 1-5, 5-4: node 4 must
+    # get level 2 (min), not 2-via-5's longer path; multi-seed takes
+    # the global min
+    e = _edges(spark, [(1, 2), (1, 3), (2, 4), (3, 4), (1, 5), (5, 4)])
+    seeds = spark.createDataFrame([(1,), (4,)], "node long")
+    got = {r.node: r.level
+           for r in bfs_levels(e, seeds, rounds=4).collect()}
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1, 5: 1}
+
+
+def test_bfs_levels_zero_rounds_and_validation(spark):
+    from frogocr_spark.operators.graph import bfs_levels
+    e = _edges(spark, [(1, 2)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = bfs_levels(e, seeds, rounds=0).collect()
+    assert [(r.node, r.level) for r in got] == [(1, 0)]
+    with pytest.raises(ValueError, match="rounds"):
+        bfs_levels(e, seeds, rounds=-1)
