@@ -2375,6 +2375,198 @@ def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GROUPING_SETS_TEXT)
 
 
+def _q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the sole-blamed-supplier query (EXISTS +
+    NOT EXISTS self-joins on the fact): suppliers whose lineitem was
+    the ONLY returned ('R') one in a multi-supplier order.  The two
+    correlated subqueries decorrelate to one LEFT SEMI + one LEFT ANTI
+    self-join, each an orderkey equi-join with the supplier-inequality
+    as a residual — never a cartesian; supplier names via broadcast;
+    top-20 with a total (count DESC, name) tiebreak so the cut is
+    deterministic.  (Adapted: no commit/receipt dates in this schema,
+    so 'late' = returnflag R — the plan shape is Q21's.)"""
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    pairs = (li.select("l_orderkey", "l_suppkey").dropDuplicates())
+    rpairs = (li.where(F.col("l_returnflag") == "R")
+              .select("l_orderkey", "l_suppkey").dropDuplicates())
+    other = pairs.select(F.col("l_orderkey").alias("okey2"),
+                         F.col("l_suppkey").alias("supp2"))
+    rother = rpairs.select(F.col("l_orderkey").alias("okey2"),
+                           F.col("l_suppkey").alias("supp2"))
+    cond = ((F.col("l_orderkey") == F.col("okey2"))
+            & (F.col("l_suppkey") != F.col("supp2")))
+    sole = (rpairs.join(other, cond, "left_semi")
+            .join(rother, cond, "left_anti"))
+    return (sole.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("n_waiting"))
+            .join(F.broadcast(s.select(F.col("s_suppkey")
+                                       .alias("l_suppkey"), "s_name")),
+                  "l_suppkey")
+            .select(F.col("l_suppkey").alias("s_suppkey"), "s_name",
+                    "n_waiting")
+            .orderBy(F.col("n_waiting").desc(), "s_name")
+            .limit(20))
+
+
+def _q_tpch_q15_topsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — top supplier by quarterly revenue: the
+    max-of-aggregate view decorrelates to a 1-row broadcast, and the
+    winner test is INTEGER equality on cents (revenue == max-revenue —
+    all ties returned, no float to disagree on).  Fact filter pushed to
+    the scan; one shuffle for the per-supplier agg."""
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    rev = F.round(F.col("l_extendedprice")
+                  * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    per = (li.where((F.col("l_shipdate") >= "1996-01-01")
+                    & (F.col("l_shipdate") < "1996-04-01"))
+           .select("l_suppkey", rev.alias("rev_cents"))
+           .groupBy("l_suppkey")
+           .agg(F.sum("rev_cents").alias("total_revenue_cents")))
+    mx = per.agg(F.max("total_revenue_cents").alias("mx"))
+    return (per.crossJoin(F.broadcast(mx))
+            .where(F.col("total_revenue_cents") == F.col("mx"))
+            .join(F.broadcast(s.select(F.col("s_suppkey")
+                                       .alias("l_suppkey"), "s_name")),
+                  "l_suppkey")
+            .select(F.col("l_suppkey").alias("s_suppkey"), "s_name",
+                    "total_revenue_cents"))
+
+
+def _q_tpch_q16_partcnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — supplier diversity per part class: COUNT
+    DISTINCT suppliers per (brand, size) over the distinct
+    (part, supplier) pairs, EXCLUDING blacklisted suppliers (negative
+    balance) via NOT IN → a broadcast anti-join.  (partsupp doesn't
+    exist in this schema; the distinct lineitem (partkey, suppkey)
+    pairs are its observable twin.)"""
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    p = _read(spark, sf_dir, "part")
+    bad = (s.where(F.col("s_acctbal") < 0)
+           .select(F.col("s_suppkey").alias("l_suppkey")))
+    pairs = (li.select("l_partkey", "l_suppkey").dropDuplicates()
+             .join(F.broadcast(bad), "l_suppkey", "left_anti"))
+    dims = p.where((F.col("p_brand") != "Brand#45")
+                   & (F.col("p_size") <= 25)).select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size")
+    return (pairs.join(F.broadcast(dims), "l_partkey")
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def _q_tpch_q20_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — the nested-semijoin chain: suppliers who
+    dominate some PROMO-class part's volume (>10% of its total flow —
+    ~30 suppliers/part in this synthetic universe makes the classic
+    majority cut empty).  The correlated fraction-of-SUM cut
+    decorrelates to a per-part total joined back (integer-exact:
+    10·supp_qty > part_total — no float), the IN-chains to broadcast
+    semi-joins; output is the distinct qualifying suppliers."""
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    p = _read(spark, sf_dir, "part")
+    promo = (p.where(F.col("p_type").startswith("PROMO"))
+             .select(F.col("p_partkey").alias("l_partkey")))
+    qc = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    base = (li.select("l_partkey", "l_suppkey", qc.alias("qty_cents"))
+            .join(F.broadcast(promo), "l_partkey"))
+    tot = (base.groupBy("l_partkey")
+           .agg(F.sum("qty_cents").alias("tot_qc")))
+    sp = (base.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("qty_cents").alias("sp_qc")))
+    heavy = (sp.join(tot, "l_partkey")
+             .where(F.lit(10) * F.col("sp_qc") > F.col("tot_qc"))
+             .select(F.col("l_suppkey").alias("s_suppkey"))
+             .dropDuplicates())
+    return (s.join(heavy, "s_suppkey", "left_semi")
+            .select("s_suppkey", "s_name", "s_nationkey"))
+
+
+def _q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion revenue share by month: conditional
+    aggregation over a broadcast part join; numerator and denominator
+    emitted as exact integer cents (the ratio is one trivial driver
+    division — a float percent would be the only inexact byte in the
+    answer)."""
+    li = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice")
+                  * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    j = (li.where((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1997-01-01"))
+         .select("l_partkey", F.month("l_shipdate").alias("month"),
+                 rev.alias("rev_cents"))
+         .join(F.broadcast(p.select(F.col("p_partkey")
+                                    .alias("l_partkey"), "p_type")),
+               "l_partkey"))
+    return (j.groupBy("month")
+            .agg(F.sum(F.when(F.col("p_type").startswith("PROMO"),
+                              F.col("rev_cents")).otherwise(F.lit(0)))
+                 .alias("promo_cents"),
+                 F.sum("rev_cents").alias("total_cents")))
+
+
+def _q_tpch_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share by year: two-level
+    conditional aggregation (the target nation's revenue vs ALL
+    revenue per ship-year) over a broadcast supplier→nation star;
+    numerator/denominator as exact integer cents."""
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    rev = F.round(F.col("l_extendedprice")
+                  * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    dim = (s.select(F.col("s_suppkey").alias("l_suppkey"),
+                    "s_nationkey")
+           .join(F.broadcast(n.select(F.col("n_nationkey")
+                                      .alias("s_nationkey"), "n_name")),
+                 "s_nationkey"))
+    return (li.select("l_suppkey", F.year("l_shipdate").alias("year"),
+                      rev.alias("rev_cents"))
+            .join(F.broadcast(dim), "l_suppkey")
+            .groupBy("year")
+            .agg(F.sum(F.when(F.col("n_name") == "NATION_7",
+                              F.col("rev_cents")).otherwise(F.lit(0)))
+                 .alias("nation_cents"),
+                 F.sum("rev_cents").alias("total_cents")))
+
+
+def _q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS of event value (cents) against event-hour — the
+    SQL regr_slope/regr_intercept/regr_r2 family, computed from
+    DECIMAL(38,0)-exact sufficient statistics in ONE map-side-combined
+    agg so slope/intercept/r² are a fixed tree of correctly-rounded
+    IEEE ops over sums both engines agree on exactly (native regr_*
+    float accumulation would hash-differ per partition order)
+    (operators/analytics.ols_fit)."""
+    from frogocr_spark.operators.analytics import ols_fit
+    ev = _read(spark, sf_dir, "events")
+    return ols_fit(
+        ev,
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"),
+        F.round(F.col("value") * 100, 0),
+        "event_type")
+
+
+def _q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — each purchase event matched to the SCD2
+    user-state version valid AT ITS TIMESTAMP (facts joined to slowly
+    changing attributes as-they-were): key equi-join with the half-open
+    validity interval as a residual, dimension (bounded by CHANGES)
+    broadcast so the fact side never shuffles
+    (operators/analytics.pit_lookup over scd2_history)."""
+    from frogocr_spark.operators.analytics import scd2_history, pit_lookup
+    ev = _read(spark, sf_dir, "events")
+    dim = scd2_history(ev, "user_id", "event_type")
+    probe = (ev.where(F.col("event_type") == "purchase")
+             .select("event_id", "user_id",
+                     F.unix_micros(F.col("ts").cast("timestamp"))
+                     .alias("us")))
+    return pit_lookup(probe, dim, "user_id", F.col("us"), "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -2528,6 +2720,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_range_frame": _q_w_range_frame,
         "bfs_levels": _q_bfs_levels,
         "grouping_sets": _q_grouping_sets,
+        "tpch_q21_waiting": _q_tpch_q21_waiting,
+        "tpch_q15_topsupp": _q_tpch_q15_topsupp,
+        "tpch_q16_partcnt": _q_tpch_q16_partcnt,
+        "tpch_q20_excess": _q_tpch_q20_excess,
+        "tpch_q14_promo": _q_tpch_q14_promo,
+        "tpch_q8_share": _q_tpch_q8_share,
+        "ols_regression": _q_ols_regression,
+        "pit_join": _q_pit_join,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -5182,6 +5382,182 @@ FROM pos2
         "WHERE user_id % 97 = 0",
         _BFS_ROUNDS)
     o["grouping_sets"] = _GROUPING_SETS_TEXT
+    o["tpch_q21_waiting"] = """
+        WITH pairs AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        ), rp AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_returnflag = 'R'
+        ), sole AS (
+            SELECT l1.l_orderkey, l1.l_suppkey FROM rp l1
+            WHERE EXISTS (SELECT 1 FROM pairs l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM rp l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey)
+        )
+        SELECT s.s_suppkey, s.s_name, count(*) AS n_waiting
+        FROM sole JOIN supplier s ON sole.l_suppkey = s.s_suppkey
+        GROUP BY s.s_suppkey, s.s_name
+        ORDER BY n_waiting DESC, s.s_name
+        LIMIT 20
+    """
+    o["tpch_q15_topsupp"] = """
+        WITH per AS (
+            SELECT l_suppkey,
+                   CAST(sum(CAST(round(l_extendedprice
+                                       * (1 - l_discount) * 100, 0)
+                                 AS BIGINT)) AS BIGINT)
+                   AS total_revenue_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT per.l_suppkey AS s_suppkey, s.s_name,
+               per.total_revenue_cents
+        FROM per JOIN supplier s ON per.l_suppkey = s.s_suppkey
+        WHERE per.total_revenue_cents =
+              (SELECT max(total_revenue_cents) FROM per)
+    """
+    o["tpch_q16_partcnt"] = """
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+        )
+        SELECT p.p_brand, p.p_size,
+               count(DISTINCT pairs.l_suppkey) AS supplier_cnt
+        FROM pairs JOIN part p ON pairs.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#45' AND p.p_size <= 25
+        GROUP BY p.p_brand, p.p_size
+    """
+    o["tpch_q20_excess"] = """
+        WITH base AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(round(l_quantity * 100, 0) AS BIGINT)
+                   AS qty_cents
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_type LIKE 'PROMO%')
+        ), tot AS (
+            SELECT l_partkey, CAST(sum(qty_cents) AS BIGINT) AS tot_qc
+            FROM base GROUP BY l_partkey
+        ), sp AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(sum(qty_cents) AS BIGINT) AS sp_qc
+            FROM base GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, s.s_nationkey
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+            SELECT sp.l_suppkey FROM sp
+            JOIN tot ON sp.l_partkey = tot.l_partkey
+            WHERE 10 * sp.sp_qc > tot.tot_qc)
+    """
+    o["tpch_q14_promo"] = """
+        SELECT month(l.l_shipdate) AS month,
+               CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                        THEN CAST(round(l.l_extendedprice
+                                        * (1 - l.l_discount) * 100, 0)
+                                  AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS promo_cents,
+               CAST(sum(CAST(round(l.l_extendedprice
+                                   * (1 - l.l_discount) * 100, 0)
+                             AS BIGINT)) AS BIGINT) AS total_cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY month(l.l_shipdate)
+    """
+    o["tpch_q8_share"] = """
+        SELECT year(l.l_shipdate) AS year,
+               CAST(sum(CASE WHEN n.n_name = 'NATION_7'
+                        THEN CAST(round(l.l_extendedprice
+                                        * (1 - l.l_discount) * 100, 0)
+                                  AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS nation_cents,
+               CAST(sum(CAST(round(l.l_extendedprice
+                                   * (1 - l.l_discount) * 100, 0)
+                             AS BIGINT)) AS BIGINT) AS total_cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY year(l.l_shipdate)
+    """
+    o["ols_regression"] = """
+        WITH b AS (
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS x,
+                   CAST(round(value * 100, 0) AS BIGINT) AS y
+            FROM events
+        ), a AS (
+            SELECT event_type,
+                   CAST(count(*) AS HUGEINT) AS nn,
+                   CAST(sum(x) AS HUGEINT) AS sx,
+                   CAST(sum(y) AS HUGEINT) AS sy,
+                   CAST(sum(x * x) AS HUGEINT) AS sxx,
+                   CAST(sum(y * y) AS HUGEINT) AS syy,
+                   CAST(sum(x * y) AS HUGEINT) AS sxy
+            FROM b GROUP BY event_type
+        ), t AS (
+            SELECT event_type, nn, sx, sy,
+                   nn * sxy - sx * sy AS num,
+                   nn * sxx - sx * sx AS den_x,
+                   nn * syy - sy * sy AS den_y
+            FROM a
+        ), u AS (
+            SELECT event_type, nn, sx, sy,
+                   CASE WHEN den_x > 0
+                        THEN CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE)
+                   END AS slope,
+                   CASE WHEN den_x > 0 AND den_y > 0
+                        THEN (CAST(num AS DOUBLE)
+                              / CAST(den_x AS DOUBLE))
+                             * (CAST(num AS DOUBLE)
+                                / CAST(den_y AS DOUBLE))
+                   END AS r2
+            FROM t
+        )
+        SELECT event_type, CAST(nn AS BIGINT) AS n,
+               round(slope, 6) AS slope,
+               round(CAST(sy AS DOUBLE) / CAST(nn AS DOUBLE)
+                     - slope * (CAST(sx AS DOUBLE)
+                                / CAST(nn AS DOUBLE)), 6) AS intercept,
+               round(r2, 6) AS r2
+        FROM u
+    """
+    o["pit_join"] = """
+        WITH b AS (
+            SELECT user_id, event_type AS attr, epoch_us(ts) AS us,
+                   event_id
+            FROM events
+        ), c AS (
+            SELECT *, lag(attr) OVER (
+                PARTITION BY user_id ORDER BY us, event_id) AS prev
+            FROM b
+        ), ch AS (
+            SELECT user_id, attr, us, event_id FROM c
+            WHERE prev IS NULL OR prev <> attr
+        ), dim AS (
+            SELECT user_id,
+                   CAST(row_number() OVER w AS INT) AS version,
+                   attr,
+                   us AS valid_from_us,
+                   lead(us) OVER w AS valid_to_us
+            FROM ch
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), probe AS (
+            SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, d.version, d.attr,
+               d.valid_from_us
+        FROM probe p JOIN dim d ON p.user_id = d.user_id
+        WHERE p.us >= d.valid_from_us
+          AND (d.valid_to_us IS NULL OR p.us < d.valid_to_us)
+    """
     o["merge_upsert"] = """
         WITH src AS (
             SELECT doc_id, upper(text) AS text, lang, 'cdc' AS source,

@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "markov_transitions", "winsorize", "dq_checks", "tpch_q10_returns",
     "tpch_q19_disjunct", "tpch_q22_idle", "w_range_frame",
     "bfs_levels", "grouping_sets",
+    "tpch_q21_waiting", "tpch_q15_topsupp", "tpch_q16_partcnt",
+    "tpch_q20_excess", "tpch_q14_promo", "tpch_q8_share",
+    "ols_regression", "pit_join",
 ]
 
 

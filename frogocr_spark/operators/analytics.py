@@ -405,3 +405,90 @@ def winsorize_stats(df: DataFrame, group_col: str, value_col,
                        .otherwise(0)).alias("n_lo"),
                  F.sum(F.when(F.col("cents") > F.col("hi_cents"), 1)
                        .otherwise(0)).alias("n_hi")))
+
+
+def ols_fit(df: DataFrame, x_col: "F.Column", y_col: "F.Column",
+            group_col: str) -> DataFrame:
+    """Per-group simple OLS regression (the SQL ``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2`` family) with NO float-summation
+    ambiguity: x and y must be integer-valued columns; the five sums
+    are carried as DECIMAL(38,0) (exact at any row count and any
+    partitioning), the normal-equation numerator/denominators
+    ``n·Σxy − Σx·Σy`` / ``n·Σxx − Σx²`` / ``n·Σyy − Σy²`` are exact
+    decimal products, and slope/intercept/r² are a FIXED tree of
+    individually correctly-rounded IEEE double ops over those
+    exactly-agreed values (the proven ``moment_stats_exact`` recipe —
+    engines running native ``regr_slope`` float accumulation would
+    hash-differ per partition order).
+
+    Degenerate groups (constant x) get NULL slope/intercept/r²; a
+    constant-y group gets r² NULL (0/0) by the same guard.
+
+    Scale shape: ONE map-side-combined aggregation — the corpus is
+    scanned once and only #groups rows ever move.  Headroom: exact
+    while n·|x·y| per group stays under 10^38 (10^12 rows of 10^4-scale
+    x times 10^5-scale y fit with 10^17 to spare).
+
+    Output: ``<group_col>, n, slope, intercept, r2`` (6 dp)."""
+    dec = "decimal(38,0)"
+    x = x_col.cast("long")
+    y = y_col.cast("long")
+    base = df.select(group_col, x.alias("x"), y.alias("y"))
+    agg = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(dec).alias("nn"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"))
+    num = F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("nn") * F.col("syy") - F.col("sy") * F.col("sy")
+    nd = F.col("nn").cast("double")
+    num_d, denx_d, deny_d = (num.cast("double"), den_x.cast("double"),
+                             den_y.cast("double"))
+    slope = F.when(den_x > 0, num_d / denx_d)
+    # identical parenthesization in the SQL oracle — see oracle_sql()
+    intercept = (F.col("sy").cast("double") / nd
+                 - slope * (F.col("sx").cast("double") / nd))
+    r2 = F.when((den_x > 0) & (den_y > 0),
+                (num_d / denx_d) * (num_d / deny_d))
+    return agg.select(
+        group_col, F.col("nn").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"))
+
+
+def pit_lookup(probe: DataFrame, dim: DataFrame, key_col: str,
+               probe_us: "F.Column", id_col: str) -> DataFrame:
+    """Point-in-time (temporal / as-of validity) lookup against an SCD
+    type-2 dimension: for every probe row, the dimension version whose
+    half-open validity interval ``[valid_from_us, valid_to_us)``
+    contains the probe's event time — the lakehouse pattern for joining
+    facts to slowly-changing attributes AS THEY WERE at fact time
+    (``dim`` is :func:`scd2_history` output: ``key, version, attr,
+    valid_from_us, valid_to_us`` with NULL = open/current).
+
+    Probes earlier than the key's first version (or with no matching
+    key) are dropped — inner temporal semantics; intervals from
+    ``scd2_history`` tile the timeline per key, so each surviving probe
+    matches EXACTLY ONE version (no fan-out).
+
+    Scale shape: one equi-join on the key with the interval test as a
+    residual predicate — never a cartesian; the SCD2 side is bounded by
+    the number of CHANGES, so at fact-vs-dimension cardinalities the
+    build side broadcasts and the fact is never shuffled.
+
+    Output: probe id + key + matched ``version, attr, valid_from_us``."""
+    d = dim.select(F.col(key_col).alias("_k"), "version", "attr",
+                   "valid_from_us", "valid_to_us")
+    p = probe.select(id_col, F.col(key_col).alias("_k"),
+                     probe_us.cast("long").alias("_us"))
+    cond = ((F.col("_us") >= F.col("valid_from_us"))
+            & (F.col("valid_to_us").isNull()
+               | (F.col("_us") < F.col("valid_to_us"))))
+    return (p.join(F.broadcast(d), "_k")
+            .where(cond)
+            .select(id_col, F.col("_k").alias(key_col), "version",
+                    "attr", "valid_from_us"))
