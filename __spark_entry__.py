@@ -2687,6 +2687,104 @@ def _q_tpch_q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("low_line_count")))
 
 
+_ROLLUP_GEO_TEXT = """
+    SELECT r_name, n_name,
+           CAST(grouping(r_name) AS INT) AS g_region,
+           CAST(grouping(n_name) AS INT) AS g_nation,
+           count(*) AS n_cust,
+           CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+                AS BIGINT) AS acctbal_cents
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def _q_rollup_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP over the geography dimension chain
+    (region → nation → grand total) with grouping() flags to
+    disambiguate rolled-up NULLs — planned as ONE Expand over a single
+    joined scan (dims broadcast), the OLAP subtotal primitive.  ANSI
+    text executed VERBATIM by both engines (the sql_surface
+    single-source-of-truth trick), balances as exact integer cents."""
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _read(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _read(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(_ROLLUP_GEO_TEXT)
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PIVOT surface — long→wide reshaping: per-cohort event
+    counts spread into one column per event type.  The value list is
+    passed EXPLICITLY, which at scale skips the driver-side distinct
+    pass Spark otherwise runs to discover pivot columns (and makes the
+    output schema stable for downstream writers); plan = ONE
+    map-side-combined aggregate with the same shape as a conditional
+    agg — the oracle IS that conditional agg, so the hash match proves
+    pivot ≡ CASE-sum.  Absent combinations backfilled to 0."""
+    ev = _read(spark, sf_dir, "events")
+    return (ev.select((F.col("user_id") % 16).alias("cohort"),
+                      "event_type")
+            .groupBy("cohort")
+            .pivot("event_type", _PIVOT_TYPES)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, _PIVOT_TYPES))
+
+
+def _q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (the MATCH_RECOGNIZE shape):
+    each user's stream collapses to a deterministic event-initial
+    string (array_sort on (ts, event_id) → initials), then regexes
+    count conversion motifs — direct view→purchase adjacencies and
+    assisted ``v[vc]*p`` funnels.  Patterns restricted to plain classes
+    + greedy stars where Java regex (leftmost-greedy) and RE2
+    (leftmost-longest) provably agree, non-overlapping counts both
+    engines.  ONE keyed shuffle; the per-user fold is a map stage over
+    the grouped rows — no self-joins per pattern step (contrast the
+    K-way-join funnel formulation the funnel oracle keeps)."""
+    ev = _read(spark, sf_dir, "events")
+    ordered = F.array_sort(F.collect_list(
+        F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))))
+    seq = F.array_join(
+        F.transform(ordered, lambda x: F.substring(x["event_type"],
+                                                   1, 1)), "")
+    return (ev.groupBy("user_id")
+            .agg(seq.alias("seq"))
+            .select("user_id",
+                    F.length("seq").alias("n_events"),
+                    F.regexp_count(F.col("seq"), F.lit("vp"))
+                    .alias("n_direct"),
+                    F.regexp_count(F.col("seq"), F.lit("v[vc]*p"))
+                    .alias("n_assisted"))
+            .where(F.col("n_assisted") > 0))
+
+
+def _q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows — F.window(2h slide 1h),
+    the overlapping-window tier of event-time analytics (tumbling =
+    `event_windows`, session = `sessionize`): each event lands in
+    size/hop = 2 slots, so state and output scale 2× the tumbling
+    cost, never with window length.  Counts + exact distinct users per
+    (slot, type); window bounds emitted as integer epoch-micros
+    (session tz is UTC so Spark's epoch-aligned slots == the oracle's
+    integer DIV arithmetic).  Oracle materializes the two slots per
+    event explicitly — the hash match pins Spark's window-explode
+    semantics to the arithmetic definition."""
+    ev = _read(spark, sf_dir, "events")
+    w = F.window(F.col("ts").cast("timestamp"), "2 hours", "1 hour")
+    return (ev.select(w.alias("w"), "event_type", "user_id")
+            .groupBy("w", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .select(F.unix_micros(F.col("w.start")).alias("win_start_us"),
+                    F.unix_micros(F.col("w.end")).alias("win_end_us"),
+                    "event_type", "n", "n_users"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -2852,6 +2950,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9_profit": _q_tpch_q9_profit,
         "tpch_q11_important": _q_tpch_q11_important,
         "tpch_q12_priority": _q_tpch_q12_priority,
+        "rollup_geo": _q_rollup_geo,
+        "pivot_counts": _q_pivot_counts,
+        "pattern_match": _q_pattern_match,
+        "sliding_windows": _q_sliding_windows,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -5742,6 +5844,52 @@ FROM pos2
         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
           AND l.l_shipdate < TIMESTAMP '1997-01-01'
         GROUP BY l.l_linestatus
+    """
+    o["rollup_geo"] = _ROLLUP_GEO_TEXT
+    o["pivot_counts"] = """
+        SELECT user_id % 16 AS cohort,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                        END) AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                        END) AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                        END) AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                        END) AS BIGINT) AS view
+        FROM events GROUP BY user_id % 16
+    """
+    o["pattern_match"] = """
+        WITH seqs AS (
+            SELECT user_id,
+                   string_agg(substring(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(seq) AS BIGINT) AS n_events,
+               CAST(length(regexp_extract_all(seq, 'vp')) AS BIGINT)
+               AS n_direct,
+               CAST(length(regexp_extract_all(seq, 'v[vc]*p'))
+                    AS BIGINT) AS n_assisted
+        FROM seqs
+        WHERE length(regexp_extract_all(seq, 'v[vc]*p')) > 0
+    """
+    o["sliding_windows"] = """
+        WITH b AS (
+            SELECT epoch_us(ts) AS us, event_type, user_id FROM events
+        ), slotted AS (
+            SELECT unnest([(us // 3600000000) * 3600000000 - 3600000000,
+                           (us // 3600000000) * 3600000000])
+                   AS win_start_us,
+                   event_type, user_id
+            FROM b
+        )
+        SELECT win_start_us, win_start_us + 7200000000 AS win_end_us,
+               event_type, count(*) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM slotted GROUP BY win_start_us, event_type
     """
     o["merge_upsert"] = """
         WITH src AS (

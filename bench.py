@@ -105,7 +105,8 @@ BENCH_QUERIES = [
     "tpch_q20_excess", "tpch_q14_promo", "tpch_q8_share",
     "ols_regression", "pit_join",
     "tpch_q6_forecast", "tpch_q9_profit", "tpch_q11_important",
-    "tpch_q12_priority",
+    "tpch_q12_priority", "rollup_geo", "pivot_counts",
+    "pattern_match", "sliding_windows",
 ]
 
 

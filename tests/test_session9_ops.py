@@ -103,3 +103,40 @@ def test_pit_lookup_no_fanout_on_real_history(spark):
     out = pit_lookup(probe, dim, "user_id", F.col("us"), "event_id")
     assert out.count() == ev.count()
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+# --------------------------------------------------- surface semantics
+
+def test_hopping_window_slots_match_integer_arithmetic(spark):
+    # F.window(2h, 1h) must place each event in exactly the two
+    # epoch-aligned hour slots the oracle computes by integer DIV
+    HOUR = 3_600_000_000
+    uss = [0, 1, HOUR - 1, HOUR, 5 * HOUR + 123_456]
+    df = spark.createDataFrame([(u,) for u in uss], "us long")
+    out = (df.select(F.timestamp_micros(F.col("us")).alias("ts"), "us")
+           .select(F.window("ts", "2 hours", "1 hour").alias("w"), "us")
+           .select("us", F.unix_micros(F.col("w.start")).alias("s"),
+                   F.unix_micros(F.col("w.end")).alias("e"))
+           .collect())
+    got = {}
+    for r in out:
+        got.setdefault(r.us, set()).add((r.s, r.e))
+        assert r.e - r.s == 2 * HOUR
+    for u in uss:
+        s1 = (u // HOUR) * HOUR
+        assert got[u] == {(s1 - HOUR, s1 + HOUR), (s1, s1 + 2 * HOUR)}
+
+
+def test_regexp_count_nonoverlapping_matches_python_re(spark):
+    # the pattern class used by pattern_match: plain chars + greedy
+    # star — Java regexp_count and Python re.findall agree
+    import re
+    seqs = ["vp", "vpvp", "vcvcp", "vvpp", "pv", "", "vcvcvpvp",
+            "vpvcp", "ppp", "vvv"]
+    df = spark.createDataFrame([(s,) for s in seqs], "seq string")
+    for pat in ("vp", "v[vc]*p"):
+        got = {r.seq: r.n for r in df.select(
+            "seq", F.regexp_count("seq", F.lit(pat)).alias("n"))
+            .collect()}
+        for s in seqs:
+            assert got[s] == len(re.findall(pat, s)), (pat, s)
