@@ -2785,6 +2785,112 @@ def _q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_type", "n", "n_users"))
 
 
+def _q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D Pareto frontier over parts (cheapest-for-their-size): minimize
+    price cents, maximize size.  Distributed sort-scan skyline — one
+    keyed group-max + an exclusive prefix max via the range-partitioned
+    global_cummax machinery (NO single-partition window, no quadratic
+    self-join); the oracle keeps the textbook NOT-EXISTS-dominator
+    form, so the hash match proves the linearized plan equivalent
+    (operators/analytics.skyline2d)."""
+    from frogocr_spark.operators.analytics import skyline2d
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"))
+    return skyline2d(part, "price_cents", "p_size")
+
+
+def _q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent 10-minute sessions per event type — the sweep-line
+    +1/−1 running sum on the range-partitioned global_cumsum machinery
+    (per-key reset is FREE: each key's deltas telescope to zero, so the
+    key-major global prefix sum restarts at every key boundary — a hot
+    key never serializes into one task).  The oracle computes the
+    INDEPENDENT quadratic definition — max over interval starts of
+    count(intervals containing that start) — so the hash match proves
+    sweep-line ≡ definition (operators/analytics.max_concurrency)."""
+    from frogocr_spark.operators.analytics import max_concurrency
+    ev = _read(spark, sf_dir, "events")
+    return max_concurrency(ev, "event_type", duration_us=600_000_000)
+
+
+def _q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth 16-bucket histogram of event value cents — the
+    optimizer-statistics / quantile ground truth.  Bucket of global
+    rank r is ((r−1)·16) DIV n: exact integer arithmetic on a rank from
+    the range-partitioned global_rank (no single-partition window);
+    boundaries are exact data values, not interpolations.  The oracle
+    runs the classic single-node row_number() + the same arithmetic
+    (operators/ranking.equidepth_histogram)."""
+    from frogocr_spark.operators.ranking import equidepth_histogram
+    ev = _read(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "event_id")
+    return equidepth_histogram(ev, "cents", "event_id", n_buckets=16)
+
+
+def _q_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over orders (baskets = orders,
+    items = parts): top-25 co-occurring part pairs by support, with the
+    exact integer confidence/lift ingredients (n_ab, n_a, n_b,
+    n_baskets — no float ratio to disagree on).  Pair expansion is
+    bounded by Σ|basket|² with a mega-basket guard; the top-n cut is
+    TakeOrdered and the count decoration joins AFTER the cut
+    (operators/analytics.assoc_rules)."""
+    from frogocr_spark.operators.analytics import assoc_rules
+    li = _read(spark, sf_dir, "lineitem")
+    return assoc_rules(li, "l_orderkey", "l_partkey", top_n=25)
+
+
+def _q_rand_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection 64 → 8 dims — the
+    cheap dimensionality cut before sketching/ANN.  The ±1 matrix is
+    md5-derived (hashlib == Spark md5 == DuckDB md5) and ships as a
+    LITERAL; components quantize to integer ten-thousandths so every
+    output coordinate is an exact int64 signed sum — a pure map stage,
+    the embedding relation never shuffled
+    (operators/similarity.jl_project)."""
+    from frogocr_spark.operators.similarity import jl_project
+    emb = _read(spark, sf_dir, "embeddings")
+    return jl_project(emb, dim=64, k=8)
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — encode the corpus with the 8-merge trained BPE
+    and report per-doc token counts (the pretraining cost/packing
+    statistic).  Encoding is one word-keyed equi-join against the
+    trained vocabulary (word → merged symbols) + a per-doc agg — the
+    merges never re-run over the corpus; the oracle re-runs the
+    identical train chain then the same join
+    (operators/bpe.bpe_encode_counts)."""
+    from frogocr_spark.operators.bpe import bpe_encode_counts
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_encode_counts(docs, n_merges=8)
+
+
+def _q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types: top-3 types per hopping window (2 h window,
+    1 h slide) — the dashboard 'trending now' shape composing the
+    hash-verified hopping-window explode with a per-window rank cut
+    (ties broken on type; (n desc, type) is a total order per window).
+    The oracle materializes both slots per event explicitly and ranks
+    with the same tie-break."""
+    from pyspark.sql import Window
+    ev = _read(spark, sf_dir, "events")
+    w = F.window(F.col("ts").cast("timestamp"), "2 hours", "1 hour")
+    counts = (ev.select(w.alias("w"), "event_type")
+              .groupBy("w", "event_type")
+              .agg(F.count(F.lit(1)).cast("long").alias("n"))
+              .select(F.unix_micros(F.col("w.start"))
+                      .alias("win_start_us"), "event_type", "n"))
+    rk = Window.partitionBy("win_start_us").orderBy(
+        F.desc("n"), F.asc("event_type"))
+    return (counts.withColumn("rnk", F.row_number().over(rk))
+            .where(F.col("rnk") <= 3))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -2954,6 +3060,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": _q_pivot_counts,
         "pattern_match": _q_pattern_match,
         "sliding_windows": _q_sliding_windows,
+        "skyline": _q_skyline,
+        "max_concurrency": _q_max_concurrency,
+        "equidepth_hist": _q_equidepth_hist,
+        "itemsets": _q_itemsets,
+        "rand_proj": _q_rand_proj,
+        "bpe_encode": _q_bpe_encode,
+        "trending": _q_trending,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -5906,5 +6019,119 @@ FROM pos2
         WHERE d.doc_id NOT IN (SELECT doc_id FROM src)
         UNION ALL
         SELECT doc_id, text, lang, source, n_chars FROM src
+    """
+    o["skyline"] = """
+        WITH b AS (
+            SELECT p_partkey,
+                   CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                   AS price_cents,
+                   CAST(p_size AS BIGINT) AS p_size
+            FROM part
+        )
+        SELECT p_partkey, price_cents, p_size FROM b p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM b q
+            WHERE q.price_cents <= p.price_cents
+              AND q.p_size >= p.p_size
+              AND (q.price_cents < p.price_cents
+                   OR q.p_size > p.p_size))
+    """
+    o["max_concurrency"] = """
+        WITH iv AS (
+            SELECT event_type, epoch_us(ts) AS s,
+                   epoch_us(ts) + 600000000 AS e
+            FROM events
+        ), conc AS (
+            SELECT a.event_type, a.s, count(*) AS cnt
+            FROM iv a JOIN iv b
+              ON a.event_type = b.event_type
+             AND b.s <= a.s AND a.s < b.e
+            GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(max(cnt) AS BIGINT) AS max_concurrent
+        FROM conc GROUP BY event_type
+    """
+    o["equidepth_hist"] = """
+        WITH b AS (
+            SELECT CAST(round(value * 100, 0) AS BIGINT) AS v, event_id
+            FROM events
+        ), r AS (
+            SELECT v,
+                   row_number() OVER (ORDER BY v, event_id) AS rn,
+                   count(*) OVER () AS n
+            FROM b
+        )
+        SELECT CAST(((rn - 1) * 16) // n AS INT) AS bucket,
+               count(*) AS n_rows,
+               min(v) AS lo, max(v) AS hi
+        FROM r GROUP BY 1
+    """
+    o["itemsets"] = """
+        WITH bi AS (
+            SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+            FROM lineitem
+        ), pairs AS (
+            SELECT x.it AS a, y.it AS b, count(*) AS n_ab
+            FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+            GROUP BY 1, 2
+        ), top AS (
+            SELECT * FROM pairs ORDER BY n_ab DESC, a, b LIMIT 25
+        ), items AS (
+            SELECT it, count(*) AS n FROM bi GROUP BY 1
+        ), nb AS (
+            SELECT count(DISTINCT bk) AS n_baskets FROM bi
+        )
+        SELECT t.a, t.b, CAST(t.n_ab AS BIGINT) AS n_ab,
+               CAST(ia.n AS BIGINT) AS n_a,
+               CAST(ib.n AS BIGINT) AS n_b,
+               CAST(nb.n_baskets AS BIGINT) AS n_baskets
+        FROM top t
+        JOIN items ia ON ia.it = t.a
+        JOIN items ib ON ib.it = t.b
+        CROSS JOIN nb
+    """
+    o["rand_proj"] = """
+        WITH s AS (
+            SELECT j, i,
+                   CASE WHEN ('0x' || substr(md5('rp_' || j || '_' || i),
+                                             1, 1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END AS sgn
+            FROM range(8) t1(j) CROSS JOIN range(64) t2(i)
+        ), q AS (
+            SELECT vec_id, i,
+                   CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 10000,
+                              0) AS BIGINT) AS qv
+            FROM embeddings CROSS JOIN range(64) t(i)
+        ), p AS (
+            SELECT q.vec_id, s.j,
+                   CAST(sum(s.sgn * q.qv) AS BIGINT) AS pv
+            FROM q JOIN s USING (i)
+            GROUP BY 1, 2
+        )
+        SELECT vec_id, list(pv ORDER BY j) AS proj
+        FROM p GROUP BY vec_id
+    """
+    from frogocr_spark.operators.bpe import bpe_encode_oracle_sql
+    o["bpe_encode"] = bpe_encode_oracle_sql(8)
+    o["trending"] = """
+        WITH b AS (
+            SELECT epoch_us(ts) AS us, event_type FROM events
+        ), sl AS (
+            SELECT (us // 3600000000) AS h, event_type FROM b
+            UNION ALL
+            SELECT (us // 3600000000) - 1, event_type FROM b
+        ), c AS (
+            SELECT h * 3600000000 AS win_start_us, event_type,
+                   count(*) AS n
+            FROM sl GROUP BY 1, 2
+        ), r AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY win_start_us
+                       ORDER BY n DESC, event_type) AS rnk
+            FROM c
+        )
+        SELECT win_start_us, event_type, CAST(n AS BIGINT) AS n,
+               CAST(rnk AS INT) AS rnk
+        FROM r WHERE rnk <= 3
     """
     return o

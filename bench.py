@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "tpch_q6_forecast", "tpch_q9_profit", "tpch_q11_important",
     "tpch_q12_priority", "rollup_geo", "pivot_counts",
     "pattern_match", "sliding_windows",
+    "skyline", "max_concurrency", "equidepth_hist", "itemsets",
+    "rand_proj", "bpe_encode", "trending",
 ]
 
 

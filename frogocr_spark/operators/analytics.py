@@ -492,3 +492,141 @@ def pit_lookup(probe: DataFrame, dim: DataFrame, key_col: str,
             .where(cond)
             .select(id_col, F.col("_k").alias(key_col), "version",
                     "attr", "valid_from_us"))
+
+
+def skyline2d(df: DataFrame, min_col: str, max_col: str,
+              num_partitions: int | None = None) -> DataFrame:
+    """2D skyline (Pareto frontier): rows not DOMINATED by any other —
+    q dominates p iff ``q.min_col <= p.min_col AND q.max_col >=
+    p.max_col`` with at least one strict.  Both columns must be exact
+    integers (longs) so the cross-engine comparison is bit-exact.
+
+    The textbook definition is a quadratic NOT EXISTS self-join (the
+    DuckDB oracle keeps exactly that form); the distributed plan is the
+    sort-scan skyline, linearized and shuffle-bounded by the number of
+    DISTINCT ``min_col`` values:
+
+    1. per-``min_col`` group max of ``max_col`` — one map-side-combined
+       keyed aggregation (a point below its own group's max is dominated
+       by that same-x, larger-y point);
+    2. exclusive prefix max of the group maxima over ``min_col``
+       ascending (:func:`~frogocr_spark.operators.ranking.global_cummax`
+       — range-partitioned, NO single-partition window): a group
+       survives iff its max strictly exceeds every strictly-cheaper
+       group's max;
+    3. surviving (x, gmax) pairs join back to the input; skyline rows
+       are those equal to their group max.  Equal (x, y) duplicates all
+       survive — neither dominates the other (both strict tests fail),
+       matching the NOT-EXISTS form.
+
+    EAGER at plan-construction (global_cummax collects O(partitions)
+    maxima).  Output: the input rows that form the skyline."""
+    x, y = F.col(min_col), F.col(max_col)
+    groups = df.groupBy(min_col).agg(F.max(y).cast("long").alias("_gmax"))
+    from frogocr_spark.operators.ranking import global_cummax
+    surv = (global_cummax(groups, [min_col], "_gmax", "_prevmax",
+                          num_partitions=num_partitions)
+            .where(F.col("_prevmax").isNull()
+                   | (F.col("_gmax") > F.col("_prevmax")))
+            .select(min_col, "_gmax"))
+    return (df.join(surv, min_col)
+            .where(y.cast("long") == F.col("_gmax"))
+            .drop("_gmax"))
+
+
+def max_concurrency(df: DataFrame, key_col: str, ts_col: str = "ts",
+                    id_col: str = "event_id",
+                    duration_us: int = 600_000_000,
+                    num_partitions: int | None = None) -> DataFrame:
+    """Maximum number of concurrently-open intervals per key — each row
+    opens the half-open interval ``[ts, ts + duration_us)`` (session /
+    connection / GPU-occupancy concurrency, the classic sweep-line).
+
+    Distributed sweep: every interval emits a ``+1`` at its start and a
+    ``-1`` at its end; the running sum of deltas in ``(key, us, delta,
+    id)`` order IS the concurrency curve (delta ascending puts the -1
+    first at ties, so an interval ending exactly when another starts
+    never overlaps it — half-open semantics).  The prefix sum runs on
+    :func:`~frogocr_spark.operators.ranking.global_cumsum` — range
+    partition + per-partition window + O(P) broadcast offsets, NO
+    single-partition window and NO per-key serialization: because every
+    interval contributes +1 and -1 to the SAME key, each key's deltas
+    telescope to zero, so the GLOBAL prefix sum in key-major order
+    restarts at 0 at every key boundary — per-key reset for free, and a
+    hot key is split across range partitions like any other data.
+
+    The max of the running sum equals max over start points of
+    ``count(intervals containing that start)`` — the quadratic
+    definition the DuckDB oracle computes independently (max
+    concurrency is always attained at some interval start).
+
+    EAGER at plan-construction (global_cumsum).  Output: ``key_col,
+    max_concurrent (long)``."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    starts = df.select(F.col(key_col), us.alias("_us"),
+                       F.lit(1).cast("long").alias("_delta"),
+                       F.col(id_col).alias("_id"))
+    ends = df.select(F.col(key_col),
+                     (us + F.lit(int(duration_us))).alias("_us"),
+                     F.lit(-1).cast("long").alias("_delta"),
+                     F.col(id_col).alias("_id"))
+    from frogocr_spark.operators.ranking import global_cumsum
+    cum = global_cumsum(starts.unionAll(ends),
+                        [key_col, "_us", "_delta", "_id"], "_delta",
+                        cumsum_col="_excl",
+                        num_partitions=num_partitions)
+    return (cum.withColumn("_conc", F.col("_excl") + F.col("_delta"))
+            .groupBy(key_col)
+            .agg(F.max("_conc").cast("long").alias("max_concurrent")))
+
+
+def assoc_rules(df: DataFrame, basket_col: str, item_col: str,
+                top_n: int = 25,
+                max_basket: int = 1000) -> DataFrame:
+    """Market-basket association mining (the Apriori/FP-growth pair
+    layer): co-occurrence support for item pairs within baskets, plus
+    the exact integer ingredients of confidence and lift — ``n_ab,
+    n_a, n_b, n_baskets`` (confidence(a→b) = n_ab/n_a, lift =
+    n_baskets·n_ab/(n_a·n_b); emitted as exact counts so no float
+    division can disagree cross-engine).  Top ``top_n`` pairs by
+    (support desc, a, b) — a total order, since (a, b) is unique.
+
+    Scale shape: one basket-keyed shuffle collects each basket's
+    DISTINCT item set (sorted, so pair generation emits each unordered
+    pair once as a < b); pair expansion is Σ|basket|² — bounded by the
+    ``max_basket`` guard (a degenerate mega-basket would otherwise
+    explode quadratically; capped baskets are dropped from PAIR
+    generation only — item supports and ``n_baskets`` still count every
+    basket, so the denominators stay honest).  Pair counts and
+    item counts are map-side-combined keyed aggregations; the top-n cut
+    is TakeOrderedAndProject (per-partition top-n + driver merge — no
+    global sort), and the n_a/n_b/n_baskets decoration joins AFTER the
+    cut, against ``top_n`` rows (broadcast)."""
+    pairs_src = (df.select(F.col(basket_col).alias("_bk"),
+                           F.col(item_col).alias("_it"))
+                 .distinct()
+                 .groupBy("_bk")
+                 .agg(F.sort_array(F.collect_set("_it")).alias("_items"))
+                 .where((F.size("_items") >= 2)
+                        & (F.size("_items") <= int(max_basket))))
+    pairs = pairs_src.select(F.explode(F.flatten(F.transform(
+        F.slice(F.col("_items"), 1, F.size("_items") - 1),
+        lambda a, i: F.transform(
+            F.slice(F.col("_items"), i + 2,
+                    F.size("_items") - i - 1),
+            lambda b: F.struct(a.alias("a"), b.alias("b")))))).alias("_p"))
+    sup = (pairs.groupBy(F.col("_p.a").alias("a"),
+                         F.col("_p.b").alias("b"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_ab")))
+    top = sup.orderBy(F.desc("n_ab"), F.asc("a"), F.asc("b")).limit(top_n)
+    bi = df.select(F.col(basket_col).alias("_bk"),
+                   F.col(item_col).alias("_it")).distinct()
+    items = bi.groupBy("_it").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nb = bi.select(F.countDistinct("_bk").cast("long").alias("n_baskets"))
+    return (top
+            .join(items.withColumnRenamed("_it", "a")
+                  .withColumnRenamed("n", "n_a"), "a")
+            .join(items.withColumnRenamed("_it", "b")
+                  .withColumnRenamed("n", "n_b"), "b")
+            .crossJoin(F.broadcast(nb))
+            .select("a", "b", "n_ab", "n_a", "n_b", "n_baskets"))

@@ -242,3 +242,60 @@ def bpe_vocab_oracle_sql(n_merges: int = 6,
     return (chain[:cut]
             + f" SELECT word, CAST(cnt AS BIGINT) AS cnt, "
               f"array_to_string(syms, ' ') AS tokens FROM s{n_merges}")
+
+
+def bpe_encode_counts(docs: DataFrame, n_merges: int = 6,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Tokenizer APPLY — the step after :func:`bpe_train` in the LLM
+    data pipeline: encode the corpus with the trained merges and report
+    per-document token counts (``doc_id, n_words, n_tokens``; the
+    pretraining cost/packing statistic).
+
+    Encoding does not re-run merges over the corpus: the trained
+    vocabulary table (word → merged symbol sequence) IS the encoder for
+    whitespace words, so applying BPE = one word-keyed equi-join of the
+    corpus word stream against the vocabulary plus a per-doc
+    aggregation — both map-side combinable; the vocabulary side is
+    bounded by DISTINCT words (broadcastable when it fits, plain
+    shuffle join otherwise — AQE decides).  Words outside the trainer's
+    ``[A-Za-z]+`` universe are excluded on both sides (documented
+    trainer contract, see module docstring).
+
+    EAGER at plan-construction (bpe_train).  ``n_words`` counts the
+    doc's trainable word OCCURRENCES; ``n_tokens`` sums the encoded
+    symbol count over those occurrences."""
+    _, vocab = bpe_train(docs, n_merges=n_merges, text_col=text_col)
+    words = (docs
+             .select(F.col(id_col),
+                     F.explode(F.split(F.trim(F.col(text_col)), _WS))
+                     .alias("word"))
+             .filter(F.col("word").rlike("^[A-Za-z]+$")))
+    enc = vocab.select("word", F.size("syms").alias("_ntok"))
+    return (words.join(enc, "word")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.sum("_ntok").cast("long").alias("n_tokens")))
+
+
+def bpe_encode_oracle_sql(n_merges: int = 6,
+                          docs_table: str = "documents",
+                          text_col: str = "text") -> str:
+    """DuckDB oracle for :func:`bpe_encode_counts`: the identical train
+    chain, then the corpus word stream joined against the final
+    vocabulary and rolled up per document."""
+    chain = bpe_train_oracle_sql(n_merges, docs_table, text_col)
+    cut = chain.rindex(" SELECT CAST(merge_rank AS INT)")
+    return (chain[:cut]
+            + f""", dw AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim({text_col}),
+                                                 '\\s+')) AS word
+                FROM {docs_table}
+            )
+            SELECT d.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(len(s.syms)) AS BIGINT) AS n_tokens
+            FROM dw d JOIN s{n_merges} s USING (word)
+            WHERE regexp_full_match(d.word, '[A-Za-z]+')
+            GROUP BY d.doc_id""")

@@ -110,6 +110,52 @@ def global_cumsum(df: DataFrame, order_cols: list[str], value_col: str,
             .drop("_pid", "_offset"))
 
 
+def global_cummax(df: DataFrame, order_cols: list[str], value_col: str,
+                  cummax_col: str = "cummax",
+                  num_partitions: int | None = None) -> DataFrame:
+    """Append ``cummax_col``: the EXCLUSIVE prefix maximum of
+    ``value_col`` (a long) under ``ORDER BY order_cols`` — max over all
+    strictly-earlier rows; the first row gets NULL.  Same scalable
+    two-level construction as :func:`global_cumsum` (range partition →
+    per-partition window → O(num_partitions) driver offsets broadcast
+    back), with the max monoid in place of sum: per-partition maxima
+    are collected, turned into an exclusive RUNNING max on the driver,
+    and combined with the local prefix max via null-skipping
+    ``greatest``.
+
+    The primary consumer is the 2D skyline operator
+    (:func:`frogocr_spark.operators.analytics.skyline2d`): a point
+    survives iff its y exceeds the prefix max of y over all
+    strictly-cheaper x — the classic sort-scan skyline, distributed.
+
+    NOTE: eager at plan-construction, exactly like :func:`global_rank`
+    (localCheckpoint + per-partition maxima collect run at call time).
+    """
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+              .withColumn("_pid", F.spark_partition_id())
+              .localCheckpoint())
+    maxima = {r["_pid"]: r["m"] for r in
+              ranged.groupBy("_pid").agg(F.max(value_col).alias("m"))
+              .collect()}
+    offsets, acc = [], None
+    for pid in range(max(maxima, default=-1) + 1):
+        offsets.append((pid, acc))
+        m = maxima.get(pid)
+        if m is not None:
+            acc = m if acc is None else max(acc, int(m))
+    off_df = F.broadcast(df.sparkSession.createDataFrame(
+        offsets or [(0, None)], "_pid int, _offset long"))
+    w = (Window.partitionBy("_pid").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local = F.max(value_col).over(w).cast("long")
+    # greatest() skips NULLs: first row of the first partition (both
+    # NULL) stays NULL — "no earlier row", exactly what skyline needs
+    return (ranged.join(off_df, "_pid")
+            .withColumn(cummax_col, F.greatest(local, F.col("_offset")))
+            .drop("_pid", "_offset"))
+
+
 def pack_sequences(df: DataFrame, order_cols: list[str],
                    token_col: str, capacity: int,
                    seq_col: str = "seq_id",
@@ -137,3 +183,46 @@ def pack_sequences(df: DataFrame, order_cols: list[str],
             .withColumn(offset_col,
                         (F.col("_cum") % capacity).cast("int"))
             .drop("_cum"))
+
+
+def equidepth_histogram(df: DataFrame, value_col: str, id_col: str,
+                        n_buckets: int = 16,
+                        num_partitions: int | None = None) -> DataFrame:
+    """Equi-DEPTH histogram (equal row count per bucket — the optimizer
+    statistics / quantile-sketch ground truth): bucket ``b`` of row with
+    global rank ``r`` (1-based, ordered by ``(value_col, id_col)``) is
+    ``((r-1) * n_buckets) DIV n`` — the exact integer partition NTILE
+    approximates; bucket populations differ by at most 1 and boundaries
+    are exact data values, not interpolations (interpolating percentiles
+    are float-ambiguous cross-engine; these are not).
+
+    Scale shape: the global rank comes from
+    :func:`global_rank` (range partition + per-partition window + O(P)
+    broadcast offsets — no single-partition window); ``n`` is one
+    O(P)-row count; the finish is one map-side-combined keyed
+    aggregation over ``n_buckets`` groups.
+
+    ``value_col`` must be an exact integer column.  EAGER at
+    plan-construction (global_rank).  Output: ``bucket int, n_rows
+    long, lo long, hi long`` — one row per non-empty bucket."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    base = df.select(F.col(value_col).cast("long").alias("_v"),
+                     F.col(id_col).alias("_id"))
+    ranked = global_rank(base, ["_v", "_id"], "_r",
+                         num_partitions=num_partitions)
+    n = base.count()
+    if n == 0:
+        return ranked.select(
+            F.lit(0).alias("bucket"),
+            F.lit(0).cast("long").alias("n_rows"),
+            F.lit(0).cast("long").alias("lo"),
+            F.lit(0).cast("long").alias("hi")).limit(0)
+    return (ranked
+            .withColumn("bucket",
+                        F.expr(f"CAST(((_r - 1) * {int(n_buckets)}) "
+                               f"DIV {int(n)} AS INT)"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("_v").alias("lo"),
+                 F.max("_v").alias("hi")))

@@ -616,3 +616,47 @@ def pq_adc_topk(codes: DataFrame, centroids: list[list[list[float]]],
         F.col("adc_dist_i").asc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def jl_sign_matrix(dim: int, k: int, salt: str = "rp") -> list[list[int]]:
+    """Deterministic ±1 sign matrix for Johnson–Lindenstrauss random
+    projection: ``sign[j][i] = +1`` iff the first hex nibble of
+    ``md5("{salt}_{j}_{i}")`` is even.  md5 is md5 everywhere —
+    hashlib here, ``md5()`` in Spark and DuckDB — so all three derive
+    the identical matrix; it ships as a LITERAL (k·dim ints), never a
+    join side."""
+    import hashlib
+    return [[1 if int(hashlib.md5(f"{salt}_{j}_{i}".encode())
+                      .hexdigest()[0], 16) % 2 == 0 else -1
+             for i in range(dim)] for j in range(k)]
+
+
+def jl_project(corpus: DataFrame, dim: int, k: int = 8, *,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               salt: str = "rp") -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection (Achlioptas 2001
+    database-friendly variant): reduce ``dim``-dimensional embeddings to
+    ``k`` dimensions via a deterministic ±1 matrix — the standard
+    cheap dimensionality cut BEFORE sketching/ANN at corpus scale.
+
+    Exactness contract: components are quantized to integer
+    ten-thousandths (``round(v*10000)`` — float→double cast and one
+    multiply, both IEEE-exact steps both engines agree on), and each
+    output coordinate is an exact int64 signed sum — no float summation
+    order to disagree on (|out| ≤ dim·10⁴·max|v|, far under 2⁶³).
+
+    Scale shape: a PURE MAP stage — the sign matrix is a literal, each
+    output coordinate one ``zip_with``+``aggregate`` fold inside
+    whole-stage codegen; the corpus is never shuffled, joined, or
+    exploded.  Output: ``id_col, proj array<long>``."""
+    signs = jl_sign_matrix(dim, k, salt)
+    vec = F.col(vec_col)
+    q = lambda x: F.round(x.cast("double") * 10000, 0).cast("long")
+    coords = [
+        F.aggregate(
+            F.zip_with(vec,
+                       F.array(*[F.lit(s) for s in signs[j]]),
+                       lambda x, s: s.cast("long") * q(x)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        for j in range(k)]
+    return corpus.select(F.col(id_col), F.array(*coords).alias("proj"))

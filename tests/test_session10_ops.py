@@ -1,0 +1,213 @@
+"""Session-10 operators: prefix-max machinery, 2D skyline, sweep-line
+concurrency, equi-depth histograms, association rules, JL projection,
+and BPE corpus encoding — each checked against hand-computed values
+and/or a pure-Python brute-force twin (the contract queries carry the
+DuckDB hash checks; these pin the semantics on adversarial edges)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from frogocr_spark.operators.analytics import (assoc_rules,
+                                               max_concurrency,
+                                               skyline2d)
+from frogocr_spark.operators.ranking import (equidepth_histogram,
+                                             global_cummax)
+
+
+# ----------------------------------------------------------------- cummax
+def test_global_cummax_hand_case(spark):
+    rows = [(1, 5), (2, 3), (3, 9), (4, 2), (5, 9)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r.k: r.m for r in
+           global_cummax(df, ["k"], "v", "m", num_partitions=3).collect()}
+    # exclusive: first row NULL, then running max of strictly earlier
+    assert got == {1: None, 2: 5, 3: 5, 4: 9, 5: 9}
+
+
+def test_global_cummax_crosses_partitions(spark):
+    n = 200
+    rows = [(i, (i * 37) % 101) for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    got = {r.k: r.m for r in
+           global_cummax(df, ["k"], "v", "m", num_partitions=5).collect()}
+    run = None
+    for i in range(n):
+        assert got[i] == run, i
+        run = rows[i][1] if run is None else max(run, rows[i][1])
+
+
+# ---------------------------------------------------------------- skyline
+def _brute_skyline(pts):
+    out = []
+    for p in pts:
+        dominated = any(
+            q[0] <= p[0] and q[1] >= p[1]
+            and (q[0] < p[0] or q[1] > p[1]) for q in pts)
+        if not dominated:
+            out.append(p)
+    return sorted(out)
+
+
+def test_skyline_hand_case_with_ties(spark):
+    # (price, size): duplicates at (10, 5) both survive (neither
+    # dominates the other — both strict tests fail); (10, 3) is
+    # dominated by the same-price larger-size point; (20, 4) is
+    # dominated by the cheaper-and-bigger (10, 5)
+    pts = [(1, 10, 5), (2, 10, 5), (3, 10, 3), (4, 20, 4),
+           (5, 5, 2), (6, 30, 9)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = sorted((r.id, r.x, r.y)
+                 for r in skyline2d(df, "x", "y").collect())
+    assert got == [(1, 10, 5), (2, 10, 5), (5, 5, 2), (6, 30, 9)]
+
+
+def test_skyline_differential_vs_brute_force(spark):
+    import random
+    rng = random.Random(7)
+    pts = [(i, rng.randrange(20), rng.randrange(20))
+           for i in range(300)]
+    df = spark.createDataFrame(pts, "id long, x long, y long") \
+        .repartition(9)
+    got = sorted((r.x, r.y) for r in skyline2d(df, "x", "y").collect())
+    want = sorted(x_y for x_y in
+                  [(p[1], p[2]) for p in pts
+                   if (p[1], p[2]) in
+                   set(_brute_skyline([(q[1], q[2]) for q in pts]))])
+    assert got == want
+
+
+# ------------------------------------------------------------ concurrency
+def _ts(us):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=us)
+
+
+def test_max_concurrency_half_open_boundary(spark):
+    # interval B starts exactly when A ends: half-open [s, e) — never
+    # concurrent; C overlaps both endpoints' interiors
+    d = 1_000_000  # 1 s duration
+    rows = [("k", _ts(0), 1), ("k", _ts(d), 2),       # A, B abut
+            ("k", _ts(d // 2), 3)]                     # C overlaps both
+    df = spark.createDataFrame(rows, "k string, ts timestamp, event_id long")
+    got = max_concurrency(df, "k", duration_us=d).collect()
+    assert [(r.k, r.max_concurrent) for r in got] == [("k", 2)]
+
+
+def test_max_concurrency_differential_vs_quadratic(spark):
+    import random
+    rng = random.Random(11)
+    dur = 50
+    rows = [(f"k{i % 3}", _ts(rng.randrange(400)), i)
+            for i in range(120)]
+    df = spark.createDataFrame(rows,
+                               "k string, ts timestamp, event_id long")
+    got = {r.k: r.max_concurrent for r in
+           max_concurrency(df, "k", duration_us=dur,
+                           num_partitions=7).collect()}
+    base = dt.datetime(2024, 1, 1)
+    want = {}
+    for k in {r[0] for r in rows}:
+        ss = [int((r[1] - base).total_seconds() * 1e6)
+              for r in rows if r[0] == k]
+        want[k] = max(sum(1 for t in ss if t <= s < t + dur) for s in ss)
+    assert got == want
+
+
+# ---------------------------------------------------------------- equidepth
+def test_equidepth_bucket_populations_differ_by_at_most_one(spark):
+    rows = [(i, (i * 13) % 97) for i in range(103)]  # n % B != 0
+    df = spark.createDataFrame(rows, "event_id long, v long")
+    out = equidepth_histogram(df, "v", "event_id", n_buckets=8).collect()
+    sizes = sorted(r.n_rows for r in out)
+    assert len(out) == 8 and sum(sizes) == 103
+    assert sizes[-1] - sizes[0] <= 1
+    # bucket boundaries are non-overlapping and ordered
+    bs = sorted((r.bucket, r.lo, r.hi) for r in out)
+    for (b1, lo1, hi1), (b2, lo2, hi2) in zip(bs, bs[1:]):
+        assert lo1 <= hi1 and hi1 <= lo2
+
+
+def test_equidepth_validates_and_handles_empty(spark):
+    df = spark.createDataFrame([], "event_id long, v long")
+    assert equidepth_histogram(df, "v", "event_id", 4).count() == 0
+    with pytest.raises(ValueError):
+        equidepth_histogram(df, "v", "event_id", 0)
+
+
+# ----------------------------------------------------------------- itemsets
+def test_assoc_rules_hand_case(spark):
+    rows = [(1, 10), (1, 20), (1, 30),
+            (2, 10), (2, 20),
+            (3, 10), (3, 20), (3, 20),   # duplicate item collapses
+            (4, 99)]                     # singleton basket: no pairs
+    df = spark.createDataFrame(rows, "bk long, it long")
+    got = {(r.a, r.b): (r.n_ab, r.n_a, r.n_b, r.n_baskets)
+           for r in assoc_rules(df, "bk", "it", top_n=10).collect()}
+    assert got == {(10, 20): (3, 3, 3, 4),
+                   (10, 30): (1, 3, 1, 4),
+                   (20, 30): (1, 3, 1, 4)}
+
+
+def test_assoc_rules_mega_basket_cap_drops_pairs_not_counts(spark):
+    rows = [(1, i) for i in range(10)] + [(2, 1), (2, 2)]
+    df = spark.createDataFrame(rows, "bk long, it long")
+    got = {(r.a, r.b): (r.n_ab, r.n_a, r.n_baskets)
+           for r in assoc_rules(df, "bk", "it", top_n=100,
+                                max_basket=5).collect()}
+    # basket 1 (10 items > cap) contributes NO pairs, but its items
+    # still count in n_a and it still counts in n_baskets
+    assert got == {(1, 2): (1, 2, 2)}
+
+
+# ----------------------------------------------------------------- JL proj
+def test_jl_project_matches_pure_python_twin(spark):
+    from frogocr_spark.operators.similarity import (jl_project,
+                                                    jl_sign_matrix)
+    import random
+    rng = random.Random(3)
+    dim, k = 16, 4
+    vecs = [(i, [round(rng.uniform(-1, 1), 6) for _ in range(dim)])
+            for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r.vec_id: list(r.proj)
+           for r in jl_project(df, dim=dim, k=k).collect()}
+    signs = jl_sign_matrix(dim, k)
+    import struct
+    for vid, v in vecs:
+        # reproduce the exact float32 -> double -> *10000 -> half-up
+        q = []
+        for x in v:
+            f32 = struct.unpack("f", struct.pack("f", x))[0]
+            d = f32 * 10000
+            import decimal
+            q.append(int(decimal.Decimal(d).quantize(
+                0, rounding=decimal.ROUND_HALF_UP)))
+        want = [sum(s * qi for s, qi in zip(signs[j], q))
+                for j in range(k)]
+        assert got[vid] == want, vid
+
+
+def test_jl_sign_matrix_deterministic_and_md5_derived(spark):
+    from frogocr_spark.operators.similarity import jl_sign_matrix
+    m1, m2 = jl_sign_matrix(8, 3), jl_sign_matrix(8, 3)
+    assert m1 == m2
+    nib = int(hashlib.md5(b"rp_2_7").hexdigest()[0], 16)
+    assert m1[2][7] == (1 if nib % 2 == 0 else -1)
+
+
+# --------------------------------------------------------------- bpe encode
+def test_bpe_encode_counts_classic_corpus(spark):
+    from frogocr_spark.operators.bpe import bpe_encode_counts
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newest newest 42!")],
+        "doc_id long, text string")
+    # 2 merges on this corpus: (l, o) -> lo, (lo, w) -> low
+    out = {r.doc_id: (r.n_words, r.n_tokens)
+           for r in bpe_encode_counts(docs, n_merges=2).collect()}
+    # doc 1: low=[low,</w>](2) x2, lower=[low,e,r,</w>](4) -> 8 tokens
+    # doc 2: newest = 6 chars + </w> = 7 syms x2 = 14; "42!" excluded
+    assert out == {1: (3, 8), 2: (2, 14)}

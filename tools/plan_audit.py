@@ -550,6 +550,58 @@ def main() -> None:
                 f"explode={'explode' in plan.lower()}, "
                 f"single_part={'SinglePartition' in plan}")
 
+    # 33. skyline: linearized sort-scan plan — group-max + range-
+    #     partitioned prefix max; never a quadratic self-join and never
+    #     a single-partition window (the oracle keeps the NOT EXISTS
+    #     form; this pins the plan side of that equivalence).
+    from frogocr_spark.operators.analytics import skyline2d
+    pts = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") * 37 % 211).alias("x"),
+        (F.col("id") * 91 % 197).alias("y"))
+    plan = executed(skyline2d(pts, "x", "y"))
+    ok &= check("skyline: no cartesian, no single-partition window",
+                "CartesianProduct" not in plan
+                and "BroadcastNestedLoopJoin" not in plan
+                and "SinglePartition" not in plan,
+                f"cartesian=0, single_part={'SinglePartition' in plan}")
+
+    # 34. sweep-line concurrency: the running sum rides the range-
+    #     partitioned global_cumsum — no single-partition window even
+    #     though the logical query is SUM() OVER (ORDER BY) per key
+    #     with only a handful of keys.
+    from frogocr_spark.operators.analytics import max_concurrency
+    plan = executed(max_concurrency(ev, "event_type"))
+    ok &= check("max_concurrency: no single-partition window",
+                "SinglePartition" not in plan and "Window" in plan,
+                f"window={'Window' in plan}, "
+                f"single_part={'SinglePartition' in plan}")
+
+    # 35. JL projection: a pure map stage — the 100 TB embedding
+    #     relation is never shuffled, joined, or exploded (sign matrix
+    #     is a literal).
+    from frogocr_spark.operators.similarity import jl_project
+    emb = spark.range(0, 100).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(16)),
+                    lambda i: (i * 0.125).cast("float")).alias("embedding"))
+    plan = executed(jl_project(emb, dim=16, k=4))
+    ok &= check("jl_project is map-only (no Exchange, no Generate)",
+                "Exchange" not in plan and "Generate" not in plan
+                and "Join" not in plan,
+                f"exchanges={plan.count('Exchange')}, joins=0")
+
+    # 36. association rules: the top-n cut is TakeOrderedAndProject
+    #     (per-partition top-n + driver merge — no global sort), and
+    #     the count decoration joins AFTER the cut.
+    from frogocr_spark.operators.analytics import assoc_rules
+    li = spark.range(0, 5000).select(
+        (F.col("id") % 700).alias("bk"), (F.col("id") % 37).alias("it"))
+    plan = executed(assoc_rules(li, "bk", "it", top_n=25))
+    ok &= check("assoc_rules: TakeOrdered cut, no global sort",
+                "TakeOrderedAndProject" in plan
+                and "CartesianProduct" not in plan,
+                f"take_ordered={'TakeOrderedAndProject' in plan}")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
