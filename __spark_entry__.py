@@ -2891,6 +2891,81 @@ def _q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rnk") <= 3))
 
 
+def _q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type exact quantile summary (p25/p50/p75/p95, NEAREST-RANK —
+    integer-exact where percentile_cont interpolation is
+    float-ambiguous cross-engine): all quantiles ride ONE keyed rank
+    window + one map-side-combined conditional agg
+    (operators/analytics.quantile_summary)."""
+    from frogocr_spark.operators.analytics import quantile_summary
+    ev = _read(spark, sf_dir, "events")
+    return quantile_summary(
+        ev, "event_type", F.round(F.col("value") * 100, 0), "event_id")
+
+
+def _q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust location/scale: nearest-rank median + MAD
+    (median absolute deviation) — two keyed rank windows, the
+    group-sized median table broadcast back for the deviation pass
+    (operators/analytics.mad_stats)."""
+    from frogocr_spark.operators.analytics import mad_stats
+    ev = _read(spark, sf_dir, "events")
+    return mad_stats(
+        ev, "event_type", F.round(F.col("value") * 100, 0), "event_id")
+
+
+def _q_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — Spark's native exceptAll /
+    intersectAll against the LITERAL ANSI EXCEPT ALL / INTERSECT ALL in
+    the oracle, on two overlapping bags (light lineitems vs returned
+    lineitems, by part key): per key the result carries max(0, cA−cB)
+    resp. min(cA, cB) copies, which the hash compare checks copy by
+    copy.  Spark plans both as count-aggregate + replicate — keyed
+    shuffles, no sort."""
+    li = _read(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") < 25).select("l_partkey")
+    b = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    return (a.exceptAll(b).withColumn("tag", F.lit("except"))
+            .unionAll(a.intersectAll(b)
+                      .withColumn("tag", F.lit("intersect"))))
+
+
+def _q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stateful debounce per user (48 h quiet period): an event is
+    kept iff ≥ 48 h after the previous KEPT event — the clock advances
+    only on kept events, which lag() cannot express.  One keyed shuffle
+    + an array-sort fold (operators/analytics.debounce); the oracle
+    re-runs the identical fold via DuckDB list_reduce over the same
+    (us, id) order."""
+    from frogocr_spark.operators.analytics import debounce
+    ev = _read(spark, sf_dir, "events")
+    return debounce(ev, ["user_id"], quiet_us=48 * 3_600_000_000)
+
+
+def _q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user total COVERED time of the union of 2-day activity
+    intervals — the measure of the union (total-active-time metric),
+    not session counting: exclusive running max of interval end per
+    user, each interval contributes max(0, e − max(s, prev_max_end))
+    (operators/analytics.interval_coverage)."""
+    from frogocr_spark.operators.analytics import interval_coverage
+    ev = _read(spark, sf_dir, "events")
+    return interval_coverage(ev, "user_id",
+                             duration_us=2 * 86_400_000_000)
+
+
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Lloyd k-means over the embeddings (k=4, 3 rounds +
+    final assignment): md5-seeded, exact int64 argmin assignment as a
+    PURE MAP stage (centroids are literals — the corpus is never
+    joined/shuffled for its labels), floor-div centroid update bounded
+    by k·dim shuffle rows.  The oracle re-runs the identical chain as
+    an unrolled WITH sequence (operators/clustering.kmeans_int)."""
+    from frogocr_spark.operators.clustering import kmeans_int
+    emb = _read(spark, sf_dir, "embeddings")
+    return kmeans_int(emb, k=4, iters=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -3067,6 +3142,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rand_proj": _q_rand_proj,
         "bpe_encode": _q_bpe_encode,
         "trending": _q_trending,
+        "quantiles": _q_quantiles,
+        "mad": _q_mad,
+        "bag_ops": _q_bag_ops,
+        "debounce": _q_debounce,
+        "interval_coverage": _q_interval_coverage,
+        "kmeans": _q_kmeans,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -6134,4 +6215,126 @@ FROM pos2
                CAST(rnk AS INT) AS rnk
         FROM r WHERE rnk <= 3
     """
+    o["quantiles"] = """
+        WITH base AS (
+            SELECT event_type, event_id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS v
+            FROM events
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY v, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM base
+        )
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+               max(CASE WHEN rn = greatest((n * 25 + 99) // 100, 1)
+                        THEN v END) AS p25,
+               max(CASE WHEN rn = greatest((n * 50 + 99) // 100, 1)
+                        THEN v END) AS p50,
+               max(CASE WHEN rn = greatest((n * 75 + 99) // 100, 1)
+                        THEN v END) AS p75,
+               max(CASE WHEN rn = greatest((n * 95 + 99) // 100, 1)
+                        THEN v END) AS p95
+        FROM ranked GROUP BY event_type
+    """
+    o["mad"] = """
+        WITH base AS (
+            SELECT event_type, event_id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS v
+            FROM events
+        ), r1 AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY v, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM base
+        ), med AS (
+            SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                   max(CASE WHEN rn = greatest((n * 50 + 99) // 100, 1)
+                            THEN v END) AS median
+            FROM r1 GROUP BY event_type
+        ), dev AS (
+            SELECT b.event_type, b.event_id,
+                   abs(b.v - m.median) AS d
+            FROM base b JOIN med m USING (event_type)
+        ), r2 AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY d, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ), madt AS (
+            SELECT event_type,
+                   max(CASE WHEN rn = greatest((n * 50 + 99) // 100, 1)
+                            THEN d END) AS mad
+            FROM r2 GROUP BY event_type
+        )
+        SELECT m.event_type, m.n, m.median, t.mad
+        FROM med m JOIN madt t USING (event_type)
+    """
+    o["bag_ops"] = """
+        SELECT pk AS l_partkey, 'except' AS tag FROM (
+            SELECT l_partkey AS pk FROM lineitem WHERE l_quantity < 25
+            EXCEPT ALL
+            SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+        UNION ALL
+        SELECT pk, 'intersect' FROM (
+            SELECT l_partkey AS pk FROM lineitem WHERE l_quantity < 25
+            INTERSECT ALL
+            SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+    """
+    # NOTE: the natural DuckDB twin is a grouped list_reduce fold, but
+    # DuckDB 1.0.0's list_reduce corrupts accumulator state across
+    # groups at vector-boundary group counts (verified: a 9-row repro
+    # is correct, the 150-user sf0.01 run mixes one user's kept ids
+    # into another's) — so the oracle advances the SAME fold one event
+    # per recursion level instead, which only uses well-tested engine
+    # surface.
+    o["debounce"] = """
+        WITH RECURSIVE e AS (
+            SELECT user_id, epoch_us(ts) AS us, event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        ), step AS (
+            SELECT user_id, rn, n, us AS last, [event_id] AS kept
+            FROM e WHERE rn = 1
+            UNION ALL
+            SELECT s.user_id, e.rn, e.n,
+                   CASE WHEN e.us - s.last >= 172800000000
+                        THEN e.us ELSE s.last END,
+                   CASE WHEN e.us - s.last >= 172800000000
+                        THEN list_append(s.kept, e.event_id)
+                        ELSE s.kept END
+            FROM step s JOIN e
+              ON e.user_id = s.user_id AND e.rn = s.rn + 1
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n_events,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               kept AS kept_ids
+        FROM step WHERE rn = n
+    """
+    o["interval_coverage"] = """
+        WITH iv AS (
+            SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + 172800000000 AS e, event_id
+            FROM events
+        ), w AS (
+            SELECT *, max(e) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pe
+            FROM iv
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(sum(greatest(0, e - greatest(s, COALESCE(pe, s))))
+                    AS BIGINT) AS covered_us,
+               CAST(max(e) - min(s) AS BIGINT) AS span_us
+        FROM w GROUP BY user_id
+    """
+    from frogocr_spark.operators.clustering import kmeans_oracle_sql
+    o["kmeans"] = kmeans_oracle_sql(4, 3, 64)
     return o

@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "pattern_match", "sliding_windows",
     "skyline", "max_concurrency", "equidepth_hist", "itemsets",
     "rand_proj", "bpe_encode", "trending",
+    "quantiles", "mad", "bag_ops", "debounce", "interval_coverage",
+    "kmeans",
 ]
 
 

@@ -630,3 +630,138 @@ def assoc_rules(df: DataFrame, basket_col: str, item_col: str,
                   .withColumnRenamed("n", "n_b"), "b")
             .crossJoin(F.broadcast(nb))
             .select("a", "b", "n_ab", "n_a", "n_b", "n_baskets"))
+
+
+def quantile_summary(df: DataFrame, group_col: str, value_col,
+                     id_col: str = "event_id",
+                     ps: tuple = (25, 50, 75, 95)) -> DataFrame:
+    """Per-group exact quantile summary (NEAREST-RANK method: the p-th
+    cutoff is the value at rank ``max(ceil(n·p/100), 1)`` under the
+    total order ``(value, id)``) — integer-exact where interpolating
+    ``percentile_cont`` is float-ambiguous cross-engine.  The standard
+    distribution summary a profiler/optimizer keeps per column.
+
+    Scale shape: ONE keyed rank window + one map-side-combined
+    conditional agg — all quantiles ride the same pass (no per-p scan);
+    a degenerate group serializes only its own rank window, same
+    documented trade as :func:`winsorize_stats`.  Output: ``group, n,
+    p{ps...} (long each)``."""
+    from pyspark.sql import Window
+
+    if not ps or any(not (0 < p <= 100) for p in ps):
+        raise ValueError(f"percentiles must be in (0, 100], got {ps}")
+    base = df.select(group_col, id_col,
+                     value_col.cast("long").alias("_v"))
+    w = Window.partitionBy(group_col).orderBy("_v", id_col)
+    ranked = (base
+              .withColumn("_rn", F.row_number().over(w))
+              .withColumn("_n", F.count(F.lit(1)).over(
+                  Window.partitionBy(group_col))))
+    aggs = [F.max("_n").cast("long").alias("n")]
+    for p in ps:
+        rk = F.greatest(F.expr(f"(_n * {int(p)} + 99) DIV 100"), F.lit(1))
+        aggs.append(F.max(F.when(F.col("_rn") == rk, F.col("_v")))
+                    .alias(f"p{int(p)}"))
+    return ranked.groupBy(group_col).agg(*aggs)
+
+
+def mad_stats(df: DataFrame, group_col: str, value_col,
+              id_col: str = "event_id") -> DataFrame:
+    """Per-group median and MAD (median absolute deviation) — the
+    robust location/scale pair, integer-exact: both medians use the
+    NEAREST-RANK-at-50 definition (rank ``max(ceil(n/2), 1)`` under
+    ``(value, id)`` / ``(|dev|, id)``), so there is no interpolation
+    and no float to disagree on.
+
+    Scale shape: two keyed rank windows (the second over the deviation
+    column) + two map-side-combined cutoff aggs; the median table is
+    group-sized and broadcast back.  Output: ``group, n, median, mad
+    (all long)``."""
+    med = (quantile_summary(df, group_col, value_col, id_col, ps=(50,))
+           .select(group_col, "n", F.col("p50").alias("median")))
+    base = df.select(group_col, id_col,
+                     value_col.cast("long").alias("_v"))
+    dev = (base.join(F.broadcast(med), group_col)
+           .select(group_col, id_col,
+                   F.abs(F.col("_v") - F.col("median")).alias("_d")))
+    mad = (quantile_summary(dev, group_col, F.col("_d"), id_col,
+                            ps=(50,))
+           .select(group_col, F.col("p50").alias("mad")))
+    return med.join(mad, group_col).select(group_col, "n", "median",
+                                           "mad")
+
+
+def debounce(df: DataFrame, key_cols: list[str], ts_col: str = "ts",
+             id_col: str = "event_id",
+             quiet_us: int = 1_000_000) -> DataFrame:
+    """TRUE debounce per key: an event is KEPT iff it occurs at least
+    ``quiet_us`` after the previous KEPT event (the first always kept).
+    This is the stateful definition — a burst of closely-spaced events
+    collapses to its first member, and the clock only advances on kept
+    events — which a ``lag()`` window CANNOT express (lag compares to
+    the previous RAW event, kept or not; the two disagree whenever a
+    dropped event sits between two kept ones — pinned in pytest).
+
+    Scale shape: the stable-turn-ordering aggregation — ONE keyed
+    shuffle collects each key's events, ``array_sort`` on the
+    ``(us, id)`` struct order, then a single ``F.aggregate`` fold
+    carrying (last_kept_us, kept list) — JVM-side, no Python, no
+    per-event join.  State per key is its event list (the same bound
+    as any per-key sessionization).  Output: one row per key with
+    ``n_events, n_kept, kept_ids (array<long>, event order)``."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = df.select(*key_cols, us.alias("_us"),
+                   F.col(id_col).cast("long").alias("_id"))
+    sorted_evs = F.array_sort(F.collect_list(F.struct("_us", "_id")))
+    init = F.struct(F.lit(None).cast("long").alias("last"),
+                    F.array().cast("array<bigint>").alias("kept"))
+
+    def fold(acc, e):
+        keep = (acc["last"].isNull()
+                | (e["_us"] - acc["last"] >= F.lit(int(quiet_us))))
+        return F.struct(
+            F.when(keep, e["_us"]).otherwise(acc["last"]).alias("last"),
+            F.when(keep, F.concat(acc["kept"], F.array(e["_id"])))
+            .otherwise(acc["kept"]).alias("kept"))
+
+    return (ev.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.aggregate(sorted_evs, init, fold).alias("_st"))
+            .select(*key_cols, "n_events",
+                    F.size("_st.kept").cast("long").alias("n_kept"),
+                    F.col("_st.kept").alias("kept_ids")))
+
+
+def interval_coverage(df: DataFrame, key_col: str, ts_col: str = "ts",
+                      id_col: str = "event_id",
+                      duration_us: int = 600_000_000) -> DataFrame:
+    """Per-key total COVERED time of the union of half-open intervals
+    ``[ts, ts + duration_us)`` — distinct from counting sessions
+    (gaps-and-islands) and from :func:`max_concurrency`: this is the
+    measure of the union, the 'total active time' metric.
+
+    Sweep formulation (exact int64 micros): order a key's intervals by
+    ``(start, id)``; each interval contributes
+    ``max(0, end − max(start, max_end_of_all_earlier))`` — overlap with
+    already-covered time never double-counts.  One keyed window (the
+    exclusive running max of ``end``) + one keyed agg.  Output:
+    ``key, n_intervals, covered_us, span_us``."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    iv = df.select(F.col(key_col), us.alias("_s"),
+                   (us + F.lit(int(duration_us))).alias("_e"),
+                   F.col(id_col).alias("_id"))
+    w = (Window.partitionBy(key_col).orderBy("_s", "_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev_end = F.max("_e").over(w)
+    inc = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("_e") - F.greatest(F.col("_s"),
+                                 F.coalesce(prev_end, F.col("_s"))))
+    return (iv.withColumn("_inc", inc)
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_intervals"),
+                 F.sum("_inc").cast("long").alias("covered_us"),
+                 (F.max("_e") - F.min("_s")).cast("long")
+                 .alias("span_us")))

@@ -211,3 +211,141 @@ def test_bpe_encode_counts_classic_corpus(spark):
     # doc 1: low=[low,</w>](2) x2, lower=[low,e,r,</w>](4) -> 8 tokens
     # doc 2: newest = 6 chars + </w> = 7 syms x2 = 14; "42!" excluded
     assert out == {1: (3, 8), 2: (2, 14)}
+
+
+# ------------------------------------------------------------- quantiles
+def test_quantile_summary_hand_case(spark):
+    from frogocr_spark.operators.analytics import quantile_summary
+    rows = [("g", i, v) for i, v in enumerate([10, 20, 30, 40, 50,
+                                               60, 70, 80, 90, 100])]
+    df = spark.createDataFrame(rows, "g string, event_id long, v long")
+    out = quantile_summary(df, "g", F.col("v"), "event_id",
+                           ps=(25, 50, 75, 95)).collect()[0]
+    # nearest rank: ceil(10*p/100) -> ranks 3, 5, 8, 10
+    assert (out.n, out.p25, out.p50, out.p75, out.p95) == \
+        (10, 30, 50, 80, 100)
+    with pytest.raises(ValueError):
+        quantile_summary(df, "g", F.col("v"), "event_id", ps=(0,))
+
+
+def test_mad_stats_hand_case(spark):
+    from frogocr_spark.operators.analytics import mad_stats
+    # values 1..7 plus outlier 100: median(rank ceil(8/2)=4) = 4
+    # devs |v-4|: [3,2,1,0,1,2,3,96] sorted [0,1,1,2,2,3,3,96],
+    # rank 4 -> MAD = 2
+    rows = [("g", i, v) for i, v in
+            enumerate([1, 2, 3, 4, 5, 6, 7, 100])]
+    df = spark.createDataFrame(rows, "g string, event_id long, v long")
+    out = mad_stats(df, "g", F.col("v"), "event_id").collect()[0]
+    assert (out.n, out.median, out.mad) == (8, 4, 2)
+
+
+# -------------------------------------------------------------- debounce
+def test_debounce_stateful_vs_lag_divergence(spark):
+    from frogocr_spark.operators.analytics import debounce
+    # e1@0 kept; e2@0.5s dropped; e3@1.1s: gap to KEPT e1 = 1.1s >= 1s
+    # -> kept under TRUE debounce, while lag-to-previous-RAW (0.6s)
+    # would drop it — pins the stateful semantics
+    rows = [("u", _ts(0), 1), ("u", _ts(500_000), 2),
+            ("u", _ts(1_100_000), 3)]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, event_id long")
+    out = debounce(df, ["u"], quiet_us=1_000_000).collect()[0]
+    assert (out.n_events, out.n_kept, list(out.kept_ids)) == (3, 2, [1, 3])
+
+
+def test_debounce_burst_collapses_to_first(spark):
+    from frogocr_spark.operators.analytics import debounce
+    rows = [("u", _ts(i * 200_000), i) for i in range(5)] \
+        + [("u", _ts(5_000_000), 99)]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, event_id long")
+    out = debounce(df, ["u"], quiet_us=1_000_000).collect()[0]
+    assert (out.n_kept, list(out.kept_ids)) == (2, [0, 99])
+
+
+# ------------------------------------------------------------- coverage
+def test_interval_coverage_overlap_abut_disjoint(spark):
+    from frogocr_spark.operators.analytics import interval_coverage
+    d = 1_000_000
+    rows = [("u", _ts(0), 1),          # [0, 1s)
+            ("u", _ts(500_000), 2),    # overlaps -> +0.5s
+            ("u", _ts(1_500_000), 3),  # abuts [1.5, 2.5) -> +1s
+            ("u", _ts(10_000_000), 4), # disjoint -> +1s
+            ("u", _ts(10_200_000), 5)] # nested-ish -> +0.2s
+    df = spark.createDataFrame(rows, "u string, ts timestamp, event_id long")
+    out = interval_coverage(df, "u", duration_us=d).collect()[0]
+    assert (out.n_intervals, out.covered_us, out.span_us) == \
+        (5, 3_700_000, 11_200_000)
+
+
+def test_interval_coverage_contained_interval_adds_nothing(spark):
+    from frogocr_spark.operators.analytics import interval_coverage
+    rows = [("u", _ts(0), 1), ("u", _ts(100), 2)]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, event_id long")
+    out = interval_coverage(df, "u", duration_us=1_000_000).collect()[0]
+    assert out.covered_us == 1_000_100
+
+
+# --------------------------------------------------------------- kmeans
+def _py_kmeans(vecs, k, iters, scale=10_000):
+    import hashlib
+    q = {vid: [round_half_up(x) for x in v]       # scaling is inside
+         for vid, v in vecs}
+    order = sorted(q, key=lambda i: (hashlib.md5(
+        str(i).encode()).hexdigest(), i))
+    cents = [list(q[i]) for i in order[:k]]
+
+    def assign():
+        a = {}
+        for vid, qv in q.items():
+            ds = [(sum((x - c) ** 2 for x, c in zip(qv, cj)), j)
+                  for j, cj in enumerate(cents)]
+            a[vid] = min(ds)
+        return a
+
+    for _ in range(iters):
+        a = assign()
+        for j in range(k):
+            members = [q[v] for v, (d, jj) in a.items() if jj == j]
+            if members:
+                cents[j] = [sum(col) // len(members)
+                            for col in zip(*members)]
+    a = assign()
+    out = {}
+    for vid, (d, j) in a.items():
+        n, inertia = out.get(j, (0, 0))
+        out[j] = (n + 1, inertia + d)
+    return out, cents
+
+
+def round_half_up(d):
+    import decimal
+    import struct
+    f32 = struct.unpack("f", struct.pack("f", d))[0]
+    return int(decimal.Decimal(f32 * 10_000).quantize(
+        0, rounding=decimal.ROUND_HALF_UP))
+
+
+def test_kmeans_int_matches_pure_python_twin(spark):
+    from frogocr_spark.operators.clustering import kmeans_int
+    import random
+    rng = random.Random(5)
+    vecs = [(i, [round(rng.uniform(-1, 1), 4) for _ in range(6)])
+            for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r.cluster: (r.n_members, r.inertia, list(r.centroid))
+           for r in kmeans_int(df, k=3, iters=2).collect()}
+    want_counts, want_cents = _py_kmeans(vecs, 3, 2)
+    assert {j: (n, i) for j, (n, i) in want_counts.items()} == \
+        {j: (n, i) for j, (n, i, _) in got.items()}
+    for j in got:
+        assert got[j][2] == want_cents[j], j
+
+
+def test_kmeans_int_validates(spark):
+    from frogocr_spark.operators.clustering import kmeans_int
+    df = spark.createDataFrame([(1, [0.1, 0.2])],
+                               "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        kmeans_int(df, k=1)
+    with pytest.raises(ValueError):
+        kmeans_int(df, k=4, iters=3)  # corpus smaller than k

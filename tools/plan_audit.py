@@ -602,6 +602,35 @@ def main() -> None:
                 and "CartesianProduct" not in plan,
                 f"take_ordered={'TakeOrderedAndProject' in plan}")
 
+    # 37. k-means: the final labeling never joins/shuffles the corpus
+    #     for its cluster ids (centroids are literals); the only join
+    #     in the output plan is the k-row centroid decoration, which
+    #     must broadcast.
+    from frogocr_spark.operators.clustering import kmeans_int
+    embp = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = executed(kmeans_int(embp, k=3, iters=1))
+    ok &= check("kmeans: literal-centroid labeling, broadcast decoration",
+                "CartesianProduct" not in plan
+                and "SortMergeJoin" not in plan
+                and "BroadcastHashJoin" in plan
+                and "SinglePartition" not in plan,
+                f"bhj={'BroadcastHashJoin' in plan}, smj=0, "
+                f"single_part={'SinglePartition' in plan}")
+
+    # 38. debounce / interval_coverage: one keyed shuffle each, no
+    #     single-partition stage (the stateful fold rides collect_list
+    #     + F.aggregate; the coverage sweep is a keyed window).
+    from frogocr_spark.operators.analytics import (debounce,
+                                                   interval_coverage)
+    pd_ = executed(debounce(ev, ["user_id"]))
+    pc = executed(interval_coverage(ev, "user_id"))
+    ok &= check("debounce/coverage: keyed shuffles only",
+                "SinglePartition" not in pd_
+                and "SinglePartition" not in pc
+                and "CartesianProduct" not in pd_ + pc,
+                f"debounce_exchanges={pd_.count('Exchange')}, "
+                f"coverage_exchanges={pc.count('Exchange')}")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
