@@ -2966,6 +2966,112 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_int(emb, k=4, iters=3)
 
 
+TIME_ROLLUP_TEXT = """
+    SELECT year(l_shipdate) AS y, month(l_shipdate) AS mo,
+           CAST(grouping(year(l_shipdate)) AS INT) AS g_y,
+           CAST(grouping(month(l_shipdate)) AS INT) AS g_mo,
+           count(*) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem
+    GROUP BY ROLLUP (year(l_shipdate), month(l_shipdate))
+"""
+
+
+def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy ROLLUP (year → month → grand total) with
+    grouping flags — ONE Expand over a single scan; the IDENTICAL ANSI
+    text runs verbatim on both engines (``TIME_ROLLUP_TEXT`` — the
+    sql_surface single-source-of-truth pattern), so the two sides
+    cannot drift."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(TIME_ROLLUP_TEXT)
+
+
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression (k=5) over the documents quasi-identifier
+    triple (lang, source, length-bin): QI combos shared by < 5 docs are
+    masked to '*' and merged — the released group profile.  Two keyed
+    aggs, the second over group-profile rows
+    (operators/quality.k_anonymize)."""
+    from frogocr_spark.operators.quality import k_anonymize
+    docs = _read(spark, sf_dir, "documents").select(
+        "lang", "source",
+        F.expr("n_chars DIV 500").cast("string").alias("chars_bin"))
+    return k_anonymize(docs, ["lang", "source", "chars_bin"], k=5)
+
+
+def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis for lineitem.l_suppkey — the measurement
+    that decides plain vs salted vs broadcast: top-10 heavy keys + the
+    exact integer Gini ingredients of the full key distribution
+    (Σ(2i−n−1)·cᵢ over the count-ascending rank from the
+    range-partitioned global_rank — no single-partition window at any
+    key cardinality) (operators/skew.skew_report)."""
+    from frogocr_spark.operators.skew import skew_report
+    li = _read(spark, sf_dir, "lineitem")
+    return skew_report(li, "l_suppkey", top_k=10)
+
+
+def _q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra — |clickers|, |purchasers|, |union| by register
+    max-merge (lossless for HLL) and |intersection| by
+    inclusion–exclusion: the sketch-level audience-overlap query exact
+    distinct counting can't do without re-scanning.  Each side collapses
+    to ≤ 256 register rows; the md5 sketch is deterministic so DuckDB
+    recomputes every register and estimate bit-for-bit
+    (operators/sketches.hll_union_intersect)."""
+    from frogocr_spark.operators.sketches import hll_union_intersect
+    ev = _read(spark, sf_dir, "events")
+    return hll_union_intersect(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        "user_id", p=8)
+
+
+def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity ingredients of the modal-event-type partition
+    over the co-event graph (users linked when active in the same
+    1-minute window): per community n_nodes, degree_sum, internal_edges,
+    m — exact integers, Q derivable as a fixed float finish.  Degrees =
+    edge explode + keyed agg; community decoration = two node-keyed
+    joins (operators/graph.modularity_by_community)."""
+    from frogocr_spark.operators.graph import modularity_by_community
+    from pyspark.sql import Window
+    ev = _read(spark, sf_dir, "events")
+    b = (ev.select(F.expr("unix_micros(CAST(ts AS TIMESTAMP)) "
+                          "DIV 60000000").alias("win"), "user_id")
+         .dropDuplicates())
+    a1 = b.select("win", F.col("user_id").alias("src"))
+    a2 = b.select("win", F.col("user_id").alias("dst"))
+    edges = (a1.join(a2, "win").where(F.col("src") < F.col("dst"))
+             .select("src", "dst").dropDuplicates())
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("_cnt"), F.asc("event_type"))
+    comm = (ev.groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("user_id").alias("node"),
+                    F.col("event_type").alias("community")))
+    return modularity_by_community(edges, comm)
+
+
+def _q_postings_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-encoded inverted-index postings (gap encoding — the
+    varint-friendly layout a search/dedup index stores): per term in
+    the df band [2, 64], first doc id + consecutive gaps as a pure
+    array transform over the sorted postings
+    (operators/textstats.postings_delta).  The synthetic corpus has a
+    ~40-word vocabulary, so every term is corpus-hot: the query leaves
+    the df band open upward (the banding API is exercised in pytest) —
+    postings are n_docs-length, the realistic worst case for the gap
+    transform."""
+    from frogocr_spark.operators.textstats import postings_delta
+    docs = _read(spark, sf_dir, "documents")
+    return postings_delta(docs, min_len=5, min_df=2, max_df=10**9)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -3148,6 +3254,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debounce": _q_debounce,
         "interval_coverage": _q_interval_coverage,
         "kmeans": _q_kmeans,
+        "time_rollup": _q_time_rollup,
+        "k_anonymity": _q_k_anonymity,
+        "skew_report": _q_skew_report,
+        "hll_setops": _q_hll_setops,
+        "modularity": _q_modularity,
+        "postings_delta": _q_postings_delta,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -6337,4 +6449,135 @@ FROM pos2
     """
     from frogocr_spark.operators.clustering import kmeans_oracle_sql
     o["kmeans"] = kmeans_oracle_sql(4, 3, 64)
+    o["time_rollup"] = TIME_ROLLUP_TEXT
+    o["k_anonymity"] = """
+        WITH g AS (
+            SELECT lang, source,
+                   CAST(n_chars // 500 AS VARCHAR) AS chars_bin,
+                   count(*) AS n
+            FROM documents GROUP BY 1, 2, 3
+        ), m AS (
+            SELECT CASE WHEN n < 5 THEN '*' ELSE lang END AS lang,
+                   CASE WHEN n < 5 THEN '*' ELSE source END AS source,
+                   CASE WHEN n < 5 THEN '*' ELSE chars_bin END
+                   AS chars_bin,
+                   n
+            FROM g
+        )
+        SELECT lang, source, chars_bin, CAST(sum(n) AS BIGINT) AS n
+        FROM m GROUP BY 1, 2, 3
+    """
+    o["skew_report"] = """
+        WITH c AS (
+            SELECT l_suppkey AS key, count(*) AS cnt
+            FROM lineitem GROUP BY 1
+        ), r AS (
+            SELECT *, row_number() OVER (ORDER BY cnt, key) AS i,
+                   count(*) OVER () AS nk
+            FROM c
+        ), s AS (
+            SELECT CAST(max(nk) AS BIGINT) AS n_keys,
+                   CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(sum((2 * i - nk - 1) * cnt) AS BIGINT)
+                   AS gini_num
+            FROM r
+        ), h AS (
+            SELECT row_number() OVER (ORDER BY cnt DESC, key) AS rank,
+                   key, CAST(cnt AS BIGINT) AS cnt
+            FROM c ORDER BY cnt DESC, key LIMIT 10
+        )
+        SELECT h.rank, h.key, h.cnt, s.n_keys, s.n_rows, s.gini_num
+        FROM h CROSS JOIN s
+    """
+    _hreg = lambda pred: f"""
+            SELECT h >> {_c['w']} AS bucket,
+                   max(CASE WHEN (h & {_c['rem_mask']}) = 0
+                            THEN {_c['maxrho']}
+                            ELSE {_c['w']} + 1
+                                 - length(bin(h & {_c['rem_mask']}))
+                       END) AS reg
+            FROM (SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                         1, 15))::BIGINT AS h
+                  FROM events WHERE {pred})
+            GROUP BY 1"""
+    _hest = (f"CAST(CAST(sum(1::BIGINT << ({_c['maxrho']} - reg)) "
+             f"AS BIGINT) + ({_c['m']} - count(*)) * {_c['empty_term']} "
+             f"AS BIGINT)")
+    o["hll_setops"] = f"""
+        WITH ra AS ({_hreg("event_type = 'click'")}),
+        rb AS ({_hreg("event_type = 'purchase'")}),
+        ru AS (
+            SELECT bucket, max(reg) AS reg
+            FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+            GROUP BY 1
+        ),
+        ea AS (SELECT {_hest} AS rs FROM ra),
+        eb AS (SELECT {_hest} AS rs FROM rb),
+        eu AS (SELECT {_hest} AS rs FROM ru)
+        SELECT ea.rs AS reg_sum_a, eb.rs AS reg_sum_b,
+               eu.rs AS reg_sum_union,
+               round({_c['est_num']!r} / ea.rs, 3) AS est_a,
+               round({_c['est_num']!r} / eb.rs, 3) AS est_b,
+               round({_c['est_num']!r} / eu.rs, 3) AS est_union,
+               round(round({_c['est_num']!r} / ea.rs, 3)
+                     + round({_c['est_num']!r} / eb.rs, 3)
+                     - round({_c['est_num']!r} / eu.rs, 3), 3)
+               AS est_intersect
+        FROM ea CROSS JOIN eb CROSS JOIN eu
+    """
+    o["modularity"] = """
+        WITH b AS (
+            SELECT DISTINCT epoch_us(ts) // 60000000 AS win, user_id
+            FROM events
+        ), e AS (
+            SELECT DISTINCT a1.user_id AS u, a2.user_id AS v
+            FROM b a1 JOIN b a2
+              ON a1.win = a2.win AND a1.user_id < a2.user_id
+        ), cm AS (
+            SELECT user_id AS n, event_type AS c FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY count(*) DESC, event_type) AS rn
+                FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1
+        ), deg AS (
+            SELECT n, count(*) AS d FROM (
+                SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+            GROUP BY 1
+        ), nodes AS (
+            SELECT cm.c, COALESCE(deg.d, 0) AS d
+            FROM cm LEFT JOIN deg ON cm.n = deg.n
+        ), pc AS (
+            SELECT c AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(d) AS BIGINT) AS degree_sum
+            FROM nodes GROUP BY 1
+        ), ie AS (
+            SELECT cu.c AS community,
+                   CAST(count(*) AS BIGINT) AS internal_edges
+            FROM e JOIN cm cu ON e.u = cu.n JOIN cm cv ON e.v = cv.n
+            WHERE cu.c = cv.c GROUP BY 1
+        ), mm AS (SELECT count(*) AS m FROM e)
+        SELECT pc.community, pc.n_nodes, pc.degree_sum,
+               CAST(COALESCE(ie.internal_edges, 0) AS BIGINT)
+               AS internal_edges,
+               CAST(mm.m AS BIGINT) AS m
+        FROM pc LEFT JOIN ie USING (community) CROSS JOIN mm
+    """
+    o["postings_delta"] = r"""
+        WITH t AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       w -> length(w) >= 5)) AS term
+            FROM documents
+        ), p AS (
+            SELECT term, list_sort(list(DISTINCT doc_id)) AS ps
+            FROM t GROUP BY term
+        )
+        SELECT term, CAST(len(ps) AS INT) AS df,
+               CAST(ps[1] AS BIGINT) AS first_doc,
+               [ps[i + 1] - ps[i] for i in range(1, len(ps))] AS gaps
+        FROM p WHERE len(ps) >= 2
+    """
     return o

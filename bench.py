@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "rand_proj", "bpe_encode", "trending",
     "quantiles", "mad", "bag_ops", "debounce", "interval_coverage",
     "kmeans",
+    "time_rollup", "k_anonymity", "skew_report", "hll_setops",
+    "modularity", "postings_delta",
 ]
 
 

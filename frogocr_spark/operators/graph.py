@@ -391,3 +391,50 @@ def bfs_levels_oracle_sql(edges_sql: str, seeds_sql: str,
     sql.append(f"SELECT node, CAST(level AS INT) AS level "
                f"FROM l{rounds}")
     return "\n".join(sql)
+
+
+def modularity_by_community(edges: DataFrame, comm: DataFrame,
+                            node_col: str = "node",
+                            comm_col: str = "community",
+                            src: str = "src",
+                            dst: str = "dst") -> DataFrame:
+    """Newman modularity INGREDIENTS of a node partition over an
+    undirected simple graph — the standard partition-quality metric
+    (community detection's objective).  Emitted as exact integers so
+    any engine agrees:  per community ``n_nodes, degree_sum (d_c),
+    internal_edges (e_c), m`` — Q = Σ_c (e_c/m − (d_c/2m)²) is a fixed
+    float finish the consumer derives.
+
+    Scale shape: degrees = one edge-explode + node-keyed agg; community
+    decoration = two node-keyed equi-joins of the edge list against the
+    node-bounded community table; internal-edge and degree rollups are
+    map-side-combined keyed aggs.  Nodes missing from ``comm`` are
+    dropped (inner semantics), nodes in ``comm`` without edges count
+    with degree 0."""
+    e = (edges.select(F.least(src, dst).alias("u"),
+                      F.greatest(src, dst).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct())
+    cm = comm.select(F.col(node_col).alias("_n"),
+                     F.col(comm_col).alias("_c"))
+    deg = (e.select(F.col("u").alias("_n"))
+           .unionAll(e.select(F.col("v").alias("_n")))
+           .groupBy("_n").agg(F.count(F.lit(1)).alias("_deg")))
+    nodes = (cm.join(deg, "_n", "left")
+             .select("_c", F.coalesce("_deg", F.lit(0)).alias("_deg")))
+    per_comm = (nodes.groupBy("_c")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                     F.sum("_deg").cast("long").alias("degree_sum")))
+    cu = cm.select(F.col("_n").alias("u"), F.col("_c").alias("_cu"))
+    cv = cm.select(F.col("_n").alias("v"), F.col("_c").alias("_cv"))
+    internal = (e.join(cu, "u").join(cv, "v")
+                .where(F.col("_cu") == F.col("_cv"))
+                .groupBy(F.col("_cu").alias("_c"))
+                .agg(F.count(F.lit(1)).cast("long")
+                     .alias("internal_edges")))
+    m = e.count()
+    return (per_comm.join(internal, "_c", "left")
+            .select(F.col("_c").alias("community"), "n_nodes",
+                    "degree_sum",
+                    F.coalesce("internal_edges", F.lit(0)).cast("long")
+                    .alias("internal_edges"),
+                    F.lit(int(m)).cast("long").alias("m")))

@@ -84,3 +84,38 @@ def dq_report(df: DataFrame, *,
                         "n_violations", "n_rows"))
         report = rrow if report is None else report.unionByName(rrow)
     return report
+
+
+def k_anonymize(df: DataFrame, qi_cols: list[str], k: int = 5
+                ) -> DataFrame:
+    """k-anonymity SUPPRESSION over quasi-identifier columns — the
+    data-governance gate before releasing grouped data: every QI
+    combination shared by fewer than ``k`` rows is suppressed (all QI
+    columns masked to ``'*'``), so no released group can re-identify
+    fewer than ``k`` individuals — except possibly the single merged
+    ``'*'`` residual group, which the caller checks (standard
+    suppression caveat, surfaced by the output itself).
+
+    Returns the released GROUP PROFILE (one row per post-suppression QI
+    combination with its count), not the row-level table — the shape a
+    release audit inspects.
+
+    Scale shape: one map-side-combined QI-keyed count over the corpus,
+    then a second keyed agg over GROUP-PROFILE rows (bounded by
+    distinct QI combos, not corpus rows).  All QI columns are emitted
+    as strings (masking needs a common type).  Output:
+    ``<qi_cols…> string, n long``."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    groups = (df.groupBy(*[F.col(c).cast("string").alias(c)
+                           for c in qi_cols])
+              .agg(F.count(F.lit(1)).alias("_n")))
+    small = F.col("_n") < k
+    masked = groups.select(
+        *[F.when(small, F.lit("*")).otherwise(F.col(c)).alias(c)
+          for c in qi_cols],
+        "_n")
+    return (masked.groupBy(*qi_cols)
+            .agg(F.sum("_n").cast("long").alias("n")))

@@ -237,3 +237,39 @@ def cms_heavy_hitters(df: DataFrame, key_col: str, threshold: int,
             .join(exact, key_col)
             .select(key_col, F.col("cms_est").cast("long"),
                     F.col("n_true").cast("long")))
+
+
+def hll_union_intersect(df_a: DataFrame, df_b: DataFrame, key_col: str,
+                        p: int = 8) -> DataFrame:
+    """HLL SET ALGEBRA — the sketch property exact distinct counting
+    doesn't have: |A|, |B|, |A∪B| from register max-merge (lossless for
+    HLL), and |A∩B| by inclusion–exclusion over the three estimates.
+    All register sums are exact integers (the deterministic md5 sketch
+    — any engine reproduces them bit-for-bit); the three raw estimates
+    and the derived intersection are fixed IEEE expression trees over
+    those integers.
+
+    Scale shape: each side collapses to ≤ m register rows (one
+    map-side-combined agg per side — the key universes are never
+    shuffled); the union merge runs on 2m rows.  Output: ONE row —
+    ``reg_sum_a, reg_sum_b, reg_sum_union (long), est_a, est_b,
+    est_union, est_intersect (double, 3 dp)``."""
+    c = hll_constants(p)
+    ra = hll_registers(df_a.select(F.lit(1).alias("_g"), key_col),
+                       ["_g"], key_col, p)
+    rb = hll_registers(df_b.select(F.lit(1).alias("_g"), key_col),
+                       ["_g"], key_col, p)
+    ru = hll_merge_registers(ra.unionAll(rb), ["_g"])
+
+    def finish(regs, tag):
+        return (hll_estimate_from_registers(regs, ["_g"], p)
+                .select(F.col("reg_sum_scaled").alias(f"reg_sum_{tag}"),
+                        F.col("hll_est").alias(f"est_{tag}")))
+
+    out = (finish(ra, "a").crossJoin(finish(rb, "b"))
+           .crossJoin(finish(ru, "union")))
+    return out.select(
+        "reg_sum_a", "reg_sum_b", "reg_sum_union",
+        "est_a", "est_b", "est_union",
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 3)
+        .alias("est_intersect"))

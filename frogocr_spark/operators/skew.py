@@ -72,3 +72,46 @@ def salted_equi_join(fact: DataFrame, dim: DataFrame, key: str,
     return (fact_s.join(dim_s.hint("shuffle_hash"),
                         [key, "_salt"], how)
             .drop("_salt"))
+
+
+def skew_report(df: DataFrame, key_col: str,
+                top_k: int = 10) -> DataFrame:
+    """Key-distribution skew diagnosis for a prospective join/agg key —
+    the measurement that DECIDES between a plain join,
+    :func:`salted_equi_join`, and a broadcast: top-``top_k`` heavy keys
+    plus exact integer Gini ingredients of the whole key distribution.
+
+    Gini numerator over counts sorted ascending (rank i of n keys):
+    ``G_num = Σ (2i − n − 1)·c_i`` with ``G = G_num / (n · total)`` —
+    all-integer, order-pinned by (count, key), no float summation.
+
+    Scale shape: one map-side-combined key count; the rank comes from
+    the range-partitioned :func:`~frogocr_spark.operators.ranking.
+    global_rank` (no single-partition window at any key cardinality);
+    the heavy-key cut is TakeOrderedAndProject; the 1-row Gini/total
+    aggregate cross-joins (broadcast) onto the ``top_k`` rows.  EAGER
+    at plan-construction (global_rank).  Output: ``rank, key, cnt,
+    n_keys, n_rows, gini_num`` — one row per heavy key."""
+    from frogocr_spark.operators.ranking import global_rank
+
+    counts = (df.select(F.col(key_col).alias("key"))
+              .groupBy("key").agg(F.count(F.lit(1)).alias("cnt")))
+    ranked = global_rank(counts, ["cnt", "key"], "_i")
+    # Σ(2i − n − 1)·c = 2Σ(i·c) − (n+1)·Σc — one map-side-combined agg,
+    # the (n+1) term folded in afterwards (no global window anywhere)
+    summary = (ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum(2 * F.col("_i") * F.col("cnt")).cast("long").alias("_s2ic"))
+        .select("n_keys", "n_rows",
+                (F.col("_s2ic") - (F.col("n_keys") + 1)
+                 * F.col("n_rows")).alias("gini_num")))
+    # heavy keys: TakeOrdered cut first, the rank stamped on the
+    # top_k survivors only (a window over top_k rows, not the universe)
+    from pyspark.sql import Window
+    heavy = (counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_k)
+             .withColumn("rank", F.row_number().over(
+                 Window.orderBy(F.desc("cnt"), F.asc("key"))))
+             .select("rank", "key", F.col("cnt").cast("long")
+                     .alias("cnt")))
+    return heavy.crossJoin(F.broadcast(summary))

@@ -1034,3 +1034,36 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str,
             .withColumn("priority", pri)
             .orderBy(F.col("priority").asc(), F.col(id_col).asc())
             .limit(k))
+
+
+def postings_delta(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", min_len: int = 4,
+                   min_df: int = 2, max_df: int = 64) -> DataFrame:
+    """Delta-encoded inverted-index postings — the compression layout a
+    search/dedup index actually stores (gap encoding makes postings
+    varint-friendly): per surviving term, the SORTED distinct doc-id
+    postings as ``first_doc`` + the consecutive gaps.
+
+    Scale shape: one token-keyed map-side-combined agg (per-doc
+    distinct terms first, so a term counts once per doc); the df band
+    [min_df, max_df] caps both stopword-grade hot terms AND singleton
+    noise BEFORE the array materializes; the gap transform is a pure
+    array expression (``zip_with`` of the list against its own tail).
+    Output: ``term, df int, first_doc long, gaps array<long>``."""
+    toks = (docs.select(F.col(id_col).alias("_id"),
+                        F.explode(F.array_distinct(F.filter(
+                            F.split(F.lower(F.trim(F.col(text_col))),
+                                    r"\s+"),
+                            lambda w: F.length(w) >= min_len)))
+                        .alias("term")))
+    posts = (toks.groupBy("term")
+             .agg(F.sort_array(F.collect_set("_id")).alias("_ps"))
+             .where((F.size("_ps") >= min_df)
+                    & (F.size("_ps") <= max_df)))
+    tail = F.slice(F.col("_ps"), 2, F.size("_ps") - 1)
+    head = F.slice(F.col("_ps"), 1, F.size("_ps") - 1)
+    return posts.select(
+        "term", F.size("_ps").alias("df"),
+        F.element_at("_ps", 1).cast("long").alias("first_doc"),
+        F.zip_with(tail, head,
+                   lambda a, b: (a - b).cast("long")).alias("gaps"))

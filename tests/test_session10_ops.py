@@ -349,3 +349,108 @@ def test_kmeans_int_validates(spark):
         kmeans_int(df, k=1)
     with pytest.raises(ValueError):
         kmeans_int(df, k=4, iters=3)  # corpus smaller than k
+
+
+# ------------------------------------------------------------ k-anonymity
+def test_k_anonymize_suppresses_and_merges(spark):
+    from frogocr_spark.operators.quality import k_anonymize
+    rows = ([("no", "web", "1")] * 5 + [("no", "web", "2")] * 2
+            + [("en", "pdf", "1")] * 1)
+    df = spark.createDataFrame(rows, "lang string, src string, b string")
+    got = {(r.lang, r.src, r.b): r.n
+           for r in k_anonymize(df, ["lang", "src", "b"], k=3).collect()}
+    # the two small groups (2 + 1 rows) merge into one '*' residual
+    assert got == {("no", "web", "1"): 5, ("*", "*", "*"): 3}
+    with pytest.raises(ValueError):
+        k_anonymize(df, [], k=3)
+    with pytest.raises(ValueError):
+        k_anonymize(df, ["lang"], k=1)
+
+
+# ------------------------------------------------------------ skew report
+def test_skew_report_uniform_gini_is_zero(spark):
+    from frogocr_spark.operators.skew import skew_report
+    rows = [(i % 4,) for i in range(40)]   # 4 keys x 10 rows
+    df = spark.createDataFrame(rows, "k long")
+    out = skew_report(df, "k", top_k=2).collect()
+    assert len(out) == 2
+    assert out[0].n_keys == 4 and out[0].n_rows == 40
+    assert out[0].gini_num == 0            # equal counts -> Gini 0
+    assert out[0].rank == 1 and out[0].cnt == 10
+
+
+def test_skew_report_hand_computed_gini(spark):
+    from frogocr_spark.operators.skew import skew_report
+    # counts {a:1, b:2, c:5}: ascending ranks 1,2,3 (n=3)
+    # gini_num = (2*1-4)*1 + (2*2-4)*2 + (2*3-4)*5 = -2 + 0 + 10 = 8
+    rows = [("a",)] + [("b",)] * 2 + [("c",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, "k", top_k=1).collect()[0]
+    assert (out.key, out.cnt, out.gini_num, out.n_keys, out.n_rows) == \
+        ("c", 5, 8, 3, 8)
+
+
+# ---------------------------------------------------------------- hll ops
+def test_hll_setops_subset_union_equals_superset(spark):
+    from frogocr_spark.operators.sketches import hll_union_intersect
+    a = spark.range(0, 500).select(F.col("id").alias("k"))
+    b = spark.range(0, 100).select(F.col("id").alias("k"))  # B ⊆ A
+    out = hll_union_intersect(a, b, "k", p=8).collect()[0]
+    assert out.reg_sum_union == out.reg_sum_a   # max-merge is lossless
+    assert out.est_union == out.est_a
+    # inclusion-exclusion: intersect estimate == est_b exactly here
+    assert abs(out.est_intersect - out.est_b) < 1e-9
+
+
+def test_hll_setops_disjoint_intersection_near_zero(spark):
+    from frogocr_spark.operators.sketches import hll_union_intersect
+    a = spark.range(0, 2000).select(F.col("id").alias("k"))
+    b = spark.range(100000, 102000).select(F.col("id").alias("k"))
+    out = hll_union_intersect(a, b, "k", p=8).collect()[0]
+    # sketch noise, but nowhere near the set sizes
+    assert abs(out.est_intersect) < 0.2 * out.est_a
+
+
+# -------------------------------------------------------------- modularity
+def test_modularity_two_triangles_bridge(spark):
+    from frogocr_spark.operators.graph import modularity_by_community
+    # triangles {1,2,3} and {4,5,6} joined by bridge 3-4; perfect split
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    cm = spark.createDataFrame(
+        [(i, "L" if i <= 3 else "R") for i in range(1, 7)],
+        "node long, community string")
+    got = {r.community: (r.n_nodes, r.degree_sum, r.internal_edges, r.m)
+           for r in modularity_by_community(e, cm).collect()}
+    assert got == {"L": (3, 7, 3, 7), "R": (3, 7, 3, 7)}
+    # Q = sum(e_c/m - (d_c/2m)^2) = 2*(3/7 - (7/14)^2) = 6/7 - 1/2
+    q = sum(ic / 7 - (d / 14) ** 2 for _, d, ic, _ in got.values())
+    assert abs(q - (6 / 7 - 0.5)) < 1e-12
+
+
+def test_modularity_isolated_community_zero_internal(spark):
+    from frogocr_spark.operators.graph import modularity_by_community
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    cm = spark.createDataFrame([(1, "a"), (2, "b"), (9, "c")],
+                               "node long, community string")
+    got = {r.community: (r.n_nodes, r.degree_sum, r.internal_edges)
+           for r in modularity_by_community(e, cm).collect()}
+    # cross-community edge: no internal edges anywhere; node 9 has no
+    # edges but still counts with degree 0
+    assert got == {"a": (1, 1, 0), "b": (1, 1, 0), "c": (1, 0, 0)}
+
+
+# ---------------------------------------------------------- postings delta
+def test_postings_delta_gaps_and_df_band(spark):
+    from frogocr_spark.operators.textstats import postings_delta
+    docs = [(10, "alpha beta"), (13, "alpha gamma"), (20, "alpha beta"),
+            (99, "solo")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.term: (r.df, r.first_doc, list(r.gaps))
+           for r in postings_delta(df, min_len=4, min_df=2,
+                                   max_df=2).collect()}
+    # alpha has df=3 > max_df (hot-term cut); solo/gamma df=1 < min_df
+    assert got == {"beta": (2, 10, [10])}
+    got2 = {r.term for r in postings_delta(df, min_len=4, min_df=2,
+                                           max_df=64).collect()}
+    assert got2 == {"alpha", "beta"}

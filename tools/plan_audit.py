@@ -631,6 +631,25 @@ def main() -> None:
                 f"debounce_exchanges={pd_.count('Exchange')}, "
                 f"coverage_exchanges={pc.count('Exchange')}")
 
+    # 39. HLL set algebra: each side collapses to registers before any
+    #     join (the key universes are never joined); modularity is
+    #     keyed equi-joins only.
+    from frogocr_spark.operators.graph import modularity_by_community
+    from frogocr_spark.operators.sketches import hll_union_intersect
+    ph = executed(hll_union_intersect(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"), "user_id"))
+    cmx = ev.select(F.col("user_id").alias("node"),
+                    F.col("event_type").alias("community")).distinct()
+    egx = ev.select(F.col("user_id").alias("src"),
+                    (F.col("user_id") + 1).alias("dst")).distinct()
+    pm = executed(modularity_by_community(egx, cmx))
+    ok &= check("hll setops register-only joins; modularity equi-joins",
+                "SortMergeJoin" not in ph
+                and "CartesianProduct" not in pm
+                and "BroadcastNestedLoopJoin" not in pm,
+                f"hll_smj=0, modularity_cartesian=0")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
