@@ -3072,6 +3072,95 @@ def _q_postings_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings_delta(docs, min_len=5, min_df=2, max_df=10**9)
 
 
+def _q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift test between click and
+    purchase value distributions: the max CDF gap decided on the exact
+    integer numerator |c1·n2 − c2·n1|; both cumulative counts ride ONE
+    range-partitioned prefix sum by carry-free (c1, c2) bit-packing —
+    no single-partition window, no second pass
+    (operators/analytics.ks_statistic)."""
+    from frogocr_spark.operators.analytics import ks_statistic
+    ev = _read(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0)
+    return ks_statistic(ev.where(F.col("event_type") == "click"),
+                        ev.where(F.col("event_type") == "purchase"),
+                        cents)
+
+
+def _q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact CUSUM drift chart per event type: max/min
+    excursions of the scaled deviation walk dᵢ = n·xᵢ − Σx in (ts, id)
+    order.  The walk rides the key-major range-partitioned prefix sum —
+    per-key reset is FREE because each key's deviations telescope to
+    zero (the max_concurrency argument)
+    (operators/analytics.cusum_excursions)."""
+    from frogocr_spark.operators.analytics import cusum_excursions
+    ev = _read(spark, sf_dir, "events")
+    return cusum_excursions(ev, "event_type",
+                            F.round(F.col("value") * 100, 0))
+
+
+def _q_range_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style range checksums over orders (1000-key buckets, XOR
+    fold of 60-bit md5 row hashes over a canonical integer encoding) —
+    the anti-entropy primitive for replica/snapshot reconciliation:
+    compare digests bucket-wise, ship only differing ranges.  One scan,
+    one map-side-combined keyed agg
+    (operators/quality.range_checksums)."""
+    from frogocr_spark.operators.quality import range_checksums
+    od = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("price_cents"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .alias("date_us"))
+    return range_checksums(od, "o_orderkey",
+                           ["o_orderkey", "o_custkey", "o_orderstatus",
+                            "o_orderpriority", "price_cents",
+                            "date_us"], bucket_size=1000)
+
+
+def _q_window_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ANSI window-function family — first_value /
+    last_value / nth_value over the FULL frame (ROWS BETWEEN UNBOUNDED
+    PRECEDING AND UNBOUNDED FOLLOWING — the default last_value frame is
+    the classic silent-wrong-answer; the explicit frame is what the
+    oracle runs too) under the deterministic (ts, event_id) order, one
+    keyed window."""
+    from pyspark.sql import Window
+    ev = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+         .rowsBetween(Window.unboundedPreceding,
+                      Window.unboundedFollowing))
+    return ev.select(
+        "event_id", "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_user_events"))
+
+
+def _q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable string-function surface in one verified row set:
+    lpad/rpad, translate, reverse, repeat, instr, substring, left,
+    ascii, replace — applied to the documents dimension columns; one
+    map stage, both engines run the same semantics by the hash match."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.lpad("lang", 5, "_").alias("lang_pad"),
+        F.rpad("source", 8, ".").alias("src_pad"),
+        F.translate("source", "aeiou", "01234").alias("src_trans"),
+        F.reverse(F.col("lang")).alias("lang_rev"),
+        F.repeat(F.col("lang"), 2).alias("lang_2x"),
+        F.instr(F.col("source"), "a").cast("int").alias("a_pos"),
+        F.substring("source", 2, 3).alias("src_mid"),
+        F.expr("left(source, 2)").alias("src_left"),
+        F.ascii("lang").cast("int").alias("lang_ascii"),
+        F.regexp_replace("source", "a", "@").alias("src_at"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -3260,6 +3349,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_setops": _q_hll_setops,
         "modularity": _q_modularity,
         "postings_delta": _q_postings_delta,
+        "ks_test": _q_ks_test,
+        "cusum_drift": _q_cusum_drift,
+        "range_checksums": _q_range_checksums,
+        "window_funcs2": _q_window_funcs2,
+        "string_funcs": _q_string_funcs,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -6579,5 +6673,99 @@ FROM pos2
                CAST(ps[1] AS BIGINT) AS first_doc,
                [ps[i + 1] - ps[i] for i in range(1, len(ps))] AS gaps
         FROM p WHERE len(ps) >= 2
+    """
+    o["ks_test"] = """
+        WITH pts AS (
+            SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 2 END
+                   AS t
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ), g AS (
+            SELECT v,
+                   sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS c1,
+                   sum(CASE WHEN t = 2 THEN 1 ELSE 0 END) AS c2
+            FROM pts GROUP BY v
+        ), c AS (
+            SELECT v, sum(c1) OVER (ORDER BY v) AS k1,
+                   sum(c2) OVER (ORDER BY v) AS k2
+            FROM g
+        ), t AS (
+            SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c2) AS BIGINT) AS n2
+            FROM g
+        )
+        SELECT t.n1, t.n2,
+               CAST(max(abs(k1 * t.n2 - k2 * t.n1)) AS BIGINT)
+               AS ks_num,
+               round(CAST(max(abs(k1 * t.n2 - k2 * t.n1)) AS DOUBLE)
+                     / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)),
+                     6) AS ks
+        FROM c CROSS JOIN t GROUP BY t.n1, t.n2
+    """
+    o["cusum_drift"] = """
+        WITH b AS (
+            SELECT event_type, epoch_us(ts) AS us, event_id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS x
+            FROM events
+        ), m AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx
+            FROM b GROUP BY event_type
+        ), r AS (
+            SELECT b.event_type, m.n, m.sx,
+                   sum(m.n * b.x - m.sx) OVER (
+                       PARTITION BY b.event_type
+                       ORDER BY b.us, b.event_id) AS run
+            FROM b JOIN m USING (event_type)
+        )
+        SELECT event_type, max(n) AS n, max(sx) AS sum_v,
+               CAST(max(run) AS BIGINT) AS max_excursion,
+               CAST(min(run) AS BIGINT) AS min_excursion
+        FROM r GROUP BY event_type
+    """
+    o["range_checksums"] = """
+        WITH b AS (
+            SELECT o_orderkey // 1000 AS bucket,
+                   ('0x' || substr(md5(concat_ws('|',
+                        CAST(o_orderkey AS VARCHAR),
+                        CAST(o_custkey AS VARCHAR),
+                        o_orderstatus,
+                        o_orderpriority,
+                        CAST(CAST(round(o_totalprice * 100, 0)
+                                  AS BIGINT) AS VARCHAR),
+                        CAST(epoch_us(o_orderdate) AS VARCHAR))),
+                        1, 15))::BIGINT AS h
+            FROM orders
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(bit_xor(h) AS BIGINT) AS xor_hash
+        FROM b GROUP BY bucket
+    """
+    o["window_funcs2"] = """
+        SELECT event_id, user_id,
+               first_value(event_type) OVER w AS first_type,
+               last_value(event_type) OVER w AS last_type,
+               nth_value(event_type, 2) OVER w AS second_type,
+               CAST(count(*) OVER w AS BIGINT) AS n_user_events
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    """
+    o["string_funcs"] = """
+        SELECT doc_id,
+               lpad(lang, 5, '_') AS lang_pad,
+               rpad(source, 8, '.') AS src_pad,
+               translate(source, 'aeiou', '01234') AS src_trans,
+               reverse(lang) AS lang_rev,
+               repeat(lang, 2) AS lang_2x,
+               CAST(instr(source, 'a') AS INT) AS a_pos,
+               substring(source, 2, 3) AS src_mid,
+               left(source, 2) AS src_left,
+               CAST(ascii(lang) AS INT) AS lang_ascii,
+               replace(source, 'a', '@') AS src_at
+        FROM documents
     """
     return o

@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "kmeans",
     "time_rollup", "k_anonymity", "skew_report", "hll_setops",
     "modularity", "postings_delta",
+    "ks_test", "cusum_drift", "range_checksums", "window_funcs2",
+    "string_funcs",
 ]
 
 

@@ -765,3 +765,95 @@ def interval_coverage(df: DataFrame, key_col: str, ts_col: str = "ts",
                  F.sum("_inc").cast("long").alias("covered_us"),
                  (F.max("_e") - F.min("_s")).cast("long")
                  .alias("span_us")))
+
+
+def ks_statistic(df_a: DataFrame, df_b: DataFrame, value_col,
+                 ) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic, EXACT: KS = max over
+    the value domain of |F_A(x) − F_B(x)|, computed on the integer
+    numerator ``|c1·n2 − c2·n1|`` (c = inclusive cumulative count at
+    each distinct value) so the max is decided on exact int64s — the
+    only float is one final correctly-rounded division.  The
+    distribution-drift test a data-quality monitor runs between two
+    slices/snapshots.
+
+    Scale shape: both samples collapse to per-distinct-value counts
+    (one map-side-combined agg); the two cumulative counts ride ONE
+    range-partitioned prefix sum (:func:`~frogocr_spark.operators.
+    ranking.global_cumsum`) by packing (c1, c2) into a single long —
+    c1·2³¹ + c2, carry-free while each total < 2³¹ (validated) — so
+    there is no single-partition window and no second pass.  EAGER at
+    plan-construction.  Output: ONE row — ``n1, n2, ks_num (long),
+    ks (double, 6 dp)``."""
+    from frogocr_spark.operators.ranking import global_cumsum
+
+    v = value_col.cast("long")
+    pts = (df_a.select(v.alias("_v"), F.lit(1).alias("_t"))
+           .unionAll(df_b.select(v.alias("_v"), F.lit(2).alias("_t"))))
+    g = (pts.groupBy("_v")
+         .agg(F.sum(F.when(F.col("_t") == 1, 1).otherwise(0))
+              .alias("_c1"),
+              F.sum(F.when(F.col("_t") == 2, 1).otherwise(0))
+              .alias("_c2")))
+    tot = g.agg(F.sum("_c1").alias("n1"), F.sum("_c2").alias("n2")) \
+        .collect()[0]
+    n1, n2 = int(tot["n1"] or 0), int(tot["n2"] or 0)
+    if max(n1, n2) >= (1 << 31):
+        raise ValueError("sample sizes must be < 2^31 for the packed "
+                         "prefix sum")
+    packed = g.select(
+        "_v", (F.col("_c1") * (1 << 31) + F.col("_c2")).alias("_p"),
+        "_c1", "_c2")
+    cum = global_cumsum(packed, ["_v"], "_p", cumsum_col="_e")
+    inc = F.col("_e") + F.col("_p")
+    k1 = F.shiftright(inc, 31)
+    k2 = inc.bitwiseAND(F.lit((1 << 31) - 1))
+    d = F.abs(k1 * F.lit(n2) - k2 * F.lit(n1))
+    out = cum.agg(F.max(d).cast("long").alias("ks_num"))
+    return out.select(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+        "ks_num",
+        F.round(F.col("ks_num").cast("double")
+                / F.lit(float(n1) * float(n2)), 6).alias("ks"))
+
+
+def cusum_excursions(df: DataFrame, key_col: str, value_col,
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     num_partitions: int | None = None) -> DataFrame:
+    """CUSUM drift detection per key, integer-exact: the classic CUSUM
+    chart tracks the running sum of deviations from the mean; scaling
+    by n (``dᵢ = n·xᵢ − Σx``) keeps every term an exact int64, so the
+    max/min excursions of the scaled walk are engine-exact (divide by n
+    to recover the classic units).
+
+    Scale shape: one keyed moments agg (n, Σx per key — group-sized,
+    broadcast back), then the running sum rides the SAME key-major
+    range-partitioned prefix sum as :func:`max_concurrency`: each key's
+    deviations telescope to ZERO by construction (Σ(n·x − Σx) = 0), so
+    the global cumsum restarts at every key boundary — per-key reset
+    free, hot keys split across range partitions.  EAGER at
+    plan-construction.  Output: ``key, n, sum_v, max_excursion,
+    min_excursion (all long)``."""
+    from frogocr_spark.operators.ranking import global_cumsum
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(F.col(key_col), us.alias("_us"),
+                     F.col(id_col).alias("_id"),
+                     value_col.cast("long").alias("_x"))
+    mom = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_x").cast("long").alias("_sx"))
+    j = (base.join(F.broadcast(mom), key_col)
+         .select(key_col, "_us", "_id", "_n", "_sx",
+                 (F.col("_n") * F.col("_x") - F.col("_sx"))
+                 .alias("_d")))
+    cum = global_cumsum(j, [key_col, "_us", "_id"], "_d",
+                        cumsum_col="_e", num_partitions=num_partitions)
+    r = F.col("_e") + F.col("_d")
+    return (cum.withColumn("_r", r)
+            .groupBy(key_col)
+            .agg(F.max("_n").alias("n"),
+                 F.max("_sx").alias("sum_v"),
+                 F.max("_r").cast("long").alias("max_excursion"),
+                 F.min("_r").cast("long").alias("min_excursion")))

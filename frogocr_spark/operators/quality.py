@@ -119,3 +119,33 @@ def k_anonymize(df: DataFrame, qi_cols: list[str], k: int = 5
         "_n")
     return (masked.groupBy(*qi_cols)
             .agg(F.sum("_n").cast("long").alias("n")))
+
+
+def range_checksums(df: DataFrame, id_col: str, cols: list[str],
+                    bucket_size: int = 1000) -> DataFrame:
+    """Merkle-style range checksums — the anti-entropy / table-sync
+    primitive (compare two replicas or snapshots bucket by bucket and
+    ship only differing ranges): rows hash to a 60-bit md5-derived
+    integer over a canonical ``'|'``-joined string encoding of
+    ``cols``, buckets are ``id DIV bucket_size``, and the bucket
+    digest is the XOR fold of its row hashes (order-independent,
+    engine-portable — any engine with md5 reproduces it bit-for-bit;
+    XOR also makes single-row diffs localizable by binary-searching
+    sub-ranges).
+
+    Scale shape: a pure map stage + ONE map-side-combined keyed agg —
+    the table is scanned once, the output is #buckets rows.  Encode
+    timestamps/floats to integers in ``cols`` BEFORE calling (canonical
+    string forms of those types differ across engines).  Output:
+    ``bucket long, n_rows long, xor_hash long``."""
+    if bucket_size < 1:
+        raise ValueError(f"bucket_size must be >= 1, got {bucket_size}")
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in cols])), 1, 15),
+        16, 10).cast("long")
+    return (df.select(F.expr(f"{id_col} DIV {int(bucket_size)}")
+                      .cast("long").alias("bucket"),
+                      h.alias("_h"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.expr("bit_xor(_h)").cast("long").alias("xor_hash")))

@@ -454,3 +454,85 @@ def test_postings_delta_gaps_and_df_band(spark):
     got2 = {r.term for r in postings_delta(df, min_len=4, min_df=2,
                                            max_df=64).collect()}
     assert got2 == {"alpha", "beta"}
+
+
+# ------------------------------------------------------------------- KS
+def test_ks_identical_samples_zero_and_disjoint_one(spark):
+    from frogocr_spark.operators.analytics import ks_statistic
+    a = spark.createDataFrame([(v,) for v in (1, 2, 3, 4)], "v long")
+    out = ks_statistic(a, a, F.col("v")).collect()[0]
+    assert (out.n1, out.n2, out.ks_num, out.ks) == (4, 4, 0, 0.0)
+    b = spark.createDataFrame([(v,) for v in (10, 11)], "v long")
+    out = ks_statistic(a, b, F.col("v")).collect()[0]
+    # A entirely below B: at v=4, F_A=1 and F_B=0 -> KS = 1
+    assert (out.ks_num, out.ks) == (4 * 2, 1.0)
+
+
+def test_ks_hand_case(spark):
+    from frogocr_spark.operators.analytics import ks_statistic
+    # A = {1,2}, B = {2,3}: at v=1 |1*2-0*2|=2; v=2 |2*2-1*2|=2;
+    # v=3 |2*2-2*2|=0 -> ks_num=2, ks=2/4=0.5
+    a = spark.createDataFrame([(1,), (2,)], "v long")
+    b = spark.createDataFrame([(2,), (3,)], "v long")
+    out = ks_statistic(a, b, F.col("v")).collect()[0]
+    assert (out.ks_num, out.ks) == (2, 0.5)
+
+
+# ----------------------------------------------------------------- CUSUM
+def test_cusum_constant_series_zero_excursions(spark):
+    from frogocr_spark.operators.analytics import cusum_excursions
+    rows = [("k", _ts(i), i, 7) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, event_id long, x long")
+    out = cusum_excursions(df, "k", F.col("x")).collect()[0]
+    assert (out.n, out.sum_v, out.max_excursion, out.min_excursion) == \
+        (10, 70, 0, 0)
+
+
+def test_cusum_hand_case_and_multi_key_reset(spark):
+    from frogocr_spark.operators.analytics import cusum_excursions
+    # key a: x = [0, 10]: n=2, sx=10; d = [2*0-10, 2*10-10] = [-10, 10]
+    # walk: -10, 0 -> max 0, min -10
+    # key b: x = [5]: d = [0] -> 0, 0 (and a's walk must not leak in)
+    rows = [("a", _ts(0), 1, 0), ("a", _ts(1), 2, 10),
+            ("b", _ts(2), 3, 5)]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, event_id long, x long")
+    got = {r.k: (r.max_excursion, r.min_excursion)
+           for r in cusum_excursions(df, "k", F.col("x"),
+                                     num_partitions=3).collect()}
+    assert got == {"a": (0, -10), "b": (0, 0)}
+
+
+# -------------------------------------------------------------- checksums
+def test_range_checksums_localize_single_row_diff(spark):
+    from frogocr_spark.operators.quality import range_checksums
+    rows = [(i, f"v{i}") for i in range(50)]
+    df1 = spark.createDataFrame(rows, "id long, v string")
+    rows2 = list(rows)
+    rows2[37] = (37, "CHANGED")
+    df2 = spark.createDataFrame(rows2, "id long, v string")
+    c1 = {r.bucket: (r.n_rows, r.xor_hash)
+          for r in range_checksums(df1, "id", ["id", "v"],
+                                   bucket_size=10).collect()}
+    c2 = {r.bucket: (r.n_rows, r.xor_hash)
+          for r in range_checksums(df2, "id", ["id", "v"],
+                                   bucket_size=10).collect()}
+    diff = {b for b in c1 if c1[b] != c2[b]}
+    assert diff == {3}                      # row 37 lives in bucket 3
+    assert c1[3][0] == c2[3][0] == 10       # counts agree, digest not
+    with pytest.raises(ValueError):
+        range_checksums(df1, "id", ["id"], bucket_size=0)
+
+
+def test_range_checksums_order_independent(spark):
+    from frogocr_spark.operators.quality import range_checksums
+    rows = [(i, f"v{i}") for i in range(30)]
+    df1 = spark.createDataFrame(rows, "id long, v string")
+    df2 = spark.createDataFrame(rows[::-1], "id long, v string") \
+        .repartition(7)
+    c1 = sorted((r.bucket, r.n_rows, r.xor_hash) for r in
+                range_checksums(df1, "id", ["id", "v"], 8).collect())
+    c2 = sorted((r.bucket, r.n_rows, r.xor_hash) for r in
+                range_checksums(df2, "id", ["id", "v"], 8).collect())
+    assert c1 == c2

@@ -650,6 +650,35 @@ def main() -> None:
                 and "BroadcastNestedLoopJoin" not in pm,
                 f"hll_smj=0, modularity_cartesian=0")
 
+    # 40. exact KS and CUSUM ride the range-partitioned prefix machinery
+    #     (no single-partition window even though the logical queries
+    #     are SUM() OVER (ORDER BY)); range checksums are one scan +
+    #     one keyed agg, no join.
+    from frogocr_spark.operators.analytics import (cusum_excursions,
+                                                   ks_statistic)
+    from frogocr_spark.operators.quality import range_checksums
+    pk = executed(ks_statistic(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        F.round(F.col("value") * 100, 0)))
+    pu = executed(cusum_excursions(ev, "event_type",
+                                   F.round(F.col("value") * 100, 0)))
+    pr = executed(range_checksums(
+        ev.select("event_id", "user_id"), "event_id",
+        ["event_id", "user_id"]))
+    # (ks necessarily ends in a 1-row global max — fine as long as the
+    # max is PARTIAL map-side first, so only O(P) rows cross the single
+    # partition; the WINDOW side must never be single-partition.)
+    ks_window_ok = ("partial_max" in pk and "Window" in pk
+                    and "SinglePartition" not in pk.split("Window")[-1])
+    ok &= check("ks/cusum prefix sums range-partitioned; checksums "
+                "join-free",
+                ks_window_ok and "SinglePartition" not in pu
+                and "Join" not in pr,
+                f"ks_partial_max={'partial_max' in pk}, "
+                f"cusum_sp={'SinglePartition' in pu}, "
+                f"cksum_joins={pr.count('Join')}")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
