@@ -3161,6 +3161,85 @@ def _q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("source", "a", "@").alias("src_at"))
 
 
+CUBE_COUNTS_TEXT = """
+    SELECT lang, source,
+           CAST(grouping(lang) AS INT) AS g_lang,
+           CAST(grouping(source) AS INT) AS g_source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+"""
+
+
+def _q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (lang, source) with grouping flags —
+    completes the reshaping triple (ROLLUP `rollup_geo`/`time_rollup`,
+    GROUPING SETS `grouping_sets`, CUBE here); ONE Expand over a single
+    scan, the IDENTICAL ANSI text run verbatim by both engines."""
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(CUBE_COUNTS_TEXT)
+
+
+def _q_id_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over the URGENT-order key domain (the
+    ledger-audit / missing-ids primitive): contiguous runs collapse via
+    the key−rank constancy trick, rank from the range-partitioned
+    global_rank — no single-partition window
+    (operators/ranking.id_islands)."""
+    from frogocr_spark.operators.ranking import id_islands
+    od = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT")
+    return id_islands(od, "o_orderkey")
+
+
+def _q_rle_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each user's event-type sequence in stable
+    (ts, id) order — session-replay compression / behavior motifs: two
+    keyed windows over one reused exchange, per-run agg, stable-order
+    string assembly (operators/analytics.rle_encode)."""
+    from frogocr_spark.operators.analytics import rle_encode
+    ev = _read(spark, sf_dir, "events")
+    return rle_encode(ev, "user_id", "event_type")
+
+
+def _q_ratio_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each order's revenue share of its nation's
+    total, emitted as the EXACT integer pair (rev_cents,
+    nation_total_cents) — no float division to disagree on.  The
+    nation totals come from a keyed agg broadcast back (NOT a window
+    partitioned by the 25-value nation key — the hot-key form)."""
+    od = _read(spark, sf_dir, "orders")
+    cu = _read(spark, sf_dir, "customer")
+    na = _read(spark, sf_dir, "nation")
+    r = (od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+         .select("o_orderkey", "n_name",
+                 F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                 .alias("rev_cents")))
+    tot = r.groupBy("n_name").agg(
+        F.sum("rev_cents").cast("long").alias("nation_total_cents"))
+    return r.join(F.broadcast(tot), "n_name").select(
+        "o_orderkey", "n_name", "rev_cents", "nation_total_cents")
+
+
+def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two ANN rankers — the hybrid-retrieval
+    combiner: ranker A = rounded-rank cosine top-20 (the verified
+    partial-reduction path), ranker B = EXACT integer squared-L2 top-20
+    (quantize-first makes the metric an exact int64 — no sqrt, no float
+    sum), fused by the exact fraction ((60+rA)+(60+rB)) /
+    ((60+rA)(60+rB)) with ONE correctly-rounded division as the order
+    key (operators/similarity.rrf_fuse, l2sq_topk)."""
+    from frogocr_spark.operators.similarity import (cosine_topk_partial,
+                                                    l2sq_topk, rrf_fuse)
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.where("vec_id < 5")
+    ra = cosine_topk_partial(emb, queries_df, k=20, rank_round=4)
+    rb = l2sq_topk(emb, queries_df, k=20)
+    return rrf_fuse(ra, rb, k_const=60, top_k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -3354,6 +3433,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_checksums": _q_range_checksums,
         "window_funcs2": _q_window_funcs2,
         "string_funcs": _q_string_funcs,
+        "cube_counts": _q_cube_counts,
+        "id_islands": _q_id_islands,
+        "rle_encode": _q_rle_encode,
+        "ratio_share": _q_ratio_share,
+        "rrf_fusion": _q_rrf_fusion,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -6767,5 +6851,114 @@ FROM pos2
                CAST(ascii(lang) AS INT) AS lang_ascii,
                replace(source, 'a', '@') AS src_at
         FROM documents
+    """
+    o["cube_counts"] = CUBE_COUNTS_TEXT
+    o["id_islands"] = """
+        WITH k AS (
+            SELECT DISTINCT o_orderkey AS k FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        ), r AS (
+            SELECT k, row_number() OVER (ORDER BY k) AS rn FROM k
+        )
+        SELECT CAST(min(k) AS BIGINT) AS lo,
+               CAST(max(k) AS BIGINT) AS hi,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM r GROUP BY k - rn
+    """
+    o["rle_encode"] = """
+        WITH b AS (
+            SELECT user_id, epoch_us(ts) AS us, event_id,
+                   event_type AS s
+            FROM events
+        ), f AS (
+            SELECT *, CASE WHEN lag(s) OVER w IS NULL
+                             OR lag(s) OVER w <> s THEN 1 ELSE 0 END
+                      AS chg
+            FROM b
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), r AS (
+            SELECT *, sum(chg) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS run
+            FROM f
+        ), g AS (
+            SELECT user_id, run, min(s) AS state, count(*) AS len
+            FROM r GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(sum(len) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_runs,
+               string_agg(state || ':' || len, ' ' ORDER BY run) AS rle
+        FROM g GROUP BY user_id
+    """
+    o["ratio_share"] = """
+        WITH r AS (
+            SELECT o.o_orderkey, n.n_name,
+                   CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                   AS rev_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ), t AS (
+            SELECT n_name, CAST(sum(rev_cents) AS BIGINT)
+                   AS nation_total_cents
+            FROM r GROUP BY 1
+        )
+        SELECT r.o_orderkey, r.n_name, r.rev_cents,
+               t.nation_total_cents
+        FROM r JOIN t USING (n_name)
+    """
+    o["rrf_fusion"] = """
+        WITH qs AS (
+            SELECT * FROM embeddings WHERE vec_id < 5
+        ), ca AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(c.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])), 4) DESC,
+                       c.vec_id) AS rank_a
+            FROM embeddings c, qs q WHERE c.vec_id <> q.vec_id
+        ), ra AS (
+            SELECT query_id, neighbor_id, rank_a FROM ca
+            WHERE rank_a <= 20
+        ), l2 AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(
+                       list_transform(range(1, 65), i ->
+                           CAST(round(CAST(c.embedding[i] AS DOUBLE)
+                                      * 10000, 0) AS BIGINT)
+                           - CAST(round(CAST(q.embedding[i] AS DOUBLE)
+                                        * 10000, 0) AS BIGINT)),
+                       d -> d * d)) AS BIGINT) AS d2
+            FROM embeddings c, qs q WHERE c.vec_id <> q.vec_id
+        ), rb AS (
+            SELECT query_id, neighbor_id, rank_b FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY d2, neighbor_id) AS rank_b
+                FROM l2)
+            WHERE rank_b <= 20
+        ), f AS (
+            SELECT ra.query_id, ra.neighbor_id,
+                   CAST(ra.rank_a AS INT) AS rank_a,
+                   CAST(rb.rank_b AS INT) AS rank_b,
+                   CAST((60 + ra.rank_a) + (60 + rb.rank_b) AS BIGINT)
+                   AS rrf_num,
+                   CAST((60 + ra.rank_a) * (60 + rb.rank_b) AS BIGINT)
+                   AS rrf_den
+            FROM ra JOIN rb USING (query_id, neighbor_id)
+        )
+        SELECT query_id, neighbor_id, rank_a, rank_b, rrf_num,
+               rrf_den, CAST(rk AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(CAST(rrf_num AS DOUBLE)
+                                      / rrf_den, 9) DESC,
+                       neighbor_id) AS rk
+            FROM f)
+        WHERE rk <= 10
     """
     return o

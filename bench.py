@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "modularity", "postings_delta",
     "ks_test", "cusum_drift", "range_checksums", "window_funcs2",
     "string_funcs",
+    "cube_counts", "id_islands", "rle_encode", "ratio_share",
+    "rrf_fusion",
 ]
 
 

@@ -857,3 +857,44 @@ def cusum_excursions(df: DataFrame, key_col: str, value_col,
                  F.max("_sx").alias("sum_v"),
                  F.max("_r").cast("long").alias("max_excursion"),
                  F.min("_r").cast("long").alias("min_excursion")))
+
+
+def rle_encode(df: DataFrame, key_col: str, state_col: str,
+               ts_col: str = "ts", id_col: str = "event_id"
+               ) -> DataFrame:
+    """Run-length encoding of each key's state sequence under the
+    stable ``(ts, id)`` order — the session-replay compression /
+    behavior-motif primitive (``A A A B A A → A:3 B:1 A:2``).
+
+    Gaps-and-islands by window: change flag (``state ≠ lag(state)``) →
+    run id (running sum of flags) → per-run length — two keyed windows
+    over ONE reused exchange plus a keyed agg; the per-key assembly is
+    the stable-order ``sort_array(collect_list(struct))`` fold used by
+    event stitching.  Output: ``key, n_events, n_runs, rle (string
+    'state:len state:len …' in sequence order)``."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(F.col(key_col), us.alias("_us"),
+                     F.col(id_col).alias("_id"),
+                     F.col(state_col).cast("string").alias("_s"))
+    w = Window.partitionBy(key_col).orderBy("_us", "_id")
+    flagged = base.withColumn(
+        "_chg", F.when(F.lag("_s").over(w).isNull()
+                       | (F.lag("_s").over(w) != F.col("_s")), 1)
+        .otherwise(0))
+    runs = (flagged
+            .withColumn("_run", F.sum("_chg").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy(key_col, "_run")
+            .agg(F.min("_s").alias("_state"),
+                 F.count(F.lit(1)).alias("_len")))
+    return (runs.groupBy(key_col)
+            .agg(F.sum("_len").cast("long").alias("n_events"),
+                 F.count(F.lit(1)).cast("long").alias("n_runs"),
+                 F.array_join(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("_run", "_state", "_len"))),
+                     lambda x: F.concat_ws(
+                         ":", x["_state"], x["_len"].cast("string"))),
+                     " ").alias("rle")))

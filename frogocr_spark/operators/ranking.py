@@ -226,3 +226,29 @@ def equidepth_histogram(df: DataFrame, value_col: str, id_col: str,
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.min("_v").alias("lo"),
                  F.max("_v").alias("hi")))
+
+
+def id_islands(df: DataFrame, key_col: str,
+               num_partitions: int | None = None) -> DataFrame:
+    """Gaps-and-islands over an INTEGER ID domain (the ledger-audit /
+    missing-ids primitive — the time-gap variant lives in
+    streaming/eventtime): contiguous runs of present keys collapse to
+    one row each; the complement (the gaps) is directly readable
+    between consecutive islands.
+
+    The classic trick, made scale-safe: for distinct keys ranked by
+    value, ``key − rank`` is CONSTANT within a contiguous run and
+    strictly increasing across runs — so islands = one groupBy on that
+    difference.  The rank comes from :func:`global_rank` (range
+    partition + O(P) offsets — no single-partition window), the only
+    other work is a distinct and a keyed agg.  EAGER at
+    plan-construction.  Output: ``lo long, hi long, n_keys long`` —
+    one row per island."""
+    keys = df.select(F.col(key_col).cast("long").alias("_k")).distinct()
+    ranked = global_rank(keys, ["_k"], "_r",
+                         num_partitions=num_partitions)
+    return (ranked.withColumn("_isl", F.col("_k") - F.col("_r"))
+            .groupBy("_isl")
+            .agg(F.min("_k").alias("lo"), F.max("_k").alias("hi"),
+                 F.count(F.lit(1)).cast("long").alias("n_keys"))
+            .drop("_isl"))

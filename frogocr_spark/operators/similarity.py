@@ -660,3 +660,71 @@ def jl_project(corpus: DataFrame, dim: int, k: int = 8, *,
             F.lit(0).cast("long"), lambda acc, x: acc + x)
         for j in range(k)]
     return corpus.select(F.col(id_col), F.array(*coords).alias("proj"))
+
+
+def l2sq_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              scale: int = 10_000) -> DataFrame:
+    """Exact top-k by SQUARED L2 over integer-quantized components —
+    the engine-exact metric twin of the cosine rankers: quantizing to
+    ten-thousandths FIRST makes the distance an exact int64 sum
+    (no float summation order, no sqrt needed — squaring is monotone),
+    so the ranking is bit-portable to any engine.  Queries broadcast;
+    ties → smaller neighbor id.  Output: ``query_id, neighbor_id,
+    d2 (long), rank``; self-pairs excluded."""
+    from pyspark.sql import Window
+
+    def quant(col):
+        return F.transform(col, lambda x: F.round(
+            x.cast("double") * scale, 0).cast("long"))
+
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   quant(F.col(vec_col)).alias("qv")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      quant(F.col(vec_col)).alias("cv"))
+    d2 = F.aggregate(F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (c.crossJoin(q)
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("d2", d2))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "d2", "rank"))
+
+
+def rrf_fuse(ranks_a: DataFrame, ranks_b: DataFrame, *,
+             k_const: int = 60, top_k: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two rankers —
+    the standard hybrid-retrieval combiner (e.g. dense ANN × lexical).
+    RRF(d) = 1/(k+r_A) + 1/(k+r_B), kept EXACT as the integer fraction
+    ``num/den = ((k+r_A)+(k+r_B)) / ((k+r_A)(k+r_B))``; the final order
+    key is ONE correctly-rounded IEEE division of those exact ints
+    (then neighbor id), so the fused ranking is engine-portable.
+
+    Candidates must appear in BOTH rankers (inner semantics —
+    documented; outer variants assign the missing ranker no
+    contribution and are a trivial edit).  Inputs: ``(query_id,
+    neighbor_id, rank)`` tables.  One (query, neighbor)-keyed equi-join
+    of two already-k-bounded relations + a per-query rank window.
+    Output: ``query_id, neighbor_id, rank_a, rank_b, rrf_num, rrf_den,
+    rank``."""
+    from pyspark.sql import Window
+
+    a = ranks_a.select("query_id", "neighbor_id",
+                       F.col("rank").cast("int").alias("rank_a"))
+    b = ranks_b.select("query_id", "neighbor_id",
+                       F.col("rank").cast("int").alias("rank_b"))
+    j = (a.join(b, ["query_id", "neighbor_id"])
+         .withColumn("rrf_num",
+                     ((F.col("rank_a") + k_const)
+                      + (F.col("rank_b") + k_const)).cast("long"))
+         .withColumn("rrf_den",
+                     ((F.col("rank_a") + k_const).cast("long")
+                      * (F.col("rank_b") + k_const)).cast("long")))
+    key = F.round(F.col("rrf_num").cast("double") / F.col("rrf_den"), 9)
+    w = Window.partitionBy("query_id").orderBy(
+        key.desc(), F.col("neighbor_id").asc())
+    return (j.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k))

@@ -536,3 +536,65 @@ def test_range_checksums_order_independent(spark):
     c2 = sorted((r.bucket, r.n_rows, r.xor_hash) for r in
                 range_checksums(df2, "id", ["id", "v"], 8).collect())
     assert c1 == c2
+
+
+# ---------------------------------------------------------------- islands
+def test_id_islands_hand_case(spark):
+    from frogocr_spark.operators.ranking import id_islands
+    keys = [1, 2, 3, 7, 8, 10, 10]      # duplicate collapses
+    df = spark.createDataFrame([(k,) for k in keys], "k long") \
+        .repartition(4)
+    got = sorted((r.lo, r.hi, r.n_keys)
+                 for r in id_islands(df, "k").collect())
+    assert got == [(1, 3, 3), (7, 8, 2), (10, 10, 1)]
+
+
+# -------------------------------------------------------------------- RLE
+def test_rle_encode_hand_case(spark):
+    from frogocr_spark.operators.analytics import rle_encode
+    seq = ["A", "A", "A", "B", "A", "A"]
+    rows = [("u", _ts(i), i, s) for i, s in enumerate(seq)]
+    df = spark.createDataFrame(
+        rows, "u string, ts timestamp, event_id long, s string")
+    out = rle_encode(df, "u", "s").collect()[0]
+    assert (out.n_events, out.n_runs, out.rle) == (6, 3, "A:3 B:1 A:2")
+
+
+def test_rle_single_run_and_alternating(spark):
+    from frogocr_spark.operators.analytics import rle_encode
+    rows = ([("u1", _ts(i), i, "X") for i in range(4)]
+            + [("u2", _ts(i), 100 + i, "AB"[i % 2]) for i in range(4)])
+    df = spark.createDataFrame(
+        rows, "u string, ts timestamp, event_id long, s string")
+    got = {r.u: (r.n_runs, r.rle)
+           for r in rle_encode(df, "u", "s").collect()}
+    assert got == {"u1": (1, "X:4"), "u2": (4, "A:1 B:1 A:1 B:1")}
+
+
+# -------------------------------------------------------------------- RRF
+def test_l2sq_topk_exact_hand_case(spark):
+    from frogocr_spark.operators.similarity import l2sq_topk
+    vecs = [(0, [0.0, 0.0]), (1, [0.0001, 0.0]), (2, [0.0003, 0.0004]),
+            (3, [1.0, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.d2)
+           for r in l2sq_topk(df, df.where("vec_id = 0"), k=3).collect()}
+    # quantized ints: v1 = (1,0) -> d2=1; v2 = (3,4) -> 25; v3 -> 1e8
+    assert got == {(0, 1): (1, 1), (0, 2): (2, 25),
+                   (0, 3): (3, 100_000_000)}
+
+
+def test_rrf_fuse_hand_case_inner_semantics(spark):
+    from frogocr_spark.operators.similarity import rrf_fuse
+    ra = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, neighbor_id long, rank int")
+    rb = spark.createDataFrame(
+        [(0, 11, 1), (0, 10, 2), (0, 99, 3)],
+        "query_id long, neighbor_id long, rank int")
+    out = {r.neighbor_id: (r.rank, r.rrf_num, r.rrf_den)
+           for r in rrf_fuse(ra, rb, k_const=60, top_k=5).collect()}
+    # 12 and 99 appear in only one ranker -> dropped (inner semantics)
+    # 10: (61+62)/(61*62)=123/3782 ; 11: (62+61)/(62*61) -> identical
+    # fraction -> tie broken by neighbor id: 10 first
+    assert out == {10: (1, 123, 3782), 11: (2, 123, 3782)}

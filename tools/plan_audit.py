@@ -679,6 +679,24 @@ def main() -> None:
                 f"cusum_sp={'SinglePartition' in pu}, "
                 f"cksum_joins={pr.count('Join')}")
 
+    # 41. islands/RLE: keyed machinery only (islands ranks on the
+    #     range partitioner; RLE's two windows share one keyed
+    #     exchange); RRF fusion joins two already-k-bounded rank tables
+    #     — no cartesian anywhere.
+    from frogocr_spark.operators.analytics import rle_encode
+    from frogocr_spark.operators.ranking import id_islands
+    from frogocr_spark.operators.similarity import l2sq_topk, rrf_fuse
+    pi = executed(id_islands(ev.select("event_id"), "event_id"))
+    pe = executed(rle_encode(ev, "user_id", "event_type"))
+    qsub = embp.where("vec_id < 3")
+    pf = executed(rrf_fuse(l2sq_topk(embp, qsub, 5),
+                           l2sq_topk(embp, qsub, 5), top_k=3))
+    ok &= check("islands/rle keyed-only; rrf joins bounded rank tables",
+                "SinglePartition" not in pi + pe
+                and "CartesianProduct" not in pi + pe + pf,
+                f"islands_sp={'SinglePartition' in pi}, "
+                f"rle_exchanges={pe.count('Exchange')}, cartesian=0")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
