@@ -6811,13 +6811,14 @@ FROM pos2
         WITH b AS (
             SELECT o_orderkey // 1000 AS bucket,
                    ('0x' || substr(md5(concat_ws('|',
-                        CAST(o_orderkey AS VARCHAR),
-                        CAST(o_custkey AS VARCHAR),
-                        o_orderstatus,
-                        o_orderpriority,
-                        CAST(CAST(round(o_totalprice * 100, 0)
-                                  AS BIGINT) AS VARCHAR),
-                        CAST(epoch_us(o_orderdate) AS VARCHAR))),
+                        COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>'),
+                        COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>'),
+                        COALESCE(o_orderstatus, '<NULL>'),
+                        COALESCE(o_orderpriority, '<NULL>'),
+                        COALESCE(CAST(CAST(round(o_totalprice * 100, 0)
+                                  AS BIGINT) AS VARCHAR), '<NULL>'),
+                        COALESCE(CAST(epoch_us(o_orderdate) AS VARCHAR),
+                                 '<NULL>'))),
                         1, 15))::BIGINT AS h
             FROM orders
         )

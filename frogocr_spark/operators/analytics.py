@@ -562,6 +562,8 @@ def max_concurrency(df: DataFrame, key_col: str, ts_col: str = "ts",
 
     EAGER at plan-construction (global_cumsum).  Output: ``key_col,
     max_concurrent (long)``."""
+    if duration_us < 1:
+        raise ValueError(f"duration_us must be >= 1, got {duration_us}")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     starts = df.select(F.col(key_col), us.alias("_us"),
                        F.lit(1).cast("long").alias("_delta"),
@@ -709,6 +711,8 @@ def debounce(df: DataFrame, key_cols: list[str], ts_col: str = "ts",
     per-event join.  State per key is its event list (the same bound
     as any per-key sessionization).  Output: one row per key with
     ``n_events, n_kept, kept_ids (array<long>, event order)``."""
+    if quiet_us < 1:
+        raise ValueError(f"quiet_us must be >= 1, got {quiet_us}")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     ev = df.select(*key_cols, us.alias("_us"),
                    F.col(id_col).cast("long").alias("_id"))
@@ -790,6 +794,8 @@ def ks_statistic(df_a: DataFrame, df_b: DataFrame, value_col,
     v = value_col.cast("long")
     pts = (df_a.select(v.alias("_v"), F.lit(1).alias("_t"))
            .unionAll(df_b.select(v.alias("_v"), F.lit(2).alias("_t"))))
+    # (empty-side guard below: KS is undefined against an empty sample
+    # and the n1·n2 denominator would divide by zero)
     g = (pts.groupBy("_v")
          .agg(F.sum(F.when(F.col("_t") == 1, 1).otherwise(0))
               .alias("_c1"),
@@ -798,6 +804,9 @@ def ks_statistic(df_a: DataFrame, df_b: DataFrame, value_col,
     tot = g.agg(F.sum("_c1").alias("n1"), F.sum("_c2").alias("n2")) \
         .collect()[0]
     n1, n2 = int(tot["n1"] or 0), int(tot["n2"] or 0)
+    if n1 == 0 or n2 == 0:
+        raise ValueError(f"KS needs both samples non-empty, got "
+                         f"n1={n1}, n2={n2}")
     if max(n1, n2) >= (1 << 31):
         raise ValueError("sample sizes must be < 2^31 for the packed "
                          "prefix sum")

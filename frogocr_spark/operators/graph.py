@@ -410,7 +410,10 @@ def modularity_by_community(edges: DataFrame, comm: DataFrame,
     node-bounded community table; internal-edge and degree rollups are
     map-side-combined keyed aggs.  Nodes missing from ``comm`` are
     dropped (inner semantics), nodes in ``comm`` without edges count
-    with degree 0."""
+    with degree 0.  PRECONDITION: ``comm`` has exactly one row per
+    node — duplicate node rows would fan out both joins and silently
+    double-count degrees (callers derive comm from a groupBy/rank,
+    which guarantees it)."""
     e = (edges.select(F.least(src, dst).alias("u"),
                       F.greatest(src, dst).alias("v"))
          .where(F.col("u") != F.col("v")).distinct())

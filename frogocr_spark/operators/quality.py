@@ -136,12 +136,15 @@ def range_checksums(df: DataFrame, id_col: str, cols: list[str],
     Scale shape: a pure map stage + ONE map-side-combined keyed agg —
     the table is scanned once, the output is #buckets rows.  Encode
     timestamps/floats to integers in ``cols`` BEFORE calling (canonical
-    string forms of those types differ across engines).  Output:
+    string forms of those types differ across engines).  NULLs encode
+    as an explicit sentinel — ``concat_ws`` would silently SKIP them,
+    making ('a', NULL) and (NULL, 'a') hash identically.  Output:
     ``bucket long, n_rows long, xor_hash long``."""
     if bucket_size < 1:
         raise ValueError(f"bucket_size must be >= 1, got {bucket_size}")
     h = F.conv(F.substring(F.md5(F.concat_ws(
-        "|", *[F.col(c).cast("string") for c in cols])), 1, 15),
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+               for c in cols])), 1, 15),
         16, 10).cast("long")
     return (df.select(F.expr(f"{id_col} DIV {int(bucket_size)}")
                       .cast("long").alias("bucket"),

@@ -648,7 +648,12 @@ def jl_project(corpus: DataFrame, dim: int, k: int = 8, *,
     Scale shape: a PURE MAP stage — the sign matrix is a literal, each
     output coordinate one ``zip_with``+``aggregate`` fold inside
     whole-stage codegen; the corpus is never shuffled, joined, or
-    exploded.  Output: ``id_col, proj array<long>``."""
+    exploded.  Output: ``id_col, proj array<long>``.  ``dim`` must
+    equal the stored vector length (zip_with against a shorter/longer
+    literal null-pads — coordinates go NULL, visibly, not silently
+    wrong)."""
+    if dim < 1 or k < 1:
+        raise ValueError(f"need dim >= 1 and k >= 1, got ({dim}, {k})")
     signs = jl_sign_matrix(dim, k, salt)
     vec = F.col(vec_col)
     q = lambda x: F.round(x.cast("double") * 10000, 0).cast("long")

@@ -598,3 +598,36 @@ def test_rrf_fuse_hand_case_inner_semantics(spark):
     # 10: (61+62)/(61*62)=123/3782 ; 11: (62+61)/(62*61) -> identical
     # fraction -> tie broken by neighbor id: 10 first
     assert out == {10: (1, 123, 3782), 11: (2, 123, 3782)}
+
+
+# ------------------------------------------------------- guard hardening
+def test_ks_empty_side_raises(spark):
+    from frogocr_spark.operators.analytics import ks_statistic
+    a = spark.createDataFrame([(1,)], "v long")
+    e = spark.createDataFrame([], "v long")
+    with pytest.raises(ValueError, match="non-empty"):
+        ks_statistic(a, e, F.col("v"))
+
+
+def test_duration_and_quiet_validation(spark):
+    from frogocr_spark.operators.analytics import (debounce,
+                                                   max_concurrency)
+    df = spark.createDataFrame([("k", _ts(0), 1)],
+                               "k string, ts timestamp, event_id long")
+    with pytest.raises(ValueError):
+        max_concurrency(df, "k", duration_us=0)
+    with pytest.raises(ValueError):
+        debounce(df, ["k"], quiet_us=0)
+
+
+def test_range_checksums_null_not_skipped(spark):
+    from frogocr_spark.operators.quality import range_checksums
+    # ('a', NULL) and (NULL, 'a') must hash DIFFERENTLY — concat_ws
+    # alone would skip the NULL and collapse both to 'a'
+    d1 = spark.createDataFrame([(1, "a", None)],
+                               "id long, x string, y string")
+    d2 = spark.createDataFrame([(1, None, "a")],
+                               "id long, x string, y string")
+    h1 = range_checksums(d1, "id", ["x", "y"]).collect()[0].xor_hash
+    h2 = range_checksums(d2, "id", ["x", "y"]).collect()[0].xor_hash
+    assert h1 != h2
