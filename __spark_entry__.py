@@ -3240,6 +3240,37 @@ def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(ra, rb, k_const=60, top_k=10)
 
 
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-event graph (do hubs attach to
+    hubs?): Pearson correlation of endpoint degrees over both edge
+    orientations, on the DECIMAL(38,0)-exact moment machinery — the
+    correlation hash-matches any engine regardless of partitioning
+    (operators/graph.degree_assortativity)."""
+    from frogocr_spark.operators.graph import degree_assortativity
+    ev = _read(spark, sf_dir, "events")
+    b = (ev.select(F.expr("unix_micros(CAST(ts AS TIMESTAMP)) "
+                          "DIV 60000000").alias("win"), "user_id")
+         .dropDuplicates())
+    a1 = b.select("win", F.col("user_id").alias("src"))
+    a2 = b.select("win", F.col("user_id").alias("dst"))
+    edges = (a1.join(a2, "win").where(F.col("src") < F.col("dst"))
+             .select("src", "dst").dropDuplicates())
+    return degree_assortativity(edges)
+
+
+def _q_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed 1R decision stump (Holte 1993): the best
+    single-threshold rule predicting 'error' events from the value —
+    accuracies as exact integer counts from the packed-pair prefix sum
+    (the ks_test machinery), winner by TakeOrdered; can never return
+    worse than the majority baseline (the all-pos/all-neg rules are
+    candidates) (operators/analytics.decision_stump)."""
+    from frogocr_spark.operators.analytics import decision_stump
+    ev = _read(spark, sf_dir, "events")
+    return decision_stump(ev, F.round(F.col("value") * 100, 0),
+                          F.col("event_type") == "error")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -3438,6 +3469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rle_encode": _q_rle_encode,
         "ratio_share": _q_ratio_share,
         "rrf_fusion": _q_rrf_fusion,
+        "assortativity": _q_assortativity,
+        "stump": _q_stump,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -6961,5 +6994,94 @@ FROM pos2
                        neighbor_id) AS rk
             FROM f)
         WHERE rk <= 10
+    """
+    o["assortativity"] = """
+        WITH b AS (
+            SELECT DISTINCT epoch_us(ts) // 60000000 AS win, user_id
+            FROM events
+        ), e AS (
+            SELECT DISTINCT a1.user_id AS u, a2.user_id AS v
+            FROM b a1 JOIN b a2
+              ON a1.win = a2.win AND a1.user_id < a2.user_id
+        ), deg AS (
+            SELECT n, count(*) AS d FROM (
+                SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+            GROUP BY 1
+        ), pairs AS (
+            SELECT du.d AS du, dv.d AS dv
+            FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n
+        ), bo AS (
+            SELECT du AS x, dv AS y FROM pairs
+            UNION ALL SELECT dv, du FROM pairs
+        ), a AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                   sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                   sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
+                   sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+            FROM bo
+        )
+        SELECT n,
+               round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_x,
+               round((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE))
+                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   AS var_x,
+               round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_y,
+               round((CAST(syy AS DOUBLE) / CAST(n AS DOUBLE))
+                     - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   AS var_y,
+               round(CASE WHEN
+                       (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE))
+                       - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                       AND
+                       (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE))
+                       - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                     THEN ((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE))
+                      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / (sqrt((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE))
+                             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                        * sqrt((CAST(syy AS DOUBLE) / CAST(n AS DOUBLE))
+                               - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * (CAST(sy AS DOUBLE)
+                                    / CAST(n AS DOUBLE))))
+                     END, 6) AS corr_xy
+        FROM a
+    """
+    o["stump"] = """
+        WITH b AS (
+            SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                   AS y
+            FROM events
+        ), g AS (
+            SELECT v, sum(y) AS p, sum(1 - y) AS n FROM b GROUP BY v
+        ), t AS (
+            SELECT CAST(sum(p) AS BIGINT) AS pos,
+                   CAST(sum(n) AS BIGINT) AS neg
+            FROM g
+        ), c AS (
+            SELECT v, sum(p) OVER (ORDER BY v) AS pc,
+                   sum(n) OVER (ORDER BY v) AS nc
+            FROM g
+        ), cand AS (
+            SELECT 'le' AS rule, v AS threshold,
+                   pc + (t.neg - nc) AS n_correct
+            FROM c CROSS JOIN t
+            UNION ALL
+            SELECT 'gt', v, nc + (t.pos - pc) FROM c CROSS JOIN t
+        )
+        SELECT rule, CAST(threshold AS BIGINT) AS threshold,
+               CAST(n_correct AS BIGINT) AS n_correct,
+               CAST(t.pos + t.neg AS BIGINT) AS n_total,
+               CAST(greatest(t.pos, t.neg) AS BIGINT) AS n_majority
+        FROM cand CROSS JOIN t
+        ORDER BY n_correct DESC, rule, threshold LIMIT 1
     """
     return o

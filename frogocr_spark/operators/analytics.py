@@ -907,3 +907,62 @@ def rle_encode(df: DataFrame, key_col: str, state_col: str,
                      lambda x: F.concat_ws(
                          ":", x["_state"], x["_len"].cast("string"))),
                      " ").alias("rle")))
+
+
+def decision_stump(df: DataFrame, value_col, label_col) -> DataFrame:
+    """Exact distributed 1R decision-stump learner (Holte 1993): over
+    an integer feature and a boolean label, find the single threshold
+    rule — ``positive iff x <= t`` or ``positive iff x > t`` — with the
+    maximum training accuracy.  Accuracies are EXACT integer counts
+    derived from cumulative (positive, negative) counts at each
+    distinct value: ``acc_le(t) = pos_cum(t) + (NEG − neg_cum(t))``,
+    ``acc_gt(t)`` symmetric; the all-positive / all-negative majority
+    rules appear as the top threshold's two orientations, so the
+    learner can never return worse than the majority baseline.  Ties →
+    'gt' before 'le' (ASCII), then smaller threshold.
+
+    Scale shape: one map-side-combined per-value count, then BOTH
+    cumulative counts ride ONE range-partitioned prefix sum via the
+    same carry-free (pos, neg) bit-packing as :func:`ks_statistic`;
+    the winner cut is TakeOrderedAndProject.  EAGER at
+    plan-construction.  Output: ONE row — ``rule string, threshold
+    long, n_correct long, n_total long, n_majority long``."""
+    from frogocr_spark.operators.ranking import global_cumsum
+
+    base = df.select(value_col.cast("long").alias("_v"),
+                     F.when(label_col, 1).otherwise(0).alias("_y"))
+    g = (base.groupBy("_v")
+         .agg(F.sum("_y").alias("_p"),
+              F.sum(1 - F.col("_y")).alias("_n")))
+    tot = g.agg(F.sum("_p").alias("p"), F.sum("_n").alias("n")) \
+        .collect()[0]
+    pos, neg = int(tot["p"] or 0), int(tot["n"] or 0)
+    if pos + neg == 0:
+        raise ValueError("decision_stump: empty input")
+    if max(pos, neg) >= (1 << 31):
+        raise ValueError("class sizes must be < 2^31 for the packed "
+                         "prefix sum")
+    packed = g.select(
+        "_v", (F.col("_p") * (1 << 31) + F.col("_n")).alias("_pk"))
+    cum = global_cumsum(packed, ["_v"], "_pk", cumsum_col="_e")
+    inc = F.col("_e") + F.col("_pk")
+    pc = F.shiftright(inc, 31)
+    nc = inc.bitwiseAND(F.lit((1 << 31) - 1))
+    cand = cum.select(
+        F.col("_v").alias("threshold"),
+        F.explode(F.array(
+            F.struct(F.lit("le").alias("rule"),
+                     (pc + (F.lit(neg) - nc)).alias("n_correct")),
+            F.struct(F.lit("gt").alias("rule"),
+                     (nc + (F.lit(pos) - pc)).alias("n_correct"))))
+        .alias("_c"))
+    best = (cand.select("threshold", "_c.rule",
+                        F.col("_c.n_correct").cast("long")
+                        .alias("n_correct"))
+            .orderBy(F.desc("n_correct"), F.asc("rule"),
+                     F.asc("threshold"))
+            .limit(1))
+    return best.select(
+        "rule", "threshold", "n_correct",
+        F.lit(pos + neg).cast("long").alias("n_total"),
+        F.lit(max(pos, neg)).cast("long").alias("n_majority"))

@@ -441,3 +441,38 @@ def modularity_by_community(edges: DataFrame, comm: DataFrame,
                     F.coalesce("internal_edges", F.lit(0)).cast("long")
                     .alias("internal_edges"),
                     F.lit(int(m)).cast("long").alias("m")))
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Degree-assortativity INGREDIENTS of an undirected simple graph —
+    the Pearson correlation of degrees across edge endpoints (Newman
+    2002; do hubs attach to hubs?).  Composes the repo's exact-decimal
+    moment machinery: per edge BOTH orientations (deg_u, deg_v) and
+    (deg_v, deg_u) feed :func:`~frogocr_spark.operators.analytics.
+    moment_stats_exact` — all five sufficient sums are DECIMAL(38,0)
+    exact, so the correlation hash-matches any engine regardless of
+    partitioning.  Symmetrization makes mean_x == mean_y by
+    construction (a free internal consistency check).
+
+    Scale shape: one edge-explode + node-keyed degree agg, two
+    node-keyed joins to decorate endpoints, one map-side-combined
+    moments agg.  Output: ONE row — ``n (2m), mean_x, var_x, mean_y,
+    var_y, corr_xy`` (6 dp)."""
+    from frogocr_spark.operators.analytics import moment_stats_exact
+
+    e = (edges.select(F.least(src, dst).alias("u"),
+                      F.greatest(src, dst).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct())
+    deg = (e.select(F.col("u").alias("_n"))
+           .unionAll(e.select(F.col("v").alias("_n")))
+           .groupBy("_n").agg(F.count(F.lit(1)).alias("_deg")))
+    du = deg.select(F.col("_n").alias("u"), F.col("_deg").alias("du"))
+    dv = deg.select(F.col("_n").alias("v"), F.col("_deg").alias("dv"))
+    pairs = e.join(du, "u").join(dv, "v")
+    both = (pairs.select(F.col("du").alias("x"), F.col("dv").alias("y"))
+            .unionAll(pairs.select(F.col("dv").alias("x"),
+                                   F.col("du").alias("y"))))
+    return (moment_stats_exact(
+        both.withColumn("_g", F.lit("all")), F.col("x"), F.col("y"),
+        "_g").drop("_g"))

@@ -631,3 +631,51 @@ def test_range_checksums_null_not_skipped(spark):
     h1 = range_checksums(d1, "id", ["x", "y"]).collect()[0].xor_hash
     h2 = range_checksums(d2, "id", ["x", "y"]).collect()[0].xor_hash
     assert h1 != h2
+
+
+# ---------------------------------------------------------- assortativity
+def test_assortativity_star_is_minus_one(spark):
+    from frogocr_spark.operators.graph import degree_assortativity
+    e = spark.createDataFrame([(0, 1), (0, 2), (0, 3)],
+                              "src long, dst long")
+    out = degree_assortativity(e).collect()[0]
+    # star: every edge joins deg-3 hub to a deg-1 leaf -> perfectly
+    # disassortative; symmetrization makes mean_x == mean_y
+    assert out.n == 6 and out.corr_xy == -1.0
+    assert out.mean_x == out.mean_y
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    from frogocr_spark.operators.graph import degree_assortativity
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)],
+                              "src long, dst long")
+    out = degree_assortativity(e).collect()[0]
+    # cycle: all degrees equal -> zero variance -> correlation NULL
+    assert out.var_x == 0.0 and out.corr_xy is None
+
+
+# ----------------------------------------------------------------- stump
+def test_decision_stump_perfect_split(spark):
+    from frogocr_spark.operators.analytics import decision_stump
+    rows = [(v, v <= 10) for v in (1, 5, 10, 20, 30)]
+    df = spark.createDataFrame(rows, "v long, y boolean")
+    out = decision_stump(df, F.col("v"), F.col("y")).collect()[0]
+    assert (out.rule, out.threshold, out.n_correct, out.n_total) == \
+        ("le", 10, 5, 5)
+
+
+def test_decision_stump_inverted_and_majority(spark):
+    from frogocr_spark.operators.analytics import decision_stump
+    # positives ABOVE the threshold -> 'gt' rule wins
+    rows = [(v, v > 10) for v in (1, 5, 10, 20, 30)]
+    df = spark.createDataFrame(rows, "v long, y boolean")
+    out = decision_stump(df, F.col("v"), F.col("y")).collect()[0]
+    assert (out.rule, out.threshold, out.n_correct) == ("gt", 10, 5)
+    # label independent of feature -> never worse than majority
+    rows = [(v, v % 2 == 0) for v in range(20)]
+    df = spark.createDataFrame(rows, "v long, y boolean")
+    out = decision_stump(df, F.col("v"), F.col("y")).collect()[0]
+    assert out.n_correct >= out.n_majority
+    with pytest.raises(ValueError, match="empty"):
+        decision_stump(spark.createDataFrame([], "v long, y boolean"),
+                       F.col("v"), F.col("y"))
