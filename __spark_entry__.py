@@ -3271,6 +3271,26 @@ def _q_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("event_type") == "error")
 
 
+BM25_QUERIES = {
+    "q_spark": ["spark", "join", "merge"],
+    "q_stream": ["window", "stream", "batch"],
+    "q_scan": ["table", "scan"],
+}
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval over the documents corpus — the keyword
+    ranker beside the dense ANN paths (hybrid = rrf_fusion): per-query
+    top-10 by the classic k1=1.2 / b=0.75 scoring.  Scores are
+    FIXED-ORDER sums of per-term conditional aggregates, so the float
+    additions happen in the written term order on both engines; tf is
+    pre-filtered to query terms at the scan; the cut is one rank window
+    keyed by query_id (operators/textstats.bm25_scores)."""
+    from frogocr_spark.operators.textstats import bm25_scores
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_scores(docs, BM25_QUERIES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -3471,6 +3491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": _q_rrf_fusion,
         "assortativity": _q_assortativity,
         "stump": _q_stump,
+        "bm25": _q_bm25,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -7084,4 +7105,6 @@ FROM pos2
         FROM cand CROSS JOIN t
         ORDER BY n_correct DESC, rule, threshold LIMIT 1
     """
+    from frogocr_spark.operators.textstats import bm25_oracle_sql
+    o["bm25"] = bm25_oracle_sql(BM25_QUERIES)
     return o

@@ -116,7 +116,7 @@ BENCH_QUERIES = [
     "ks_test", "cusum_drift", "range_checksums", "window_funcs2",
     "string_funcs",
     "cube_counts", "id_islands", "rle_encode", "ratio_share",
-    "rrf_fusion", "assortativity", "stump",
+    "rrf_fusion", "assortativity", "stump", "bm25",
 ]
 
 

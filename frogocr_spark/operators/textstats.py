@@ -1067,3 +1067,146 @@ def postings_delta(docs: DataFrame, id_col: str = "doc_id",
         F.element_at("_ps", 1).cast("long").alias("first_doc"),
         F.zip_with(tail, head,
                    lambda a, b: (a - b).cast("long")).alias("gaps"))
+
+
+def bm25_scores(docs: DataFrame, queries: dict[str, list[str]], *,
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = 1.2, b: float = 0.75,
+                top_k: int = 10) -> DataFrame:
+    """BM25 lexical retrieval (Robertson/Walker, the +1-idf form) — the
+    standard keyword ranker beside the dense ANN paths (fuse with
+    :func:`~frogocr_spark.operators.similarity.rrf_fuse` for hybrid
+    retrieval).  ``queries`` maps query_id → its term list; terms are
+    LITERALS, so per-query scores are FIXED-ORDER sums of per-term
+    conditional aggregates — the float additions happen in the written
+    term order on every engine (a plain SUM over term rows would add in
+    shuffle-delivery order and hash-differ in the last ulp).
+
+    idf(t) = ln((N − df + ½)/(df + ½) + 1); per-term contribution
+    ``idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`` — every input is
+    an exact integer (tf, df, N, dl) or a shared literal double
+    (k1, b, avgdl), and the expression tree is identical in the DuckDB
+    oracle, so both engines produce the same doubles op for op.
+
+    Scale shape: one tokenize pass feeds dl and tf; tf is PRE-FILTERED
+    to query terms at the scan (the corpus never materializes its full
+    vocabulary for scoring); df and the (query, term) map are
+    term-bounded broadcasts; the final cut is ONE rank window
+    PARTITIONED BY query_id (keyed — never a global sort).  EAGER:
+    collects the 1-row (N, Σdl) corpus stats.  Output: ``query_id,
+    doc_id, score (double, 6 dp), rank``."""
+    if not queries or any(not ts for ts in queries.values()):
+        raise ValueError("queries must be non-empty term lists")
+    from pyspark.sql import Window
+
+    toks = (docs.select(F.col(id_col).alias("_doc"),
+                        F.explode(F.filter(
+                            F.split(F.lower(F.trim(F.col(text_col))),
+                                    r"\s+"),
+                            lambda w: w != "")).alias("tok")))
+    dl = toks.groupBy("_doc").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("dl").alias("sdl")).collect()[0]
+    n_docs, sum_dl = int(stats["n"] or 0), int(stats["sdl"] or 0)
+    if n_docs == 0:
+        raise ValueError("bm25: empty corpus")
+    avgdl = sum_dl / n_docs                 # one IEEE division, shared
+    terms = sorted({t for ts in queries.values() for t in ts})
+    tf = (toks.where(F.col("tok").isin(terms))
+          .groupBy("_doc", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    dfx = tf.groupBy("tok").agg(F.countDistinct("_doc").alias("df"))
+    j = tf.join(F.broadcast(dfx), "tok").join(dl, "_doc")
+    idf = F.log(((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                 / (F.col("df") + 0.5)) + 1.0)
+    denom = (F.col("tf") + F.lit(float(k1))
+             * (F.lit(1.0 - b) + F.lit(float(b))
+                * (F.col("dl").cast("double") / F.lit(float(avgdl)))))
+    contrib = j.select(
+        "_doc", "tok",
+        (idf * ((F.col("tf") * F.lit(float(k1) + 1.0)) / denom))
+        .alias("c"))
+    parts = []
+    for qid, qterms in queries.items():
+        sub = contrib.where(F.col("tok").isin(list(qterms)))
+        cells = [F.coalesce(
+            F.max(F.when(F.col("tok") == t, F.col("c"))), F.lit(0.0))
+            for t in qterms]
+        score = cells[0]
+        for cexp in cells[1:]:
+            score = score + cexp            # fixed written-order sum
+        parts.append(sub.groupBy("_doc")
+                     .agg(score.alias("_score"))
+                     .select(F.lit(qid).alias("query_id"),
+                             F.col("_doc").alias("doc_id"), "_score"))
+    allq = parts[0]
+    for p in parts[1:]:
+        allq = allq.unionAll(p)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("_score"), 6).desc(), F.col("doc_id").asc())
+    return (allq.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .select("query_id", "doc_id",
+                    F.round("_score", 6).alias("score"), "rank"))
+
+
+def bm25_oracle_sql(queries: dict[str, list[str]], *,
+                    docs_table: str = "documents",
+                    text_col: str = "text", k1: float = 1.2,
+                    b: float = 0.75, top_k: int = 10) -> str:
+    """DuckDB twin of :func:`bm25_scores` — the IDENTICAL expression
+    tree (same literal doubles, same written-order term sums, same
+    rounded rank key).  Corpus stats (N, avgdl) come from an in-SQL
+    CTE: ``CAST(Σdl AS DOUBLE)/N`` is the same single correctly-rounded
+    IEEE division the Spark side performs in Python on the collected
+    exact integers, so the avgdl DOUBLE is bit-identical."""
+    terms = sorted({t for ts in queries.values() for t in ts})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    parts = []
+    for qid, qterms in queries.items():
+        q_in = ", ".join(f"'{t}'" for t in qterms)
+        cells = " + ".join(
+            f"COALESCE(max(CASE WHEN tok = '{t}' THEN c END), 0.0)"
+            for t in qterms)
+        parts.append(f"""
+            SELECT '{qid}' AS query_id, _doc AS doc_id,
+                   {cells} AS _score
+            FROM contrib WHERE tok IN ({q_in}) GROUP BY _doc""")
+    union = " UNION ALL ".join(parts)
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id AS _doc,
+                   unnest(list_filter(string_split_regex(
+                       lower(trim({text_col})), '\s+'),
+                       w -> w <> '')) AS tok
+            FROM {docs_table}
+        ), dl AS (
+            SELECT _doc, count(*) AS dl FROM toks GROUP BY 1
+        ), st AS (
+            SELECT CAST(count(*) AS DOUBLE) AS nd,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+            FROM dl
+        ), tf AS (
+            SELECT _doc, tok, count(*) AS tf FROM toks
+            WHERE tok IN ({in_list}) GROUP BY 1, 2
+        ), dfx AS (
+            SELECT tok, count(DISTINCT _doc) AS df FROM tf GROUP BY 1
+        ), contrib AS (
+            SELECT t._doc, t.tok,
+                   ln(((st.nd - d.df + 0.5)
+                       / (d.df + 0.5)) + 1.0)
+                   * ((t.tf * {float(k1) + 1.0!r})
+                      / (t.tf + {float(k1)!r}
+                         * ({1.0 - b!r} + {float(b)!r}
+                            * (CAST(l.dl AS DOUBLE)
+                               / st.avgdl)))) AS c
+            FROM tf t JOIN dfx d USING (tok) JOIN dl l USING (_doc)
+            CROSS JOIN st
+        ), allq AS ({union})
+        SELECT query_id, doc_id, round(_score, 6) AS score,
+               CAST(rk AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(_score, 6) DESC, doc_id) AS rk
+            FROM allq)
+        WHERE rk <= {int(top_k)}"""

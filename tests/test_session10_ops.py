@@ -679,3 +679,47 @@ def test_decision_stump_inverted_and_majority(spark):
     with pytest.raises(ValueError, match="empty"):
         decision_stump(spark.createDataFrame([], "v long, y boolean"),
                        F.col("v"), F.col("y"))
+
+
+# ------------------------------------------------------------------ BM25
+def test_bm25_matches_pure_python_twin(spark):
+    from frogocr_spark.operators.textstats import bm25_scores
+    import math
+    corpus = [(1, "spark join join fast"), (2, "spark table scan"),
+              (3, "join merge merge join sort"), (4, "window stream"),
+              (5, "the quick fox")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    queries = {"q1": ["spark", "join"], "q2": ["merge"]}
+    got = {(r.query_id, r.doc_id): (r.score, r.rank)
+           for r in bm25_scores(df, queries, top_k=3).collect()}
+
+    docs = {i: t.split() for i, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    k1, b = 1.2, 0.75
+
+    def contrib(t, d):
+        tf = docs[d].count(t)
+        if tf == 0:
+            return 0.0
+        dfc = sum(1 for dd in docs.values() if t in dd)
+        idf = math.log((n - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        return idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * ((1.0 - b) + b * (len(docs[d]) / avgdl)))
+
+    for qid, terms in queries.items():
+        scores = {d: sum(contrib(t, d) for t in terms)
+                  for d in docs if any(t in docs[d] for t in terms)}
+        want = sorted(scores, key=lambda d: (-round(scores[d], 6), d))[:3]
+        for rk, d in enumerate(want, 1):
+            assert got[(qid, d)][1] == rk, (qid, d)
+            assert abs(got[(qid, d)][0] - scores[d]) < 1e-6
+
+
+def test_bm25_validates(spark):
+    from frogocr_spark.operators.textstats import bm25_scores
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_scores(df, {})
+    with pytest.raises(ValueError):
+        bm25_scores(df, {"q": []})
