@@ -3291,6 +3291,43 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, BM25_QUERIES)
 
 
+def _q_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted state statistics: total time users SAT in each
+    event-type state, summed over SCD2 validity intervals (open
+    versions capped at the corpus max event time) — the temporal
+    measure event counts ignore (operators/analytics.dwell_time,
+    composing the hash-verified scd2_history)."""
+    from frogocr_spark.operators.analytics import dwell_time
+    ev = _read(spark, sf_dir, "events")
+    return dwell_time(ev, "user_id", "event_type")
+
+
+def _q_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder per user — the statistic that TUNES a
+    streaming watermark delay: an event is LATE if its event time
+    precedes the running max of earlier ARRIVALS (event_id order);
+    max_lateness_us is the smallest delay that would have dropped
+    nothing.  One keyed window + one keyed agg
+    (operators/analytics.disorder_stats)."""
+    from frogocr_spark.operators.analytics import disorder_stats
+    ev = _read(spark, sf_dir, "events")
+    return disorder_stats(ev, "user_id")
+
+
+def _q_sparse_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-sparse-retrieval shape (SPLADE-family): embeddings
+    sparsified to integer components with |q| >= 0.2·10⁴ (~11% density)
+    stored as posting rows, then top-10 by EXACT int64 sparse dot via
+    the index-keyed posting join — cost = posting collisions, not
+    N·Q·dim (operators/similarity.sparsify + sparse_dot_topk)."""
+    from frogocr_spark.operators.similarity import (sparse_dot_topk,
+                                                    sparsify)
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = sparsify(emb, min_abs=2000)
+    qs = sparsify(emb.where("vec_id < 5"), min_abs=2000)
+    return sparse_dot_topk(corpus, qs, top_k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -3492,6 +3529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": _q_assortativity,
         "stump": _q_stump,
         "bm25": _q_bm25,
+        "dwell_time": _q_dwell_time,
+        "disorder": _q_disorder,
+        "sparse_dot": _q_sparse_dot,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -7107,4 +7147,75 @@ FROM pos2
     """
     from frogocr_spark.operators.textstats import bm25_oracle_sql
     o["bm25"] = bm25_oracle_sql(BM25_QUERIES)
+    o["dwell_time"] = """
+        WITH b AS (
+            SELECT user_id, event_type AS attr, epoch_us(ts) AS us,
+                   event_id
+            FROM events
+        ), c AS (
+            SELECT *, lag(attr) OVER (
+                PARTITION BY user_id ORDER BY us, event_id) AS prev
+            FROM b
+        ), ch AS (
+            SELECT user_id, attr, us, event_id FROM c
+            WHERE prev IS NULL OR prev <> attr
+        ), dim AS (
+            SELECT user_id, attr, us AS valid_from_us,
+                   lead(us) OVER w AS valid_to_us
+            FROM ch
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), cap AS (
+            SELECT max(epoch_us(ts)) AS m FROM events
+        )
+        SELECT attr, CAST(count(*) AS BIGINT) AS n_versions,
+               CAST(sum(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_open,
+               CAST(sum(COALESCE(valid_to_us, cap.m) - valid_from_us)
+                    AS BIGINT) AS dwell_us
+        FROM dim CROSS JOIN cap
+        GROUP BY attr
+    """
+    o["disorder"] = """
+        WITH b AS (
+            SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+        ), w AS (
+            SELECT user_id, us,
+                   greatest(0, COALESCE(max(us) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), us) - us) AS late
+            FROM b
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late,
+               CAST(max(late) AS BIGINT) AS max_lateness_us
+        FROM w GROUP BY user_id
+    """
+    o["sparse_dot"] = """
+        WITH sp AS (
+            SELECT vec_id AS id, i AS idx,
+                   CAST(round(CAST(embedding[i] AS DOUBLE) * 10000, 0)
+                        AS BIGINT) AS qv
+            FROM embeddings CROSS JOIN range(1, 65) t(i)
+        ), spf AS (
+            SELECT * FROM sp WHERE abs(qv) >= 2000
+        ), qs AS (
+            SELECT id AS query_id, idx, qv AS qqv FROM spf
+            WHERE id < 5
+        ), scored AS (
+            SELECT q.query_id, c.id AS doc_id,
+                   CAST(sum(c.qv * q.qqv) AS BIGINT) AS sdot
+            FROM spf c JOIN qs q USING (idx)
+            WHERE c.id <> q.query_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id, sdot, CAST(rk AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sdot DESC, doc_id) AS rk
+            FROM scored)
+        WHERE rk <= 10
+    """
     return o

@@ -966,3 +966,60 @@ def decision_stump(df: DataFrame, value_col, label_col) -> DataFrame:
         "rule", "threshold", "n_correct",
         F.lit(pos + neg).cast("long").alias("n_total"),
         F.lit(max(pos, neg)).cast("long").alias("n_majority"))
+
+
+def dwell_time(df: DataFrame, key_col: str, attr_col: str,
+               ts_col: str = "ts", id_col: str = "event_id"
+               ) -> DataFrame:
+    """Duration-weighted state statistics — total DWELL TIME per
+    attribute value over the SCD2 validity intervals (time-in-state:
+    how long users actually SAT in each state, vs. event counts which
+    ignore duration).  Open (current) versions are capped at the
+    corpus-wide max event time, so the measure is exact over the
+    observed horizon.
+
+    Pure composition: :func:`scd2_history` (change-bounded output) →
+    one map-side-combined attr-keyed agg; the cap is a collected 1-row
+    max (EAGER, O(1) driver traffic).  Output: ``attr, n_versions,
+    n_open, dwell_us (all long)``."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cap = df.agg(F.max(us).alias("m")).collect()[0]["m"]
+    if cap is None:
+        raise ValueError("dwell_time: empty input")
+    dim = scd2_history(df, key_col, attr_col, ts_col, id_col)
+    end = F.coalesce(F.col("valid_to_us"), F.lit(int(cap)))
+    return (dim.groupBy("attr")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_versions"),
+                 F.sum(F.col("valid_to_us").isNull().cast("long"))
+                 .cast("long").alias("n_open"),
+                 F.sum(end - F.col("valid_from_us")).cast("long")
+                 .alias("dwell_us")))
+
+
+def disorder_stats(df: DataFrame, key_col: str, ts_col: str = "ts",
+                   arrival_col: str = "event_id") -> DataFrame:
+    """Event-time DISORDER measurement per key — the statistic that
+    TUNES a streaming watermark delay: with ``arrival_col`` as the
+    arrival order, an event is LATE if its event time precedes the
+    running max event time of earlier arrivals; ``max_lateness_us`` is
+    the smallest watermark delay that would have dropped nothing.
+
+    One keyed window (running max over the arrival order, exclusive) +
+    one keyed agg — exact integer micros.  Output: ``key, n_events,
+    n_late, max_lateness_us (long)``."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(F.col(key_col), us.alias("_us"),
+                     F.col(arrival_col).alias("_a"))
+    w = (Window.partitionBy(key_col).orderBy("_a")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    late = F.greatest(F.lit(0).cast("long"),
+                      F.coalesce(F.max("_us").over(w), F.col("_us"))
+                      - F.col("_us"))
+    return (base.withColumn("_late", late)
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum((F.col("_late") > 0).cast("long")).cast("long")
+                 .alias("n_late"),
+                 F.max("_late").cast("long").alias("max_lateness_us")))

@@ -733,3 +733,46 @@ def rrf_fuse(ranks_a: DataFrame, ranks_b: DataFrame, *,
         key.desc(), F.col("neighbor_id").asc())
     return (j.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= top_k))
+
+
+def sparsify(corpus: DataFrame, *, id_col: str = "vec_id",
+             vec_col: str = "embedding", scale: int = 10_000,
+             min_abs: int = 5_000) -> DataFrame:
+    """Sparse representation of a dense embedding relation: integer
+    ten-thousandths components with ``|q| >= min_abs`` kept as
+    ``(id, idx, qv)`` rows — the posting-list layout sparse/learned-
+    sparse retrieval (SPLADE-family) stores.  One posexplode + filter —
+    map-side only."""
+    q = F.round(F.col("_x").cast("double") * scale, 0).cast("long")
+    return (corpus.select(F.col(id_col).alias("_id"),
+                          F.posexplode(vec_col).alias("_i", "_x"))
+            .select("_id", (F.col("_i") + 1).alias("idx"), q.alias("qv"))
+            .where(F.abs(F.col("qv")) >= int(min_abs)))
+
+
+def sparse_dot_topk(corpus_sparse: DataFrame, query_sparse: DataFrame,
+                    top_k: int = 10) -> DataFrame:
+    """Sparse dot-product retrieval over posting lists: score(q, d) =
+    Σ over SHARED indices of ``qv_q · qv_d`` — exact int64 (inputs are
+    integer-quantized), so the ranking is engine-portable with no
+    float-sum ambiguity.
+
+    Scale shape: the classic impact-ordered posting join — both sides
+    are index-keyed; the join fans out only where indices COLLIDE
+    (that's what sparsity buys: cost = Σ_idx |corpus postings| ×
+    |query postings|, not N·Q·dim), then one (query, doc)-keyed
+    map-side-combined sum and a per-query rank window.  Self-pairs
+    excluded.  Output: ``query_id, doc_id, sdot (long), rank``."""
+    from pyspark.sql import Window
+
+    qs = query_sparse.select(F.col("_id").alias("query_id"), "idx",
+                             F.col("qv").alias("_qqv"))
+    scored = (corpus_sparse.join(qs, "idx")
+              .where(F.col("_id") != F.col("query_id"))
+              .groupBy("query_id", F.col("_id").alias("doc_id"))
+              .agg(F.sum(F.col("qv") * F.col("_qqv")).cast("long")
+                   .alias("sdot")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sdot"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k))

@@ -723,3 +723,52 @@ def test_bm25_validates(spark):
         bm25_scores(df, {})
     with pytest.raises(ValueError):
         bm25_scores(df, {"q": []})
+
+
+# ------------------------------------------------------------- dwell time
+def test_dwell_time_hand_case(spark):
+    from frogocr_spark.operators.analytics import dwell_time
+    # user u: A for [0, 10), B for [10, 30), open A capped at max=40
+    rows = [("u", _ts(0), 1, "A"), ("u", _ts(10), 2, "B"),
+            ("u", _ts(30), 3, "A"), ("u", _ts(40), 4, "A")]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, "
+              "event_type string")
+    got = {r.attr: (r.n_versions, r.n_open, r.dwell_us)
+           for r in dwell_time(df, "user_id", "event_type").collect()}
+    assert got == {"A": (2, 1, 20), "B": (1, 0, 20)}
+    with pytest.raises(ValueError):
+        dwell_time(spark.createDataFrame(
+            [], "user_id string, ts timestamp, event_id long, "
+                "event_type string"), "user_id", "event_type")
+
+
+# --------------------------------------------------------------- disorder
+def test_disorder_stats_hand_case(spark):
+    from frogocr_spark.operators.analytics import disorder_stats
+    # arrival order 1..4; event times 100, 50, 120, 119:
+    # e2 late by 50, e4 late by 1; in-order stream -> 0 late
+    rows = [("u", _ts(100), 1), ("u", _ts(50), 2),
+            ("u", _ts(120), 3), ("u", _ts(119), 4),
+            ("v", _ts(1), 5), ("v", _ts(2), 6)]
+    df = spark.createDataFrame(rows,
+                               "u string, ts timestamp, event_id long")
+    got = {r.u: (r.n_events, r.n_late, r.max_lateness_us)
+           for r in disorder_stats(df, "u").collect()}
+    assert got == {"u": (4, 2, 50), "v": (2, 0, 0)}
+
+
+# --------------------------------------------------------------- sparse
+def test_sparse_dot_matches_dense_on_kept_components(spark):
+    from frogocr_spark.operators.similarity import (sparse_dot_topk,
+                                                    sparsify)
+    vecs = [(0, [0.5, 0.0, -0.4]), (1, [0.5, 0.9, 0.0]),
+            (2, [-0.5, 0.0, 0.4]), (3, [0.0, 0.01, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    sp = sparsify(df, min_abs=2000)       # keeps |x| >= 0.2
+    out = {(r.query_id, r.doc_id): (r.sdot, r.rank)
+           for r in sparse_dot_topk(sp, sp.where("_id = 0"),
+                                    top_k=3).collect()}
+    # q0 = (5000, -, -4000): dot v1 = 5000*5000 = 25e6;
+    # v2 = -5000*5000 + (-4000*4000) = -41e6; v3: no shared idx -> absent
+    assert out == {(0, 1): (25_000_000, 1), (0, 2): (-41_000_000, 2)}
