@@ -3328,6 +3328,34 @@ def _q_sparse_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparse_dot_topk(corpus, qs, top_k=10)
 
 
+def _q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user the lag from FIRST signup
+    to the FIRST purchase strictly after it, summarized by exact
+    nearest-rank quantiles — the product-analytics latency metric,
+    composed from two verified pieces (one conditional-min agg per
+    user + analytics.quantile_summary); integer micros end to end."""
+    from frogocr_spark.operators.analytics import quantile_summary
+    ev = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = (ev.groupBy("user_id")
+                .agg(F.min(F.when(F.col("event_type") == "signup", us))
+                     .alias("_s")))
+    first_purchase = (ev.select("user_id", us.alias("_us"),
+                                F.col("event_type"))
+                      .join(per_user, "user_id")
+                      .where((F.col("event_type") == "purchase")
+                             & F.col("_s").isNotNull()
+                             & (F.col("_us") > F.col("_s")))
+                      .groupBy("user_id", "_s")
+                      .agg(F.min("_us").alias("_p")))
+    lags = first_purchase.select(
+        "user_id", (F.col("_p") - F.col("_s")).alias("lag_us"),
+        F.lit("all").alias("_g"))
+    return (quantile_summary(lags, "_g", F.col("lag_us"), "user_id",
+                             ps=(25, 50, 75, 95))
+            .drop("_g"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -3532,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwell_time": _q_dwell_time,
         "disorder": _q_disorder,
         "sparse_dot": _q_sparse_dot,
+        "conversion_lag": _q_conversion_lag,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -7217,5 +7246,35 @@ FROM pos2
                        ORDER BY sdot DESC, doc_id) AS rk
             FROM scored)
         WHERE rk <= 10
+    """
+    o["conversion_lag"] = """
+        WITH s AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup'
+                            THEN epoch_us(ts) END) AS s_us
+            FROM events GROUP BY user_id
+        ), p AS (
+            SELECT e.user_id, s.s_us, min(epoch_us(e.ts)) AS p_us
+            FROM events e JOIN s USING (user_id)
+            WHERE e.event_type = 'purchase' AND s.s_us IS NOT NULL
+              AND epoch_us(e.ts) > s.s_us
+            GROUP BY e.user_id, s.s_us
+        ), lags AS (
+            SELECT user_id, p_us - s_us AS lag FROM p
+        ), r AS (
+            SELECT lag, row_number() OVER (ORDER BY lag, user_id) AS rn,
+                   count(*) OVER () AS n
+            FROM lags
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               max(CASE WHEN rn = greatest((n * 25 + 99) // 100, 1)
+                        THEN lag END) AS p25,
+               max(CASE WHEN rn = greatest((n * 50 + 99) // 100, 1)
+                        THEN lag END) AS p50,
+               max(CASE WHEN rn = greatest((n * 75 + 99) // 100, 1)
+                        THEN lag END) AS p75,
+               max(CASE WHEN rn = greatest((n * 95 + 99) // 100, 1)
+                        THEN lag END) AS p95
+        FROM r
     """
     return o

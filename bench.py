@@ -117,7 +117,7 @@ BENCH_QUERIES = [
     "string_funcs",
     "cube_counts", "id_islands", "rle_encode", "ratio_share",
     "rrf_fusion", "assortativity", "stump", "bm25",
-    "dwell_time", "disorder", "sparse_dot",
+    "dwell_time", "disorder", "sparse_dot", "conversion_lag",
 ]
 
 
