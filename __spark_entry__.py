@@ -3356,6 +3356,28 @@ def _q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("_g"))
 
 
+def _q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per user Recency/Frequency/Monetary,
+    each scored into 3 equi-depth buckets via the range-partitioned
+    global_rank (the equidepth arithmetic — no single-partition
+    window), rolled up per 'r-f-m' segment
+    (operators/analytics.rfm_segments)."""
+    from frogocr_spark.operators.analytics import rfm_segments
+    ev = _read(spark, sf_dir, "events")
+    return rfm_segments(ev, "user_id", F.round(F.col("value") * 100, 0))
+
+
+def _q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts per event type — nearest-rank
+    quartiles with the 1.5·IQR fences tested as 2v < 2·p25 − 3·IQR
+    (all int64; no float 1.5): the robust complement of the 3σ
+    zscore_outliers (operators/analytics.iqr_outliers)."""
+    from frogocr_spark.operators.analytics import iqr_outliers
+    ev = _read(spark, sf_dir, "events")
+    return iqr_outliers(ev, "event_type",
+                        F.round(F.col("value") * 100, 0))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -3561,6 +3583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disorder": _q_disorder,
         "sparse_dot": _q_sparse_dot,
         "conversion_lag": _q_conversion_lag,
+        "rfm": _q_rfm,
+        "iqr_outliers": _q_iqr_outliers,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -7276,5 +7300,62 @@ FROM pos2
                max(CASE WHEN rn = greatest((n * 95 + 99) // 100, 1)
                         THEN lag END) AS p95
         FROM r
+    """
+    o["rfm"] = """
+        WITH per AS (
+            SELECT user_id, max(epoch_us(ts)) AS last_us,
+                   count(*) AS f,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS m
+            FROM events GROUP BY user_id
+        ), capn AS (
+            SELECT max(last_us) AS cap, count(*) AS n FROM per
+        ), metrics AS (
+            SELECT p.user_id, c.cap - p.last_us AS r, p.f, p.m, c.n
+            FROM per p CROSS JOIN capn c
+        ), scored AS (
+            SELECT user_id,
+                   1 + ((row_number() OVER (ORDER BY r, user_id) - 1)
+                        * 3) // max(n) OVER () AS sr,
+                   1 + ((row_number() OVER (ORDER BY f, user_id) - 1)
+                        * 3) // max(n) OVER () AS sf,
+                   1 + ((row_number() OVER (ORDER BY m, user_id) - 1)
+                        * 3) // max(n) OVER () AS sm
+            FROM metrics
+        )
+        SELECT CAST(sr AS VARCHAR) || '-' || CAST(sf AS VARCHAR)
+               || '-' || CAST(sm AS VARCHAR) AS segment,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM scored GROUP BY 1
+    """
+    o["iqr_outliers"] = """
+        WITH base AS (
+            SELECT event_type, event_id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS v
+            FROM events
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY v, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM base
+        ), cuts AS (
+            SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                   max(CASE WHEN rn = greatest((n * 25 + 99) // 100, 1)
+                            THEN v END) AS p25,
+                   max(CASE WHEN rn = greatest((n * 75 + 99) // 100, 1)
+                            THEN v END) AS p75
+            FROM ranked GROUP BY event_type
+        )
+        SELECT b.event_type, max(c.n) AS n,
+               max(c.p25) AS p25, max(c.p75) AS p75,
+               CAST(sum(CASE WHEN 2 * b.v <
+                                  2 * c.p25 - 3 * (c.p75 - c.p25)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+               CAST(sum(CASE WHEN 2 * b.v >
+                                  2 * c.p75 + 3 * (c.p75 - c.p25)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        FROM base b JOIN cuts c USING (event_type)
+        GROUP BY b.event_type
     """
     return o

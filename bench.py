@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "cube_counts", "id_islands", "rle_encode", "ratio_share",
     "rrf_fusion", "assortativity", "stump", "bm25",
     "dwell_time", "disorder", "sparse_dot", "conversion_lag",
+    "rfm", "iqr_outliers",
 ]
 
 

@@ -1023,3 +1023,75 @@ def disorder_stats(df: DataFrame, key_col: str, ts_col: str = "ts",
                  F.sum((F.col("_late") > 0).cast("long")).cast("long")
                  .alias("n_late"),
                  F.max("_late").cast("long").alias("max_lateness_us")))
+
+
+def rfm_segments(df: DataFrame, key_col: str, value_col,
+                 ts_col: str = "ts", n_buckets: int = 3
+                 ) -> DataFrame:
+    """RFM segmentation (the classic marketing/customer-analytics
+    operator): per key compute Recency (micros from the key's last
+    event to the corpus horizon), Frequency (event count) and Monetary
+    (exact integer value sum), score each dimension into ``n_buckets``
+    equi-depth buckets (1-based, ascending metric value — bucket of
+    rank r is ``1 + ((r−1)·B) DIV n``, the equidepth_histogram
+    arithmetic), and roll up per segment string ``'r-f-m'``.
+
+    Scale shape: one keyed per-user agg; each dimension's rank comes
+    from the range-partitioned :func:`~frogocr_spark.operators.ranking.
+    global_rank` (no single-partition window); the rollup is one keyed
+    agg over 27 (=B³) segments.  EAGER (three global_rank calls).
+    Output: ``segment string, n_users long``."""
+    from frogocr_spark.operators.ranking import global_rank
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per = (df.groupBy(key_col)
+           .agg(F.max(us).alias("_last"),
+                F.count(F.lit(1)).cast("long").alias("_f"),
+                F.sum(value_col.cast("long")).cast("long").alias("_m")))
+    cap = per.agg(F.max("_last").alias("c")).collect()[0]["c"]
+    per = per.withColumn("_r", F.lit(int(cap)) - F.col("_last"))
+    n = per.count()
+    out = per
+    for dim in ("_r", "_f", "_m"):
+        ranked = global_rank(out.select(key_col, dim), [dim, key_col],
+                             "_rk")
+        scored = ranked.select(
+            key_col,
+            F.expr(f"CAST(1 + ((_rk - 1) * {int(n_buckets)}) "
+                   f"DIV {int(n)} AS INT)").alias(f"s{dim}"))
+        out = out.join(scored, key_col)
+    seg = F.concat_ws("-", F.col("s_r").cast("string"),
+                      F.col("s_f").cast("string"),
+                      F.col("s_m").cast("string"))
+    return (out.select(seg.alias("segment"))
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users")))
+
+
+def iqr_outliers(df: DataFrame, group_col: str, value_col,
+                 id_col: str = "event_id") -> DataFrame:
+    """Tukey-fence outlier counts per group, integer-exact: quartiles
+    are nearest-rank (:func:`quantile_summary`), and the 1.5·IQR fences
+    are tested as ``2v < 2·p25 − 3·IQR`` / ``2v > 2·p75 + 3·IQR`` — all
+    int64, no float 1.5 to round.  The robust-fences complement of the
+    3σ test in :func:`zscore_outliers`.
+
+    Scale shape: one keyed rank window for the quartiles (group-sized
+    cut table broadcast back) + one map-side-combined probe agg.
+    Output: ``group, n, p25, p75, n_low, n_high (all long)``."""
+    q = (quantile_summary(df, group_col, value_col, id_col,
+                          ps=(25, 75))
+         .select(group_col, "n", "p25", "p75"))
+    base = df.select(group_col, value_col.cast("long").alias("_v"))
+    j = base.join(F.broadcast(q), group_col)
+    iqr = F.col("p75") - F.col("p25")
+    low = (2 * F.col("_v")) < (2 * F.col("p25") - 3 * iqr)
+    high = (2 * F.col("_v")) > (2 * F.col("p75") + 3 * iqr)
+    return (j.groupBy(group_col)
+            .agg(F.max("n").alias("n"),
+                 F.max("p25").alias("p25"),
+                 F.max("p75").alias("p75"),
+                 F.sum(low.cast("long")).cast("long").alias("n_low"),
+                 F.sum(high.cast("long")).cast("long").alias("n_high")))

@@ -772,3 +772,36 @@ def test_sparse_dot_matches_dense_on_kept_components(spark):
     # q0 = (5000, -, -4000): dot v1 = 5000*5000 = 25e6;
     # v2 = -5000*5000 + (-4000*4000) = -41e6; v3: no shared idx -> absent
     assert out == {(0, 1): (25_000_000, 1), (0, 2): (-41_000_000, 2)}
+
+
+# --------------------------------------------------------------------- RFM
+def test_rfm_segments_hand_case(spark):
+    from frogocr_spark.operators.analytics import rfm_segments
+    # 3 users, clearly separated on every dimension:
+    # u1: recent, frequent, big; u3: stale, rare, small
+    rows = ([("u1", _ts(100), 1, 300), ("u1", _ts(90), 2, 300),
+             ("u1", _ts(80), 3, 300)]
+            + [("u2", _ts(50), 4, 20), ("u2", _ts(40), 5, 20)]
+            + [("u3", _ts(10), 6, 1)])
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, v long")
+    got = {r.segment: r.n_users
+           for r in rfm_segments(df, "user_id", F.col("v")).collect()}
+    # ascending metric buckets: u1 has SMALLEST recency gap (score 1),
+    # biggest f and m (score 3) -> '1-3-3'; u3 the reverse -> '3-1-1'
+    assert got == {"1-3-3": 1, "2-2-2": 1, "3-1-1": 1}
+    with pytest.raises(ValueError):
+        rfm_segments(df, "user_id", F.col("v"), n_buckets=1)
+
+
+def test_iqr_outliers_hand_case(spark):
+    from frogocr_spark.operators.analytics import iqr_outliers
+    # 1..8 plus spikes -100 and 200; n=10: p25 = rank 3, p75 = rank 8
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, -100, 200]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, event_id long, v long")
+    out = iqr_outliers(df, "g", F.col("v")).collect()[0]
+    # sorted: -100,1..8,200 -> p25 = 2, p75 = 7, IQR = 5
+    # fences: 2*v < 4-15=-11 -> v < -5.5 (only -100); 2*v > 14+15=29
+    # -> v > 14.5 (only 200)
+    assert (out.p25, out.p75, out.n_low, out.n_high) == (2, 7, 1, 1)
