@@ -3378,6 +3378,153 @@ def _q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.col("value") * 100, 0))
 
 
+_SNM_WINDOW = 3
+_LPA_ROUNDS = 3
+_SSSP_ROUNDS = 4
+PHRASES = ["hash value", "row scan", "fast table",
+           "the line sort", "slow query plan"]
+
+
+def _coevent_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared co-event graph (users sharing a 1-minute window),
+    used by bfs_levels / triangles / assortativity and the new
+    label_propagation / sssp queries."""
+    b = (_read(spark, sf_dir, "events")
+         .select(F.expr("unix_micros(CAST(ts AS TIMESTAMP)) "
+                        "DIV 60000000").alias("win"), "user_id")
+         .dropDuplicates())
+    a1 = b.select("win", F.col("user_id").alias("src"))
+    a2 = b.select("win", F.col("user_id").alias("dst"))
+    return (a1.join(a2, "win").where(F.col("src") < F.col("dst"))
+            .select("src", "dst").dropDuplicates())
+
+
+_COEVENT_EDGES_SQL = (
+    "SELECT a.user_id AS src, b.user_id AS dst FROM "
+    "(SELECT DISTINCT epoch_us(ts) // 60000000 AS win, user_id "
+    " FROM events) a JOIN "
+    "(SELECT DISTINCT epoch_us(ts) // 60000000 AS win, user_id "
+    " FROM events) b "
+    "ON a.win = b.win AND a.user_id < b.user_id")
+
+
+def _q_snm_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernández & Stolfo
+    1995) — the third blocking strategy beside LSH banding and PPJoin
+    prefix filtering: documents sorted by a 12-char text prefix key,
+    every pair within 3 positions a candidate.  The rank comes from
+    the range-partitioned global_rank and the neighborhood self-join
+    is a band join (pairs ≤ w apart co-locate in adjacent rank bands)
+    — never quadratic, no single-partition window
+    (operators/dedup.snm_candidates)."""
+    from frogocr_spark.operators.dedup import snm_candidates
+    docs = _read(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.substring(F.trim("text"), 1, 12).alias("_k"))
+    return snm_candidates(keyed, "_k", _SNM_WINDOW)
+
+
+def _q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    2007) over the co-event graph: 3 sync rounds, every node adopting
+    the most frequent neighbor+self label, ties to the SMALLEST label
+    — the seedless deterministic LPA variant, so the DuckDB unrolled
+    CTE chain computes identical communities.  Per round ONE gather
+    equi-join + two map-side-combined aggs
+    (operators/graph.label_propagation)."""
+    from frogocr_spark.operators.graph import label_propagation
+    return label_propagation(_coevent_edges(spark, sf_dir),
+                             rounds=_LPA_ROUNDS)
+
+
+def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source shortest paths (distributed Bellman-Ford,
+    4 relaxation rounds) over the co-event graph with deterministic
+    integer edge weights 1 + (src+dst) % 7 — integer distances make
+    the min-merge order-independent and engine-exact; per round ONE
+    equi-join + ONE map-side-combined min-merge
+    (operators/graph.sssp_int)."""
+    from frogocr_spark.operators.graph import sssp_int
+    edges = (_coevent_edges(spark, sf_dir)
+             .withColumn("w", F.lit(1)
+                         + (F.col("src") + F.col("dst")) % 7))
+    seeds = (_read(spark, sf_dir, "events")
+             .select(F.col("user_id").alias("node"))
+             .where(F.col("node") % 97 == 0).dropDuplicates())
+    return sssp_int(edges, seeds, rounds=_SSSP_ROUNDS)
+
+
+def _q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (Dasgupta 2016): |clickers|,
+    |purchasers|, union and EXPLICIT-sample intersection estimates
+    from two KMV sketches — the order-statistic complement of the HLL
+    register sketch (hll_setops), accurate exactly where
+    inclusion-exclusion is worst (small overlaps).  Each side
+    collapses to ≤ k hash rows before the single 1×1 join; 60-bit md5
+    hashes + one truncating wide division per estimate, recomputed
+    bit-for-bit by DuckDB (operators/sketches.kmv_union_intersect)."""
+    from frogocr_spark.operators.sketches import kmv_union_intersect
+    ev = _read(spark, sf_dir, "events")
+    clk = ev.where(F.col("event_type") == "click").select("user_id")
+    pur = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return kmv_union_intersect(clk, pur, "user_id", k=256)
+
+
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search against positional postings: which
+    documents contain each multi-token phrase ADJACENT and in order —
+    the retrieval capability token-level inverted_index cannot answer.
+    Postings materialize ONLY for query-phrase terms (filtered at the
+    scan); a phrase of m terms is m−1 (doc, pos+offset) equi-joins,
+    candidate size bounded by the rarest term
+    (operators/textstats.phrase_search)."""
+    from frogocr_spark.operators.textstats import phrase_search
+    docs = _read(spark, sf_dir, "documents")
+    return phrase_search(docs, PHRASES)
+
+
+def _q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection: the 10 tokens most positively
+    associated with each source by the exact 2×2 contingency
+    chi-square in millionths — DECIMAL(38,0) products, one truncating
+    division, so the per-class rank is engine-exact
+    (operators/featstats.chi2_terms)."""
+    from frogocr_spark.operators.featstats import chi2_terms
+    return chi2_terms(_read(spark, sf_dir, "documents"),
+                      k=10, min_df=3)
+
+
+def _q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (Church & Hanks 1990): the 50 adjacent
+    token pairs with the highest exact scaled lift n_xy·N·10⁶ DIV
+    (n_x·n_y) — log-free because log is monotone; bigrams by index-zip
+    inside each document (a pure map, no positional self-join)
+    (operators/featstats.pmi_bigrams)."""
+    from frogocr_spark.operators.featstats import pmi_bigrams
+    return pmi_bigrams(_read(spark, sf_dir, "documents"),
+                       k=50, min_count=5)
+
+
+def _q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic A/B split (variant =
+    user_id % 2, conversion = any purchase): the pooled z² compared to
+    1.96² as ONE exact integer cross-multiplication — the significance
+    decision can never flip on a float ulp
+    (operators/featstats.two_prop_test)."""
+    from frogocr_spark.operators.featstats import two_prop_test
+    return two_prop_test(_read(spark, sf_dir, "events"))
+
+
+def _q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity profile: token/type/hapax
+    counts, the Gini-Simpson repeat numerator Σc·(c−1), and the exact
+    type/token ratio in millionths — the vocabulary-health gate next
+    to the Gopher repetition stats
+    (operators/featstats.lexical_diversity)."""
+    from frogocr_spark.operators.featstats import lexical_diversity
+    return lexical_diversity(_read(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -3585,6 +3732,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_lag": _q_conversion_lag,
         "rfm": _q_rfm,
         "iqr_outliers": _q_iqr_outliers,
+        "snm_blocking": _q_snm_blocking,
+        "label_prop": _q_label_prop,
+        "sssp": _q_sssp,
+        "kmv_setops": _q_kmv_setops,
+        "phrase_search": _q_phrase_search,
+        "chi2_terms": _q_chi2_terms,
+        "pmi_bigrams": _q_pmi_bigrams,
+        "ab_test": _q_ab_test,
+        "lexical_diversity": _q_lexical_diversity,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -7358,4 +7514,38 @@ FROM pos2
         FROM base b JOIN cuts c USING (event_type)
         GROUP BY b.event_type
     """
+    from frogocr_spark.operators.dedup import snm_candidates_oracle_sql
+    o["snm_blocking"] = snm_candidates_oracle_sql(
+        "SELECT doc_id, text FROM documents",
+        "substr(trim(text), 1, 12)", _SNM_WINDOW)
+    from frogocr_spark.operators.graph import (
+        label_propagation_oracle_sql, sssp_int_oracle_sql)
+    o["label_prop"] = label_propagation_oracle_sql(
+        _COEVENT_EDGES_SQL, _LPA_ROUNDS)
+    o["sssp"] = sssp_int_oracle_sql(
+        f"SELECT src, dst, 1 + (src + dst) % 7 AS w "
+        f"FROM ({_COEVENT_EDGES_SQL})",
+        "SELECT DISTINCT user_id AS node FROM events "
+        "WHERE user_id % 97 = 0",
+        _SSSP_ROUNDS)
+    from frogocr_spark.operators.sketches import (
+        kmv_union_intersect_oracle_sql)
+    o["kmv_setops"] = kmv_union_intersect_oracle_sql(
+        "SELECT user_id FROM events WHERE event_type = 'click'",
+        "SELECT user_id FROM events WHERE event_type = 'purchase'",
+        "user_id", 256)
+    from frogocr_spark.operators.textstats import phrase_search_oracle_sql
+    o["phrase_search"] = phrase_search_oracle_sql(
+        "SELECT doc_id, text FROM documents", PHRASES)
+    from frogocr_spark.operators.featstats import (
+        chi2_terms_oracle_sql, pmi_bigrams_oracle_sql,
+        two_prop_test_oracle_sql, lexical_diversity_oracle_sql)
+    o["chi2_terms"] = chi2_terms_oracle_sql(
+        "SELECT doc_id, text, source FROM documents", 10, 3)
+    o["pmi_bigrams"] = pmi_bigrams_oracle_sql(
+        "SELECT doc_id, text FROM documents", 50, 5)
+    o["ab_test"] = two_prop_test_oracle_sql(
+        "SELECT user_id, event_type FROM events")
+    o["lexical_diversity"] = lexical_diversity_oracle_sql(
+        "SELECT doc_id, text FROM documents")
     return o

@@ -908,3 +908,69 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     return (cand.withColumn("hamming", ham)
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def snm_candidates(df: DataFrame, key_col: str, window: int,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    third candidate-generation strategy beside LSH banding and PPJoin
+    prefix filtering: sort the corpus by a blocking key, and every pair
+    within ``window`` positions of each other is a candidate.  The
+    method of record-linkage pipelines whose similarity is strongest
+    between records that sort adjacently (names, titles, text
+    prefixes).
+
+    Scale shape: the global sort position comes from
+    ``ranking.global_rank`` (range partitioning — NO single-partition
+    window), and the "within w positions" self-join is a BAND join:
+    left rows carry band ``(rank−1) DIV w``; right rows are duplicated
+    into their own band and the previous one, so every qualifying pair
+    co-locates in exactly one keyed join bucket (a pair ≤ w apart
+    spans at most adjacent bands) — candidate cost is O(N·w/P) per
+    task, never quadratic, and a hot key cannot concentrate rows
+    because rank is unique.  The residual ``0 < r2 − r1 ≤ w`` filter
+    runs post-join.  The oracle keeps the direct rank-distance
+    formulation, so the hash match proves the band-join rewrite.
+
+    Note: ``global_rank`` executes eagerly at call time (documented
+    there).  Output: (id_a, id_b, gap) with id_a the lower-ranked row.
+    """
+    from frogocr_spark.operators.ranking import global_rank
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    ranked = global_rank(
+        df.select(F.col(id_col).alias("_id"),
+                  F.col(key_col).alias("_key")),
+        ["_key", "_id"], rank_col="r")
+    left = (ranked.withColumn("band", F.expr(f"(r - 1) DIV {window}"))
+            .select("_id", "r", "band"))
+    right = (left.select(F.col("_id").alias("id_b"),
+                         F.col("r").alias("r2"),
+                         F.explode(F.array(F.col("band"),
+                                           F.col("band") - 1))
+                         .alias("band")))
+    return (left.join(right, "band")
+            .where((F.col("r2") > F.col("r"))
+                   & (F.col("r2") - F.col("r") <= window))
+            .select(F.col("_id").alias("id_a"), "id_b",
+                    (F.col("r2") - F.col("r")).cast("int")
+                    .alias("gap")))
+
+
+def snm_candidates_oracle_sql(src_sql: str, key_expr: str,
+                              window: int) -> str:
+    """DuckDB twin of :func:`snm_candidates`: the textbook definition
+    — row_number over the blocking order, pairs with rank distance ≤
+    w.  ``src_sql`` must yield (doc_id, text-bearing columns) rows;
+    ``key_expr`` is the blocking-key expression over them."""
+    return f"""
+        WITH src AS ({src_sql}),
+        ranked AS (
+            SELECT doc_id AS id, row_number() OVER (
+                ORDER BY {key_expr}, doc_id) AS r
+            FROM src
+        )
+        SELECT a.id AS id_a, b.id AS id_b, CAST(b.r - a.r AS INT) AS gap
+        FROM ranked a JOIN ranked b
+          ON b.r > a.r AND b.r - a.r <= {window}
+    """

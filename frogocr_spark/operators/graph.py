@@ -476,3 +476,155 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
     return (moment_stats_exact(
         both.withColumn("_g", F.lit("all")), F.col("x"), F.col("y"),
         "_g").drop("_g"))
+
+
+def label_propagation(edges: DataFrame, rounds: int,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Synchronous label propagation (Raghavan 2007) over an undirected
+    graph: every node starts labeled with its own id; each round every
+    node adopts the most frequent label among its neighbors AND itself
+    (the self-vote damps the classic bipartite two-cycle), ties broken
+    by the SMALLEST label — a fully deterministic, seedless variant of
+    the usual random-order LPA, so two engines (and two cluster
+    topologies) compute the identical communities.
+
+    Fixed plan depth: exactly ``rounds`` sync rounds, matching the
+    oracle's unrolled CTE chain (:func:`label_propagation_oracle_sql`)
+    — the contract-query mode, same design as :func:`kcore` /
+    :func:`bfs_levels`.  LPA is not monotone, so the R-round result is
+    defined AS the R-round result (both sides run the identical chain).
+
+    Scale shape: per round ONE equi-join (labels ⋈ edges, keyed on the
+    node — the Pregel gather) + ONE (node, label)-keyed count
+    (map-side combined: a hub's votes partial-aggregate in every task)
+    + ONE node-keyed ``max_by`` argmax (map-side combined as well).
+    The label relation stays node-sized; edges are scanned once per
+    round; nothing is collected; ``localCheckpoint`` per round keeps
+    the plan depth constant.  Output: ``(node, label)``."""
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .where("u <> v")
+           .select(F.least("u", "v").alias("u"),
+                   F.greatest("u", "v").alias("v"))
+           .dropDuplicates(["u", "v"]))
+    bi = (und.unionByName(und.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
+          .localCheckpoint())
+    labels = (bi.select(F.col("u").alias("node")).dropDuplicates()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint())
+    for _ in range(rounds):
+        nbr = (labels.join(bi, labels["node"] == bi["u"])
+               .select(F.col("v").alias("node"), "label"))
+        votes = (nbr.unionByName(labels.select("node", "label"))
+                 .groupBy("node", "label")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        labels = (votes.groupBy("node")
+                  .agg(F.expr("max_by(label, struct(cnt, -label))")
+                       .alias("label"))
+                  .localCheckpoint())
+    return labels
+
+
+def label_propagation_oracle_sql(edges_sql: str, rounds: int) -> str:
+    """DuckDB twin: the identical sync-LPA rounds unrolled as a
+    MATERIALIZED CTE chain; the argmax is restated as max-count +
+    min-label-among-max (provably the same as ``max_by(label,
+    struct(cnt, -label))``), so a hash match proves the distributed
+    gather/argmax equivalent."""
+    sql = [f"WITH raw AS ({edges_sql}),"]
+    sql.append("und AS MATERIALIZED (SELECT DISTINCT least(src, dst) "
+               "AS u, greatest(src, dst) AS v FROM raw "
+               "WHERE src <> dst),")
+    sql.append("bi AS MATERIALIZED (SELECT u, v FROM und UNION ALL "
+               "SELECT v, u FROM und),")
+    sql.append("l0 AS MATERIALIZED (SELECT DISTINCT u AS node, "
+               "u AS label FROM bi),")
+    for i in range(1, rounds + 1):
+        sql.append(
+            f"v{i} AS MATERIALIZED (SELECT node, label, "
+            f"count(*) AS cnt FROM ("
+            f"SELECT bi.v AS node, l.label FROM l{i-1} l "
+            f"JOIN bi ON l.node = bi.u "
+            f"UNION ALL SELECT node, label FROM l{i-1}) "
+            f"GROUP BY node, label),")
+        sql.append(
+            f"m{i} AS MATERIALIZED (SELECT node, max(cnt) AS mc "
+            f"FROM v{i} GROUP BY node),")
+        sql.append(
+            f"l{i} AS MATERIALIZED (SELECT v.node, min(v.label) "
+            f"AS label FROM v{i} v JOIN m{i} m "
+            f"ON v.node = m.node AND v.cnt = m.mc GROUP BY v.node),")
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(f"SELECT node, label FROM l{rounds}")
+    return "\n".join(sql)
+
+
+def sssp_int(edges: DataFrame, seeds: DataFrame, rounds: int,
+             src: str = "src", dst: str = "dst", weight: str = "w",
+             seed_col: str = "node") -> DataFrame:
+    """Multi-source single-source-shortest-paths over an undirected
+    graph with non-negative INTEGER edge weights — distributed
+    Bellman-Ford relaxation, the weighted generalization of
+    :func:`bfs_levels` (latency maps, influence cost, hop-weighted
+    blast radius).
+
+    Integer distances make the min-merge order-independent and
+    engine-exact (float weight sums would tie-break differently in the
+    last ulp).  Fixed plan depth: exactly ``rounds`` relaxation rounds
+    — after R rounds every node whose true shortest path uses ≤ R
+    edges carries its final distance (Bellman-Ford invariant), and the
+    oracle (:func:`sssp_int_oracle_sql`) unrolls the identical chain.
+
+    Scale shape: per round ONE equi-join (distances ⋈ edges, keyed on
+    the node) + ONE min-merge (map-side combined); distance relation
+    node-sized; ``localCheckpoint`` per round.  Negative weights raise.
+    Output: ``(node, dist)`` for nodes reached within ``rounds``."""
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                        F.col(weight).cast("long").alias("w"))
+           .where("u <> v"))
+    bi = (und.unionByName(und.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v"), "w"))
+          .groupBy("u", "v").agg(F.min("w").alias("w"))
+          .localCheckpoint())
+    dist = (seeds.select(F.col(seed_col).alias("node"))
+            .dropDuplicates()
+            .withColumn("dist", F.lit(0).cast("long"))
+            .localCheckpoint())
+    for _ in range(rounds):
+        relax = (dist.join(bi, dist["node"] == bi["u"])
+                 .select(F.col("v").alias("node"),
+                         (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionByName(relax)
+                .groupBy("node")
+                .agg(F.min("dist").cast("long").alias("dist"))
+                .localCheckpoint())
+    return dist
+
+
+def sssp_int_oracle_sql(edges_sql: str, seeds_sql: str,
+                        rounds: int) -> str:
+    """DuckDB twin of :func:`sssp_int`: the relaxation unrolled as a
+    MATERIALIZED min-merge CTE chain (the :func:`bfs_levels_oracle_sql`
+    pattern with weighted candidates)."""
+    sql = [f"WITH raw AS ({edges_sql}),"]
+    sql.append("bi AS MATERIALIZED (SELECT u, v, min(w) AS w FROM ("
+               "SELECT src AS u, dst AS v, w FROM raw WHERE src <> dst "
+               "UNION ALL SELECT dst, src, w FROM raw "
+               "WHERE src <> dst) GROUP BY u, v),")
+    sql.append(f"d0 AS MATERIALIZED (SELECT DISTINCT node, "
+               f"CAST(0 AS BIGINT) AS dist FROM ({seeds_sql})),")
+    for i in range(1, rounds + 1):
+        sql.append(
+            f"d{i} AS MATERIALIZED (SELECT node, min(dist) AS dist "
+            f"FROM (SELECT node, dist FROM d{i-1} UNION ALL "
+            f"SELECT bi.v AS node, f.dist + bi.w AS dist "
+            f"FROM d{i-1} f JOIN bi ON f.node = bi.u) "
+            f"GROUP BY node),")
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(f"SELECT node, CAST(dist AS BIGINT) AS dist "
+               f"FROM d{rounds}")
+    return "\n".join(sql)

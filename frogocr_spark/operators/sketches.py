@@ -273,3 +273,153 @@ def hll_union_intersect(df_a: DataFrame, df_b: DataFrame, key_col: str,
         "est_a", "est_b", "est_union",
         F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 3)
         .alias("est_intersect"))
+
+
+# --------------------------------------------------------------------
+# KMV / theta sketch — the ORDER-STATISTIC cardinality sketch beside
+# the HLL register sketch above, and the one that gives cheap exact
+# SET-OPERATION estimates (theta-sketch intersection; Dasgupta et al.
+# 2016).  Same determinism contract: 60-bit md5 hashes, integer-only
+# arithmetic, one truncating wide division per estimate — a DuckDB
+# oracle recomputes the sketch and every estimate bit-for-bit.
+# --------------------------------------------------------------------
+
+KMV_M = 1 << 60  # hash domain size (60-bit md5 prefix)
+
+
+def _h60(key) -> "F.Column":
+    return (F.conv(F.substring(F.md5(key.cast("string")), 1, 15),
+                   16, 10).cast("long"))
+
+
+def kmv_sketch(df: DataFrame, group_cols: list[str], key_col: str,
+               k: int = 256) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest DISTINCT 60-bit md5
+    hashes of ``key_col``, sorted ascending, plus ``theta`` (the k-th
+    smallest when the sketch is full, else the full domain ``KMV_M``)
+    and ``kept`` (the retained hashes strictly below theta — the
+    theta-sketch sample).
+
+    Scale shape: hash dedup is ONE (group, hash)-keyed dedup; the
+    k-smallest cut is the two-level partial top-k used by
+    ``inverted_index``/``stratified_sample`` (local smallest-k per
+    input partition, then global smallest-k over ≤ k·P survivors — a
+    degenerate group never sorts in one task); the final array is ≤ k
+    values per group.  Output: (group..., kept array<long>, theta,
+    n_kept)."""
+    from pyspark.sql import Window
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hashed = (df.select(*group_cols,
+                        _h60(F.col(key_col)).alias("h"))
+              .dropDuplicates([*group_cols, "h"]))
+    w_local = Window.partitionBy("_pid", *group_cols).orderBy("h")
+    pruned = (hashed.withColumn("_pid", F.spark_partition_id())
+              .withColumn("_rn", F.row_number().over(w_local))
+              .where(F.col("_rn") <= k).drop("_pid", "_rn"))
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    top = (pruned.withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") <= k).drop("_rn"))
+    arr = (top.groupBy(*group_cols)
+           .agg(F.sort_array(F.collect_list("h")).alias("mins")))
+    return (arr
+            .withColumn("theta",
+                        F.when(F.size("mins") < k, F.lit(KMV_M))
+                        .otherwise(F.element_at("mins", k)))
+            .withColumn("kept", F.expr("filter(mins, x -> x < theta)"))
+            .withColumn("n_kept", F.size("kept").cast("long"))
+            .drop("mins"))
+
+
+def kmv_estimate(sketch: DataFrame) -> DataFrame:
+    """Append ``est``: the theta estimator ``n_kept · M DIV theta`` —
+    EXACT when the sketch never filled (theta = M), the standard
+    (k−1)·M/h_k KMV estimate when it did.  Wide product in
+    DECIMAL(38,0); one truncating division, identical in any engine."""
+    return sketch.withColumn(
+        "est",
+        F.expr(f"CAST((CAST(n_kept AS DECIMAL(38,0)) * {KMV_M}) "
+               f"DIV CAST(theta AS DECIMAL(38,0)) AS BIGINT)"))
+
+
+def kmv_union_intersect(df_a: DataFrame, df_b: DataFrame,
+                        key_col: str, k: int = 256) -> DataFrame:
+    """Theta-sketch set algebra over two keyed relations: estimated
+    |A|, |B|, |A ∪ B| and |A ∩ B| from two KMV sketches — the
+    intersection HLL register-merge cannot give directly (hll_setops
+    uses inclusion-exclusion; the theta sample intersects EXPLICITLY,
+    which stays accurate when the overlap is small relative to the
+    union — the audit case that inclusion-exclusion gets worst).
+
+    theta* = min(theta_A, theta_B); each retained set is re-cut to
+    theta*; union = distinct merged survivors, intersection = common
+    survivors; every estimate is ``cnt · M DIV theta*``.  Everything
+    after the two sketch builds is array arithmetic on ONE 1×1 joined
+    row.  Output: (est_a, est_b, est_union, est_intersect, theta)."""
+    sk_a = kmv_sketch(df_a, [], key_col, k).select(
+        F.col("kept").alias("ka"), F.col("theta").alias("ta"))
+    sk_b = kmv_sketch(df_b, [], key_col, k).select(
+        F.col("kept").alias("kb"), F.col("theta").alias("tb"))
+    both = sk_a.crossJoin(sk_b).withColumn(
+        "theta", F.least("ta", "tb"))
+    cut = lambda c: F.expr(f"filter({c}, x -> x < theta)")  # noqa: E731
+    est = (lambda cnt:
+           F.expr(f"CAST((CAST({cnt} AS DECIMAL(38,0)) * {KMV_M}) "
+                  f"DIV CAST(theta AS DECIMAL(38,0)) AS BIGINT)"))
+    return (both
+            .withColumn("ca", cut("ka")).withColumn("cb", cut("kb"))
+            .withColumn("_na", F.size("ca"))
+            .withColumn("_nb", F.size("cb"))
+            .withColumn("_nu", F.size(F.array_union("ca", "cb")))
+            .withColumn("_ni", F.size(F.array_intersect("ca", "cb")))
+            .select(est("_na").alias("est_a"),
+                    est("_nb").alias("est_b"),
+                    est("_nu").alias("est_union"),
+                    est("_ni").alias("est_intersect"),
+                    F.col("theta").cast("long").alias("theta")))
+
+
+def kmv_union_intersect_oracle_sql(a_sql: str, b_sql: str,
+                                   key_expr: str, k: int) -> str:
+    """DuckDB twin of :func:`kmv_union_intersect` — list slicing for
+    the k smallest distinct hashes, HUGEINT for the wide division."""
+    m = KMV_M
+
+    def side(src_sql: str, tag: str) -> str:
+        return (
+            f"{tag}_h AS (SELECT DISTINCT CAST(('0x' || "
+            f"substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15)) "
+            f"AS BIGINT) AS h FROM ({src_sql})), "
+            f"{tag}_s AS (SELECT list_sort(list(h)) AS mins FROM ("
+            f"SELECT h FROM {tag}_h ORDER BY h LIMIT {k})), "
+            f"{tag}_t AS (SELECT mins, CASE WHEN len(mins) < {k} "
+            f"THEN {m} ELSE mins[{k}] END AS theta FROM {tag}_s)")
+
+    return f"""
+        WITH {side(a_sql, 'a')}, {side(b_sql, 'b')},
+        pairx AS (
+            SELECT a.mins AS ka, b.mins AS kb,
+                   least(a.theta, b.theta) AS theta
+            FROM a_t a CROSS JOIN b_t b
+        ), cutx AS (
+            SELECT theta,
+                   list_filter(ka, x -> x < theta) AS ca,
+                   list_filter(kb, x -> x < theta) AS cb
+            FROM pairx
+        ), cnts AS (
+            SELECT theta, len(ca) AS na, len(cb) AS nb,
+                   len(list_distinct(list_concat(ca, cb))) AS nu,
+                   len(list_intersect(ca, cb)) AS ni
+            FROM cutx
+        )
+        SELECT CAST((CAST(na AS HUGEINT) * {m}) // theta AS BIGINT)
+                   AS est_a,
+               CAST((CAST(nb AS HUGEINT) * {m}) // theta AS BIGINT)
+                   AS est_b,
+               CAST((CAST(nu AS HUGEINT) * {m}) // theta AS BIGINT)
+                   AS est_union,
+               CAST((CAST(ni AS HUGEINT) * {m}) // theta AS BIGINT)
+                   AS est_intersect,
+               CAST(theta AS BIGINT) AS theta
+        FROM cnts
+    """

@@ -1210,3 +1210,98 @@ def bm25_oracle_sql(queries: dict[str, list[str]], *,
                        ORDER BY round(_score, 6) DESC, doc_id) AS rk
             FROM allq)
         WHERE rk <= {int(top_k)}"""
+
+
+def phrase_search(df: DataFrame, phrases: list[str],
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact phrase search against POSITIONAL postings — the retrieval
+    capability token-level :func:`inverted_index` cannot answer
+    ("which documents contain these words ADJACENT, in order?").
+
+    Each phrase is a space-separated token sequence (≥ 1 token).  The
+    corpus is exploded once into (token, doc, pos) posting rows
+    FILTERED to the phrase vocabulary AT THE SCAN — the classic
+    positional-index trade: postings materialize only for query terms,
+    never for the whole vocabulary.  A phrase of m terms is then m−1
+    equi-joins on (doc, pos + offset) — each join keyed on (doc, pos),
+    no cartesian anywhere, candidate size bounded by the rarest term's
+    postings.  Duplicate terms in a phrase self-join the same posting
+    subset correctly (positions must differ by construction).
+
+    Output: (phrase, doc_id, n_matches) — one row per document per
+    phrase with ≥ 1 occurrence, n_matches counting overlapping
+    occurrences (standard positional-search semantics)."""
+    terms = sorted({t for p in phrases for t in p.split()})
+    if not terms:
+        raise ValueError("phrases must contain at least one token")
+    post = (df.select(F.col(id_col).alias("_id"),
+                      F.posexplode(F.array_remove(
+                          F.split(F.trim(F.col(text_col)), _WS), ""))
+                      .alias("pos", "token"))
+            .where(F.col("token").isin(terms))
+            .localCheckpoint())
+    outs = []
+    for phrase in phrases:
+        toks = phrase.split()
+        cur = (post.where(F.col("token") == toks[0])
+               .select("_id", F.col("pos").alias("p0")))
+        for i, t in enumerate(toks[1:], start=1):
+            nxt = (post.where(F.col("token") == t)
+                   .select(F.col("_id").alias("_id2"),
+                           F.col("pos").alias(f"p{i}")))
+            cur = (cur.join(nxt,
+                            (cur["_id"] == nxt["_id2"])
+                            & (nxt[f"p{i}"] == cur["p0"] + i))
+                   .drop("_id2"))
+        outs.append(cur.groupBy("_id")
+                    .agg(F.count(F.lit(1)).alias("n_matches"))
+                    .select(F.lit(phrase).alias("phrase"),
+                            F.col("_id").alias(id_col),
+                            F.col("n_matches").cast("long")
+                            .alias("n_matches")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def phrase_search_oracle_sql(docs_sql: str, phrases: list[str]) -> str:
+    """DuckDB twin of :func:`phrase_search`: positional postings via a
+    list comprehension with explicit 1-based positions, one join chain
+    per phrase, UNION ALL across phrases."""
+    parts = []
+    for phrase in phrases:
+        toks = phrase.split()
+        sel = ["SELECT p0.doc_id AS doc_id, count(*) AS n_matches",
+               "FROM post p0"]
+        conds = [f"p0.token = '{toks[0]}'"]
+        for i, t in enumerate(toks[1:], start=1):
+            sel.append(f"JOIN post p{i} ON p{i}.doc_id = p0.doc_id "
+                       f"AND p{i}.pos = p0.pos + {i}")
+            conds.append(f"p{i}.token = '{t}'")
+        q = (" ".join(sel) + " WHERE " + " AND ".join(conds)
+             + " GROUP BY p0.doc_id")
+        parts.append(f"SELECT '{phrase}' AS phrase, doc_id, "
+                     f"CAST(n_matches AS BIGINT) AS n_matches "
+                     f"FROM ({q})")
+    body = " UNION ALL ".join(parts)
+    terms = sorted({t for p in phrases for t in p.split()})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return rf"""
+        WITH docs AS ({docs_sql}),
+        words AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               t -> t <> '') AS ws
+            FROM docs
+        ), post AS (
+            SELECT doc_id, u['pos'] AS pos, u['tok'] AS token FROM (
+                SELECT doc_id,
+                       unnest([struct_pack(pos := j - 1, tok := ws[j])
+                               for j in range(1, len(ws) + 1)]) AS u
+                FROM words
+            ) WHERE u['tok'] IN ({in_list})
+        )
+        {body}
+    """
