@@ -3525,6 +3525,188 @@ def _q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_diversity(_read(spark, sf_dir, "documents"))
 
 
+# ---- session 12: spatial, winnowing, link prediction, ML prep, -------
+# ---- smoothing/audit analytics, schema evolution, recommendations ----
+
+_SPATIAL_RADIUS = 25
+_SPATIAL_GRID = 1000
+
+
+def _q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial self-join: all BUILDING-segment customer
+    pairs within radius 25 on a deterministic md5-derived integer
+    1000x1000 grid — candidate pairs from 3x3 neighbor cells only (an
+    equi-join on the cell key, never quadratic); the oracle keeps the
+    DIRECT quadratic distance predicate, so the hash match proves the
+    blocking rewrite exact (operators/spatial.grid_neighbor_pairs)."""
+    from frogocr_spark.operators.spatial import grid_neighbor_pairs
+    cust = (_read(spark, sf_dir, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING"))
+
+    def coord(tag: str):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit(tag), F.col("c_custkey").cast("string"))), 1, 15),
+            16, 10).cast("long") % _SPATIAL_GRID)
+
+    pts = cust.select(F.col("c_custkey").alias("id"),
+                      coord("x:").alias("x"), coord("y:").alias("y"))
+    return grid_neighbor_pairs(pts, "id", "x", "y", _SPATIAL_RADIUS)
+
+
+def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer 2003 / MOSS): 4-gram md5
+    hashes, window-5 minima packed as (hash<<15 | pos) so the selection
+    is a plain BIGINT windowed min — any shared 8-token substring
+    shares a fingerprint at ~1/3 the gram density
+    (operators/textstats.winnowing_fingerprints)."""
+    from frogocr_spark.operators.textstats import winnowing_fingerprints
+    docs = _read_split(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, ngram=4, window=5)
+
+
+def _q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard over the co-event graph:
+    top-50 non-adjacent pairs by common*10^6 DIV (da+db-common) —
+    center-enumerated wedges (cost exactly Σdeg², the price of exact
+    common-neighbor counts), LeftAnti vs the edge set, TakeOrdered cut
+    (operators/graph.jaccard_link_prediction)."""
+    from frogocr_spark.operators.graph import jaccard_link_prediction
+    return jaccard_link_prediction(_coevent_edges(spark, sf_dir), k=50)
+
+
+def _q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the co-event graph:
+    2*tri*10^6 DIV (deg*(deg-1)) in exact millionths over the degree
+    -oriented triangle plan — NULL where deg < 2
+    (operators/graph.clustering_coefficient)."""
+    from frogocr_spark.operators.graph import clustering_coefficient
+    return clustering_coefficient(_coevent_edges(spark, sf_dir))
+
+
+def _q_feat_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger 2009): tokens to 256
+    signed md5 buckets, sparse non-zero (doc, bucket, val) rows — fixed
+    feature width with no vocabulary build; one explode + one keyed
+    agg (operators/ml.feature_hash)."""
+    from frogocr_spark.operators.ml import feature_hash
+    return feature_hash(_read_split(spark, sf_dir, "documents"),
+                        n_buckets=256)
+
+
+def _q_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes training table per source: Laplace
+    -smoothed (cnt+1)*10^6 DIV (n_class_tokens+V) over term
+    frequencies, vocab cut at total count >= 3, class priors attached —
+    sparse observed-pairs-only model rows (operators/ml.nb_train)."""
+    from frogocr_spark.operators.ml import nb_train
+    return nb_train(_read_split(spark, sf_dir, "documents"),
+                    min_count=3)
+
+
+def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA (α=1/2, k=8) of event value cents per user over
+    the (ts, event_id) total order — the smoothing recursion restated
+    as an unrolled exact-integer lag sum + ONE truncating division, so
+    no float state can drift across engines or partitionings
+    (operators/analytics.ewma_trunc)."""
+    from frogocr_spark.operators.analytics import ewma_trunc
+    ev = _read(spark, sf_dir, "events")
+    return ewma_trunc(ev, "user_id",
+                      F.floor(F.col("value") * 100), k=8)
+
+
+def _q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of event value cents per user: lag pairs
+    under the (ts, event_id) total order fed into the DECIMAL(38,0)
+    -exact moment machinery (the decimal_stats finish) — the
+    time-series memory diagnostic with zero float-sum ambiguity
+    (operators/analytics.moment_stats_exact over lag pairs)."""
+    from pyspark.sql import Window
+    from frogocr_spark.operators.analytics import moment_stats_exact
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    pairs = (ev.select("user_id", cents.alias("cur"),
+                       F.lag(cents).over(w).alias("prev"))
+             .where(F.col("prev").isNotNull()))
+    return moment_stats_exact(pairs, F.col("prev"), F.col("cur"),
+                              "user_id")
+
+
+def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: exact integer digit
+    counts + truncating-division frequencies vs the nine hardcoded
+    log10(1+1/d) millionth constants — the classic synthetic-data /
+    fraud screen as ONE 9-group aggregation
+    (operators/analytics.benford_digits)."""
+    from frogocr_spark.operators.analytics import benford_digits
+    return benford_digits(_read(spark, sf_dir, "orders"),
+                          F.col("o_totalprice"))
+
+
+def _q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 opening behavior paths: each user's first 3 event types
+    under the (ts, event_id) total order joined with '>' — ONE keyed
+    sorted-array collect + one path count; the oracle uses the rank
+    -window + ordered string_agg formulation, so the hash match proves
+    the two equivalent (operators/analytics.session_paths)."""
+    from frogocr_spark.operators.analytics import session_paths
+    return session_paths(_read(spark, sf_dir, "events"),
+                         "user_id", "event_type", depth=3, k=20)
+
+
+def _q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: the 'old' order feed (key, cents) and
+    the 'new' feed (key, cents, priority) combined with
+    unionByName(allowMissingColumns=True) — the mergeSchema read shape;
+    the oracle is the literal ANSI UNION ALL with NULL padding.  Split
+    is deterministic (o_orderkey % 10): no data rewrite, pure map."""
+    od = _read(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    old = (od.where(F.col("o_orderkey") % 10 < 3)
+           .select("o_orderkey", cents.alias("cents")))
+    new = (od.where(F.col("o_orderkey") % 10 >= 3)
+           .select("o_orderkey", cents.alias("cents"),
+                   F.col("o_orderpriority").alias("priority")))
+    return old.unionByName(new, allowMissingColumns=True)
+
+
+def _q_recs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative filtering: top-5 recommended parts per
+    part by basket Jaccard n_ab*10^6 DIV (n_a+n_b-n_ab) over order
+    baskets — pair generation bounded by basket size (<= 13 parts per
+    order here; the assoc_rules mega-basket guard pattern), both
+    directions ranked per item with a keyed window."""
+    li = _read(spark, sf_dir, "lineitem")
+    bp = li.select(F.col("l_orderkey").alias("bk"),
+                   F.col("l_partkey").alias("item")).dropDuplicates()
+    pop = bp.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a = bp.select("bk", F.col("item").alias("pa"))
+    b = bp.select("bk", F.col("item").alias("pb"))
+    co = (a.join(b, "bk").where(F.col("pa") < F.col("pb"))
+          .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("n_ab")))
+    both = co.unionByName(
+        co.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"),
+                  "n_ab"))
+    scored = (both
+              .join(pop.select(F.col("item").alias("pa"),
+                               F.col("n").alias("n_a")), "pa")
+              .join(pop.select(F.col("item").alias("pb"),
+                               F.col("n").alias("n_b")), "pb")
+              .withColumn("jac_e6",
+                          F.expr("(n_ab * 1000000) DIV "
+                                 "(n_a + n_b - n_ab)")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("pa").orderBy(
+        F.col("jac_e6").desc(), F.col("pb").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select(F.col("pa").alias("part"),
+                    F.col("pb").alias("rec"),
+                    F.col("n_ab").cast("long").alias("n_ab"),
+                    "jac_e6", F.col("rank").cast("int").alias("rank")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -3741,6 +3923,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": _q_pmi_bigrams,
         "ab_test": _q_ab_test,
         "lexical_diversity": _q_lexical_diversity,
+        "spatial_join": _q_spatial_join,
+        "winnowing": _q_winnowing,
+        "link_predict": _q_link_predict,
+        "clustering_coeff": _q_clustering_coeff,
+        "feat_hash": _q_feat_hash,
+        "nb_train": _q_nb_train,
+        "ewma": _q_ewma,
+        "autocorr": _q_autocorr,
+        "benford": _q_benford,
+        "session_paths": _q_session_paths,
+        "union_by_name": _q_union_by_name,
+        "recs_jaccard": _q_recs_jaccard,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -7548,4 +7742,135 @@ FROM pos2
         "SELECT user_id, event_type FROM events")
     o["lexical_diversity"] = lexical_diversity_oracle_sql(
         "SELECT doc_id, text FROM documents")
+    # ---- session 12 ----
+    from frogocr_spark.operators.spatial import (
+        grid_neighbor_pairs_oracle_sql)
+    o["spatial_join"] = grid_neighbor_pairs_oracle_sql(
+        f"""SELECT c_custkey AS id,
+                   CAST(('0x' || substr(md5('x:' ||
+                        CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % {_SPATIAL_GRID} AS x,
+                   CAST(('0x' || substr(md5('y:' ||
+                        CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % {_SPATIAL_GRID} AS y
+            FROM customer WHERE c_mktsegment = 'BUILDING'""",
+        _SPATIAL_RADIUS)
+    from frogocr_spark.operators.textstats import winnowing_oracle_sql
+    o["winnowing"] = winnowing_oracle_sql(
+        "SELECT doc_id, text FROM documents", ngram=4, window=5)
+    from frogocr_spark.operators.graph import (
+        jaccard_link_prediction_oracle_sql,
+        clustering_coefficient_oracle_sql)
+    o["link_predict"] = jaccard_link_prediction_oracle_sql(
+        _COEVENT_EDGES_SQL, 50)
+    o["clustering_coeff"] = clustering_coefficient_oracle_sql(
+        _COEVENT_EDGES_SQL)
+    from frogocr_spark.operators.ml import (
+        feature_hash_oracle_sql, nb_train_oracle_sql)
+    o["feat_hash"] = feature_hash_oracle_sql(
+        "SELECT doc_id, text FROM documents", 256)
+    o["nb_train"] = nb_train_oracle_sql(
+        "SELECT doc_id, text, source FROM documents", 3)
+    from frogocr_spark.operators.analytics import (
+        ewma_trunc_oracle_sql, benford_digits_oracle_sql,
+        session_paths_oracle_sql)
+    o["ewma"] = ewma_trunc_oracle_sql(
+        "SELECT user_id, event_id, ts, value FROM events",
+        "user_id", "floor(value * 100)", k=8)
+    o["benford"] = benford_digits_oracle_sql(
+        "SELECT o_totalprice FROM orders", "o_totalprice")
+    o["session_paths"] = session_paths_oracle_sql(
+        "SELECT user_id, event_id, ts, event_type FROM events",
+        "user_id", "event_type", depth=3, k=20)
+    o["autocorr"] = """
+        WITH lagged AS (
+            SELECT user_id,
+                   CAST(floor(value * 100) AS BIGINT) AS cur,
+                   lag(CAST(floor(value * 100) AS BIGINT)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev
+            FROM events
+        ), b AS (
+            SELECT user_id, prev AS x, cur AS y FROM lagged
+            WHERE prev IS NOT NULL
+        ), a AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                   sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                   sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
+                   sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+            FROM b GROUP BY 1
+        )
+        SELECT user_id, n,
+               round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_x,
+               round((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE))
+                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   AS var_x,
+               round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_y,
+               round((CAST(syy AS DOUBLE) / CAST(n AS DOUBLE))
+                     - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   AS var_y,
+               round(CASE WHEN
+                       (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE))
+                       - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                       AND
+                       (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE))
+                       - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                     THEN ((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE))
+                      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / (sqrt((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE))
+                             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                        * sqrt((CAST(syy AS DOUBLE) / CAST(n AS DOUBLE))
+                             - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+                     ELSE NULL END,
+                     6) AS corr_xy
+        FROM a
+    """
+    o["union_by_name"] = """
+        SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                   AS cents,
+               CAST(NULL AS VARCHAR) AS priority
+        FROM orders WHERE o_orderkey % 10 < 3
+        UNION ALL
+        SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT),
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 10 >= 3
+    """
+    o["recs_jaccard"] = """
+        WITH bp AS (
+            SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+            FROM lineitem
+        ), pop AS (
+            SELECT item, count(*) AS n FROM bp GROUP BY item
+        ), co AS (
+            SELECT a.item AS pa, b.item AS pb, count(*) AS n_ab
+            FROM bp a JOIN bp b ON a.bk = b.bk AND a.item < b.item
+            GROUP BY 1, 2
+        ), bidir AS (
+            SELECT pa, pb, n_ab FROM co
+            UNION ALL SELECT pb, pa, n_ab FROM co
+        ), scored AS (
+            SELECT pa, pb, n_ab,
+                   CAST((n_ab * 1000000) // (na.n + nb.n - n_ab)
+                        AS BIGINT) AS jac_e6
+            FROM bidir
+            JOIN pop na ON bidir.pa = na.item
+            JOIN pop nb ON bidir.pb = nb.item
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY pa
+                      ORDER BY jac_e6 DESC, pb ASC) AS rank
+            FROM scored
+        )
+        SELECT pa AS part, pb AS rec, CAST(n_ab AS BIGINT) AS n_ab,
+               jac_e6, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+    """
     return o

@@ -119,6 +119,11 @@ BENCH_QUERIES = [
     "rrf_fusion", "assortativity", "stump", "bm25",
     "dwell_time", "disorder", "sparse_dot", "conversion_lag",
     "rfm", "iqr_outliers",
+    "snm_blocking", "label_prop", "sssp", "kmv_setops", "phrase_search",
+    "chi2_terms", "pmi_bigrams", "ab_test", "lexical_diversity",
+    "spatial_join", "winnowing", "link_predict", "clustering_coeff",
+    "feat_hash", "nb_train", "ewma", "autocorr", "benford",
+    "session_paths", "union_by_name", "recs_jaccard",
 ]
 
 

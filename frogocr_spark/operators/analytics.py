@@ -1095,3 +1095,188 @@ def iqr_outliers(df: DataFrame, group_col: str, value_col,
                  F.max("p75").alias("p75"),
                  F.sum(low.cast("long")).cast("long").alias("n_low"),
                  F.sum(high.cast("long")).cast("long").alias("n_high")))
+
+
+def ewma_trunc(df: DataFrame, key_col: str, value_col,
+               k: int = 8, ts_col: str = "ts",
+               id_col: str = "event_id") -> DataFrame:
+    """Truncated exponentially-weighted moving average (α = 1/2) per
+    key over the total event order (ts, id) — the smoothing primitive
+    of monitoring/trend pipelines, restated EXACTLY: the newest of the
+    last ``k`` values gets weight 2^(k−1), each step back halves, so
+
+        num = Σ_{i=0..m-1} 2^(k-1-i) · x_{t-i}     (m ≤ k present rows)
+        den = Σ_{i=0..m-1} 2^(k-1-i)
+
+    are exact int64 sums (``value_col`` must be integer-valued —
+    pre-scale floats with an exact ``floor(x·10^6)``) and
+    ``ewma = num DIV den`` is one truncating division — no recursive
+    float state whose rounding could differ per engine or partition
+    order.  Truncating at ``k`` is what makes a window expression of
+    an inherently recursive statistic possible; at α = 1/2 the dropped
+    tail weighs < 2^−k of the total.
+
+    Scale shape: the k-term sum is an UNROLLED ``lag`` expression over
+    ONE keyed window (k = 8 fixed columns, no array build, no fold) —
+    a single shuffle on the key, never a global sort.  Output: one row
+    per event ``(key, id, x, ewma)``."""
+    if not (1 <= k <= 62):
+        raise ValueError("k must be in [1, 62]")
+    from pyspark.sql import Window
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(F.col(key_col).alias("key"),
+                     F.col(id_col).alias("id"), us.alias("us"),
+                     value_col.cast("long").alias("x"))
+    w = Window.partitionBy("key").orderBy("us", "id")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for i in range(k):
+        wt = 1 << (k - 1 - i)
+        xi = F.lag("x", i).over(w) if i else F.col("x")
+        num = num + F.coalesce(xi * wt, F.lit(0))
+        den = den + F.when(xi.isNotNull(), F.lit(wt)).otherwise(0)
+    return (base.withColumn("_num", num).withColumn("_den", den)
+            .select(F.col("key").alias(key_col),
+                    F.col("id").alias(id_col), "x",
+                    F.expr("_num DIV _den").alias("ewma")))
+
+
+def ewma_trunc_oracle_sql(src_sql: str, key_col: str, value_expr: str,
+                          k: int = 8, id_col: str = "event_id") -> str:
+    """DuckDB twin of :func:`ewma_trunc` — the same unrolled lag sum
+    over the same (epoch_us, id) total order."""
+    over = f"OVER (PARTITION BY {key_col} ORDER BY epoch_us(ts), {id_col})"
+    nums, dens = [], []
+    for i in range(k):
+        wt = 1 << (k - 1 - i)
+        xi = f"lag(x, {i}) {over}" if i else "x"
+        nums.append(f"coalesce(({xi}) * {wt}, 0)")
+        dens.append(f"CASE WHEN ({xi}) IS NOT NULL THEN {wt} ELSE 0 END")
+    return f"""
+        WITH src AS ({src_sql}),
+        base AS (
+            SELECT {key_col}, {id_col}, ts,
+                   CAST({value_expr} AS BIGINT) AS x
+            FROM src
+        ), summed AS (
+            SELECT {key_col}, {id_col}, x,
+                   {' + '.join(nums)} AS num,
+                   {' + '.join(dens)} AS den
+            FROM base
+        )
+        SELECT {key_col}, {id_col}, x,
+               CAST(num // den AS BIGINT) AS ewma
+        FROM summed
+    """
+
+
+def benford_digits(df: DataFrame, value_col) -> DataFrame:
+    """Benford's-law first-digit audit (the classic fraud/synthetic
+    -data screen): observed counts and frequencies of the leading
+    significant digit vs the Benford expectation log10(1 + 1/d).  The
+    expectation is nine CONSTANTS (fixed at authoring time, in
+    millionths — no runtime log whose libm rounding could differ), the
+    observed side is exact integer counts and one truncating division;
+    ``delta_e6`` is the absolute frequency gap.  ``value_col`` must be
+    >= 1 (leading digit of the integer part; the caller filters).
+
+    Scale shape: ONE map-side-combined 9-group aggregation — nothing
+    else.  Output: ``(digit, n, freq_e6, benford_e6, delta_e6)``."""
+    # round(log10(1 + 1/d) * 1e6) for d = 1..9, fixed constants
+    bens = [301030, 176091, 124939, 96910, 79181,
+            66947, 58503, 51153, 45757]
+    digit = F.substring(F.floor(value_col).cast("long").cast("string"),
+                        1, 1).cast("int")
+    counts = (df.select(digit.alias("digit"))
+              .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    total = counts.select(F.sum("n").alias("n_all"))
+    ben = F.element_at(F.array(*[F.lit(b) for b in bens]),
+                       F.col("digit"))
+    return (counts.crossJoin(F.broadcast(total))
+            .withColumn("freq_e6", F.expr("(n * 1000000) DIV n_all"))
+            .withColumn("benford_e6", ben)
+            .withColumn("delta_e6",
+                        F.abs(F.col("freq_e6") - F.col("benford_e6")))
+            .select("digit", F.col("n").cast("long").alias("n"),
+                    "freq_e6",
+                    F.col("benford_e6").cast("long").alias("benford_e6"),
+                    F.col("delta_e6").cast("long").alias("delta_e6")))
+
+
+def benford_digits_oracle_sql(src_sql: str, value_expr: str) -> str:
+    """DuckDB twin of :func:`benford_digits` — same constant table."""
+    bens = [301030, 176091, 124939, 96910, 79181,
+            66947, 58503, 51153, 45757]
+    ben_case = " ".join(f"WHEN {d + 1} THEN {b}"
+                        for d, b in enumerate(bens))
+    return f"""
+        WITH src AS ({src_sql}),
+        counts AS (
+            SELECT CAST(substr(CAST(CAST(floor({value_expr}) AS BIGINT)
+                        AS VARCHAR), 1, 1) AS INT) AS digit,
+                   count(*) AS n
+            FROM src GROUP BY 1
+        ), total AS (SELECT sum(n) AS n_all FROM counts)
+        SELECT digit, CAST(n AS BIGINT) AS n,
+               CAST((n * 1000000) // n_all AS BIGINT) AS freq_e6,
+               CAST(CASE digit {ben_case} END AS BIGINT) AS benford_e6,
+               CAST(abs((n * 1000000) // n_all -
+                        CASE digit {ben_case} END) AS BIGINT) AS delta_e6
+        FROM counts CROSS JOIN total
+    """
+
+
+def session_paths(df: DataFrame, key_col: str, state_col: str,
+                  depth: int = 3, k: int = 20, ts_col: str = "ts",
+                  id_col: str = "event_id") -> DataFrame:
+    """Top-``k`` opening behavior paths: each key's first ``depth``
+    states under the total order (ts, id) joined with '>' — the
+    "how do journeys start" report of product analytics.  Determinism:
+    the order key (epoch-micros, id) is total, the path string is
+    exact, and the k-cut breaks count ties on the path text.
+
+    Scale shape: ONE keyed collect (min_by-style: sort_array of
+    (us, id, state) structs built per key, sliced to ``depth``) + one
+    path-keyed count, both map-side combinable; the final cut is
+    TakeOrdered-style (orderBy + limit), never a global sort.
+    Output: ``(path, n_keys)``."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_key = (df.select(F.col(key_col).alias("key"),
+                         F.struct(us.alias("us"),
+                                  F.col(id_col).alias("id"),
+                                  F.col(state_col).alias("s"))
+                         .alias("e"))
+               .groupBy("key")
+               .agg(F.array_sort(F.collect_list("e")).alias("es")))
+    paths = per_key.select(
+        F.concat_ws(">", F.expr(
+            f"transform(slice(es, 1, {int(depth)}), e -> e.s)"))
+        .alias("path"))
+    return (paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_keys"))
+            .orderBy(F.col("n_keys").desc(), F.col("path").asc())
+            .limit(int(k))
+            .select("path", F.col("n_keys").cast("long").alias("n_keys")))
+
+
+def session_paths_oracle_sql(src_sql: str, key_col: str,
+                             state_col: str, depth: int = 3,
+                             k: int = 20, id_col: str = "event_id"
+                             ) -> str:
+    """DuckDB twin of :func:`session_paths` — rank window + ordered
+    string_agg instead of the array collect (the hash match proves the
+    two formulations equivalent)."""
+    return f"""
+        WITH src AS ({src_sql}),
+        ranked AS (
+            SELECT {key_col} AS key, {state_col} AS s,
+                   row_number() OVER (PARTITION BY {key_col}
+                       ORDER BY epoch_us(ts), {id_col}) AS rn
+            FROM src
+        ), paths AS (
+            SELECT key, string_agg(s, '>' ORDER BY rn) AS path
+            FROM ranked WHERE rn <= {int(depth)} GROUP BY key
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_keys
+        FROM paths GROUP BY path
+        ORDER BY n_keys DESC, path ASC LIMIT {int(k)}
+    """

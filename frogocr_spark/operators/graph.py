@@ -628,3 +628,165 @@ def sssp_int_oracle_sql(edges_sql: str, seeds_sql: str,
     sql.append(f"SELECT node, CAST(dist AS BIGINT) AS dist "
                f"FROM d{rounds}")
     return "\n".join(sql)
+
+
+def jaccard_link_prediction(edges: DataFrame, k: int = 50,
+                            src: str = "src", dst: str = "dst",
+                            max_center_degree: int | None = None
+                            ) -> DataFrame:
+    """Link prediction by neighborhood Jaccard (Liben-Nowell & Kleinberg
+    2003): for every NON-adjacent pair sharing >= 1 neighbor, the exact
+    scaled score
+
+        jaccard_e6 = common * 10^6 DIV (deg_a + deg_b - common)
+
+    and the global top ``k`` by (jaccard_e6 desc, a asc, b asc) — the
+    "who should be connected next" primitive of recommendation and
+    graph-completion pipelines, integer-exact so the k-cut can never
+    flip on a float ulp.
+
+    Scale shape: candidate pairs are enumerated FROM THE CENTER — each
+    node emits its neighbor pairs (a < b), so the cost is exactly
+    Sigma deg(n)^2/2 wedges (the unavoidable price of EXACT common
+    -neighbor counts; degree orientation cannot apply because every
+    wedge must be counted, not each triangle once).  On power-law
+    graphs ``max_center_degree`` caps the hub fanout (wedges through
+    mega-hubs carry near-zero Jaccard anyway — standard hub
+    suppression; the oracle must apply the same cap).  One
+    neighbor-list agg -> one pair count (map-side combined) -> degree
+    decoration joins -> LeftAnti vs the edge set -> TakeOrdered k.
+    Output: ``(a, b, common, deg_a, deg_b, jaccard_e6)``."""
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .where("u <> v"))
+    und = (und.select(F.least("u", "v").alias("u"),
+                      F.greatest("u", "v").alias("v"))
+           .dropDuplicates(["u", "v"]))
+    adj = (und.select(F.col("u").alias("n"), F.col("v").alias("x"))
+           .unionByName(und.select(F.col("v").alias("n"),
+                                   F.col("u").alias("x"))))
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    centers = adj
+    if max_center_degree is not None:
+        keep = deg.where(F.col("deg") <= int(max_center_degree))
+        centers = adj.join(F.broadcast(keep.select("n")), "n")
+    left = centers.select("n", F.col("x").alias("a"))
+    right = centers.select("n", F.col("x").alias("b"))
+    pairs = (left.join(right, "n").where(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg(F.count(F.lit(1)).alias("common")))
+    nonadj = pairs.join(
+        und.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"], "left_anti")
+    scored = (nonadj
+              .join(deg.select(F.col("n").alias("a"),
+                               F.col("deg").alias("deg_a")), "a")
+              .join(deg.select(F.col("n").alias("b"),
+                               F.col("deg").alias("deg_b")), "b")
+              .withColumn("jaccard_e6",
+                          F.expr("(common * 1000000) DIV "
+                                 "(deg_a + deg_b - common)")))
+    return (scored.orderBy(F.col("jaccard_e6").desc(),
+                           F.col("a").asc(), F.col("b").asc())
+            .limit(int(k))
+            .select("a", "b", F.col("common").cast("long").alias("common"),
+                    F.col("deg_a").cast("long").alias("deg_a"),
+                    F.col("deg_b").cast("long").alias("deg_b"),
+                    "jaccard_e6"))
+
+
+def jaccard_link_prediction_oracle_sql(edges_sql: str, k: int,
+                                       max_center_degree: int | None = None
+                                       ) -> str:
+    """DuckDB twin of :func:`jaccard_link_prediction` — same center
+    -enumerated wedges, same hub cap, same exact integer score."""
+    cap = ""
+    if max_center_degree is not None:
+        cap = (f"JOIN deg dn ON adj.n = dn.n AND "
+               f"dn.deg <= {int(max_center_degree)}")
+    return f"""
+        WITH raw AS ({edges_sql}),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        ), adj AS MATERIALIZED (
+            SELECT u AS n, v AS x FROM und
+            UNION ALL SELECT v, u FROM und
+        ), deg AS MATERIALIZED (
+            SELECT n, count(*) AS deg FROM adj GROUP BY n
+        ), centers AS (
+            SELECT adj.n, adj.x FROM adj {cap}
+        ), pairs AS (
+            SELECT l.x AS a, r.x AS b, count(*) AS common
+            FROM centers l JOIN centers r
+              ON l.n = r.n AND l.x < r.x
+            GROUP BY 1, 2
+        ), nonadj AS (
+            SELECT p.* FROM pairs p
+            WHERE NOT EXISTS (SELECT 1 FROM und
+                              WHERE und.u = p.a AND und.v = p.b)
+        )
+        SELECT a, b, CAST(common AS BIGINT) AS common,
+               CAST(da.deg AS BIGINT) AS deg_a,
+               CAST(db.deg AS BIGINT) AS deg_b,
+               CAST((common * 1000000) // (da.deg + db.deg - common)
+                    AS BIGINT) AS jaccard_e6
+        FROM nonadj
+        JOIN deg da ON nonadj.a = da.n
+        JOIN deg db ON nonadj.b = db.n
+        ORDER BY jaccard_e6 DESC, a ASC, b ASC LIMIT {int(k)}
+    """
+
+
+def clustering_coefficient(edges: DataFrame, src: str = "src",
+                           dst: str = "dst") -> DataFrame:
+    """Local clustering coefficient per node: ``cc_e6 = 2 * triangles *
+    10^6 DIV (deg * (deg - 1))`` — exact millionths over the degree
+    -oriented :func:`triangle_counts` (each triangle enumerated once)
+    and the canonical undirected degree; NULL for deg < 2 (undefined).
+    The per-node "how clique-like is my neighborhood" signal used for
+    community/spam structure audits.
+
+    Scale shape: the triangle plan (two equi-joins, orientation-bounded
+    fanout) plus ONE degree agg and a node-keyed join — nothing new
+    shuffles wider than the node relation.  Output: ``(node, deg,
+    n_triangles, cc_e6)``."""
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .where("u <> v"))
+    und = (und.select(F.least("u", "v").alias("u"),
+                      F.greatest("u", "v").alias("v"))
+           .dropDuplicates(["u", "v"]))
+    deg = (und.select(F.col("u").alias("node"))
+           .unionByName(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    tri = triangle_counts(und, "u", "v")
+    return (tri.join(deg, "node")
+            .withColumn(
+                "cc_e6",
+                F.when(F.col("deg") >= 2,
+                       F.expr("(2 * n_triangles * 1000000) DIV "
+                              "(deg * (deg - 1))")))
+            .select("node", F.col("deg").cast("long").alias("deg"),
+                    "n_triangles", "cc_e6"))
+
+
+def clustering_coefficient_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`clustering_coefficient`, reusing the
+    triangle oracle (textbook wedge definition) + a degree join."""
+    tri = triangle_counts_oracle_sql(edges_sql)
+    return f"""
+        WITH tri AS MATERIALIZED ({tri}),
+        raw AS ({edges_sql}),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        ), deg AS (
+            SELECT n AS node, count(*) AS deg FROM (
+                SELECT u AS n FROM und UNION ALL SELECT v FROM und
+            ) GROUP BY 1
+        )
+        SELECT tri.node, CAST(deg AS BIGINT) AS deg, n_triangles,
+               CASE WHEN deg >= 2 THEN
+                    CAST((2 * n_triangles * 1000000) //
+                         (deg * (deg - 1)) AS BIGINT) END AS cc_e6
+        FROM tri JOIN deg ON tri.node = deg.node
+    """

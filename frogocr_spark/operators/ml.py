@@ -1,0 +1,180 @@
+"""Model-prep operators: the hashing-trick featurizer and multinomial
+Naive-Bayes training — the two classic "turn a curated corpus into a
+model-ready table" steps that run AFTER the curation loop
+(dedup/quality gates) and BEFORE training.
+
+Same engine-portability discipline as featstats: md5-derived hashes,
+exact integer counts, one truncating scaled division where a
+probability is reported — no float whose last ulp could differ across
+engines.
+
+Reference parity: the reference's font-interning dimension build
+(SURVEY.md §2 J8) is the same "intern a string universe into dense
+ids / buckets" move; feature hashing is its fixed-width, collision
+-accepting form (Weinberger et al. 2009).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+_DEC = "decimal(38,0)"
+
+
+def feature_hash(df: DataFrame, n_buckets: int = 1024,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009): every
+    token maps to ``bucket = h % n_buckets`` with sign ``+1/-1`` from
+    the next hash bit (the signed variant that makes collisions
+    unbiased), ``h`` = 60-bit md5 — fixed feature width with NO
+    vocabulary build, the standard unbounded-vocab featurizer.
+
+    Scale shape: one token explode (pure map) + one (doc, bucket)
+    keyed count, map-side combined; only non-zero cells are emitted
+    (sparse rows).  Output: ``(doc_id, bucket, val)`` with
+    ``val = Σ sign`` over the doc's tokens in that bucket."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    toks = (df.select(F.col(id_col).alias("_id"),
+                      F.explode(F.split(F.trim(F.col(text_col)), _WS))
+                      .alias("token"))
+            .where(F.col("token") != ""))
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10) \
+         .cast("long")
+    hashed = toks.select("_id", h.alias("h"))
+    b = int(n_buckets)
+    # exact integer DIV for the sign bit (float / would round past 2^53)
+    sign = F.when(F.expr(f"(h DIV {b}) % 2") == 0,
+                  F.lit(1)).otherwise(F.lit(-1))
+    cells = (hashed.select("_id", (F.col("h") % b).alias("bucket"),
+                           sign.alias("sign"))
+             .groupBy("_id", "bucket")
+             .agg(F.sum("sign").alias("val"))
+             .where(F.col("val") != 0))
+    return cells.select(F.col("_id").alias(id_col),
+                        F.col("bucket").cast("int").alias("bucket"),
+                        F.col("val").cast("long").alias("val"))
+
+
+def feature_hash_oracle_sql(docs_sql: str, n_buckets: int) -> str:
+    """DuckDB twin of :func:`feature_hash` — same md5 bucket + sign
+    bit (``h DIV n_buckets`` parity), same sparse non-zero cut."""
+    b = int(n_buckets)
+    return rf"""
+        WITH docs AS ({docs_sql}),
+        toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM docs
+        ), hashed AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+                       AS h
+            FROM toks WHERE token <> ''
+        ), cells AS (
+            SELECT doc_id, h % {b} AS bucket,
+                   sum(CASE WHEN (h // {b}) % 2 = 0 THEN 1 ELSE -1 END)
+                       AS val
+            FROM hashed GROUP BY 1, 2
+        )
+        SELECT doc_id, CAST(bucket AS INT) AS bucket,
+               CAST(val AS BIGINT) AS val
+        FROM cells WHERE val <> 0
+    """
+
+
+def nb_train(df: DataFrame, min_count: int = 2,
+             id_col: str = "doc_id", class_col: str = "source",
+             text_col: str = "text") -> DataFrame:
+    """Multinomial Naive-Bayes training table (McCallum & Nigam 1998):
+    per (class, token) the Laplace-smoothed conditional probability
+
+        p_e6 = (cnt + 1) * 10^6 DIV (n_class_tokens + V)
+
+    over term frequencies (not document frequencies — the multinomial
+    event model), with the vocabulary V = tokens whose TOTAL corpus
+    count >= ``min_count`` (rare-token cut, standard NB hygiene), plus
+    the class prior ``prior_e6 = class_docs * 10^6 DIV n_docs`` on
+    every row.  Only OBSERVED (class, token) pairs are emitted — the
+    unseen-pair probability is derivable from (n_class_tokens, V)
+    which every row carries, so the model table stays sparse
+    (classes x |V| dense would explode at corpus scale).
+
+    Scale shape: one (class, token) term-frequency agg + one token
+    rollup (the vocab cut) + one class rollup, all map-side combined;
+    decorations are broadcast-sized joins (vocab-keyed, class-keyed).
+    Output: ``(class, token, cnt, n_class_tokens, vocab_size, p_e6,
+    prior_e6)``."""
+    toks = (df.select(F.col(class_col).alias("cls"),
+                      F.explode(F.split(F.trim(F.col(text_col)), _WS))
+                      .alias("token"))
+            .where(F.col("token") != ""))
+    ct = toks.groupBy("cls", "token").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    vocab = (ct.groupBy("token").agg(F.sum("cnt").alias("n_tot"))
+             .where(F.col("n_tot") >= min_count).select("token"))
+    v_size = vocab.select(F.count(F.lit(1)).alias("vocab_size"))
+    ct_v = ct.join(vocab, "token")
+    csize = ct_v.groupBy("cls").agg(
+        F.sum("cnt").alias("n_class_tokens"))
+    cdocs = (df.groupBy(F.col(class_col).alias("cls"))
+             .agg(F.count(F.lit(1)).alias("n_cls_docs")))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    out = (ct_v.join(F.broadcast(csize), "cls")
+           .crossJoin(F.broadcast(v_size))
+           .join(F.broadcast(cdocs), "cls")
+           .crossJoin(F.broadcast(n_docs))
+           .withColumn("p_e6",
+                       F.expr("((cnt + 1) * 1000000) DIV "
+                              "(n_class_tokens + vocab_size)"))
+           .withColumn("prior_e6",
+                       F.expr("(n_cls_docs * 1000000) DIV n_docs")))
+    return out.select(
+        F.col("cls").alias(class_col), "token",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("n_class_tokens").cast("long").alias("n_class_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        "p_e6", "prior_e6")
+
+
+def nb_train_oracle_sql(docs_sql: str, min_count: int,
+                        class_col: str = "source") -> str:
+    """DuckDB twin of :func:`nb_train`."""
+    return rf"""
+        WITH docs AS ({docs_sql}),
+        toks AS (
+            SELECT {class_col} AS cls,
+                   unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM docs
+        ), ct AS (
+            SELECT cls, token, count(*) AS cnt FROM toks
+            WHERE token <> '' GROUP BY 1, 2
+        ), vocab AS (
+            SELECT token FROM ct GROUP BY token
+            HAVING sum(cnt) >= {int(min_count)}
+        ), vs AS (SELECT count(*) AS vocab_size FROM vocab),
+        ctv AS (
+            SELECT ct.* FROM ct JOIN vocab USING (token)
+        ), csize AS (
+            SELECT cls, sum(cnt) AS n_class_tokens FROM ctv GROUP BY 1
+        ), cdocs AS (
+            SELECT {class_col} AS cls, count(*) AS n_cls_docs
+            FROM docs GROUP BY 1
+        ), nn AS (SELECT count(*) AS n_docs FROM docs)
+        SELECT ctv.cls AS {class_col}, token,
+               CAST(cnt AS BIGINT) AS cnt,
+               CAST(n_class_tokens AS BIGINT) AS n_class_tokens,
+               CAST(vocab_size AS BIGINT) AS vocab_size,
+               CAST(((cnt + 1) * 1000000) //
+                    (n_class_tokens + vocab_size) AS BIGINT) AS p_e6,
+               CAST((n_cls_docs * 1000000) // n_docs AS BIGINT)
+                   AS prior_e6
+        FROM ctv
+        JOIN csize ON ctv.cls = csize.cls
+        CROSS JOIN vs
+        JOIN cdocs ON ctv.cls = cdocs.cls
+        CROSS JOIN nn
+    """

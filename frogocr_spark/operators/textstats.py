@@ -6,7 +6,7 @@ DuckDB oracle in ``__spark_entry__.oracle_sql``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny deterministic stopword models (n-gram-heuristic stand-ins)
@@ -1304,4 +1304,106 @@ def phrase_search_oracle_sql(docs_sql: str, phrases: list[str]) -> str:
             ) WHERE u['tok'] IN ({in_list})
         )
         {body}
+    """
+
+
+def winnowing_fingerprints(df: DataFrame, ngram: int = 4,
+                           window: int = 5, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every word ``ngram``-gram, slide a
+    window of ``window`` consecutive gram hashes, and keep the minimum
+    of each window — the guarantee is that any shared substring of
+    ``window + ngram - 1`` tokens produces at least one shared
+    fingerprint, at ~2/(window+1) the density of the full gram set.
+    The fingerprint SET (doc, hash, pos) is what plagiarism /
+    copy-detection pipelines index.
+
+    Engine-exactness: the gram hash is the first 12 hex chars of md5
+    (48 bits), packed with the gram position into ONE int64
+    ``hash * 2^15 + pos`` so the window minimum is a plain BIGINT
+    ``min`` (ties impossible: pos is unique) — both the tie rule
+    (smallest hash, then LEFTMOST position — the deterministic variant
+    of the paper's rightmost rule) and the k-cut are integer-exact in
+    any engine.  Documents with more than 2^15 grams are rejected (the
+    pos packing bound; chunk first — ``chunk_windows``).
+
+    Scale shape: gram hashing is a pure map (index-zip, no self-join);
+    the window min is a per-doc keyed window ordered by pos (ROWS
+    CURRENT..window-1 FOLLOWING, full windows only — never a global
+    sort); the distinct is a keyed agg.  Output: ``(doc_id, fp_hash,
+    pos)`` — one row per selected fingerprint."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), "")
+        .alias("ws"))
+    grams = toks.select(
+        "_id",
+        F.expr(
+            f"transform(sequence(1, greatest(size(ws) - {ngram} + 1, 0)),"
+            f" j -> struct(j - 1 AS pos, "
+            f"conv(substring(md5(concat_ws(' ', slice(ws, j, {ngram}))),"
+            f" 1, 12), 16, 10) AS h))").alias("gs"),
+        F.size("ws").alias("_n"))
+    grams = grams.where(F.col("_n") - ngram + 1 <= (1 << 15))
+    g = (grams.select("_id", F.explode("gs").alias("g"),
+                      (F.col("_n") - ngram + 1).alias("n_grams"))
+         .select("_id", F.col("g.pos").alias("pos"),
+                 (F.col("g.h").cast("long") * (1 << 15)
+                  + F.col("g.pos")).alias("comb"),
+                 "n_grams"))
+    w = (Window.partitionBy("_id").orderBy("pos")
+         .rowsBetween(0, window - 1))
+    sel = (g.withColumn("sel", F.min("comb").over(w))
+           .where(F.col("pos") <= F.col("n_grams") - window)
+           .select("_id", "sel").dropDuplicates())
+    return sel.select(
+        F.col("_id").alias(id_col),
+        F.expr(f"sel DIV {1 << 15}").alias("fp_hash"),
+        (F.col("sel") % (1 << 15)).cast("int").alias("pos"))
+
+
+def winnowing_oracle_sql(docs_sql: str, ngram: int = 4,
+                         window: int = 5) -> str:
+    """DuckDB twin of :func:`winnowing_fingerprints` — same 48-bit md5
+    gram hash, same (hash, pos) packing, same windowed BIGINT min."""
+    return rf"""
+        WITH docs AS ({docs_sql}),
+        words AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               t -> t <> '') AS ws
+            FROM docs
+        ), sized AS (
+            SELECT doc_id, ws, len(ws) - {ngram} + 1 AS n_grams
+            FROM words WHERE len(ws) - {ngram} + 1 <= 32768
+        ), grams AS (
+            SELECT doc_id, n_grams,
+                   g['pos'] AS pos, g['comb'] AS comb
+            FROM (
+                SELECT doc_id, n_grams,
+                       unnest(CASE WHEN n_grams >= 1 THEN
+                           [struct_pack(
+                                pos := j - 1,
+                                comb := CAST(('0x' || substr(
+                                    md5(array_to_string(
+                                        ws[j:j+{ngram}-1], ' ')),
+                                    1, 12)) AS BIGINT) * 32768 + (j - 1))
+                            for j in range(1, n_grams + 1)]
+                       ELSE [] END) AS g
+                FROM sized
+            )
+        ), sel AS (
+            SELECT DISTINCT doc_id,
+                   min(comb) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+                       AS s
+            FROM grams
+            QUALIFY pos <= n_grams - {window}
+        )
+        SELECT doc_id, s // 32768 AS fp_hash,
+               CAST(s % 32768 AS INT) AS pos
+        FROM sel
     """

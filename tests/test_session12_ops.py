@@ -1,0 +1,233 @@
+"""Session-12 operators: grid-blocked spatial join, winnowing
+fingerprints, Jaccard link prediction, clustering coefficient, the
+ML-prep module (feature hashing / NB training), truncated EWMA,
+Benford audit, and session paths — hand-computed cases and pure-Python
+twins (the contract queries carry the DuckDB hash checks; these pin
+semantics on adversarial edges)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from frogocr_spark.operators.analytics import (benford_digits,
+                                               ewma_trunc,
+                                               session_paths)
+from frogocr_spark.operators.graph import (clustering_coefficient,
+                                           jaccard_link_prediction)
+from frogocr_spark.operators.ml import feature_hash, nb_train
+from frogocr_spark.operators.spatial import grid_neighbor_pairs
+from frogocr_spark.operators.textstats import winnowing_fingerprints
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+# --------------------------------------------------------------- spatial
+def test_grid_neighbor_pairs_hand_case(spark):
+    # radius 10: (0,0)-(6,8) dist2=100 kept (boundary); (0,0)-(7,8)
+    # dist2=113 cut; cross-cell neighbors found; far point isolated.
+    pts = [(1, 0, 0), (2, 6, 8), (3, 7, 8), (4, 500, 500)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {(r.id_a, r.id_b): r.dist2
+           for r in grid_neighbor_pairs(df, "id", "x", "y", 10).collect()}
+    assert got == {(1, 2): 100, (2, 3): 1}
+
+
+def test_grid_neighbor_pairs_exactly_once_across_cells(spark):
+    # points straddling a cell boundary (cell side 5): each qualifying
+    # pair appears exactly once even though probes explode x9.
+    pts = [(1, 4, 4), (2, 5, 5), (3, 6, 6), (4, 9, 9)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    rows = grid_neighbor_pairs(df, "id", "x", "y", 5).collect()
+    pairs = [(r.id_a, r.id_b) for r in rows]
+    assert len(pairs) == len(set(pairs))  # no duplicate emission
+    got = dict(((r.id_a, r.id_b), r.dist2) for r in rows)
+    # brute force twin
+    want = {}
+    for i, (ia, xa, ya) in enumerate(pts):
+        for ib, xb, yb in pts[i + 1:]:
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= 25:
+                want[(min(ia, ib), max(ia, ib))] = d2
+    assert got == want
+
+
+def test_grid_neighbor_pairs_validation(spark):
+    df = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
+    with pytest.raises(ValueError):
+        grid_neighbor_pairs(df, "id", "x", "y", 0)
+
+
+# ------------------------------------------------------------- winnowing
+def test_winnowing_matches_python_twin(spark):
+    text = "a b c d e f g h i j k b c d e f"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {(r.fp_hash, r.pos) for r in
+           winnowing_fingerprints(df, ngram=3, window=4).collect()}
+    toks = text.split()
+    grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+    comb = [(_h48(g) << 15) + i for i, g in enumerate(grams)]
+    want = set()
+    for s in range(len(comb) - 4 + 1):
+        m = min(comb[s:s + 4])
+        want.add((m >> 15, m & 0x7FFF))
+    assert got == want
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    # two docs sharing a run of window+ngram-1 = 6 tokens must share
+    # at least one fingerprint hash (the MOSS guarantee).
+    shared = "q w e r t y"
+    df = spark.createDataFrame(
+        [(1, "a b c " + shared + " z z2"),
+         (2, shared + " m n o p")],
+        "doc_id long, text string")
+    rows = winnowing_fingerprints(df, ngram=3, window=4).collect()
+    h1 = {r.fp_hash for r in rows if r.doc_id == 1}
+    h2 = {r.fp_hash for r in rows if r.doc_id == 2}
+    assert h1 & h2
+
+
+def test_winnowing_short_doc_no_full_window(spark):
+    # fewer grams than the window -> no fingerprints (full windows only)
+    df = spark.createDataFrame([(1, "a b c d")],
+                               "doc_id long, text string")
+    assert winnowing_fingerprints(df, ngram=3, window=4).count() == 0
+
+
+# ---------------------------------------------------------- link predict
+def test_jaccard_link_prediction_hand_case(spark):
+    # path graph 1-2-3 plus 3-4: non-adjacent (1,3) share {2},
+    # (2,4) share {3}, (1,4) share nothing -> absent.
+    edges = [(1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.a, r.b): (r.common, r.deg_a, r.deg_b, r.jaccard_e6)
+           for r in jaccard_link_prediction(df, k=10).collect()}
+    # deg: 1->1, 2->2, 3->2, 4->1
+    assert got == {(1, 3): (1, 1, 2, 500000),
+                   (2, 4): (1, 2, 1, 500000)}
+
+
+def test_jaccard_link_prediction_hub_cap(spark):
+    # star center 0 with leaves 1..4: every leaf pair shares {0};
+    # capping the center degree below 4 removes all candidates.
+    edges = [(0, i) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert jaccard_link_prediction(df, k=100).count() == 6  # C(4,2)
+    assert jaccard_link_prediction(
+        df, k=100, max_center_degree=3).count() == 0
+
+
+# ------------------------------------------------------- clustering coeff
+def test_clustering_coefficient_triangle_plus_tail(spark):
+    # triangle {1,2,3} with tail 3-4: cc(1)=cc(2)=1.0, cc(3)=1/3,
+    # cc(4) NULL (deg 1).
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.deg, r.n_triangles, r.cc_e6)
+           for r in clustering_coefficient(df).collect()}
+    assert got == {1: (2, 1, 1000000), 2: (2, 1, 1000000),
+                   3: (3, 1, 333333), 4: (1, 0, None)}
+
+
+# ------------------------------------------------------------- feat hash
+def test_feature_hash_matches_python_twin(spark):
+    df = spark.createDataFrame([(1, "x y x z"), (2, "")],
+                               "doc_id long, text string")
+    got = {(r.doc_id, r.bucket): r.val
+           for r in feature_hash(df, n_buckets=8).collect()}
+    want: dict = {}
+    for tok in ["x", "y", "x", "z"]:
+        h = _h60(tok)
+        b, s = h % 8, 1 if (h // 8) % 2 == 0 else -1
+        want[(1, b)] = want.get((1, b), 0) + s
+    want = {k: v for k, v in want.items() if v != 0}
+    assert got == want
+
+
+def test_feature_hash_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        feature_hash(df, n_buckets=1)
+
+
+# -------------------------------------------------------------- nb train
+def test_nb_train_hand_case(spark):
+    rows = [(1, "a a b", "s1"), (2, "a c", "s1"), (3, "b b c", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "source string")
+    got = {(r.source, r.token):
+           (r.cnt, r.n_class_tokens, r.vocab_size, r.p_e6, r.prior_e6)
+           for r in nb_train(df, min_count=2).collect()}
+    # vocab (total >= 2): a(3), b(3), c(2) -> V=3
+    # s1 tokens in vocab: a=3, c=1 -> n=4 ... wait b appears in s1 once
+    # s1: "a a b" + "a c" -> a=3, b=1, c=1 -> n_class_tokens=5
+    # s2: b=2, c=1 -> 3
+    assert got[("s1", "a")] == (3, 5, 3, (4 * 1000000) // 8,
+                                (2 * 1000000) // 3)
+    assert got[("s1", "b")] == (1, 5, 3, (2 * 1000000) // 8,
+                                (2 * 1000000) // 3)
+    assert got[("s2", "b")] == (2, 3, 3, (3 * 1000000) // 6,
+                                (1 * 1000000) // 3)
+    assert len(got) == 5  # observed (class, vocab-token) pairs only
+
+
+# ------------------------------------------------------------------ ewma
+def test_ewma_trunc_hand_case(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, i, t0 + dt.timedelta(seconds=i), float(v))
+            for i, v in enumerate([10, 20, 30])]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+    got = {r.event_id: r.ewma
+           for r in ewma_trunc(df, "user_id", F.col("value"),
+                               k=3).collect()}
+    # k=3, weights newest-first 4,2,1
+    assert got[0] == 10                      # 4*10 / 4
+    assert got[1] == (4 * 20 + 2 * 10) // 6  # 16
+    assert got[2] == (4 * 30 + 2 * 20 + 1 * 10) // 7  # 24
+    with pytest.raises(ValueError):
+        ewma_trunc(df, "user_id", F.col("value"), k=0)
+
+
+# --------------------------------------------------------------- benford
+def test_benford_digits_hand_case(spark):
+    vals = [1.5, 19.0, 120.0, 2.0, 9.9]  # digits 1,1,1,2,9
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r.digit: (r.n, r.freq_e6, r.benford_e6, r.delta_e6)
+           for r in benford_digits(df, F.col("v")).collect()}
+    assert got[1] == (3, 600000, 301030, 298970)
+    assert got[2] == (1, 200000, 176091, 23909)
+    assert got[9] == (1, 200000, 45757, 154243)
+
+
+# ----------------------------------------------------------- session paths
+def test_session_paths_order_and_ties(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a,b,c then extra d (ignored at depth 3)
+        (1, 1, t0, "a"), (1, 2, t0 + dt.timedelta(1), "b"),
+        (1, 3, t0 + dt.timedelta(2), "c"), (1, 4, t0 + dt.timedelta(3), "d"),
+        # user 2: same ts for first two -> event_id breaks the tie
+        (2, 6, t0, "b"), (2, 5, t0, "a"),
+        (2, 7, t0 + dt.timedelta(1), "c"),
+        # user 3: short journey
+        (3, 8, t0, "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+              "event_type string")
+    got = {r.path: r.n_keys
+           for r in session_paths(df, "user_id", "event_type",
+                                  depth=3, k=10).collect()}
+    assert got == {"a>b>c": 2, "z": 1}

@@ -718,6 +718,34 @@ def main() -> None:
                 and "SinglePartition" not in pb.split("Window")[-1],
                 f"bm25_filter_seen={bm_prefiltered}, cartesian=0")
 
+    # 43. session-12 blocking/window family: the grid spatial join is
+    #     cell-key equi-joins ONLY (the quadratic form never appears);
+    #     link prediction is center-keyed equi-joins + LeftAnti (no
+    #     cartesian, no nested loop); winnowing's selection and ewma's
+    #     smoothing are PER-KEY windows — never a SinglePartition sort.
+    from frogocr_spark.operators.analytics import ewma_trunc
+    from frogocr_spark.operators.graph import jaccard_link_prediction
+    from frogocr_spark.operators.spatial import grid_neighbor_pairs
+    from frogocr_spark.operators.textstats import winnowing_fingerprints
+    pts = ev.select(F.col("event_id").alias("id"),
+                    (F.col("user_id") % 1000).alias("x"),
+                    (F.floor("value").cast("long") % 1000).alias("y"))
+    pg = executed(grid_neighbor_pairs(pts, "id", "x", "y", 25))
+    edges = ev.select(F.col("user_id").alias("src"),
+                      (F.col("user_id") % 97).alias("dst"))
+    pl = executed(jaccard_link_prediction(edges, k=10))
+    pw = executed(winnowing_fingerprints(docs))
+    pe2 = executed(ewma_trunc(ev, "user_id",
+                              F.floor(F.col("value") * 100), k=8))
+    ok &= check("grid/link-predict equi-joins only; winnowing/ewma "
+                "keyed windows",
+                "CartesianProduct" not in pg + pl + pw + pe2
+                and "BroadcastNestedLoopJoin" not in pg + pl
+                and "SinglePartition" not in pw.split("Window")[-1]
+                and "SinglePartition" not in pe2.split("Window")[-1],
+                f"grid_joins={pg.count('Join')}, "
+                f"lp_leftanti={'LeftAnti' in pl}, cartesian=0")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
