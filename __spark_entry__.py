@@ -3707,6 +3707,92 @@ def _q_recs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "jac_e6", F.col("rank").cast("int").alias("rank")))
 
 
+# ---- session 13: Hilbert layout, RAKE, drift, recursive CTE ----------
+
+RECURSIVE_CTE_TEXT = """
+    WITH RECURSIVE nodes AS (
+        SELECT DISTINCT user_id + 1 AS id FROM events
+    ), walk (id, anc, depth) AS (
+        SELECT id, id, CAST(0 AS BIGINT) FROM nodes
+        UNION ALL
+        SELECT id, CAST(floor(anc / 2) AS BIGINT), depth + 1
+        FROM walk WHERE anc > 1
+    )
+    SELECT id, max(depth) AS depth_to_root,
+           CAST(count(*) AS BIGINT) AS chain_len,
+           CAST(sum(anc) AS BIGINT) AS anc_sum
+    FROM walk GROUP BY id
+"""
+
+
+def _q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recursive-CTE SQL surface (Spark 4 WITH RECURSIVE): an
+    ancestor walk up the implicit binary hierarchy parent = id DIV 2
+    (the org-chart / category-tree shape) — depth to root, chain
+    length, exact ancestor-id sum.  Single source of truth: Spark
+    executes the EXACT text DuckDB runs (``RECURSIVE_CTE_TEXT``), the
+    sql_surface pattern — the two recursions cannot drift.  The
+    per-node chain is O(log id), so the recursion materializes
+    n·log n rows — never quadratic; floor(anc / 2) is exact in double
+    far past any id here (documented)."""
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(RECURSIVE_CTE_TEXT)
+
+
+def _q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering value (the locality-stronger sibling of
+    zorder_layout — no diagonal jumps, tighter per-file min-max at the
+    same bits): the classic xy→d rotate/reflect walk as one named
+    projection per level — a pure map stage, no shuffle; the oracle
+    runs the identical per-level arithmetic as a chained CTE
+    (operators/layout.hilbert_index / hilbert_sql_query)."""
+    from frogocr_spark.operators.layout import hilbert_index
+    ev = (_read(spark, sf_dir, "events")
+          .select("event_id", (F.col("user_id") % 1024).alias("x"),
+                  (F.floor("value").cast("long") % 1024).alias("y")))
+    return hilbert_index(ev, "x", "y", bits=10).select("event_id",
+                                                       "hval")
+
+
+def _q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose 2010): top-15 candidate phrases
+    (maximal non-stopword runs ≤ 4 words, gaps-and-islands per doc) by
+    the exact integer deg/freq score Σ(deg·10^6 DIV freq) — corpus
+    keyphrases for indexing/tagging
+    (operators/textstats.rake_keywords)."""
+    from frogocr_spark.operators.textstats import rake_keywords
+    return rake_keywords(_read_split(spark, sf_dir, "documents"),
+                         k=15, max_len=4)
+
+
+def _q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: chi-square homogeneity of the
+    event-type mix between the early and late halves of the corpus
+    window (integer midpoint-day split) — per-category contribution as
+    ONE exact DECIMAL(38,0) expression; one conditional-count agg over
+    a single scan (operators/analytics.drift_chi2)."""
+    from frogocr_spark.operators.analytics import drift_chi2
+    return drift_chi2(_read(spark, sf_dir, "events"), "event_type")
+
+
+def _q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: integer epoch
+    -hour % 24 (no calendar/timezone rules), exact share_e6 = n·10^6
+    DIV n_type — the traffic-shape report; one keyed agg + a
+    broadcast-sized totals join."""
+    ev = _read(spark, sf_dir, "events")
+    hod = F.expr("(unix_micros(CAST(ts AS TIMESTAMP)) "
+                 "DIV 3600000000) % 24")
+    per = (ev.select("event_type", hod.alias("hour"))
+           .groupBy("event_type", "hour")
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = per.groupBy("event_type").agg(F.sum("n").alias("n_type"))
+    return (per.join(F.broadcast(tot), "event_type")
+            .withColumn("share_e6", F.expr("(n * 1000000) DIV n_type"))
+            .select("event_type", F.col("hour").cast("int").alias("hour"),
+                    F.col("n").cast("long").alias("n"), "share_e6"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -3935,6 +4021,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": _q_session_paths,
         "union_by_name": _q_union_by_name,
         "recs_jaccard": _q_recs_jaccard,
+        "recursive_cte": _q_recursive_cte,
+        "hilbert_layout": _q_hilbert_layout,
+        "rake_keywords": _q_rake_keywords,
+        "drift_chi2": _q_drift_chi2,
+        "seasonality": _q_seasonality,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -7843,6 +7934,32 @@ FROM pos2
         SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT),
                o_orderpriority
         FROM orders WHERE o_orderkey % 10 >= 3
+    """
+    o["recursive_cte"] = RECURSIVE_CTE_TEXT
+    from frogocr_spark.operators.layout import hilbert_sql_query
+    o["hilbert_layout"] = hilbert_sql_query(
+        "SELECT event_id, user_id % 1024 AS x, "
+        "CAST(floor(value) AS BIGINT) % 1024 AS y FROM events",
+        ["event_id"], "x", "y", bits=10)
+    from frogocr_spark.operators.textstats import rake_keywords_oracle_sql
+    o["rake_keywords"] = rake_keywords_oracle_sql(
+        "SELECT doc_id, text FROM documents", 15, 4)
+    from frogocr_spark.operators.analytics import drift_chi2_oracle_sql
+    o["drift_chi2"] = drift_chi2_oracle_sql(
+        "SELECT event_type, ts FROM events", "event_type")
+    o["seasonality"] = """
+        WITH per AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) % 24 AS hour,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, sum(n) AS n_type FROM per GROUP BY 1
+        )
+        SELECT per.event_type, CAST(hour AS INT) AS hour,
+               CAST(n AS BIGINT) AS n,
+               CAST((n * 1000000) // n_type AS BIGINT) AS share_e6
+        FROM per JOIN tot ON per.event_type = tot.event_type
     """
     o["recs_jaccard"] = """
         WITH bp AS (

@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "spatial_join", "winnowing", "link_predict", "clustering_coeff",
     "feat_hash", "nb_train", "ewma", "autocorr", "benford",
     "session_paths", "union_by_name", "recs_jaccard",
+    "recursive_cte", "hilbert_layout", "rake_keywords", "drift_chi2",
+    "seasonality",
 ]
 
 

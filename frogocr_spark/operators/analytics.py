@@ -1280,3 +1280,90 @@ def session_paths_oracle_sql(src_sql: str, key_col: str,
         FROM paths GROUP BY path
         ORDER BY n_keys DESC, path ASC LIMIT {int(k)}
     """
+
+
+def drift_chi2(df: DataFrame, state_col: str,
+               ts_col: str = "ts") -> DataFrame:
+    """Distribution-drift audit: chi-square homogeneity of the
+    ``state_col`` distribution between the EARLY and LATE halves of the
+    corpus time window (split at the integer midpoint day — exact both
+    -engine arithmetic, no calendar rules).  The per-category
+    contribution of the 2×k homogeneity statistic reduces to
+
+        chi2_e6 = (a·N_B − b·N_A)² · 10^6 DIV (N_A · N_B · (a+b))
+
+    (a, b = category counts in each half; N_A, N_B = half totals) — an
+    algebraic identity of Σ(O−E)²/E for the 2-row table, computed as
+    exact DECIMAL(38,0) products with one truncating division, so the
+    drift decision can never flip on a float ulp.  Degenerate windows
+    (one half empty) emit NULL.
+
+    Scale shape: exactly TWO corpus scans — a 1-row min/max aggregate
+    (the split point, broadcast back) and ONE map-side-combined
+    (category)-keyed conditional count; the half totals come from an
+    unpartitioned window over the POST-AGGREGATION relation (bounded by
+    the category cardinality, never the corpus — the acceptable
+    SinglePartition: k rows, not N), so the count lineage is never
+    re-derived for the totals.  Output: ``(state, n_a, n_b,
+    chi2_e6)``."""
+    from pyspark.sql import Window
+    dec = "decimal(38,0)"
+    day = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                 f"DIV {US_PER_DAY}").alias("day")
+    base = df.select(F.col(state_col).alias("state"), day)
+    bounds = base.agg(
+        F.min("day").alias("d_lo"), F.max("day").alias("d_hi"))
+    # integer midpoint: (lo + hi + 1) DIV 2 (days are non-negative here;
+    # unix day of the synthetic corpora — documented)
+    split = bounds.select(
+        F.expr("(d_lo + d_hi + 1) DIV 2").alias("d_split"))
+    tagged = base.crossJoin(F.broadcast(split)).withColumn(
+        "early", (F.col("day") < F.col("d_split")).cast("int"))
+    per = tagged.groupBy("state").agg(
+        F.sum("early").alias("a"),
+        F.sum(1 - F.col("early")).alias("b"))
+    wall = Window.partitionBy()
+    d = lambda c: F.col(c).cast(dec)  # noqa: E731
+    out = (per.withColumn("na", F.sum("a").over(wall))
+           .withColumn("nb", F.sum("b").over(wall))
+           .withColumn("_num",
+                       (d("a") * d("nb") - d("b") * d("na"))
+                       * (d("a") * d("nb") - d("b") * d("na"))
+                       * F.lit(1000000).cast(dec))
+           .withColumn("_den", d("na") * d("nb") * (d("a") + d("b")))
+           .withColumn("chi2_e6",
+                       F.when(F.col("_den") > 0,
+                              F.expr("_num DIV _den"))))
+    return out.select(F.col("state").alias(state_col),
+                      F.col("a").cast("long").alias("n_a"),
+                      F.col("b").cast("long").alias("n_b"),
+                      "chi2_e6")
+
+
+def drift_chi2_oracle_sql(src_sql: str, state_col: str) -> str:
+    """DuckDB twin of :func:`drift_chi2`."""
+    return f"""
+        WITH src AS ({src_sql}),
+        base AS (
+            SELECT {state_col} AS state,
+                   epoch_us(ts) // {US_PER_DAY} AS day
+            FROM src
+        ), split AS (
+            SELECT (min(day) + max(day) + 1) // 2 AS d_split FROM base
+        ), per AS (
+            SELECT state,
+                   sum(CASE WHEN day < d_split THEN 1 ELSE 0 END) AS a,
+                   sum(CASE WHEN day < d_split THEN 0 ELSE 1 END) AS b
+            FROM base CROSS JOIN split GROUP BY state
+        ), tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM per)
+        SELECT state AS {state_col},
+               CAST(a AS BIGINT) AS n_a, CAST(b AS BIGINT) AS n_b,
+               CASE WHEN CAST(na AS HUGEINT) * nb * (a + b) > 0 THEN
+                   CAST(((CAST(a AS HUGEINT) * nb
+                          - CAST(b AS HUGEINT) * na)
+                         * (CAST(a AS HUGEINT) * nb
+                            - CAST(b AS HUGEINT) * na) * 1000000) //
+                        (CAST(na AS HUGEINT) * nb * (a + b)) AS BIGINT)
+               END AS chi2_e6
+        FROM per CROSS JOIN tot
+    """

@@ -110,3 +110,100 @@ def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str,
      .sortWithinPartitions("zval")
      .drop("zval")
      .write.mode("overwrite").parquet(path))
+
+
+# ---------------------------------------------------------------- hilbert
+# The Hilbert curve is the locality-stronger sibling of the Z-order
+# curve: unlike Morton order it has NO long diagonal jumps, so
+# consecutive curve positions are always grid neighbors and per-file
+# min-max ranges come out tighter for the same data (the reason
+# modern lakehouse engines offer Hilbert clustering beside Z-order).
+# Algorithm: the classic xy→d walk (Wikipedia/"Hilbert curve",
+# public domain formulation): per level s = 2^(bits-1)..1 read the two
+# top bits, accumulate s²·quadrant, and rotate/reflect the frame.
+# Everything is CASE + integer ops — engine-portable, no float.
+
+def hilbert_index(df: DataFrame, x_col: str, y_col: str,
+                  bits: int = 10, out_col: str = "hval") -> DataFrame:
+    """Add the Hilbert-curve position of (``x_col``, ``y_col``) (both
+    in [0, 2^bits)) as ``out_col``.  Built as one named projection per
+    level (a linear withColumn chain — naming the intermediates keeps
+    the expression tree linear where a pure expression would grow
+    4^bits) — still a pure map stage, whole-stage-codegen'd, no
+    shuffle.  The DuckDB twin :func:`hilbert_sql_query` emits the
+    identical per-level arithmetic."""
+    if not (1 <= bits <= 31):
+        raise ValueError("bits must be in [1, 31]")
+    out = (df.withColumn("_hx", F.col(x_col).cast("long"))
+           .withColumn("_hy", F.col(y_col).cast("long"))
+           .withColumn("_hd", F.lit(0).cast("long")))
+    for i in reversed(range(bits)):
+        s = 1 << i
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0,
+                    1).otherwise(0)
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0,
+                    1).otherwise(0)
+        out = out.withColumn("_rx", rx).withColumn("_ry", ry)
+        quad = (F.when((F.col("_rx") == 0) & (F.col("_ry") == 0), 0)
+                .when(F.col("_rx") == 0, 1)
+                .when(F.col("_ry") == 1, 2)
+                .otherwise(3))
+        nhx = (F.when(F.col("_ry") == 1, F.col("_hx"))
+               .when(F.col("_rx") == 1, F.lit(s - 1) - F.col("_hy"))
+               .otherwise(F.col("_hy")))
+        nhy = (F.when(F.col("_ry") == 1, F.col("_hy"))
+               .when(F.col("_rx") == 1, F.lit(s - 1) - F.col("_hx"))
+               .otherwise(F.col("_hx")))
+        out = (out.withColumn("_hd", F.col("_hd")
+                              + F.lit(int(s) * int(s)) * quad)
+               .withColumn("_hx2", nhx).withColumn("_hy2", nhy)
+               .drop("_hx", "_hy")
+               .withColumnRenamed("_hx2", "_hx")
+               .withColumnRenamed("_hy2", "_hy"))
+    return (out.withColumnRenamed("_hd", out_col)
+            .drop("_hx", "_hy", "_rx", "_ry"))
+
+
+def hilbert_sql_query(src_sql: str, id_cols: list[str], x_expr: str,
+                      y_expr: str, bits: int = 10,
+                      out_col: str = "hval") -> str:
+    """The identical Hilbert walk as a chained-CTE ANSI SQL query
+    (DuckDB-runnable) — one CTE per level naming the rotated frame, so
+    oracle and operator share the same per-level formulas and the
+    expression stays linear."""
+    ids = ", ".join(id_cols)
+    parts = [f"WITH h{bits} AS (SELECT {ids}, "
+             f"CAST({x_expr} AS BIGINT) AS hx, "
+             f"CAST({y_expr} AS BIGINT) AS hy, "
+             f"CAST(0 AS BIGINT) AS hd FROM ({src_sql}))"]
+    for i in reversed(range(bits)):
+        s = 1 << i
+        parts.append(
+            f", h{i} AS (SELECT {ids}, "
+            f"CASE WHEN ry = 1 THEN hx "
+            f"WHEN rx = 1 THEN {s - 1} - hy ELSE hy END AS hx, "
+            f"CASE WHEN ry = 1 THEN hy "
+            f"WHEN rx = 1 THEN {s - 1} - hx ELSE hx END AS hy, "
+            f"hd + {s * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0 "
+            f"WHEN rx = 0 THEN 1 WHEN ry = 1 THEN 2 ELSE 3 END) AS hd "
+            f"FROM (SELECT *, "
+            f"CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx, "
+            f"CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry "
+            f"FROM h{i + 1}))")
+    parts.append(f" SELECT {ids}, hd AS {out_col} FROM h0")
+    return "".join(parts)
+
+
+def hilbert_index_py(x: int, y: int, bits: int = 10) -> int:
+    """Pure-Python twin of :func:`hilbert_index` for tests."""
+    hd = 0
+    for i in reversed(range(bits)):
+        s = 1 << i
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        hd += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+    return hd

@@ -1407,3 +1407,131 @@ def winnowing_oracle_sql(docs_sql: str, ngram: int = 4,
                CAST(s % 32768 AS INT) AS pos
         FROM sel
     """
+
+
+RAKE_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "is",
+    "are", "was", "be", "that", "it", "for", "as", "with", "at",
+    "by", "from", "this", "but", "not", "we", "you", "they", "he",
+    "she", "his", "her", "its", "has", "have", "had", "will", "can")
+
+
+def rake_keywords(df: DataFrame, k: int = 15, max_len: int = 4,
+                  stopwords: tuple = RAKE_STOPWORDS,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are MAXIMAL runs of non-stopword tokens (found with the
+    gaps-and-islands trick — pos minus non-stop rank is constant
+    within a run); each word scores ``deg/freq`` where ``freq`` is its
+    occurrence count inside candidates and ``deg = Σ phrase_len`` over
+    its candidate occurrences (the within-phrase co-occurrence
+    degree); a phrase scores the sum of its words' scores.  The
+    ranking statistic is restated exactly:
+
+        score_e6 = Σ_words (deg_w · 10^6 DIV freq_w)
+
+    — an integer sum of per-word truncating divisions, so the top-``k``
+    cut (score desc, phrase asc) can never flip on a float ulp.
+    Candidates longer than ``max_len`` words are dropped (standard RAKE
+    hygiene: unbounded runs are junk, not keywords).
+
+    Scale shape: tokenize + island assignment are one posexplode and
+    ONE per-doc keyed window (never global); phrase assembly is a
+    (doc, island) keyed agg; word stats are ONE word-keyed map-side
+    -combined agg joined back onto the words of the DISTINCT phrase
+    strings (vocabulary-sized, not corpus-sized); the final cut is
+    TakeOrdered.  Output: ``(phrase, n_occ, n_words, score_e6)``."""
+    toks = (df.select(F.col(id_col).alias("_id"),
+                      F.posexplode(F.array_remove(
+                          F.split(F.lower(F.trim(F.col(text_col))),
+                                  r"\s+"), ""))
+                      .alias("pos", "token")))
+    ns = toks.where(~F.col("token").isin(*stopwords))
+    w = Window.partitionBy("_id").orderBy("pos")
+    runs = ns.withColumn("island",
+                         F.col("pos") - F.row_number().over(w))
+    occ = (runs.groupBy("_id", "island")
+           .agg(F.array_sort(
+               F.collect_list(F.struct("pos", "token"))).alias("ts"))
+           .select(F.concat_ws(
+               " ", F.expr("transform(ts, t -> t.token)")).alias("phrase"),
+               F.size("ts").alias("plen"))
+           .where(F.col("plen") <= max_len))
+    wstats = (occ.select(F.explode(F.split("phrase", " ")).alias("word"),
+                         "plen")
+              .groupBy("word")
+              .agg(F.sum("plen").alias("deg"),
+                   F.count(F.lit(1)).alias("freq")))
+    uniq = occ.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"),
+                                     F.max("plen").alias("n_words"))
+    scored = (uniq.select("phrase", "n_occ", "n_words",
+                          F.explode(F.split("phrase", " ")).alias("word"))
+              .join(wstats, "word")
+              .groupBy("phrase", "n_occ", "n_words")
+              .agg(F.sum(F.expr("(deg * 1000000) DIV freq"))
+                   .alias("score_e6")))
+    return (scored.orderBy(F.col("score_e6").desc(),
+                           F.col("phrase").asc())
+            .limit(int(k))
+            .select("phrase", F.col("n_occ").cast("long").alias("n_occ"),
+                    F.col("n_words").cast("long").alias("n_words"),
+                    F.col("score_e6").cast("long").alias("score_e6")))
+
+
+def rake_keywords_oracle_sql(docs_sql: str, k: int, max_len: int,
+                             stopwords: tuple = RAKE_STOPWORDS) -> str:
+    """DuckDB twin of :func:`rake_keywords` — same islands, same
+    integer score."""
+    sw = ", ".join(f"'{s}'" for s in stopwords)
+    return rf"""
+        WITH docs AS ({docs_sql}),
+        toks AS (
+            SELECT doc_id, p['pos'] AS pos, p['token'] AS token
+            FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(ws) >= 1 THEN
+                           [struct_pack(pos := j - 1, token := ws[j])
+                            for j in range(1, len(ws) + 1)]
+                       ELSE [] END) AS p
+                FROM (
+                    SELECT doc_id,
+                           list_filter(string_split_regex(
+                               lower(trim(text)), '\s+'),
+                               t -> t <> '') AS ws
+                    FROM docs
+                )
+            )
+        ), ns AS (
+            SELECT doc_id, pos, token,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS island
+            FROM toks WHERE token NOT IN ({sw})
+        ), occ AS (
+            SELECT string_agg(token, ' ' ORDER BY pos) AS phrase,
+                   count(*) AS plen
+            FROM ns GROUP BY doc_id, island
+            HAVING count(*) <= {int(max_len)}
+        ), wstats AS (
+            SELECT word, sum(plen) AS deg, count(*) AS freq FROM (
+                SELECT unnest(string_split(phrase, ' ')) AS word, plen
+                FROM occ
+            ) GROUP BY word
+        ), uniq AS (
+            SELECT phrase, count(*) AS n_occ, max(plen) AS n_words
+            FROM occ GROUP BY phrase
+        ), scored AS (
+            SELECT phrase, n_occ, n_words,
+                   sum((deg * 1000000) // freq) AS score_e6
+            FROM (
+                SELECT phrase, n_occ, n_words,
+                       unnest(string_split(phrase, ' ')) AS word
+                FROM uniq
+            ) JOIN wstats USING (word)
+            GROUP BY phrase, n_occ, n_words
+        )
+        SELECT phrase, CAST(n_occ AS BIGINT) AS n_occ,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(score_e6 AS BIGINT) AS score_e6
+        FROM scored ORDER BY score_e6 DESC, phrase ASC LIMIT {int(k)}
+    """

@@ -231,3 +231,102 @@ def test_session_paths_order_and_ties(spark):
            for r in session_paths(df, "user_id", "event_type",
                                   depth=3, k=10).collect()}
     assert got == {"a>b>c": 2, "z": 1}
+
+
+# ---------------------------------------------------- session 13: hilbert
+def test_hilbert_spark_matches_python_twin(spark):
+    from frogocr_spark.operators.layout import (hilbert_index,
+                                                hilbert_index_py)
+    rows = [(i, (i * 37) % 16, (i * 11) % 16) for i in range(64)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r.id: r.hval
+           for r in hilbert_index(df, "x", "y", bits=4).collect()}
+    for i, x, y in rows:
+        assert got[i] == hilbert_index_py(x, y, 4), (i, x, y)
+
+
+def test_hilbert_is_a_continuous_walk():
+    # consecutive curve positions are always grid neighbors (L1 = 1) —
+    # the locality property Z-order lacks (its diagonal jumps).
+    from frogocr_spark.operators.layout import hilbert_index_py
+    cells = {hilbert_index_py(x, y, 3): (x, y)
+             for x in range(8) for y in range(8)}
+    assert sorted(cells) == list(range(64))
+    jumps = [abs(cells[d][0] - cells[d + 1][0])
+             + abs(cells[d][1] - cells[d + 1][1]) for d in range(63)]
+    assert max(jumps) == 1
+    # contrast: the Morton curve DOES jump (max L1 > 1)
+    from frogocr_spark.operators.layout import zvalue  # noqa: F401
+    def z(x, y):
+        v = 0
+        for i in range(3):
+            v |= ((x >> i) & 1) << (2 * i)
+            v |= ((y >> i) & 1) << (2 * i + 1)
+        return v
+    zcells = {z(x, y): (x, y) for x in range(8) for y in range(8)}
+    zjumps = [abs(zcells[d][0] - zcells[d + 1][0])
+              + abs(zcells[d][1] - zcells[d + 1][1]) for d in range(63)]
+    assert max(zjumps) > 1
+
+
+def test_hilbert_validation(spark):
+    from frogocr_spark.operators.layout import hilbert_index
+    df = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hilbert_index(df, "x", "y", bits=0)
+
+
+# ------------------------------------------------------ session 13: rake
+def test_rake_keywords_hand_case(spark):
+    # stopwords "is the" split two runs: "deep learning" (len 2) and
+    # "deep learning rocks" (len 3).  deg(deep) = deg(learning) =
+    # 2 + 3 = 5 over freq 2 -> 2.5e6 each; deg(rocks) = 3 over freq 1
+    # -> 3e6.  Scores: 2-run 5e6, 3-run 8e6.
+    df = spark.createDataFrame(
+        [(1, "deep learning is the deep learning rocks")],
+        "doc_id long, text string")
+    from frogocr_spark.operators.textstats import rake_keywords
+    got = {r.phrase: (r.n_occ, r.n_words, r.score_e6)
+           for r in rake_keywords(df, k=10, max_len=4).collect()}
+    assert got == {"deep learning": (1, 2, 5000000),
+                   "deep learning rocks": (1, 3, 8000000)}
+
+
+def test_rake_max_len_cut(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string")
+    from frogocr_spark.operators.textstats import rake_keywords
+    assert rake_keywords(df, k=10, max_len=4).count() == 0  # run of 5
+
+
+# ----------------------------------------------- session 13: drift chi2
+def test_drift_chi2_hand_case(spark):
+    import datetime as dt
+    lo, hi = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 10)
+    # days 0..9, split at (0+9+1)//2 = 5: early = days 0-4
+    rows = []
+    for d in range(10):
+        t = lo + dt.timedelta(days=d)
+        rows.append(("x", t))            # x: 5 early, 5 late
+        if d < 5:
+            rows.append(("y", t))        # y: 5 early, 0 late
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    from frogocr_spark.operators.analytics import drift_chi2
+    got = {r.event_type: (r.n_a, r.n_b, r.chi2_e6)
+           for r in drift_chi2(df, "event_type").collect()}
+    # NA=10, NB=5; x: a=5,b=5 -> (5*5-5*10)^2*1e6/(10*5*10) = 1.25e6
+    # y: a=5,b=0 -> (5*5)^2*1e6/(10*5*5) = 2.5e6
+    assert got == {"x": (5, 5, 1250000), "y": (5, 0, 2500000)}
+
+
+def test_drift_chi2_degenerate_single_day(spark):
+    import datetime as dt
+    t = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame([("x", t), ("x", t)],
+                               "event_type string, ts timestamp")
+    from frogocr_spark.operators.analytics import drift_chi2
+    row = drift_chi2(df, "event_type").collect()[0]
+    # split = day itself -> everything 'late', NA = 0 -> NULL
+    assert (row.n_a, row.n_b, row.chi2_e6) == (0, 2, None)

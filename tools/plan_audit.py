@@ -746,6 +746,30 @@ def main() -> None:
                 f"grid_joins={pg.count('Join')}, "
                 f"lp_leftanti={'LeftAnti' in pl}, cartesian=0")
 
+    # 44. hilbert layout is a pure map stage (no exchange — the linear
+    #     withColumn chain stays inside one codegen'd projection
+    #     pipeline); RAKE's island assignment is a PER-DOC window
+    #     (never SinglePartition) and drift_chi2 scans the corpus once
+    #     (the split point is a 1-row broadcast, not a self-join).
+    from frogocr_spark.operators.analytics import drift_chi2
+    from frogocr_spark.operators.layout import hilbert_index
+    from frogocr_spark.operators.textstats import rake_keywords
+    ph = executed(hilbert_index(
+        ev.select("event_id", (F.col("user_id") % 1024).alias("x"),
+                  (F.floor("value").cast("long") % 1024).alias("y")),
+        "x", "y", bits=10))
+    pr2 = executed(rake_keywords(docs, k=5))
+    pd2 = executed(drift_chi2(ev, "event_type"))
+    ok &= check("hilbert map-only; rake keyed windows; drift two scans",
+                "Exchange" not in ph
+                and "SinglePartition" not in pr2.split("Window")[-1]
+                and pd2.count("Scan parquet") <= 2
+                and "SortMergeJoin" not in pd2
+                and "CartesianProduct" not in pr2 + pd2,
+                f"hilbert_exchanges={ph.count('Exchange')}, "
+                f"drift_scans={pd2.count('Scan parquet')} "
+                f"(bounds + counts; totals window over k agg rows)")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
