@@ -3793,6 +3793,88 @@ def _q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n").cast("long").alias("n"), "share_e6"))
 
 
+# ---- session 14: bitmaps, exponential histogram, weighted median, ----
+# ---- 2-hop reach, char-class stats, JSON key profiling ---------------
+
+
+def _q_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hour-of-day activity bitmap packed into ONE int64 via
+    the bit_or monoid (idempotent set-union aggregation — the roaring
+    -bitmap presence encoding for small domains) + bit_count distinct
+    hours; one map-side-combined keyed agg
+    (operators/analytics.activity_bitmap)."""
+    from frogocr_spark.operators.analytics import activity_bitmap
+    return activity_bitmap(_read(spark, sf_dir, "events"), "user_id")
+
+
+def _q_log2_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two exponential histogram of value cents per event type
+    (the DDSketch/HdrHistogram bucketing family): bucket =
+    floor(log2(v)) computed EXACTLY as length(bin(v))−1 — the binary
+    -digit-count identity replaces libm's log and its rounding
+    ambiguity; ≤ 63 buckets of state per group
+    (operators/analytics.log2_histogram)."""
+    from frogocr_spark.operators.analytics import log2_histogram
+    ev = _read(spark, sf_dir, "events")
+    return log2_histogram(ev, "event_type",
+                          F.floor(F.col("value") * 100))
+
+
+def _q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of floor(value) per event type with
+    deterministic integer weights 1 + user_id % 5: smallest v with
+    2·cumw ≥ totw under the total (v, event_id) order — the
+    nearest-rank discipline generalized to weights; ONE keyed window
+    (operators/analytics.weighted_median)."""
+    from frogocr_spark.operators.analytics import weighted_median
+    ev = _read(spark, sf_dir, "events")
+    return weighted_median(ev, "event_type",
+                           F.floor(F.col("value")),
+                           F.lit(1) + F.col("user_id") % 5)
+
+
+def _q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friend-of-friend audience: distinct nodes within ≤ 2 hops per
+    node of the co-event graph — one adjacency self-join on the middle
+    node (Σdeg² wedges, the exact-reach bound) + distinct + keyed count
+    (operators/graph.two_hop_reach)."""
+    from frogocr_spark.operators.graph import two_hop_reach
+    return two_hop_reach(_coevent_edges(spark, sf_dir))
+
+
+def _q_charclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-class profile (printable-ASCII / digit /
+    upper / space counts + exact ascii_e6 ratio) — the encoding-noise
+    quality gate; classes restricted to explicit ASCII ranges so Java
+    regex and RE2 agree byte-for-byte; pure map stage
+    (operators/textstats.charclass_stats)."""
+    from frogocr_spark.operators.textstats import charclass_stats
+    return charclass_stats(_read(spark, sf_dir, "documents"))
+
+
+def _q_json_keys_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload schema profiling: per key of the events ``props``
+    object — row count, distinct-value count, min/max value text (the
+    schema-inference audit a lake runs before promoting a JSON column
+    to typed).  Spark explodes from_json map<string,string>; the
+    DuckDB oracle uses lateral json_each — the hash match pins the two
+    engines' JSON walks as agreeing (numeric-valued props by
+    construction; quoted-string representation differs by design and
+    is documented)."""
+    ev = _read(spark, sf_dir, "events")
+    kv = ev.select(F.explode(
+        F.from_json(F.col("props"), "map<string,string>"))
+        .alias("key", "val"))
+    return (kv.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("val").alias("n_distinct"),
+                 F.min(F.col("val").cast("long")).alias("min_val"),
+                 F.max(F.col("val").cast("long")).alias("max_val"))
+            .select("key", F.col("n").cast("long").alias("n"),
+                    F.col("n_distinct").cast("long").alias("n_distinct"),
+                    "min_val", "max_val"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -4026,6 +4108,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": _q_rake_keywords,
         "drift_chi2": _q_drift_chi2,
         "seasonality": _q_seasonality,
+        "activity_bitmap": _q_activity_bitmap,
+        "log2_hist": _q_log2_hist,
+        "weighted_median": _q_weighted_median,
+        "graph_2hop": _q_graph_2hop,
+        "charclass": _q_charclass,
+        "json_keys_profile": _q_json_keys_profile,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -7960,6 +8048,37 @@ FROM pos2
                CAST(n AS BIGINT) AS n,
                CAST((n * 1000000) // n_type AS BIGINT) AS share_e6
         FROM per JOIN tot ON per.event_type = tot.event_type
+    """
+    from frogocr_spark.operators.analytics import (
+        activity_bitmap_oracle_sql, log2_histogram_oracle_sql,
+        weighted_median_oracle_sql)
+    o["activity_bitmap"] = activity_bitmap_oracle_sql(
+        "SELECT user_id, ts FROM events", "user_id")
+    o["log2_hist"] = log2_histogram_oracle_sql(
+        "SELECT event_type, value FROM events", "event_type",
+        "floor(value * 100)")
+    o["weighted_median"] = weighted_median_oracle_sql(
+        "SELECT event_type, event_id, user_id, value FROM events",
+        "event_type", "floor(value)", "1 + user_id % 5")
+    from frogocr_spark.operators.graph import two_hop_reach_oracle_sql
+    o["graph_2hop"] = two_hop_reach_oracle_sql(_COEVENT_EDGES_SQL)
+    from frogocr_spark.operators.textstats import (
+        charclass_stats_oracle_sql)
+    o["charclass"] = charclass_stats_oracle_sql(
+        "SELECT doc_id, text FROM documents")
+    o["json_keys_profile"] = """
+        WITH kv AS (
+            SELECT k AS key,
+                   json_extract_string(props, '$.' || k) AS val
+            FROM (
+                SELECT props, unnest(json_keys(props)) AS k FROM events
+            )
+        )
+        SELECT key, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+               CAST(min(CAST(val AS BIGINT)) AS BIGINT) AS min_val,
+               CAST(max(CAST(val AS BIGINT)) AS BIGINT) AS max_val
+        FROM kv GROUP BY key
     """
     o["recs_jaccard"] = """
         WITH bp AS (

@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "session_paths", "union_by_name", "recs_jaccard",
     "recursive_cte", "hilbert_layout", "rake_keywords", "drift_chi2",
     "seasonality",
+    "activity_bitmap", "log2_hist", "weighted_median", "graph_2hop",
+    "charclass", "json_keys_profile",
 ]
 
 

@@ -1367,3 +1367,159 @@ def drift_chi2_oracle_sql(src_sql: str, state_col: str) -> str:
                END AS chi2_e6
         FROM per CROSS JOIN tot
     """
+
+
+def activity_bitmap(df: DataFrame, key_col: str,
+                    ts_col: str = "ts") -> DataFrame:
+    """Per-key hour-of-day activity bitmap: bit h set iff the key has
+    at least one event in hour-of-day h — the roaring-bitmap-style
+    presence encoding for small domains, here packed into ONE int64
+    (24 bits) with ``bit_or`` so set-union IS the aggregation monoid
+    (idempotent, order-free, exactly-once-friendly — the HLL-register
+    argument).  ``n_hours = bit_count(mask)`` is the distinct count for
+    free.
+
+    Scale shape: ONE map-side-combined keyed agg; the shuffle carries
+    one long per (key, partition), never the events.  Output: ``(key,
+    hours_mask, n_hours)``."""
+    hod = F.expr(f"(unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                 f"DIV 3600000000) % 24")
+    return (df.select(F.col(key_col).alias("key"), hod.alias("h"))
+            .groupBy("key")
+            .agg(F.expr("bit_or(CAST(1 AS BIGINT) << CAST(h AS INT))")
+                 .alias("hours_mask"))
+            .select(F.col("key").alias(key_col),
+                    F.col("hours_mask").cast("long").alias("hours_mask"),
+                    F.expr("bit_count(hours_mask)").cast("int")
+                    .alias("n_hours")))
+
+
+def activity_bitmap_oracle_sql(src_sql: str, key_col: str) -> str:
+    """DuckDB twin of :func:`activity_bitmap`."""
+    return f"""
+        WITH src AS ({src_sql})
+        SELECT {key_col},
+               CAST(bit_or(CAST(1 AS BIGINT) <<
+                    CAST((epoch_us(ts) // 3600000000) % 24 AS INT))
+                    AS BIGINT) AS hours_mask,
+               CAST(bit_count(bit_or(CAST(1 AS BIGINT) <<
+                    CAST((epoch_us(ts) // 3600000000) % 24 AS INT)))
+                    AS INT) AS n_hours
+        FROM src GROUP BY {key_col}
+    """
+
+
+def log2_histogram(df: DataFrame, group_col: str,
+                   value_col) -> DataFrame:
+    """Power-of-two (gamma = 2) exponential histogram — the DDSketch
+    /HdrHistogram bucketing family with the float log replaced by an
+    EXACT integer: bucket = floor(log2(v)) = length(bin(v)) − 1 for
+    positive int64 v (the binary-digit-count identity; both engines'
+    ``bin`` emit no leading zeros).  Guarantees every count lands in
+    the bit-identical bucket in any engine — relative-error-bounded
+    quantile sketching with none of libm's rounding ambiguity.
+    ``value_col`` must be a positive integer expression (pre-scale
+    floats, e.g. cents).
+
+    Scale shape: ONE map-side-combined (group, bucket) agg — state is
+    ≤ 63 buckets per group regardless of data.  Output: ``(group,
+    bucket, lo, hi, n)`` with [lo, hi] the bucket's value range."""
+    v = value_col.cast("long")
+    base = df.select(F.col(group_col).alias("grp"), v.alias("v"))
+    return (base.where(F.col("v") > 0)
+            .withColumn("bucket",
+                        (F.length(F.expr("bin(v)")) - 1).cast("int"))
+            .groupBy("grp", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("grp").alias(group_col), "bucket",
+                    F.expr("CAST(1 AS BIGINT) << bucket").alias("lo"),
+                    F.expr("(CAST(1 AS BIGINT) << (bucket + 1)) - 1")
+                    .alias("hi"),
+                    F.col("n").cast("long").alias("n")))
+
+
+def log2_histogram_oracle_sql(src_sql: str, group_col: str,
+                              value_expr: str) -> str:
+    """DuckDB twin of :func:`log2_histogram`."""
+    return f"""
+        WITH src AS ({src_sql}),
+        base AS (
+            SELECT {group_col} AS grp,
+                   CAST({value_expr} AS BIGINT) AS v
+            FROM src
+        ), bucketed AS (
+            SELECT grp, CAST(length(bin(v)) - 1 AS INT) AS bucket
+            FROM base WHERE v > 0
+        )
+        SELECT grp AS {group_col}, bucket,
+               CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS lo,
+               CAST((CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS BIGINT)
+                   AS hi,
+               CAST(count(*) AS BIGINT) AS n
+        FROM bucketed GROUP BY grp, bucket
+    """
+
+
+def weighted_median(df: DataFrame, group_col: str, value_col,
+                    weight_col, id_col: str = "event_id") -> DataFrame:
+    """Exact weighted median per group: the smallest value v (ties by
+    id) whose cumulative weight reaches half the total —
+    ``2·cumw >= totw`` decided in pure int64 (the nearest-rank
+    discipline of ``quantile_summary`` generalized to weights; an
+    interpolating weighted median would be float-ambiguous
+    cross-engine).  ``value_col`` and ``weight_col`` must be
+    integer-valued, weights positive.
+
+    Scale shape: ONE keyed window (cumulative weight under the total
+    (v, id) order — partitioned by group, never global), the total from
+    the same window's final frame (no second scan: max over the
+    group-keyed running sum), then a min-struct argmin per group.
+    Output: ``(group, median_v, tot_w)``."""
+    from pyspark.sql import Window
+    base = df.select(F.col(group_col).alias("grp"),
+                     value_col.cast("long").alias("v"),
+                     weight_col.cast("long").alias("w"),
+                     F.col(id_col).alias("id"))
+    wrun = (Window.partitionBy("grp").orderBy("v", "id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("grp")
+    cum = (base.withColumn("cumw", F.sum("w").over(wrun))
+           .withColumn("totw", F.sum("w").over(wall)))
+    hit = cum.where(2 * F.col("cumw") >= F.col("totw"))
+    return (hit.groupBy("grp")
+            .agg(F.min(F.struct("v", "id")).alias("m"),
+                 F.max("totw").alias("tot_w"))
+            .select(F.col("grp").alias(group_col),
+                    F.col("m.v").alias("median_v"),
+                    F.col("tot_w").cast("long").alias("tot_w")))
+
+
+def weighted_median_oracle_sql(src_sql: str, group_col: str,
+                               value_expr: str, weight_expr: str,
+                               id_col: str = "event_id") -> str:
+    """DuckDB twin of :func:`weighted_median`."""
+    return f"""
+        WITH src AS ({src_sql}),
+        base AS (
+            SELECT {group_col} AS grp,
+                   CAST({value_expr} AS BIGINT) AS v,
+                   CAST({weight_expr} AS BIGINT) AS w,
+                   {id_col} AS id
+            FROM src
+        ), cum AS (
+            SELECT grp, v, id,
+                   sum(w) OVER (PARTITION BY grp ORDER BY v, id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cumw,
+                   sum(w) OVER (PARTITION BY grp) AS totw
+            FROM base
+        ), hit AS (
+            SELECT grp, v, id, totw,
+                   row_number() OVER (PARTITION BY grp
+                                      ORDER BY v, id) AS rn
+            FROM cum WHERE 2 * cumw >= totw
+        )
+        SELECT grp AS {group_col}, v AS median_v,
+               CAST(totw AS BIGINT) AS tot_w
+        FROM hit WHERE rn = 1
+    """

@@ -790,3 +790,69 @@ def clustering_coefficient_oracle_sql(edges_sql: str) -> str:
                          (deg * (deg - 1)) AS BIGINT) END AS cc_e6
         FROM tri JOIN deg ON tri.node = deg.node
     """
+
+
+def two_hop_reach(edges: DataFrame, src: str = "src",
+                  dst: str = "dst") -> DataFrame:
+    """Per-node 2-hop reach: how many DISTINCT other nodes are within
+    ≤ 2 undirected hops — the friend-of-friend audience size of social
+    /abuse analytics (and the k=2 slice of neighborhood growth).
+
+    Scale shape: the 2-hop candidates are one adjacency self-join on
+    the middle node (cost exactly Σ deg(n)² wedge instances — the same
+    unavoidable bound as exact common-neighbor counting; cap hubs
+    upstream on power-law graphs), unioned with the 1-hop neighbors,
+    then ONE distinct + ONE keyed count.  Output: ``(node, n_1hop,
+    n_2hop_total)`` where n_2hop_total counts distinct nodes at hop
+    1 or 2 (self excluded)."""
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .where("u <> v"))
+    und = (und.select(F.least("u", "v").alias("u"),
+                      F.greatest("u", "v").alias("v"))
+           .dropDuplicates(["u", "v"]))
+    adj = (und.select(F.col("u").alias("n"), F.col("v").alias("x"))
+           .unionByName(und.select(F.col("v").alias("n"),
+                                   F.col("u").alias("x"))))
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("n_1hop"))
+    hop2 = (adj.select(F.col("x").alias("mid"), F.col("n").alias("a"))
+            .join(adj.select(F.col("n").alias("mid"),
+                             F.col("x").alias("c")), "mid")
+            .where(F.col("a") != F.col("c"))
+            .select("a", "c"))
+    reach = (adj.select(F.col("n").alias("a"), F.col("x").alias("c"))
+             .unionByName(hop2)
+             .dropDuplicates(["a", "c"])
+             .groupBy("a").agg(F.count(F.lit(1)).alias("n_2hop_total")))
+    return (deg.join(reach, deg.n == reach.a)
+            .select(F.col("n").alias("node"),
+                    F.col("n_1hop").cast("long").alias("n_1hop"),
+                    F.col("n_2hop_total").cast("long")
+                    .alias("n_2hop_total")))
+
+
+def two_hop_reach_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`two_hop_reach`."""
+    return f"""
+        WITH raw AS ({edges_sql}),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        ), adj AS MATERIALIZED (
+            SELECT u AS n, v AS x FROM und
+            UNION ALL SELECT v, u FROM und
+        ), deg AS (
+            SELECT n, count(*) AS n_1hop FROM adj GROUP BY n
+        ), hop2 AS (
+            SELECT l.n AS a, r.x AS c
+            FROM adj l JOIN adj r ON l.x = r.n
+            WHERE l.n <> r.x
+        ), reach AS (
+            SELECT a, count(DISTINCT c) AS n_2hop_total FROM (
+                SELECT n AS a, x AS c FROM adj
+                UNION ALL SELECT a, c FROM hop2
+            ) GROUP BY a
+        )
+        SELECT deg.n AS node, CAST(n_1hop AS BIGINT) AS n_1hop,
+               CAST(n_2hop_total AS BIGINT) AS n_2hop_total
+        FROM deg JOIN reach ON deg.n = reach.a
+    """

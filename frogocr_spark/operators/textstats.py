@@ -1535,3 +1535,55 @@ def rake_keywords_oracle_sql(docs_sql: str, k: int, max_len: int,
                CAST(score_e6 AS BIGINT) AS score_e6
         FROM scored ORDER BY score_e6 DESC, phrase ASC LIMIT {int(k)}
     """
+
+
+def charclass_stats(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document character-class profile: printable-ASCII, digit,
+    uppercase and whitespace counts plus exact millionth ratios — the
+    encoding/noise quality gate (mojibake, number dumps, SHOUTING)
+    beside the token-level quality_score.  Counted by the
+    delete-and-measure idiom ``len(x) − len(regexp_replace(x, cls,
+    ''))`` with classes restricted to explicit ASCII ranges, which Java
+    regex and RE2 read identically byte-for-byte (the redact_pii
+    portability rule).
+
+    Scale shape: pure column expressions — a map-only stage, no
+    shuffle.  Output: ``(doc_id, n_chars, n_ascii, n_digit, n_upper,
+    n_space, ascii_e6)``."""
+    n = F.length(F.col(text_col))
+
+    def cnt(cls: str):
+        return n - F.length(F.regexp_replace(F.col(text_col), cls, ""))
+
+    out = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        cnt("[ -~]").cast("long").alias("n_ascii"),
+        cnt("[0-9]").cast("long").alias("n_digit"),
+        cnt("[A-Z]").cast("long").alias("n_upper"),
+        cnt("[ ]").cast("long").alias("n_space"))
+    return out.withColumn(
+        "ascii_e6",
+        F.when(F.col("n_chars") > 0,
+               F.expr("(n_ascii * 1000000) DIV n_chars")))
+
+
+def charclass_stats_oracle_sql(docs_sql: str) -> str:
+    """DuckDB twin of :func:`charclass_stats`."""
+    def cnt(cls: str) -> str:
+        return (f"length(text) - length(regexp_replace(text, "
+                f"'{cls}', '', 'g'))")
+    return f"""
+        WITH docs AS ({docs_sql})
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST({cnt('[ -~]')} AS BIGINT) AS n_ascii,
+               CAST({cnt('[0-9]')} AS BIGINT) AS n_digit,
+               CAST({cnt('[A-Z]')} AS BIGINT) AS n_upper,
+               CAST({cnt('[ ]')} AS BIGINT) AS n_space,
+               CASE WHEN length(text) > 0 THEN
+                   CAST((({cnt('[ -~]')}) * 1000000) // length(text)
+                        AS BIGINT) END AS ascii_e6
+        FROM docs
+    """

@@ -330,3 +330,67 @@ def test_drift_chi2_degenerate_single_day(spark):
     row = drift_chi2(df, "event_type").collect()[0]
     # split = day itself -> everything 'late', NA = 0 -> NULL
     assert (row.n_a, row.n_b, row.chi2_e6) == (0, 2, None)
+
+
+# ------------------------------------------------ session 14: bitmaps etc
+def test_activity_bitmap_hand_case(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 0, 0)  # epoch-aligned midnight? no —
+    # hour-of-day is (epoch_us DIV 3600e6) % 24: 2024-01-01 00:00 UTC is
+    # a whole number of days since epoch, so hour-of-day == wall hour.
+    rows = [(1, t0.replace(hour=3)), (1, t0.replace(hour=5)),
+            (1, t0.replace(hour=3)), (2, t0.replace(hour=0))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    from frogocr_spark.operators.analytics import activity_bitmap
+    got = {r.user_id: (r.hours_mask, r.n_hours)
+           for r in activity_bitmap(df, "user_id").collect()}
+    assert got == {1: ((1 << 3) | (1 << 5), 2), 2: (1, 1)}
+
+
+def test_log2_histogram_hand_case(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 8.0),
+            ("a", 0.0), ("b", 1023.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from frogocr_spark.operators.analytics import log2_histogram
+    got = {(r.g, r.bucket): (r.lo, r.hi, r.n)
+           for r in log2_histogram(df, "g", F.col("v")).collect()}
+    # v=0 dropped (non-positive); 1 -> bucket 0; 2,3 -> bucket 1;
+    # 8 -> bucket 3; 1023 -> bucket 9
+    assert got == {("a", 0): (1, 1, 1), ("a", 1): (2, 3, 2),
+                   ("a", 3): (8, 15, 1), ("b", 9): (512, 1023, 1)}
+
+
+def test_weighted_median_hand_case(spark):
+    # values 1..4 with weights 1,1,5,1: cumw 1,2,7,8; tot 8;
+    # first 2*cumw >= 8 at v=3 -> weighted median 3.
+    rows = [("g", i, float(v), w) for i, (v, w) in
+            enumerate([(1, 1), (2, 1), (3, 5), (4, 1)])]
+    df = spark.createDataFrame(
+        rows, "g string, event_id long, v double, w long")
+    from frogocr_spark.operators.analytics import weighted_median
+    r = weighted_median(df, "g", F.col("v"), F.col("w")).collect()[0]
+    assert (r.median_v, r.tot_w) == (3, 8)
+
+
+def test_two_hop_reach_hand_case(spark):
+    # path 1-2-3-4: reach(1) = {2,3}, reach(2) = {1,3,4},
+    # reach(3) = {1,2,4}, reach(4) = {2,3}
+    edges = [(1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from frogocr_spark.operators.graph import two_hop_reach
+    got = {r.node: (r.n_1hop, r.n_2hop_total)
+           for r in two_hop_reach(df).collect()}
+    assert got == {1: (1, 2), 2: (2, 3), 3: (2, 3), 4: (1, 2)}
+
+
+def test_charclass_stats_hand_case(spark):
+    df = spark.createDataFrame([(1, "Ab 9é"), (2, "")],
+                               "doc_id long, text string")
+    from frogocr_spark.operators.textstats import charclass_stats
+    got = {r.doc_id: (r.n_chars, r.n_ascii, r.n_digit, r.n_upper,
+                      r.n_space, r.ascii_e6)
+           for r in charclass_stats(df).collect()}
+    # "Ab 9é": 5 chars, 4 printable-ascii (é excluded), 1 digit,
+    # 1 upper, 1 space
+    assert got == {1: (5, 4, 1, 1, 1, 800000),
+                   2: (0, 0, 0, 0, 0, None)}

@@ -770,6 +770,23 @@ def main() -> None:
                 f"drift_scans={pd2.count('Scan parquet')} "
                 f"(bounds + counts; totals window over k agg rows)")
 
+    # 45. bitmap/log2-histogram aggregations are map-side combined (the
+    #     shuffle carries one partial per (key, partition), never the
+    #     events) and 2-hop reach is adjacency equi-joins only.
+    from frogocr_spark.operators.analytics import (activity_bitmap,
+                                                   log2_histogram)
+    from frogocr_spark.operators.graph import two_hop_reach
+    pa = executed(activity_bitmap(ev, "user_id"))
+    pl2 = executed(log2_histogram(ev, "event_type",
+                                  F.floor(F.col("value") * 100)))
+    p2h = executed(two_hop_reach(edges))
+    ok &= check("bitmap/log2 aggs map-side combined; 2hop equi-joins",
+                "partial_bit_or" in pa and "partial_count" in pl2
+                and "CartesianProduct" not in p2h
+                and "BroadcastNestedLoopJoin" not in p2h,
+                f"bit_or_partial={'partial_bit_or' in pa}, "
+                f"2hop_joins={p2h.count('Join')}, cartesian=0")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
