@@ -3875,6 +3875,68 @@ def _q_json_keys_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "min_val", "max_val"))
 
 
+# ---- session 15: TWAP, Hamilton allocation, WoW trend, sentences ------
+
+_ALLOC_TOTAL = 1000
+
+
+def _q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (cents) per user — each value holds
+    until the user's next event, sums exact in DECIMAL(38,0), one
+    truncating division; one keyed lead window + one map-side-combined
+    agg (operators/analytics.time_weighted_avg)."""
+    from frogocr_spark.operators.analytics import time_weighted_avg
+    ev = _read(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "user_id",
+                             F.floor(F.col("value") * 100))
+
+
+def _q_lrm_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) proportional allocation: exactly
+    1000 sampling-quota units distributed across event types by event
+    count — floored quotas + largest fractional remainders, ties by
+    key; Σ alloc == 1000 ALWAYS, every step integer-exact
+    (operators/analytics.largest_remainder_alloc)."""
+    from frogocr_spark.operators.analytics import largest_remainder_alloc
+    counts = (_read(spark, sf_dir, "events")
+              .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+    return largest_remainder_alloc(counts, "event_type", F.col("n"),
+                                   _ALLOC_TOTAL)
+
+
+def _q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week traffic trend per event type: integer epoch-week
+    counts, lag to the previous OBSERVED week, exact
+    delta_e6 = (n − prev)·10^6 DIV prev (NULL for each type's first
+    week) — one keyed agg + one keyed lag window."""
+    from pyspark.sql import Window
+    ev = _read(spark, sf_dir, "events")
+    week = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) "
+                  "DIV 604800000000")
+    per = (ev.select("event_type", week.alias("week"))
+           .groupBy("event_type", "week")
+           .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("event_type").orderBy("week")
+    return (per.withColumn("prev", F.lag("n").over(w))
+            .withColumn("delta_e6",
+                        F.when(F.col("prev") > 0,
+                               F.expr("((n - prev) * 1000000) "
+                                      "DIV prev")))
+            .select("event_type", F.col("week").cast("long").alias("week"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("prev").cast("long").alias("prev"),
+                    "delta_e6"))
+
+
+def _q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sentence segmentation profile ([.!?]+ heuristic,
+    portable regex class): sentence/token/max counts + exact mean
+    tokens-per-sentence — the readability gate beside line_filters
+    (operators/textstats.sentence_stats)."""
+    from frogocr_spark.operators.textstats import sentence_stats
+    return sentence_stats(_read(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -4114,6 +4176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_2hop": _q_graph_2hop,
         "charclass": _q_charclass,
         "json_keys_profile": _q_json_keys_profile,
+        "twap": _q_twap,
+        "lrm_alloc": _q_lrm_alloc,
+        "wow_change": _q_wow_change,
+        "sentence_stats": _q_sentence_stats,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -8080,6 +8146,37 @@ FROM pos2
                CAST(max(CAST(val AS BIGINT)) AS BIGINT) AS max_val
         FROM kv GROUP BY key
     """
+    from frogocr_spark.operators.analytics import (
+        time_weighted_avg_oracle_sql, largest_remainder_alloc_oracle_sql)
+    o["twap"] = time_weighted_avg_oracle_sql(
+        "SELECT user_id, event_id, ts, value FROM events",
+        "user_id", "floor(value * 100)")
+    o["lrm_alloc"] = largest_remainder_alloc_oracle_sql(
+        "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+        "event_type", "n", _ALLOC_TOTAL)
+    o["wow_change"] = """
+        WITH per AS (
+            SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(week AS BIGINT) AS week,
+               CAST(n AS BIGINT) AS n,
+               CAST(lag(n) OVER (PARTITION BY event_type ORDER BY week)
+                    AS BIGINT) AS prev,
+               CASE WHEN lag(n) OVER (PARTITION BY event_type
+                                      ORDER BY week) > 0 THEN
+                   CAST(((n - lag(n) OVER (PARTITION BY event_type
+                                           ORDER BY week)) * 1000000)
+                        // lag(n) OVER (PARTITION BY event_type
+                                        ORDER BY week) AS BIGINT)
+               END AS delta_e6
+        FROM per
+    """
+    from frogocr_spark.operators.textstats import (
+        sentence_stats_oracle_sql)
+    o["sentence_stats"] = sentence_stats_oracle_sql(
+        "SELECT doc_id, text FROM documents")
     o["recs_jaccard"] = """
         WITH bp AS (
             SELECT DISTINCT l_orderkey AS bk, l_partkey AS item

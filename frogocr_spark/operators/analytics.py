@@ -1523,3 +1523,144 @@ def weighted_median_oracle_sql(src_sql: str, group_col: str,
                CAST(totw AS BIGINT) AS tot_w
         FROM hit WHERE rn = 1
     """
+
+
+def time_weighted_avg(df: DataFrame, key_col: str, value_col,
+                      ts_col: str = "ts",
+                      id_col: str = "event_id") -> DataFrame:
+    """Time-weighted average (TWAP) per key: each event's value holds
+    from its timestamp until the key's next event; the average weights
+    values by that holding duration —
+
+        twap = Σ v_i · dt_i  DIV  Σ dt_i
+
+    with ``v`` integer-valued (pre-scale floats to cents) and ``dt`` in
+    exact integer microseconds, both sums carried as DECIMAL(38,0) and
+    finished with ONE truncating division — the finance/metering
+    statistic with zero float ambiguity.  The key's LAST event has no
+    successor and contributes no interval (the ``dwell_time`` open
+    -interval convention); single-event keys have no interval at all
+    and are absent from the output (the caller left-joins if it needs
+    a row).
+
+    Scale shape: one keyed lead window (next event time under the
+    (ts, id) total order) + one map-side-combined keyed agg.  Output:
+    ``(key, twap, total_us)``."""
+    from pyspark.sql import Window
+    dec = "decimal(38,0)"
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy("key").orderBy("us", "id")
+    base = (df.select(F.col(key_col).alias("key"),
+                      F.col(id_col).alias("id"), us.alias("us"),
+                      value_col.cast("long").alias("v"))
+            .withColumn("dt", F.lead("us").over(w) - F.col("us"))
+            .where(F.col("dt").isNotNull()))
+    agg = base.groupBy("key").agg(
+        F.sum((F.col("v") * F.col("dt")).cast(dec)).alias("svdt"),
+        F.sum(F.col("dt").cast(dec)).alias("sdt"))
+    return (agg.withColumn(
+        "twap", F.when(F.col("sdt") > 0, F.expr("svdt DIV sdt"))
+        .cast("long"))
+        .select(F.col("key").alias(key_col), "twap",
+                F.col("sdt").cast("long").alias("total_us")))
+
+
+def time_weighted_avg_oracle_sql(src_sql: str, key_col: str,
+                                 value_expr: str,
+                                 id_col: str = "event_id") -> str:
+    """DuckDB twin of :func:`time_weighted_avg`."""
+    return f"""
+        WITH src AS ({src_sql}),
+        base AS (
+            SELECT {key_col} AS key,
+                   CAST({value_expr} AS BIGINT) AS v,
+                   lead(epoch_us(ts)) OVER
+                       (PARTITION BY {key_col}
+                        ORDER BY epoch_us(ts), {id_col})
+                       - epoch_us(ts) AS dt
+            FROM src
+        ), agg AS (
+            SELECT key,
+                   sum(CAST(v AS HUGEINT) * dt) AS svdt,
+                   sum(CAST(dt AS HUGEINT)) AS sdt
+            FROM base WHERE dt IS NOT NULL GROUP BY key
+        )
+        SELECT key AS {key_col},
+               CASE WHEN sdt > 0 THEN CAST(svdt // sdt AS BIGINT) END
+                   AS twap,
+               CAST(sdt AS BIGINT) AS total_us
+        FROM agg
+    """
+
+
+def largest_remainder_alloc(df: DataFrame, key_col: str, count_col,
+                            total: int) -> DataFrame:
+    """Proportional integer allocation by the largest-remainder
+    (Hamilton) method: distribute exactly ``total`` units across groups
+    proportionally to their counts — quota = n_i·total / T floored,
+    the leftover units going to the largest fractional remainders
+    (ties by key asc).  THE deterministic way to turn float-ish
+    proportions into an exact integer budget (sampling quotas, shard
+    assignments, seat apportionment) — every step is int64/DECIMAL
+    arithmetic, Σ alloc == total always.
+
+    Scale shape: one keyed count is assumed done by the caller
+    (``count_col`` on group rows); here: one unpartitioned window over
+    the GROUP rows for T and the remainder rank (bounded by group
+    cardinality, never the corpus — the drift_chi2 convention).
+    Output: ``(key, n, base, extra, alloc)``."""
+    from pyspark.sql import Window
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    dec = "decimal(38,0)"
+    base = df.select(F.col(key_col).alias("key"),
+                     count_col.cast("long").alias("n"))
+    wall = Window.partitionBy()
+    wrank = Window.partitionBy().orderBy(
+        F.col("rem").desc(), F.col("key").asc())
+    out = (base.withColumn("t", F.sum("n").over(wall))
+           .withColumn("_nt", (F.col("n").cast(dec)
+                               * F.lit(int(total)).cast(dec)))
+           .withColumn("base", F.expr("_nt DIV t").cast("long"))
+           .withColumn("rem", F.expr("_nt % t").cast("long"))
+           .withColumn("sbase", F.sum("base").over(wall))
+           .withColumn("rk", F.row_number().over(wrank))
+           .withColumn("extra",
+                       (F.col("rk") <= F.lit(int(total)) - F.col("sbase"))
+                       .cast("int")))
+    return out.select("key", "n", "base", "extra",
+                      (F.col("base") + F.col("extra")).cast("long")
+                      .alias("alloc"))
+
+
+def largest_remainder_alloc_oracle_sql(src_sql: str, key_col: str,
+                                       count_expr: str,
+                                       total: int) -> str:
+    """DuckDB twin of :func:`largest_remainder_alloc`."""
+    t = int(total)
+    return f"""
+        WITH src AS ({src_sql}),
+        base AS (
+            SELECT {key_col} AS key, CAST({count_expr} AS BIGINT) AS n
+            FROM src
+        ), wide AS (
+            SELECT key, n, sum(n) OVER () AS t,
+                   CAST(n AS HUGEINT) * {t} AS nt
+            FROM base
+        ), quota AS (
+            SELECT key, n, t,
+                   CAST(nt // t AS BIGINT) AS base,
+                   CAST(nt % t AS BIGINT) AS rem
+            FROM wide
+        ), ranked AS (
+            SELECT *, sum(base) OVER () AS sbase,
+                   row_number() OVER (ORDER BY rem DESC, key ASC) AS rk
+            FROM quota
+        )
+        SELECT key, n, base,
+               CAST(CASE WHEN rk <= {t} - sbase THEN 1 ELSE 0 END AS INT)
+                   AS extra,
+               CAST(base + CASE WHEN rk <= {t} - sbase THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM ranked
+    """

@@ -1587,3 +1587,71 @@ def charclass_stats_oracle_sql(docs_sql: str) -> str:
                         AS BIGINT) END AS ascii_e6
         FROM docs
     """
+
+
+def sentence_stats(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document sentence segmentation profile: sentences = runs
+    split on ``[.!?]+`` (the regex-portable heuristic segmenter; both
+    engines' regex dialects read this class identically), counting only
+    sentences with ≥ 1 whitespace token.  Emits sentence count, total
+    tokens across sentences, the longest sentence's token count, and
+    an exact mean ``avg_tokens_e6 = tokens·10^6 DIV sentences`` — the
+    readability/garbage gate (wall-of-text vs staccato noise) beside
+    line_filters.
+
+    Scale shape: one sentence explode + one doc-keyed map-side-combined
+    agg; empty documents keep a row via the left join back.  Output:
+    ``(doc_id, n_sentences, n_tokens, max_tokens, avg_tokens_e6)``."""
+    sent = (df.select(F.col(id_col).alias("_id"),
+                      F.explode(F.split(F.col(text_col), r"[.!?]+"))
+                      .alias("s"))
+            .select("_id", F.size(F.array_remove(
+                F.split(F.trim("s"), r"\s+"), "")).alias("tk"))
+            .where(F.col("tk") > 0))
+    agg = sent.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.sum("tk").alias("n_tokens"),
+        F.max("tk").alias("max_tokens"))
+    return (df.select(F.col(id_col).alias("_id"))
+            .join(agg, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("n_sentences", F.lit(0)).cast("long")
+                    .alias("n_sentences"),
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    F.coalesce("max_tokens", F.lit(0)).cast("long")
+                    .alias("max_tokens"))
+            .withColumn("avg_tokens_e6",
+                        F.when(F.col("n_sentences") > 0,
+                               F.expr("(n_tokens * 1000000) "
+                                      "DIV n_sentences"))))
+
+
+def sentence_stats_oracle_sql(docs_sql: str) -> str:
+    """DuckDB twin of :func:`sentence_stats`."""
+    return rf"""
+        WITH docs AS ({docs_sql}),
+        sent AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(s), '\s+'),
+                                   t -> t <> '')) AS tk
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '[.!?]+')) AS s
+                FROM docs
+            )
+        ), agg AS (
+            SELECT doc_id, count(*) AS n_sentences, sum(tk) AS n_tokens,
+                   max(tk) AS max_tokens
+            FROM sent WHERE tk > 0 GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(n_sentences, 0) AS BIGINT) AS n_sentences,
+               CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(max_tokens, 0) AS BIGINT) AS max_tokens,
+               CASE WHEN coalesce(n_sentences, 0) > 0 THEN
+                   CAST((n_tokens * 1000000) // n_sentences AS BIGINT)
+               END AS avg_tokens_e6
+        FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """

@@ -394,3 +394,57 @@ def test_charclass_stats_hand_case(spark):
     # 1 upper, 1 space
     assert got == {1: (5, 4, 1, 1, 1, 800000),
                    2: (0, 0, 0, 0, 0, None)}
+
+
+# --------------------------------------------------- session 15: twap etc
+def test_time_weighted_avg_hand_case(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1: v=10 held 2s, v=30 held 1s, last event open (dropped):
+    # twap = (10*2 + 30*1) / 3 = 16 (floor of 16.66)
+    rows = [(1, 1, t0, 10.0),
+            (1, 2, t0 + dt.timedelta(seconds=2), 30.0),
+            (1, 3, t0 + dt.timedelta(seconds=3), 99.0),
+            (2, 4, t0, 5.0)]  # single event -> NULL twap
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+    from frogocr_spark.operators.analytics import time_weighted_avg
+    got = {r.user_id: (r.twap, r.total_us)
+           for r in time_weighted_avg(df, "user_id",
+                                      F.floor(F.col("value"))).collect()}
+    assert got == {1: (16, 3_000_000)}  # single-event key 2 absent
+
+
+def test_largest_remainder_alloc_exact_total(spark):
+    # counts 1,1,1 with total 10: quotas 3.33.. -> base 3 each, one
+    # extra by key order -> allocs 4,3,3 summing to 10.
+    df = spark.createDataFrame([("a", 1), ("b", 1), ("c", 1)],
+                               "k string, n long")
+    from frogocr_spark.operators.analytics import largest_remainder_alloc
+    got = {r.key: r.alloc
+           for r in largest_remainder_alloc(df, "k", F.col("n"),
+                                            10).collect()}
+    assert got == {"a": 4, "b": 3, "c": 3}
+    assert sum(got.values()) == 10
+    # classic Hamilton case: remainders decide who rounds up
+    df2 = spark.createDataFrame([("a", 47), ("b", 33), ("c", 20)],
+                                "k string, n long")
+    got2 = {r.key: (r.base, r.extra, r.alloc)
+            for r in largest_remainder_alloc(df2, "k", F.col("n"),
+                                             10).collect()}
+    # quotas 4.7, 3.3, 2.0 -> bases 4,3,2 (sum 9), extra to 'a' (.7)
+    assert got2 == {"a": (4, 1, 5), "b": (3, 0, 3), "c": (2, 0, 2)}
+    with pytest.raises(ValueError):
+        largest_remainder_alloc(df, "k", F.col("n"), -1)
+
+
+def test_sentence_stats_hand_case(spark):
+    rows = [(1, "one two. three!  four five six? "), (2, "..."), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from frogocr_spark.operators.textstats import sentence_stats
+    got = {r.doc_id: (r.n_sentences, r.n_tokens, r.max_tokens,
+                      r.avg_tokens_e6)
+           for r in sentence_stats(df).collect()}
+    assert got[1] == (3, 6, 3, 2000000)
+    assert got[2] == (0, 0, 0, None)
+    assert got[3] == (0, 0, 0, None)

@@ -787,6 +787,40 @@ def main() -> None:
                 f"bit_or_partial={'partial_bit_or' in pa}, "
                 f"2hop_joins={p2h.count('Join')}, cartesian=0")
 
+    # 46. Dynamic partition pruning: on a hive-partitioned fact table
+    #     joined to a filtered dim, the fact scan's partition filters
+    #     carry a dynamicpruning expression — at 100 TB the partitioned
+    #     fact reads ONLY the partitions the dim filter selects.  (The
+    #     runtime BLOOM filter sibling was probed and does not inject
+    #     in this local build — DPP is the load-bearing runtime filter
+    #     for partitioned layouts and it demonstrably fires.)
+    fact_path = os.path.join(tmp, "dpp_fact")
+    (spark.range(100_000)
+     .withColumn("pt", (F.col("id") % 20).cast("int"))
+     .withColumn("v", F.col("id") * 3)
+     .write.partitionBy("pt").mode("overwrite").parquet(fact_path))
+    fact = spark.read.parquet(fact_path)
+    dim = (spark.range(20).withColumn("pt", F.col("id").cast("int"))
+           .withColumn("flag", F.col("id") < 3).drop("id"))
+    jq = fact.join(dim.where("flag"), "pt").groupBy("pt").count()
+    pdpp = executed(jq)
+    ok &= check("dynamic partition pruning fires on partitioned fact",
+                "dynamicpruning" in pdpp.lower(),
+                "fact scan partition filters carry dynamicpruning#...")
+
+    # 47. TWAP/allocation: twap is one keyed window + one map-side
+    #     combined agg; the Hamilton allocation's unpartitioned windows
+    #     run over GROUP rows only (post-agg — the bounded
+    #     SinglePartition class, documented).
+    from frogocr_spark.operators.analytics import time_weighted_avg
+    pt2 = executed(time_weighted_avg(ev, "user_id",
+                                     F.floor(F.col("value") * 100)))
+    ok &= check("twap keyed window + partial agg; no cartesian",
+                "SinglePartition" not in pt2
+                and "partial" in pt2.lower()
+                and "CartesianProduct" not in pt2,
+                f"twap_sp={'SinglePartition' in pt2}")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
