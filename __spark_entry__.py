@@ -3937,6 +3937,65 @@ def _q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sentence_stats(_read(spark, sf_dir, "documents"))
 
 
+# ---- session 16: rank test, Spearman, AMS F2 --------------------------
+
+
+def _q_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank test (click vs purchase value cents), decided
+    EXACTLY: ranks from the range-partitioned global_rank (no global
+    sort), the z² cut as ONE DECIMAL(38,0) cross-multiplication — the
+    nonparametric A/B gate beside the parametric ab_test
+    (operators/analytics.mannwhitney_u)."""
+    from frogocr_spark.operators.analytics import mannwhitney_u
+    ev = _read(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100)
+    return mannwhitney_u(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        cents, "event_id")
+
+
+def _q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer account balance and
+    total order spend: both variables replaced by deterministic ranks
+    (row_number under (value, key) — tie policy documented), then the
+    DECIMAL(38,0)-exact Pearson machinery — the monotone-association
+    diagnostic immune to outliers; BOTH rank passes ride the
+    range-partitioned global_rank (no single-partition sort even
+    though customers are merely dimension-sized — at SF1000 they are
+    not), moments exact
+    (operators/analytics.moment_stats_exact over ranks)."""
+    from frogocr_spark.operators.analytics import moment_stats_exact
+    from frogocr_spark.operators.ranking import global_rank
+    cust = _read(spark, sf_dir, "customer")
+    spend = (_read(spark, sf_dir, "orders")
+             .groupBy(F.col("o_custkey").alias("c_custkey"))
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                        .cast("long")).alias("spend_cents")))
+    j = (cust.select("c_custkey",
+                     F.round(F.col("c_acctbal") * 100, 0).cast("long")
+                     .alias("bal_cents"))
+         .join(spend, "c_custkey"))
+    rb = global_rank(j, ["bal_cents", "c_custkey"], rank_col="rb")
+    rs = global_rank(j.select("c_custkey", "spend_cents"),
+                     ["spend_cents", "c_custkey"], rank_col="rs")
+    ranked = (rb.join(rs.select("c_custkey", "rs"), "c_custkey")
+              .withColumn("grp", F.lit("all")))
+    return moment_stats_exact(ranked, F.col("rb"), F.col("rs"), "grp")
+
+
+def _q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war sketch (Alon-Matias-Szegedy 1996): the second
+    frequency moment F2 = Σf(k)² of the user-activity distribution —
+    the self-join-size/skew indicator — estimated from 16 deterministic
+    md5 ±1 cells next to the exact value; sketch state is 16 longs per
+    partition regardless of the key universe
+    (operators/sketches.ams_f2_estimate)."""
+    from frogocr_spark.operators.sketches import ams_f2_estimate
+    return ams_f2_estimate(_read(spark, sf_dir, "events"),
+                           "user_id", reps=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -4180,6 +4239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lrm_alloc": _q_lrm_alloc,
         "wow_change": _q_wow_change,
         "sentence_stats": _q_sentence_stats,
+        "rank_test": _q_rank_test,
+        "spearman": _q_spearman,
+        "ams_f2": _q_ams_f2,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -8177,6 +8239,78 @@ FROM pos2
         sentence_stats_oracle_sql)
     o["sentence_stats"] = sentence_stats_oracle_sql(
         "SELECT doc_id, text FROM documents")
+    from frogocr_spark.operators.analytics import (
+        mannwhitney_u_oracle_sql)
+    o["rank_test"] = mannwhitney_u_oracle_sql(
+        "SELECT event_id, value FROM events WHERE event_type = 'click'",
+        "SELECT event_id, value FROM events "
+        "WHERE event_type = 'purchase'",
+        "floor(value * 100)", "event_id")
+    o["spearman"] = """
+        WITH b AS (
+            SELECT 'all' AS grp, rb AS x, rs AS y FROM (
+                SELECT c_custkey,
+                       row_number() OVER (ORDER BY bal_cents, c_custkey)
+                           AS rb,
+                       row_number() OVER (ORDER BY spend_cents,
+                                          c_custkey) AS rs
+                FROM (
+                    SELECT c.c_custkey,
+                           CAST(round(c.c_acctbal * 100, 0) AS BIGINT)
+                               AS bal_cents,
+                           s.spend_cents
+                    FROM customer c JOIN (
+                        SELECT o_custkey AS c_custkey,
+                               sum(CAST(round(o_totalprice * 100, 0)
+                                        AS BIGINT)) AS spend_cents
+                        FROM orders GROUP BY 1
+                    ) s ON c.c_custkey = s.c_custkey
+                )
+            )
+        ), a AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                   sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                   sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
+                   sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+            FROM b GROUP BY 1
+        )
+        SELECT grp, n,
+               round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_x,
+               round((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE))
+                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   AS var_x,
+               round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_y,
+               round((CAST(syy AS DOUBLE) / CAST(n AS DOUBLE))
+                     - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   AS var_y,
+               round(CASE WHEN
+                       (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE))
+                       - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                       AND
+                       (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE))
+                       - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                     THEN ((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE))
+                      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / (sqrt((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE))
+                             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                        * sqrt((CAST(syy AS DOUBLE) / CAST(n AS DOUBLE))
+                             - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+                     ELSE NULL END,
+                     6) AS corr_xy
+        FROM a
+    """
+    from frogocr_spark.operators.sketches import ams_f2_oracle_sql
+    o["ams_f2"] = ams_f2_oracle_sql(
+        "SELECT user_id FROM events", "user_id", reps=16)
     o["recs_jaccard"] = """
         WITH bp AS (
             SELECT DISTINCT l_orderkey AS bk, l_partkey AS item

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "activity_bitmap", "log2_hist", "weighted_median", "graph_2hop",
     "charclass", "json_keys_profile",
     "twap", "lrm_alloc", "wow_change", "sentence_stats",
+    "rank_test", "spearman", "ams_f2",
 ]
 
 

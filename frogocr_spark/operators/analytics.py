@@ -1664,3 +1664,109 @@ def largest_remainder_alloc_oracle_sql(src_sql: str, key_col: str,
                     AS BIGINT) AS alloc
         FROM ranked
     """
+
+
+def mannwhitney_u(df_a: DataFrame, df_b: DataFrame, value_col,
+                  id_col: str, alpha_num: int = 38416,
+                  alpha_den: int = 10000) -> DataFrame:
+    """Two-sample Mann-Whitney rank test, decided EXACTLY: both samples
+    are pooled and ranked under the total (value, sample, id) order
+    (row_number — a deterministic tie policy, documented: no midrank
+    correction, so heavy ties shade the variance slightly; the
+    decision inequality below uses the no-ties variance), then
+
+        U = R_A − n_A(n_A+1)/2
+        z² > α  ⟺  (2U − n_A·n_B)² · 3 · alpha_den
+                    > alpha_num · n_A · n_B · (n_A+n_B+1)
+
+    — ONE integer cross-multiplication in DECIMAL(38,0) (the
+    two_prop_test discipline), no float ever.  The nonparametric
+    "did distribution A shift vs B" gate that needs no normality
+    assumption.  ``value_col`` must be integer-valued.
+
+    Scale shape: ranks ride ONE range-partitioned global_rank (no
+    single-partition sort); everything after is a 2-row aggregate.
+    Output: one row ``(n_a, n_b, u2, z2_e6, significant)`` where
+    ``u2 = 2U`` (exact, avoids halves)."""
+    from frogocr_spark.operators.ranking import global_rank
+    dec = "decimal(38,0)"
+    a = df_a.select(value_col.cast("long").alias("v"),
+                    F.lit(0).alias("s"), F.col(id_col).alias("id"))
+    b = df_b.select(value_col.cast("long").alias("v"),
+                    F.lit(1).alias("s"), F.col(id_col).alias("id"))
+    pooled = a.unionByName(b)
+    ranked = global_rank(pooled, ["v", "s", "id"])
+    agg = (ranked.groupBy()
+           .agg(F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
+                .alias("n_a"),
+                F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+                .alias("n_b"),
+                F.sum(F.when(F.col("s") == 0, F.col("rank")))
+                .alias("ra")))
+    d = lambda c: F.col(c).cast(dec)  # noqa: E731
+    u2 = (F.lit(2).cast(dec) * d("ra")
+          - d("n_a") * (d("n_a") + F.lit(1).cast(dec)))
+    out = (agg.withColumn("u2", u2)
+           .withColumn("_lhs",
+                       (F.col("u2") - d("n_a") * d("n_b"))
+                       * (F.col("u2") - d("n_a") * d("n_b"))
+                       * F.lit(3 * alpha_den).cast(dec))
+           .withColumn("_rhs",
+                       F.lit(alpha_num).cast(dec) * d("n_a") * d("n_b")
+                       * (d("n_a") + d("n_b") + F.lit(1).cast(dec)))
+           .withColumn("_den", d("n_a") * d("n_b")
+                       * (d("n_a") + d("n_b") + F.lit(1).cast(dec))))
+    return out.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("u2").cast("long").alias("u2"),
+        F.when(F.col("_den") > 0,
+               F.expr("((u2 - n_a * CAST(n_b AS DECIMAL(38,0))) "
+                      "* (u2 - n_a * CAST(n_b AS DECIMAL(38,0))) "
+                      "* 3000000) DIV _den")).alias("z2_e6"),
+        F.coalesce((F.col("_den") > 0)
+                   & (F.col("_lhs") > F.col("_rhs")), F.lit(False))
+        .alias("significant"))
+
+
+def mannwhitney_u_oracle_sql(a_sql: str, b_sql: str, value_expr: str,
+                             id_col: str, alpha_num: int = 38416,
+                             alpha_den: int = 10000) -> str:
+    """DuckDB twin of :func:`mannwhitney_u` — same total order, same
+    integer decision."""
+    return f"""
+        WITH pooled AS (
+            SELECT CAST({value_expr} AS BIGINT) AS v, 0 AS s,
+                   {id_col} AS id FROM ({a_sql})
+            UNION ALL
+            SELECT CAST({value_expr} AS BIGINT), 1, {id_col}
+            FROM ({b_sql})
+        ), ranked AS (
+            SELECT *, row_number() OVER (ORDER BY v, s, id) AS rank
+            FROM pooled
+        ), agg AS (
+            SELECT sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS n_a,
+                   sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n_b,
+                   sum(CASE WHEN s = 0 THEN rank END) AS ra
+            FROM ranked
+        ), wide AS (
+            SELECT CAST(n_a AS HUGEINT) AS n_a,
+                   CAST(n_b AS HUGEINT) AS n_b,
+                   2 * CAST(ra AS HUGEINT)
+                       - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2
+            FROM agg
+        ), fin AS (
+            SELECT n_a, n_b, u2,
+                   (u2 - n_a * n_b) * (u2 - n_a * n_b) AS d2,
+                   n_a * n_b * (n_a + n_b + 1) AS den
+            FROM wide
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(u2 AS BIGINT) AS u2,
+               CASE WHEN den > 0
+                    THEN CAST((d2 * 3000000) // den AS BIGINT) END
+                   AS z2_e6,
+               coalesce(den > 0 AND d2 * 3 * {alpha_den} >
+                        {alpha_num} * den, false) AS significant
+        FROM fin
+    """

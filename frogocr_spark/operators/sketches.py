@@ -423,3 +423,87 @@ def kmv_union_intersect_oracle_sql(a_sql: str, b_sql: str,
                CAST(theta AS BIGINT) AS theta
         FROM cnts
     """
+
+
+# ------------------------------------------------------------------ AMS
+# Third member of the sketch family: CMS estimates COUNTS, HLL/KMV
+# estimate DISTINCTS, the AMS/tug-of-war sketch (Alon, Matias & Szegedy
+# 1996) estimates the SECOND FREQUENCY MOMENT F2 = Σ f(k)² — the
+# self-join size / skew indicator a planner wants before shuffling a
+# key.  Deterministic md5 ±1 signs make every cell an exact integer
+# both engines reproduce bit-for-bit.
+
+def ams_f2_sketch(df: DataFrame, key_col: str,
+                  reps: int = 16) -> DataFrame:
+    """AMS tug-of-war sketch: for each repetition r, the cell
+    ``z_r = Σ_rows sign_r(key)`` with ``sign_r(key) = ±1`` from bit r's
+    md5 parity — ``E[z_r²] = F2`` exactly.  One row per repetition.
+
+    Scale shape: ONE map-side-combined aggregation; state is ``reps``
+    longs per partition REGARDLESS of the key universe (the CMS
+    argument for moments).  The rep fan-out is an explode of a
+    ``reps``-element literal array — x reps map cost, no shuffle
+    widening (the shuffle carries reps longs per partition).
+    Output: ``(rep, z)``."""
+    if not (1 <= reps <= 64):
+        raise ValueError("reps must be in [1, 64]")
+    k = F.col(key_col).cast("string")
+    pairs = df.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("rep"),
+                     F.when(
+                         F.conv(F.substring(
+                             F.md5(F.concat(F.lit(f"ams:{r}:"), k)),
+                             1, 15), 16, 10).cast("long") % 2 == 0,
+                         1).otherwise(-1).alias("sgn"))
+            for r in range(reps)])).alias("p"))
+    return (pairs.groupBy(F.col("p.rep").alias("rep"))
+            .agg(F.sum("p.sgn").alias("z"))
+            .select(F.col("rep").cast("int").alias("rep"),
+                    F.col("z").cast("long").alias("z")))
+
+
+def ams_f2_estimate(df: DataFrame, key_col: str,
+                    reps: int = 16) -> DataFrame:
+    """F2 estimate next to the EXACT truth: mean of z² across
+    repetitions (truncating DIV — engine-exact) vs the exact
+    ``F2 = Σ f(k)²`` computed by one keyed count (for the contract
+    check; at 100 TB only the sketch side runs).  Output: one row
+    ``(f2_est, f2_exact, reps)``."""
+    zs = ams_f2_sketch(df, key_col, reps)
+    est = zs.groupBy().agg(
+        F.expr("sum(z * z) DIV count(*)").alias("f2_est"))
+    exact = (df.groupBy(F.col(key_col).alias("k"))
+             .agg(F.count(F.lit(1)).alias("f"))
+             .groupBy().agg(F.sum(F.col("f") * F.col("f"))
+                            .alias("f2_exact")))
+    return (est.crossJoin(F.broadcast(exact))
+            .select(F.col("f2_est").cast("long").alias("f2_est"),
+                    F.col("f2_exact").cast("long").alias("f2_exact"),
+                    F.lit(int(reps)).cast("int").alias("reps")))
+
+
+def ams_f2_oracle_sql(src_sql: str, key_expr: str,
+                      reps: int = 16) -> str:
+    """DuckDB twin of :func:`ams_f2_estimate` — recomputes every ±1
+    sign from the same md5 parity."""
+    sign = (f"CASE WHEN CAST(('0x' || substr(md5('ams:' || r || ':' || "
+            f"CAST({key_expr} AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0 "
+            f"THEN 1 ELSE -1 END")
+    return f"""
+        WITH src AS ({src_sql}),
+        cells AS (
+            SELECT r, sum({sign}) AS z
+            FROM src CROSS JOIN range(0, {int(reps)}) t(r)
+            GROUP BY r
+        ), est AS (
+            SELECT CAST(sum(z * z) // count(*) AS BIGINT) AS f2_est
+            FROM cells
+        ), exact AS (
+            SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM (
+                SELECT count(*) AS f FROM src GROUP BY {key_expr}
+            )
+        )
+        SELECT f2_est, f2_exact, CAST({int(reps)} AS INT) AS reps
+        FROM est CROSS JOIN exact
+    """

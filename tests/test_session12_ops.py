@@ -448,3 +448,56 @@ def test_sentence_stats_hand_case(spark):
     assert got[1] == (3, 6, 3, 2000000)
     assert got[2] == (0, 0, 0, None)
     assert got[3] == (0, 0, 0, None)
+
+
+# ---------------------------------------------- session 16: stats/sketch
+def test_mannwhitney_hand_case(spark):
+    # A = {1,2,3}, B = {10,20,30}: complete separation -> R_A = 1+2+3,
+    # U = 6 - 6 = 0, u2 = 0.  z2 = (0 - 9)^2*3/(9*7) = 243/63 = 3.857
+    # -> NOT significant at 3.8416?  3.857 > 3.8416 -> significant.
+    a = spark.createDataFrame([(i, float(v)) for i, v in
+                               enumerate([1, 2, 3])],
+                              "event_id long, v double")
+    b = spark.createDataFrame([(i + 10, float(v)) for i, v in
+                               enumerate([10, 20, 30])],
+                              "event_id long, v double")
+    from frogocr_spark.operators.analytics import mannwhitney_u
+    r = mannwhitney_u(a, b, F.col("v"), "event_id").collect()[0]
+    assert (r.n_a, r.n_b, r.u2) == (3, 3, 0)
+    assert r.z2_e6 == (81 * 3 * 1000000) // 63  # 3857142
+    assert bool(r.significant) is True
+
+
+def test_mannwhitney_identical_samples(spark):
+    # identical values: deterministic rank tie-break by (sample, id);
+    # A gets ranks 1..3, B gets 4..6 -> same u2=0 BUT that is the tie
+    # -policy artifact, documented; just pin determinism across runs.
+    a = spark.createDataFrame([(i, 5.0) for i in range(3)],
+                              "event_id long, v double")
+    from frogocr_spark.operators.analytics import mannwhitney_u
+    r1 = mannwhitney_u(a, a, F.col("v"), "event_id").collect()[0]
+    r2 = mannwhitney_u(a, a, F.col("v"), "event_id").collect()[0]
+    assert (r1.u2, r1.significant) == (r2.u2, r2.significant)
+
+
+def test_ams_f2_sketch_python_twin(spark):
+    import hashlib
+    keys = [1, 1, 1, 2, 2, 3]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    from frogocr_spark.operators.sketches import (ams_f2_estimate,
+                                                  ams_f2_sketch)
+    got = {r.rep: r.z for r in ams_f2_sketch(df, "k", reps=4).collect()}
+    want = {}
+    for r in range(4):
+        z = 0
+        for k in keys:
+            h = int(hashlib.md5(f"ams:{r}:{k}".encode())
+                    .hexdigest()[:15], 16)
+            z += 1 if h % 2 == 0 else -1
+        want[r] = z
+    assert got == want
+    est = ams_f2_estimate(df, "k", reps=4).collect()[0]
+    assert est.f2_exact == 9 + 4 + 1
+    assert est.f2_est == sum(z * z for z in want.values()) // 4
+    with pytest.raises(ValueError):
+        ams_f2_sketch(df, "k", reps=0)
