@@ -3996,6 +3996,60 @@ def _q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "user_id", reps=16)
 
 
+# ---- session 17: DP release, embedding dim stats, null-safe join ------
+
+
+def _q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-style release: per-event-type counts with
+    two-sided geometric noise at ε = ln 2 (Ghosh 2009 — the integer
+    utility-optimal mechanism), inverse CDF as an authoring-time EXACT
+    integer threshold table over a 60-bit md5 draw — the release
+    pipeline (sensitivity-1 count → clipped geometric noise →
+    non-negative clamp) verified bit-for-bit; production swaps the md5
+    draw for a secret-seeded RNG (documented seam)
+    (operators/quality.dp_noisy_counts)."""
+    from frogocr_spark.operators.quality import dp_noisy_counts
+    return dp_noisy_counts(_read(spark, sf_dir, "events"),
+                           "event_type")
+
+
+def _q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (the feature-scaling /
+    dead-dimension audit before similarity work): values quantized to
+    the established integer grid floor(v·4096), then exact
+    DECIMAL(38,0) moments per dimension — mean/variance that cannot
+    drift with partitioning (operators/analytics.moment_stats_exact
+    machinery, x = y per dimension)."""
+    from frogocr_spark.operators.analytics import moment_stats_exact
+    emb = _read(spark, sf_dir, "embeddings")
+    dims = emb.select(F.posexplode(
+        F.expr("transform(embedding, "
+               "v -> CAST(floor(v * 4096) AS BIGINT))"))
+        .alias("dim", "q"))
+    return (moment_stats_exact(dims, F.col("q"), F.col("q"), "dim")
+            .select("dim", "n", "mean_x", "var_x"))
+
+
+def _q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The null-safe equality surface: Spark's ``<=>`` vs ANSI
+    ``IS NOT DISTINCT FROM`` — a derived NULL-able bucket key (NULL for
+    sub-unit values) joined null-safely between the click and purchase
+    halves, so NULL keys MATCH EACH OTHER (plain ``=`` silently drops
+    them — the classic silent-row-loss bug this surface exists to
+    avoid); counts per bucket prove the NULL bucket joins."""
+    ev = _read(spark, sf_dir, "events")
+    key = F.when(F.col("value") >= 1,
+                 F.floor("value").cast("long") % 10)
+    clk = (ev.where(F.col("event_type") == "click")
+           .select(key.alias("k"))
+           .groupBy("k").agg(F.count(F.lit(1)).alias("n_click")))
+    pur = (ev.where(F.col("event_type") == "purchase")
+           .select(key.alias("k"))
+           .groupBy("k").agg(F.count(F.lit(1)).alias("n_purchase")))
+    return (clk.join(pur, clk["k"].eqNullSafe(pur["k"]), "inner")
+            .select(clk["k"].alias("bucket"), "n_click", "n_purchase"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -4242,6 +4296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_test": _q_rank_test,
         "spearman": _q_spearman,
         "ams_f2": _q_ams_f2,
+        "dp_counts": _q_dp_counts,
+        "emb_dim_stats": _q_emb_dim_stats,
+        "nullsafe_join": _q_nullsafe_join,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -8311,6 +8368,52 @@ FROM pos2
     from frogocr_spark.operators.sketches import ams_f2_oracle_sql
     o["ams_f2"] = ams_f2_oracle_sql(
         "SELECT user_id FROM events", "user_id", reps=16)
+    from frogocr_spark.operators.quality import (
+        dp_noisy_counts_oracle_sql)
+    o["dp_counts"] = dp_noisy_counts_oracle_sql(
+        "SELECT event_type FROM events", "event_type")
+    o["emb_dim_stats"] = """
+        WITH b AS (
+            SELECT dim, q AS x, q AS y FROM (
+                SELECT p['dim'] AS dim, p['q'] AS q FROM (
+                    SELECT unnest(
+                        [struct_pack(dim := j - 1,
+                             q := CAST(floor(embedding[j] * 4096)
+                                       AS BIGINT))
+                         for j in range(1, len(embedding) + 1)]) AS p
+                    FROM embeddings
+                )
+            )
+        ), a AS (
+            SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                   sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+            FROM b GROUP BY 1
+        )
+        SELECT dim, n,
+               round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_x,
+               round((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE))
+                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   AS var_x
+        FROM a
+    """
+    o["nullsafe_join"] = """
+        WITH clk AS (
+            SELECT CASE WHEN value >= 1
+                        THEN CAST(floor(value) AS BIGINT) % 10 END AS k,
+                   count(*) AS n_click
+            FROM events WHERE event_type = 'click' GROUP BY 1
+        ), pur AS (
+            SELECT CASE WHEN value >= 1
+                        THEN CAST(floor(value) AS BIGINT) % 10 END AS k,
+                   count(*) AS n_purchase
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+        SELECT clk.k AS bucket, CAST(n_click AS BIGINT) AS n_click,
+               CAST(n_purchase AS BIGINT) AS n_purchase
+        FROM clk JOIN pur ON clk.k IS NOT DISTINCT FROM pur.k
+    """
     o["recs_jaccard"] = """
         WITH bp AS (
             SELECT DISTINCT l_orderkey AS bk, l_partkey AS item

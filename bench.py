@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "charclass", "json_keys_profile",
     "twap", "lrm_alloc", "wow_change", "sentence_stats",
     "rank_test", "spearman", "ams_f2",
+    "dp_counts", "emb_dim_stats", "nullsafe_join",
 ]
 
 

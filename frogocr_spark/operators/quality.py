@@ -152,3 +152,84 @@ def range_checksums(df: DataFrame, id_col: str, cols: list[str],
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
                  F.expr("bit_xor(_h)").cast("long").alias("xor_hash")))
+
+
+# ------------------------------------------------------ geometric DP
+# Two-sided geometric mechanism (Ghosh, Roughgarden & Sundararajan
+# 2009) — the integer-valued, utility-optimal counterpart of Laplace
+# noise for count queries (here alpha = 1/2, i.e. epsilon = ln 2).
+# The noise is DETERMINISTIC given a per-group md5 draw (seedless,
+# engine-portable — the repo's seedless-sampling discipline): the
+# support is clipped to [-8, 8] (tail mass 2^-8 folded into the
+# boundary, standard remapping) and the inverse CDF is a 17-branch
+# integer threshold table computed EXACTLY at authoring time
+# (fractions scaled by 2^60; the last threshold IS 2^60).
+_GEOM_THRESHOLDS = (
+    (-8, 3002399751580330), (-7, 6004799503160661),
+    (-6, 12009599006321322), (-5, 24019198012642645),
+    (-4, 48038396025285290), (-3, 96076792050570581),
+    (-2, 192153584101141162), (-1, 384307168202282325),
+    (0, 768614336404564650), (1, 960767920505705813),
+    (2, 1056844712556276394), (3, 1104883108581561685),
+    (4, 1128902306594204330), (5, 1140911905600525653),
+    (6, 1146916705103686314), (7, 1149919104855266645),
+    (8, 1152921504606846976))
+
+
+def dp_noisy_counts(df: DataFrame, group_col: str,
+                    salt: str = "dp0") -> DataFrame:
+    """Differential-privacy-style noisy group counts via the two-sided
+    geometric mechanism at alpha = 1/2 (ε = ln 2 per count): noise is
+    the exact inverse-CDF lookup of a 60-bit md5 draw on
+    ``salt || group`` against the authoring-time integer threshold
+    table — every engine reproduces the identical noisy release
+    bit-for-bit, so the RELEASE PIPELINE (sensitivity-1 count, clipped
+    geometric noise, non-negative clamp) is hash-verifiable even
+    though production would swap the md5 draw for a secret-seeded RNG
+    (documented — determinism here is the testability seam, not a
+    privacy claim).
+
+    Scale shape: one map-side-combined keyed count; the noise lookup
+    is pure column math on the #groups rows.  Output: ``(group, n,
+    noise, n_noisy)`` with n_noisy clamped at 0."""
+    counts = (df.groupBy(F.col(group_col).alias("grp"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    h = (F.conv(F.substring(F.md5(F.concat(
+        F.lit(salt + ":"), F.col("grp").cast("string"))), 1, 15),
+        16, 10).cast("long"))
+    noise = F.lit(8)
+    for k, th in reversed(_GEOM_THRESHOLDS[:-1]):
+        noise = F.when(h < F.lit(th), F.lit(k)).otherwise(noise)
+    out = (counts.withColumn("noise", noise.cast("int"))
+           .withColumn("n_noisy",
+                       F.greatest(F.col("n") + F.col("noise"),
+                                  F.lit(0)).cast("long")))
+    return out.select(F.col("grp").alias(group_col),
+                      F.col("n").cast("long").alias("n"),
+                      "noise", "n_noisy")
+
+
+def dp_noisy_counts_oracle_sql(src_sql: str, group_col: str,
+                               salt: str = "dp0") -> str:
+    """DuckDB twin of :func:`dp_noisy_counts` — the identical
+    threshold table as a CASE chain."""
+    branches = " ".join(
+        f"WHEN h < {th} THEN {k}"
+        for k, th in _GEOM_THRESHOLDS[:-1])
+    return f"""
+        WITH src AS ({src_sql}),
+        counts AS (
+            SELECT {group_col} AS grp, count(*) AS n
+            FROM src GROUP BY 1
+        ), drawn AS (
+            SELECT grp, n,
+                   CAST(('0x' || substr(md5('{salt}:' ||
+                        CAST(grp AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM counts
+        )
+        SELECT grp AS {group_col}, CAST(n AS BIGINT) AS n,
+               CAST(CASE {branches} ELSE 8 END AS INT) AS noise,
+               CAST(greatest(n + CASE {branches} ELSE 8 END, 0)
+                    AS BIGINT) AS n_noisy
+        FROM drawn
+    """

@@ -501,3 +501,49 @@ def test_ams_f2_sketch_python_twin(spark):
     assert est.f2_est == sum(z * z for z in want.values()) // 4
     with pytest.raises(ValueError):
         ams_f2_sketch(df, "k", reps=0)
+
+
+# ------------------------------------------------- session 17: dp counts
+def test_dp_noisy_counts_python_twin(spark):
+    import hashlib
+    from frogocr_spark.operators.quality import (_GEOM_THRESHOLDS,
+                                                 dp_noisy_counts)
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "g string")
+    got = {r.g: (r.n, r.noise, r.n_noisy)
+           for r in dp_noisy_counts(df, "g").collect()}
+    for grp, n in (("a", 5), ("b", 2)):
+        h = int(hashlib.md5(f"dp0:{grp}".encode()).hexdigest()[:15], 16)
+        noise = 8
+        for k, th in _GEOM_THRESHOLDS[:-1]:
+            if h < th:
+                noise = k
+                break
+        assert got[grp] == (n, noise, max(n + noise, 0))
+
+
+def test_dp_thresholds_are_a_valid_cdf():
+    from fractions import Fraction
+    from frogocr_spark.operators.quality import _GEOM_THRESHOLDS
+    # thresholds strictly increase and end exactly at 2^60
+    ths = [t for _, t in _GEOM_THRESHOLDS]
+    assert ths == sorted(ths) and len(set(ths)) == len(ths)
+    assert ths[-1] == 1 << 60
+    # recompute from the clipped two-sided geometric (alpha = 1/2)
+    p0 = Fraction(1, 3)
+    probs = {k: (p0 if k == 0 else p0 / (1 << abs(k)))
+             for k in range(-8, 9)}
+    resid = (1 - sum(probs.values())) / 2
+    probs[-8] += resid
+    probs[8] += resid
+    cum = Fraction(0)
+    for (k, th) in _GEOM_THRESHOLDS:
+        cum += probs[k]
+        assert th == (cum * (1 << 60)).__floor__()
+
+
+def test_nullsafe_join_keeps_null_bucket(spark):
+    df1 = spark.createDataFrame([(None,), (1,)], "k int")
+    df2 = spark.createDataFrame([(None,), (2,)], "k int")
+    plain = df1.join(df2, df1["k"] == df2["k"]).count()
+    safe = df1.join(df2, df1["k"].eqNullSafe(df2["k"])).count()
+    assert plain == 0 and safe == 1
