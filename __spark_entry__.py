@@ -4050,6 +4050,55 @@ def _q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(clk["k"].alias("bucket"), "n_click", "n_purchase"))
 
 
+# ---- session 18: HHI concentration, readability, kNN classifier ------
+
+
+def _q_hhi_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation —
+    the market/source-mix concentration audit, exact in 10^-8 units
+    (one truncating DIV over DECIMAL(38,0) sums — a float Σ share²
+    would drift per summation order).  Scale shape: fact table
+    aggregated map-side on the supplier key FIRST, dims broadcast,
+    then one keyed agg per nation (operators/analytics.
+    hhi_concentration)."""
+    from frogocr_spark.operators.analytics import hhi_concentration
+    li = (_read(spark, sf_dir, "lineitem")
+          .groupBy("l_suppkey")
+          .agg(F.sum(F.round(F.col("l_extendedprice") * 100, 0)
+                     .cast("long")).alias("rev_cents")))
+    sup = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    per = (li.join(F.broadcast(sup),
+                   li["l_suppkey"] == sup["s_suppkey"])
+           .join(F.broadcast(nat),
+                 sup["s_nationkey"] == nat["n_nationkey"])
+           .select("n_name", "rev_cents"))
+    return hhi_concentration(per, "n_name", "rev_cents")
+
+
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document, integer-exact (vowel-group
+    syllable heuristic, sentence_stats segmentation, two truncating
+    DIVs) — the classic readability quality gate beside line_filters /
+    lm_filter; pure codegen column expressions, no explode, no shuffle
+    (operators/textstats.flesch_stats)."""
+    from frogocr_spark.operators.textstats import flesch_stats
+    return flesch_stats(_read(spark, sf_dir, "documents"))
+
+
+def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification of 20 query vectors against
+    the corpus (k=5, rounded-cosine rank cut): exact partial-top-k
+    retrieval (shuffle O(P·Q·k), corpus never all-pairs joined) + a
+    deterministic vote (max count, ties → smallest label).  The
+    oracle keeps the quadratic formulation, so the hash match proves
+    the partial-reduction plan (operators/ml.knn_classify)."""
+    from frogocr_spark.operators.ml import knn_classify
+    emb = _read(spark, sf_dir, "embeddings")
+    return knn_classify(emb, emb.where("vec_id < 20"), k=5,
+                        rank_round=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -4299,6 +4348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_counts": _q_dp_counts,
         "emb_dim_stats": _q_emb_dim_stats,
         "nullsafe_join": _q_nullsafe_join,
+        "hhi_supplier": _q_hhi_supplier,
+        "readability": _q_readability,
+        "knn_classify": _q_knn_classify,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -8413,6 +8465,49 @@ FROM pos2
         SELECT clk.k AS bucket, CAST(n_click AS BIGINT) AS n_click,
                CAST(n_purchase AS BIGINT) AS n_purchase
         FROM clk JOIN pur ON clk.k IS NOT DISTINCT FROM pur.k
+    """
+    from frogocr_spark.operators.analytics import (
+        hhi_concentration_oracle_sql)
+    o["hhi_supplier"] = hhi_concentration_oracle_sql(
+        """SELECT n_name,
+                  l_suppkey,
+                  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                      AS rev_cents
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           GROUP BY 1, 2""", "n_name", "rev_cents")
+    from frogocr_spark.operators.textstats import (
+        flesch_stats_oracle_sql)
+    o["readability"] = flesch_stats_oracle_sql(
+        "SELECT doc_id, text FROM documents")
+    o["knn_classify"] = """
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   c.label AS nl,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(c.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])), 4) DESC,
+                       c.vec_id) AS rk
+            FROM embeddings c,
+                 (SELECT * FROM embeddings WHERE vec_id < 20) q
+            WHERE c.vec_id <> q.vec_id
+        ), votes AS (
+            SELECT query_id, CAST(nl AS BIGINT) AS pred_label,
+                   count(*) AS n_votes
+            FROM scored WHERE rk <= 5 GROUP BY 1, 2
+        ), win AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY n_votes DESC, pred_label ASC) AS vr
+            FROM votes
+        )
+        SELECT w.query_id, CAST(q.label AS BIGINT) AS true_label,
+               w.pred_label, CAST(w.n_votes AS BIGINT) AS n_votes,
+               CAST(CASE WHEN w.pred_label = q.label
+                         THEN 1 ELSE 0 END AS BIGINT) AS hit
+        FROM win w JOIN embeddings q ON w.query_id = q.vec_id
+        WHERE w.vr = 1
     """
     o["recs_jaccard"] = """
         WITH bp AS (

@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "twap", "lrm_alloc", "wow_change", "sentence_stats",
     "rank_test", "spearman", "ams_f2",
     "dp_counts", "emb_dim_stats", "nullsafe_join",
+    "hhi_supplier", "readability", "knn_classify",
 ]
 
 

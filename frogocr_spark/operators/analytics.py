@@ -1770,3 +1770,59 @@ def mannwhitney_u_oracle_sql(a_sql: str, b_sql: str, value_expr: str,
                         {alpha_num} * den, false) AS significant
         FROM fin
     """
+
+
+def hhi_concentration(df: DataFrame, group_col: str,
+                      value_col) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index per group —
+    the antitrust / source-mix-diversity audit (is one supplier /
+    data source dominating a market / training mix?).
+
+    Input: one row per (group, entity) with a non-negative integer
+    ``value_col`` (an entity's total — revenue cents, token counts).
+    HHI = Σ share_i² over entities, reported exactly in 10^-8 units::
+
+        hhi_e8 = (Σ v_i²) · 10^8  DIV  (Σ v_i)²
+
+    — one truncating division over DECIMAL(38,0) sums, so the result
+    is identical under any partitioning/engine (a float Σ share²
+    would drift in the last ulp per summation order).  Range: 10^8/n
+    (perfect competition) … 10^8 (monopoly).  Groups with zero total
+    are dropped (share undefined).
+
+    Scale shape: ONE map-side-combined keyed aggregation carrying two
+    DECIMAL sums and a count; output is one row per group.  Overflow
+    headroom: exact while Σ v² · 10^8 < 10^38, i.e. per-entity values
+    up to ~10^15 with 10^14 entities per group."""
+    v = F.col(value_col).cast("decimal(38,0)")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum(v).alias("_tot"),
+        F.sum(v * v).alias("_ss"))
+    return (agg.where(F.col("_tot") > 0)
+            .select(group_col,
+                    F.col("n_entities").cast("long").alias("n_entities"),
+                    F.col("_tot").cast("long").alias("total"),
+                    F.expr("(_ss * 100000000) DIV (_tot * _tot)")
+                    .cast("long").alias("hhi_e8")))
+
+
+def hhi_concentration_oracle_sql(src_sql: str, group_col: str,
+                                 value_expr: str) -> str:
+    """DuckDB twin of :func:`hhi_concentration` (HUGEINT exact sums,
+    ``//`` truncating division)."""
+    return f"""
+        WITH src AS ({src_sql}),
+        agg AS (
+            SELECT {group_col} AS grp, count(*) AS n_entities,
+                   sum(CAST({value_expr} AS HUGEINT)) AS tot,
+                   sum(CAST({value_expr} AS HUGEINT)
+                       * CAST({value_expr} AS HUGEINT)) AS ss
+            FROM src GROUP BY 1
+        )
+        SELECT grp AS {group_col},
+               CAST(n_entities AS BIGINT) AS n_entities,
+               CAST(tot AS BIGINT) AS total,
+               CAST((ss * 100000000) // (tot * tot) AS BIGINT) AS hhi_e8
+        FROM agg WHERE tot > 0
+    """

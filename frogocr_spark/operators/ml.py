@@ -178,3 +178,52 @@ def nb_train_oracle_sql(docs_sql: str, min_count: int,
         JOIN cdocs ON ctv.cls = cdocs.cls
         CROSS JOIN nn
     """
+
+
+def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label",
+                 rank_round: int | None = 4) -> DataFrame:
+    """kNN majority-vote classification (Cover & Hart 1967) over an
+    embedding column — the label-propagation / weak-labeling step a
+    curated corpus runs before training (and the standard embedding
+    -quality probe: can neighbors recover the label?).
+
+    Neighbor retrieval is the EXACT partition-local partial top-k
+    (:func:`~frogocr_spark.operators.similarity.cosine_topk_partial` —
+    shuffle O(P·Q·k), the corpus is never all-pairs joined), ranked on
+    the ROUNDED cosine then neighbor id (the contract-stable k-cut,
+    see the sim_cosine_* queries).  The vote: per query, the label
+    with the highest neighbor count wins; ties break to the SMALLEST
+    label — fully deterministic.
+
+    Scale shape: retrieval as above; the Q·k neighbor rows then join
+    the corpus label dimension (AQE broadcasts the Q·k side) and one
+    (query, label) keyed count + one per-query rank window decide the
+    vote.  Output: ``(query_id, true_label, pred_label, n_votes,
+    hit)`` with ``hit`` = 1 when prediction equals the query's own
+    label."""
+    from pyspark.sql import Window
+
+    from .similarity import cosine_topk_partial
+    nb = cosine_topk_partial(corpus, queries, k=k, id_col=id_col,
+                             vec_col=vec_col, rank_round=rank_round)
+    lab = corpus.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(label_col).cast("long").alias("_nl"))
+    votes = (nb.join(lab, "neighbor_id")
+             .groupBy("query_id", "_nl")
+             .agg(F.count(F.lit(1)).alias("n_votes")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("_nl"))
+    pred = (votes.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("query_id", F.col("_nl").alias("pred_label"),
+                    "n_votes"))
+    truth = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(label_col).cast("long")
+                           .alias("true_label"))
+    return (pred.join(truth, "query_id")
+            .select("query_id", "true_label", "pred_label",
+                    F.col("n_votes").cast("long").alias("n_votes"),
+                    (F.col("pred_label") == F.col("true_label"))
+                    .cast("long").alias("hit")))

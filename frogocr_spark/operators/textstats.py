@@ -1655,3 +1655,79 @@ def sentence_stats_oracle_sql(docs_sql: str) -> str:
                END AS avg_tokens_e6
         FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
     """
+
+
+def flesch_stats(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease profile per document — the classic
+    readability quality gate (Flesch 1948), restated integer-exact.
+
+    Syllables are approximated as VOWEL GROUPS per word (maximal runs
+    of ``[aeiouyAEIOUY]`` — the standard portable heuristic; no
+    lowercasing so no locale-sensitive case mapping can differ across
+    engines).  Sentences are the ``[.!?]+``-split segments with ≥ 1
+    token — the :func:`sentence_stats` discipline.  The score::
+
+        flesch_e3 = 206835 - (1015·W) DIV S - (84600·syll) DIV W
+
+    — Flesch's 206.835 − 1.015·(W/S) − 84.6·(syll/W) scaled by 10^3
+    with two truncating integer divisions, so both engines agree
+    bit-for-bit (NULL when the doc has no sentence or no word).
+
+    Scale shape: pure column expressions over one scan — the split /
+    transform / aggregate folds run inside codegen; no explode, no
+    shuffle.  Output: ``(doc_id, n_words, n_sentences, n_syllables,
+    flesch_e3)``."""
+    words = F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), "")
+    syll = F.expr(
+        "aggregate(transform({w}, w -> CAST(size("
+        "regexp_extract_all(w, '[aeiouyAEIOUY]+', 0)) AS BIGINT)), "
+        "0L, (acc, x) -> acc + x)".format(
+            w="array_remove(split(trim({t}), '\\\\s+'), '')".format(
+                t=text_col)))
+    sents = F.expr(
+        "size(filter(split({t}, '[.!?]+'), s -> "
+        "size(array_remove(split(trim(s), '\\\\s+'), '')) > 0))"
+        .format(t=text_col))
+    out = df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syll.alias("n_syllables"))
+    return out.withColumn(
+        "flesch_e3",
+        F.when((F.col("n_words") > 0) & (F.col("n_sentences") > 0),
+               F.expr("206835 - (1015 * n_words) DIV n_sentences "
+                      "- (84600 * n_syllables) DIV n_words")))
+
+
+def flesch_stats_oracle_sql(docs_sql: str) -> str:
+    """DuckDB twin of :func:`flesch_stats` (same vowel-group /
+    sentence-split / truncating-DIV formulas)."""
+    return rf"""
+        WITH docs AS ({docs_sql}),
+        b AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS ws,
+                   len(list_filter(string_split_regex(text, '[.!?]+'),
+                       s -> len(list_filter(
+                           string_split_regex(trim(s), '\s+'),
+                           t -> t <> '')) > 0)) AS n_sentences
+            FROM docs
+        ), c AS (
+            SELECT doc_id, len(ws) AS n_words,
+                   CAST(n_sentences AS BIGINT) AS n_sentences,
+                   coalesce(list_sum(list_transform(ws, w ->
+                       len(regexp_extract_all(w, '[aeiouyAEIOUY]+')))),
+                       0) AS n_syllables
+            FROM b
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+                   CAST(206835 - (1015 * n_words) // n_sentences
+                        - (84600 * n_syllables) // n_words AS BIGINT)
+               END AS flesch_e3
+        FROM c
+    """

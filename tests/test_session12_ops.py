@@ -547,3 +547,62 @@ def test_nullsafe_join_keeps_null_bucket(spark):
     plain = df1.join(df2, df1["k"] == df2["k"]).count()
     safe = df1.join(df2, df1["k"].eqNullSafe(df2["k"])).count()
     assert plain == 0 and safe == 1
+
+
+# ---- session 18: HHI, readability, kNN classify ------------------------
+
+
+def test_hhi_monopoly_and_even_split(spark):
+    from frogocr_spark.operators.analytics import hhi_concentration
+    rows = [("mono", "e1", 100),
+            ("even", "a", 25), ("even", "b", 25),
+            ("even", "c", 25), ("even", "d", 25),
+            ("zero", "x", 0)]
+    df = spark.createDataFrame(rows, "grp string, ent string, v long")
+    got = {r.grp: (r.n_entities, r.total, r.hhi_e8)
+           for r in hhi_concentration(df, "grp", "v").collect()}
+    assert got["mono"] == (1, 100, 100_000_000)
+    assert got["even"] == (4, 100, 25_000_000)
+    assert "zero" not in got  # zero-total group dropped
+
+
+def test_hhi_truncating_division(spark):
+    from frogocr_spark.operators.analytics import hhi_concentration
+    # shares 2/3, 1/3: HHI = (4+1)/9 = 0.5555... -> 55555555 truncated
+    df = spark.createDataFrame([("g", 2), ("g", 1)], "grp string, v long")
+    [r] = hhi_concentration(df, "grp", "v").collect()
+    assert r.hhi_e8 == 55_555_555
+
+
+def test_flesch_hand_case(spark):
+    from frogocr_spark.operators.textstats import flesch_stats
+    # "the cat sat. it ran!" -> W=5, S=2, syll: the=1 cat=1 sat.=1
+    # it=1 ran!=1 -> 5  (punctuation carries no vowels)
+    df = spark.createDataFrame([(1, "the cat sat. it ran!"),
+                                (2, ""), (3, "xyz")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in flesch_stats(df).collect()}
+    r = got[1]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (5, 2, 5)
+    # 206835 - (1015*5) DIV 2 - (84600*5) DIV 5
+    assert r.flesch_e3 == 206835 - (1015 * 5) // 2 - 84600
+    assert got[2].flesch_e3 is None and got[2].n_words == 0
+    # "xyz": one word, vowel-less (y IS a vowel here -> 1 syllable)
+    assert got[3].n_syllables == 1 and got[3].n_sentences == 1
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from frogocr_spark.operators.ml import knn_classify
+    # 1-D embeddings on a line: query at 1.0, neighbors cluster around
+    # it; cosine of 1-D positive vectors is always 1.0 so ranking falls
+    # to the id tie-break -> neighbors are ids 1..k in order.
+    rows = [(0, [1.0, 0.0], 7)]
+    rows += [(i, [1.0, float(i) / 100.0], 1 if i <= 3 else 2)
+             for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = knn_classify(df, df.where("vec_id = 0"), k=5,
+                       rank_round=None).collect()
+    [r] = out
+    # top-5 by exact cosine: ids 1..5 (closest angles), labels 1,1,1,2,2
+    assert r.pred_label == 1 and r.n_votes == 3
+    assert r.true_label == 7 and r.hit == 0
