@@ -4099,6 +4099,80 @@ def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                         rank_round=4)
 
 
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact HITS hubs & authorities (2 iterations, sum-
+    normalized by one truncating DIV per half-step — the L2 norm of
+    float HITS is not engine-portable) over the supplier->customer
+    shipment graph; per half-step one gather equi-join + one map-side
+    -combined agg + a 1-row total broadcast
+    (operators/graph.hits_int; oracle = unrolled CTE chain)."""
+    from frogocr_spark.operators.graph import hits_int
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .select(F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                     .alias("src"),
+                     F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                     .alias("dst"))
+             .distinct())
+    return hits_int(edges, iters=2)
+
+
+def _q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard base-32 geohash encoding (Niemeyer 2008) of synthetic
+    integer-derived customer coordinates — the spatial-layout cell key
+    (prefix = containing cell, the file-skipping / spatial-bucketing
+    primitive).  Quantize + interleave + alphabet map are GENERATED
+    SQL executed verbatim by both engines (layout.geohash_*_sql — the
+    zvalue_sql single-source discipline; canonical test vector
+    u4pruydq pinned in pytest).  Pure map stage: zero shuffles on the
+    100 TB side."""
+    from frogocr_spark.operators.layout import (
+        geohash_base32_sql, geohash_interleave_sql, geohash_quant_sql)
+    cust = _read(spark, sf_dir, "customer")
+    latq = geohash_quant_sql("lat_e2 / 100.0", 20, True)
+    lonq = geohash_quant_sql("lon_e2 / 100.0", 20, False)
+    return (cust
+            .withColumn("lat_e2",
+                        F.expr("c_custkey * 37 % 18000 - 9000"))
+            .withColumn("lon_e2",
+                        F.expr("c_custkey * 73 % 36000 - 18000"))
+            .withColumn("g", F.expr(geohash_interleave_sql(latq, lonq, 8)))
+            .select("c_custkey", "lat_e2", "lon_e2",
+                    F.expr(geohash_base32_sql("g", 8)).alias("gh8"))
+            .withColumn("gh4", F.substring("gh8", 1, 4)))
+
+
+# the SQL-surface single-source-of-truth pattern (see sql_surface /
+# recursive_cte): Spark executes the EXACT text the DuckDB oracle runs,
+# so the two engines' correlated-LATERAL decorrelations are compared on
+# identical input SQL.
+LATERAL_SQL_TEXT = """
+    SELECT n_name, s_suppkey, bal_cents
+    FROM nation, LATERAL (
+        SELECT s_suppkey,
+               CAST(round(s_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        FROM supplier
+        WHERE s_nationkey = n_nationkey
+        ORDER BY bal_cents DESC, s_suppkey
+        LIMIT 3
+    )
+"""
+
+
+def _q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-LATERAL surface: per-nation top-3 suppliers by
+    account balance as a LATERAL (ORDER BY ... LIMIT) subquery — the
+    ANSI form of the grouped top-k Spark otherwise writes as a rank
+    window.  Both engines execute LATERAL_SQL_TEXT verbatim (the
+    sql_surface discipline), so the hash match proves Spark's lateral
+    decorrelation against DuckDB's; deterministic via the (balance
+    DESC, suppkey) total order."""
+    for t in ("nation", "supplier"):
+        _read(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(LATERAL_SQL_TEXT)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -4351,6 +4425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hhi_supplier": _q_hhi_supplier,
         "readability": _q_readability,
         "knn_classify": _q_knn_classify,
+        "hits": _q_hits,
+        "geohash": _q_geohash,
+        "lateral_topn": _q_lateral_topn,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -8509,6 +8586,34 @@ FROM pos2
         FROM win w JOIN embeddings q ON w.query_id = q.vec_id
         WHERE w.vr = 1
     """
+    from frogocr_spark.operators.graph import hits_int_oracle_sql
+    o["hits"] = hits_int_oracle_sql(
+        "SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src, "
+        "'c' || CAST(o_custkey AS VARCHAR) AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+        iters=2)
+    from frogocr_spark.operators.layout import (
+        geohash_base32_sql as _gh32, geohash_interleave_sql as _ghil,
+        geohash_quant_sql as _ghq)
+    o["geohash"] = f"""
+        WITH c AS (
+            SELECT c_custkey,
+                   c_custkey * 37 % 18000 - 9000 AS lat_e2,
+                   c_custkey * 73 % 36000 - 18000 AS lon_e2
+            FROM customer
+        ), gi AS (
+            SELECT c_custkey, lat_e2, lon_e2,
+                   {_ghil(_ghq("lat_e2 / 100.0", 20, True),
+                          _ghq("lon_e2 / 100.0", 20, False), 8)} AS g
+            FROM c
+        )
+        SELECT c_custkey, CAST(lat_e2 AS BIGINT) AS lat_e2,
+               CAST(lon_e2 AS BIGINT) AS lon_e2,
+               {_gh32("g", 8)} AS gh8,
+               substr({_gh32("g", 8)}, 1, 4) AS gh4
+        FROM gi
+    """
+    o["lateral_topn"] = LATERAL_SQL_TEXT
     o["recs_jaccard"] = """
         WITH bp AS (
             SELECT DISTINCT l_orderkey AS bk, l_partkey AS item

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "rank_test", "spearman", "ams_f2",
     "dp_counts", "emb_dim_stats", "nullsafe_join",
     "hhi_supplier", "readability", "knn_classify",
+    "hits", "geohash", "lateral_topn",
 ]
 
 

@@ -856,3 +856,93 @@ def two_hop_reach_oracle_sql(edges_sql: str) -> str:
                CAST(n_2hop_total AS BIGINT) AS n_2hop_total
         FROM deg JOIN reach ON deg.n = reach.a
     """
+
+
+def hits_int(edges: DataFrame, iters: int = 2,
+             scale: int = 1_000_000) -> DataFrame:
+    """Integer-exact HITS (Kleinberg 1999 — hubs & authorities) over
+    distinct directed ``(src, dst)`` edges: the link-analysis sibling
+    of :func:`pagerank_int` for bipartite-ish graphs (who aggregates
+    vs who is aggregated).
+
+    Float HITS normalizes by an L2 norm (sqrt — not portable bit-for-
+    bit across engines when fed shuffle-ordered sums); here each half-
+    step rescales by the SUM with one truncating division::
+
+        auth(v) = (Σ_{u→v} hub(u)) · scale DIV max(Σ_raw, 1)
+        hub(u)  = (Σ_{u→v} auth(v)) · scale DIV max(Σ_raw, 1)
+
+    — all int64/DECIMAL(38,0) ops, order-independent, so every engine
+    computes the identical integers after any iteration count.
+
+    Scale shape: per half-step ONE gather equi-join + one map-side-
+    combined keyed agg, plus a 1-row total broadcast back (the
+    zorder_buckets cross-join pattern — O(1) driver traffic).  Exact
+    while n_nodes · scale² < 10^38 (DECIMAL headroom).  Output:
+    ``(node, hub, auth)`` for every node."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        tot = raw.agg(F.sum("_raw").cast("decimal(38,0)").alias("_t"))
+        return (nodes.join(raw, "node", "left")
+                .crossJoin(F.broadcast(tot))
+                .select("node", F.expr(
+                    f"(CAST(coalesce(_raw, 0) AS DECIMAL(38,0)) "
+                    f"* {scale}) DIV greatest(coalesce(_t, 1), 1)")
+                    .cast("long").alias(col)))
+
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (edges.join(hub, edges["src"] == hub["node"])
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("hub").alias("_raw")))
+        auth = _normalize(a_raw, "auth")
+        h_raw = (edges.join(auth, edges["dst"] == auth["node"])
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("auth").alias("_raw")))
+        hub = _normalize(h_raw, "hub")
+    return hub.join(auth, "node").select("node", "hub", "auth")
+
+
+def hits_int_oracle_sql(edges_sql: str, iters: int = 2,
+                        scale: int = 1_000_000) -> str:
+    """DuckDB twin of :func:`hits_int`: the identical integer chain as
+    unrolled CTEs (HUGEINT sums, ``//`` ≡ Spark ``DIV`` on these
+    non-negative values)."""
+    sql = [f"WITH e AS ({edges_sql}),",
+           "nodes AS (SELECT src AS node FROM e UNION "
+           "SELECT dst FROM e),",
+           f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub "
+           f"FROM nodes),"]
+    for i in range(1, iters + 1):
+        sql.append(
+            f"ar{i} AS (SELECT e.dst AS node, "
+            f"CAST(sum(h.hub) AS HUGEINT) AS raw "
+            f"FROM e JOIN h{i-1} h ON e.src = h.node GROUP BY e.dst),")
+        sql.append(f"at{i} AS (SELECT greatest(coalesce(sum(raw), 1), 1)"
+                   f" AS t FROM ar{i}),")
+        sql.append(
+            f"a{i} AS (SELECT n.node, CAST(COALESCE(r.raw, 0) * {scale}"
+            f" // t AS BIGINT) AS auth "
+            f"FROM nodes n LEFT JOIN ar{i} r USING (node) "
+            f"CROSS JOIN at{i}),")
+        sql.append(
+            f"hr{i} AS (SELECT e.src AS node, "
+            f"CAST(sum(a.auth) AS HUGEINT) AS raw "
+            f"FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),")
+        sql.append(f"ht{i} AS (SELECT greatest(coalesce(sum(raw), 1), 1)"
+                   f" AS t FROM hr{i}),")
+        sql.append(
+            f"h{i} AS (SELECT n.node, CAST(COALESCE(r.raw, 0) * {scale}"
+            f" // t AS BIGINT) AS hub "
+            f"FROM nodes n LEFT JOIN hr{i} r USING (node) "
+            f"CROSS JOIN ht{i}),")
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(f"SELECT h.node, h.hub, a.auth "
+               f"FROM h{iters} h JOIN a{iters} a USING (node)")
+    return "\n".join(sql)

@@ -207,3 +207,62 @@ def hilbert_index_py(x: int, y: int, bits: int = 10) -> int:
                 x, y = s - 1 - x, s - 1 - y
             x, y = y, x
     return hd
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_quant_sql(coord_expr: str, half_bits: int,
+                      is_lat: bool) -> str:
+    """ANSI SQL quantizing a lat/lon degree expression onto the
+    standard geohash integer grid: ``floor((c + off) / span · 2^b)``
+    clamped to ``[0, 2^b)``.  The float steps are single IEEE ops on
+    values both engines agree on exactly, so the floor is
+    deterministic.  Generated text runs verbatim on Spark AND DuckDB
+    (single-source — the two quantizers cannot drift)."""
+    off, span = (90.0, 180.0) if is_lat else (180.0, 360.0)
+    n = 1 << half_bits
+    return (f"least(greatest(CAST(floor((({coord_expr}) + {off}) "
+            f"/ {span} * {n}.0) AS BIGINT), 0), {n - 1})")
+
+
+def geohash_interleave_sql(latq_expr: str, lonq_expr: str,
+                           chars: int = 8) -> str:
+    """ANSI SQL interleaving quantized lat/lon cells into the geohash
+    bit string as one BIGINT: geohash bits alternate lon-first from
+    the MSB, i.e. lat bit i lands at LSB position 2i and lon bit i at
+    2i+1 (the :func:`zvalue` layout with x = lat).  ``chars`` must be
+    even so lat/lon split the bits equally.  Same single-source
+    discipline as :func:`zvalue_sql` — generated text runs verbatim
+    on Spark AND DuckDB."""
+    if chars % 2 or not 2 <= chars <= 12:
+        raise ValueError(f"chars must be even in [2, 12], got {chars}")
+    half = 5 * chars // 2
+    terms = []
+    for i in range(half):
+        terms.append(f"(((({latq_expr})) >> {i} & 1) << {2 * i})")
+        terms.append(f"(((({lonq_expr})) >> {i} & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def geohash_base32_sql(g_expr: str, chars: int = 8) -> str:
+    """ANSI SQL mapping an interleaved geohash integer (from
+    :func:`geohash_interleave_sql`) to the standard base-32 string
+    (Niemeyer 2008): 5-bit groups, MSB first, through the geohash
+    alphabet.  Keep ``g_expr`` a simple column name — it is repeated
+    once per character."""
+    parts = [f"substr('{GEOHASH_ALPHABET}', "
+             f"CAST((({g_expr}) >> {5 * (chars - 1 - j)}) & 31 AS INT)"
+             f" + 1, 1)"
+             for j in range(chars)]
+    return "(" + " || ".join(parts) + ")"
+
+
+def geohash_encode_sql(latq_expr: str, lonq_expr: str,
+                       chars: int = 8) -> str:
+    """One-expression composition of interleave + base-32 — used by
+    tests against the canonical (57.64911, 10.40744) → ``u4pruydq``
+    vector; production queries materialize the interleave as a column
+    first (the expression otherwise repeats per character)."""
+    g = geohash_interleave_sql(latq_expr, lonq_expr, chars)
+    return geohash_base32_sql(g, chars)

@@ -606,3 +606,66 @@ def test_knn_classify_majority_and_tiebreak(spark):
     # top-5 by exact cosine: ids 1..5 (closest angles), labels 1,1,1,2,2
     assert r.pred_label == 1 and r.n_votes == 3
     assert r.true_label == 7 and r.hit == 0
+
+
+def test_hits_hand_case(spark):
+    from frogocr_spark.operators.graph import hits_int
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x")], "src string, dst string")
+    got = {r.node: (r.hub, r.auth)
+           for r in hits_int(edges, iters=2, scale=1000).collect()}
+    # iter1: auth x=2000*1000//3000=666 y=333; hub a=(666+333)*1000//
+    # 1665=600 b=666*1000//1665=400.  iter2: raw auth x=1000 y=600,
+    # tot 1600 -> x=625 y=375; raw hub a=1000 b=625, tot 1625 ->
+    # a=615 b=384.
+    assert got == {"a": (615, 0), "b": (384, 0),
+                   "x": (0, 625), "y": (0, 375)}
+
+
+def test_hits_validates_iters(spark):
+    import pytest
+    from frogocr_spark.operators.graph import hits_int
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        hits_int(edges, iters=0)
+
+
+def test_geohash_canonical_vector(spark):
+    # the classic geohash example: (57.64911, 10.40744) -> u4pruydq
+    from frogocr_spark.operators.layout import (geohash_encode_sql,
+                                                geohash_quant_sql)
+    from pyspark.sql import functions as F
+    latq = geohash_quant_sql("57.64911", 20, True)
+    lonq = geohash_quant_sql("10.40744", 20, False)
+    [r] = spark.range(1).select(
+        F.expr(geohash_encode_sql(latq, lonq, 8)).alias("gh")).collect()
+    assert r.gh == "u4pruydq"
+    import duckdb
+    assert duckdb.sql(
+        "SELECT " + geohash_encode_sql(latq, lonq, 8)).fetchone()[0] \
+        == "u4pruydq"
+
+
+def test_geohash_prefix_is_containment(spark):
+    # nearby points share prefixes; antipodal points do not
+    from pyspark.sql import functions as F
+    from frogocr_spark.operators.layout import (geohash_encode_sql,
+                                                geohash_quant_sql)
+
+    def gh(lat, lon):
+        latq = geohash_quant_sql(str(lat), 20, True)
+        lonq = geohash_quant_sql(str(lon), 20, False)
+        return spark.range(1).select(F.expr(
+            geohash_encode_sql(latq, lonq, 8)).alias("g")).first().g
+
+    a, b = gh(57.64911, 10.40744), gh(57.649, 10.407)
+    far = gh(-57.0, -170.0)
+    assert a[:5] == b[:5] and a[:2] != far[:2]
+
+
+def test_geohash_validates_chars():
+    import pytest
+    from frogocr_spark.operators.layout import geohash_interleave_sql
+    for bad in (3, 0, 14):
+        with pytest.raises(ValueError):
+            geohash_interleave_sql("x", "y", bad)
