@@ -4173,6 +4173,57 @@ def _q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(LATERAL_SQL_TEXT)
 
 
+def _q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala 2007) of the event
+    stream: quasi-identifiers = (event_type, epoch-day), sensitive =
+    user_id — the k-anonymity companion gate (a k-large group whose
+    rows all share one sensitive value still exposes everyone).  Two
+    keyed aggs, the second over group-profile rows only
+    (operators/quality.l_diversity)."""
+    from frogocr_spark.operators.quality import l_diversity
+    ev = (_read(spark, sf_dir, "events")
+          .withColumn("day", F.expr(
+              "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")))
+    return l_diversity(ev, ["event_type", "day"], "user_id", l=3)
+
+
+def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary — the distribution
+    sanity audit of a token universe (slope ≈ −1 for natural text;
+    far off → boilerplate or synthetic junk).  The log-log regression
+    is restated engine-exact: rank and frequency map to integer
+    floor(log2) via the binary-digit-count identity (log2_histogram
+    discipline — no libm), ranks come from the range-partitioned
+    global_rank under the (freq DESC, token) total order, and the
+    slope/intercept/r² ride the proven DECIMAL(38,0) OLS machinery
+    (operators/analytics.ols_fit)."""
+    from frogocr_spark.operators.analytics import ols_fit
+    from frogocr_spark.operators.ranking import global_rank
+    docs = _read_split(spark, sf_dir, "documents")
+    freq = (docs.select(F.explode(F.split(F.trim("text"), r"\s+"))
+                        .alias("token"))
+            .where(F.col("token") != "")
+            .groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+            .withColumn("negf", -F.col("f")))
+    ranked = global_rank(freq, ["negf", "token"], rank_col="r")
+    b = ranked.select(
+        F.lit("all").alias("grp"),
+        (F.length(F.expr("bin(r)")) - 1).alias("x"),
+        (F.length(F.expr("bin(f)")) - 1).alias("y"))
+    return ols_fit(b, F.col("x"), F.col("y"), "grp")
+
+
+def _q_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection over the
+    embedding table — diversity sampling for training-data curation
+    (Gonzalez 1985 2-approximation).  Per round a pure-map distance
+    stage against ≤ k literal centers + one TakeOrdered(1); the
+    oracle re-runs the identical greedy chain unrolled
+    (operators/clustering.maxmin_coreset)."""
+    from frogocr_spark.operators.clustering import maxmin_coreset
+    return maxmin_coreset(_read(spark, sf_dir, "embeddings"), k=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -4428,6 +4479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": _q_hits,
         "geohash": _q_geohash,
         "lateral_topn": _q_lateral_topn,
+        "l_diversity": _q_l_diversity,
+        "zipf_fit": _q_zipf_fit,
+        "coreset": _q_coreset,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -8614,6 +8668,73 @@ FROM pos2
         FROM gi
     """
     o["lateral_topn"] = LATERAL_SQL_TEXT
+    o["l_diversity"] = """
+        WITH per_sv AS (
+            SELECT CAST(event_type AS VARCHAR) AS event_type,
+                   CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS day,
+                   user_id, count(*) AS n
+            FROM events GROUP BY 1, 2, 3
+        )
+        SELECT event_type, day, CAST(sum(n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_sensitive,
+               CAST(CASE WHEN count(*) >= 3 THEN 1 ELSE 0 END
+                    AS BIGINT) AS diverse
+        FROM per_sv GROUP BY event_type, day
+    """
+    o["zipf_fit"] = r"""
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                       string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS token
+            FROM documents
+        ), freq AS (
+            SELECT token, count(*) AS f FROM toks GROUP BY token
+        ), ranked AS (
+            SELECT f, row_number() OVER (ORDER BY -f, token) AS r
+            FROM freq
+        ), b AS (
+            SELECT 'all' AS grp,
+                   CAST(length(bin(r)) - 1 AS BIGINT) AS x,
+                   CAST(length(bin(f)) - 1 AS BIGINT) AS y
+            FROM ranked
+        ), a AS (
+            SELECT grp, CAST(count(*) AS HUGEINT) AS nn,
+                   CAST(sum(x) AS HUGEINT) AS sx,
+                   CAST(sum(y) AS HUGEINT) AS sy,
+                   CAST(sum(x * x) AS HUGEINT) AS sxx,
+                   CAST(sum(y * y) AS HUGEINT) AS syy,
+                   CAST(sum(x * y) AS HUGEINT) AS sxy
+            FROM b GROUP BY grp
+        ), t AS (
+            SELECT grp, nn, sx, sy,
+                   nn * sxy - sx * sy AS num,
+                   nn * sxx - sx * sx AS den_x,
+                   nn * syy - sy * sy AS den_y
+            FROM a
+        ), u AS (
+            SELECT grp, nn, sx, sy,
+                   CASE WHEN den_x > 0
+                        THEN CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE)
+                   END AS slope,
+                   CASE WHEN den_x > 0 AND den_y > 0
+                        THEN (CAST(num AS DOUBLE)
+                              / CAST(den_x AS DOUBLE))
+                             * (CAST(num AS DOUBLE)
+                                / CAST(den_y AS DOUBLE))
+                   END AS r2
+            FROM t
+        )
+        SELECT grp, CAST(nn AS BIGINT) AS n,
+               round(slope, 6) AS slope,
+               round(CAST(sy AS DOUBLE) / CAST(nn AS DOUBLE)
+                     - slope * (CAST(sx AS DOUBLE)
+                                / CAST(nn AS DOUBLE)), 6) AS intercept,
+               round(r2, 6) AS r2
+        FROM u
+    """
+    from frogocr_spark.operators.clustering import (
+        maxmin_coreset_oracle_sql)
+    o["coreset"] = maxmin_coreset_oracle_sql(k=6, dim=64)
     o["recs_jaccard"] = """
         WITH bp AS (
             SELECT DISTINCT l_orderkey AS bk, l_partkey AS item

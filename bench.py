@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "dp_counts", "emb_dim_stats", "nullsafe_join",
     "hhi_supplier", "readability", "knn_classify",
     "hits", "geohash", "lateral_topn",
+    "l_diversity", "zipf_fit", "coreset",
 ]
 
 

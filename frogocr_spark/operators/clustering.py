@@ -169,3 +169,97 @@ def kmeans_oracle_sql(k: int = 4, iters: int = 3, dim: int = 64, *,
         FROM a{last} a JOIN c{iters} c ON a.j = c.j
         GROUP BY a.j, c.c""")
     return "".join(sql)
+
+
+def maxmin_coreset(corpus: DataFrame, k: int = 5, *,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   scale: int = 10_000) -> DataFrame:
+    """Greedy k-center / farthest-point coreset selection (Gonzalez
+    1985) — the diversity-sampling step of embedding curation (pick k
+    maximally-spread exemplars; 2-approximation of the optimal
+    k-center cover).  Same engine-exact discipline as
+    :func:`kmeans_int`: integer ten-thousandths quantization, exact
+    int64 squared-L2, smallest-md5(id) seed, argmax ties → smaller id.
+
+    Scale shape: per round the distance-to-selected-set evaluation is
+    a PURE MAP stage (the ≤ k selected vectors ship as literals — the
+    corpus is never joined/shuffled) followed by one TakeOrdered(1)
+    reduction.  EAGER by necessity (each pick depends on the last):
+    k−1 driver round-trips of ONE row each — the
+    ``kmeans_int``/``bpe_train`` bounded-driver-traffic contract.
+
+    Output: ``(round, vec_id, dist)`` — ``dist`` is the exact integer
+    squared distance from the pick to the nearest earlier-selected
+    center (0 for the seed; non-increasing over rounds, the classic
+    k-center radius curve)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = corpus.sparkSession
+    q = (corpus.select(F.col(id_col).alias("_id"),
+                       _quantize(vec_col, scale).alias("q"))
+         .localCheckpoint(eager=True))
+    [seed] = (q.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+              .limit(1).collect())
+    picks = [(0, seed["_id"], 0)]
+    sel_vecs = [[int(x) for x in seed["q"]]]
+    sel_ids = [seed["_id"]]
+    for r in range(1, k):
+        cand = (q.where(~F.col("_id").isin(sel_ids))
+                .select("_id", "q",
+                        _best(F.col("q"), sel_vecs)["d"].alias("_d"))
+                .orderBy(F.desc("_d"), F.asc("_id")).limit(1).collect())
+        if not cand:
+            break  # fewer than k distinct rows
+        row = cand[0]
+        picks.append((r, row["_id"], int(row["_d"])))
+        sel_vecs.append([int(x) for x in row["q"]])
+        sel_ids.append(row["_id"])
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        picks, f"round long, {id_col} {id_type}, dist long")
+
+
+def maxmin_coreset_oracle_sql(k: int = 5, dim: int = 64, *,
+                              table: str = "embeddings",
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              scale: int = 10_000) -> str:
+    """DuckDB twin of :func:`maxmin_coreset`: the identical greedy
+    chain unrolled as CTEs (min-over-selected via a grouped cross
+    join, pick via QUALIFY on (dist DESC, id))."""
+    ssq = (f"CAST(list_sum(list_transform(range(1, {dim} + 1), i -> "
+           f"(q.q[i] - s.sq[i]) * (q.q[i] - s.sq[i]))) AS BIGINT)")
+    sql = [f"""
+        WITH q AS (
+            SELECT {id_col} AS vid,
+                   list_transform({vec_col}, x ->
+                       CAST(round(CAST(x AS DOUBLE) * {scale}, 0)
+                            AS BIGINT)) AS q
+            FROM {table}
+        ), sel0 AS (
+            SELECT vid AS svid, q AS sq FROM q
+            QUALIFY row_number() OVER (
+                        ORDER BY md5(CAST(vid AS VARCHAR)), vid) = 1
+        )"""]
+    for r in range(1, k):
+        p = r - 1
+        sql.append(f""", d{r} AS (
+            SELECT q.vid, min({ssq}) AS d
+            FROM q CROSS JOIN sel{p} s
+            WHERE q.vid NOT IN (SELECT svid FROM sel{p})
+            GROUP BY q.vid
+        ), p{r} AS (
+            SELECT vid, d FROM d{r}
+            QUALIFY row_number() OVER (ORDER BY d DESC, vid) = 1
+        ), sel{r} AS (
+            SELECT svid, sq FROM sel{p}
+            UNION ALL
+            SELECT q.vid, q.q FROM q JOIN p{r} USING (vid)
+        )""")
+    parts = [f"SELECT 0 AS round, svid AS {id_col}, "
+             f"CAST(0 AS BIGINT) AS dist FROM sel0"]
+    for r in range(1, k):
+        parts.append(f"SELECT {r} AS round, vid AS {id_col}, "
+                     f"CAST(d AS BIGINT) AS dist FROM p{r}")
+    sql.append("\n" + "\nUNION ALL\n".join(parts))
+    return "".join(sql)

@@ -233,3 +233,31 @@ def dp_noisy_counts_oracle_sql(src_sql: str, group_col: str,
                     AS BIGINT) AS n_noisy
         FROM drawn
     """
+
+
+def l_diversity(df: DataFrame, qi_cols: list[str], sensitive_col: str,
+                l: int = 3) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2007) — the governance gate
+    k-anonymity misses: a group can be k-large yet expose everyone in
+    it when ALL its rows share one sensitive value.  Reports, per
+    quasi-identifier combination, the group size, the number of
+    DISTINCT sensitive values, and whether the group meets distinct
+    l-diversity (``n_sensitive >= l``).
+
+    Scale shape: one (QI..., sensitive) keyed count (map-side
+    combined — dedupes the sensitive values), then one QI-keyed agg
+    over those group-profile rows; output bounded by distinct QI
+    combos.  Output: ``<qi_cols…> string, n long, n_sensitive long,
+    diverse long``."""
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    qi = [F.col(c).cast("string").alias(c) for c in qi_cols]
+    per_sv = (df.groupBy(*qi, F.col(sensitive_col).alias("_sv"))
+              .agg(F.count(F.lit(1)).alias("_n")))
+    return (per_sv.groupBy(*qi_cols)
+            .agg(F.sum("_n").cast("long").alias("n"),
+                 F.count(F.lit(1)).cast("long").alias("n_sensitive"))
+            .withColumn("diverse",
+                        (F.col("n_sensitive") >= l).cast("long")))

@@ -669,3 +669,75 @@ def test_geohash_validates_chars():
     for bad in (3, 0, 14):
         with pytest.raises(ValueError):
             geohash_interleave_sql("x", "y", bad)
+
+
+def test_l_diversity_hand_case(spark):
+    from frogocr_spark.operators.quality import l_diversity
+    rows = [("a", "x", 1), ("a", "x", 1), ("a", "x", 2),
+            ("b", "y", 5), ("b", "y", 5), ("b", "y", 5)]
+    df = spark.createDataFrame(rows, "q1 string, q2 string, sv int")
+    got = {(r.q1, r.q2): (r.n, r.n_sensitive, r.diverse)
+           for r in l_diversity(df, ["q1", "q2"], "sv", l=2).collect()}
+    assert got[("a", "x")] == (3, 2, 1)   # two distinct sensitive: ok
+    assert got[("b", "y")] == (3, 1, 0)   # k-large but NOT diverse
+
+
+def test_l_diversity_validates(spark):
+    import pytest
+    from frogocr_spark.operators.quality import l_diversity
+    df = spark.createDataFrame([("a", 1)], "q string, sv int")
+    with pytest.raises(ValueError):
+        l_diversity(df, ["q"], "sv", l=1)
+    with pytest.raises(ValueError):
+        l_diversity(df, [], "sv", l=2)
+
+
+def test_maxmin_coreset_matches_python_twin(spark):
+    import hashlib
+    from frogocr_spark.operators.clustering import maxmin_coreset
+    vecs = {1: [0.0, 0.0], 2: [1.0, 0.0], 3: [0.0, 1.0],
+            4: [0.9, 0.9], 5: [0.05, 0.05]}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>")
+    got = [(r.round, r.vec_id, r.dist)
+           for r in maxmin_coreset(df, k=4).collect()]
+    # python twin of the greedy chain (same quantization and ties)
+    q = {i: [round(x * 10_000) for x in v] for i, v in vecs.items()}
+    seed = min(q, key=lambda i: (hashlib.md5(str(i).encode())
+                                 .hexdigest(), i))
+    sel, picks = [seed], [(0, seed, 0)]
+    for r in range(1, 4):
+        best = None
+        for i in sorted(q):
+            if i in sel:
+                continue
+            d = min(sum((a - b) ** 2 for a, b in zip(q[i], q[s]))
+                    for s in sel)
+            if best is None or d > best[1]:
+                best = (i, d)
+        sel.append(best[0])
+        picks.append((r, best[0], best[1]))
+    assert sorted(got) == sorted(picks)
+    # radius curve is non-increasing after round 1
+    dists = [d for rnd, _, d in sorted(got) if rnd >= 1]
+    assert dists == sorted(dists, reverse=True)
+
+
+def test_zipf_fit_negative_slope_on_zipfian_tokens(spark):
+    from pyspark.sql import functions as F
+    from frogocr_spark.operators.analytics import ols_fit
+    # token i appears ~N/i times -> log-log slope near -1
+    rows = []
+    for i in range(1, 33):
+        rows += [(f"t{i}",)] * (256 // i)
+    freq = (spark.createDataFrame(rows, "token string")
+            .groupBy("token").agg(F.count(F.lit(1)).alias("f")))
+    from frogocr_spark.operators.ranking import global_rank
+    ranked = global_rank(freq.withColumn("negf", -F.col("f")),
+                         ["negf", "token"], rank_col="r")
+    b = ranked.select(F.lit("all").alias("grp"),
+                      (F.length(F.expr("bin(r)")) - 1).alias("x"),
+                      (F.length(F.expr("bin(f)")) - 1).alias("y"))
+    [row] = ols_fit(b, F.col("x"), F.col("y"), "grp").collect()
+    assert row.slope is not None and -1.5 < row.slope < -0.5
