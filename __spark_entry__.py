@@ -4224,6 +4224,65 @@ def _q_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxmin_coreset(_read(spark, sf_dir, "embeddings"), k=6)
 
 
+def _q_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking-key profile of the corpus vocabulary:
+    simplified American Soundex as GENERATED ANSI SQL executed
+    verbatim by both engines (functions/phonetic.soundex_sql — the
+    geohash single-source discipline; NARA vectors pinned in pytest),
+    then per-code group stats + the most frequent member under the
+    (freq DESC, token) total order.  The record-linkage blocking
+    sibling of the length-blocked fuzzy join: one token-keyed count +
+    one code-keyed agg, all map-side combinable."""
+    from frogocr_spark.functions.phonetic import soundex_sql
+    docs = _read_split(spark, sf_dir, "documents")
+    freq = (docs.select(F.explode(F.split(F.trim("text"), r"\s+"))
+                        .alias("token"))
+            .where(F.col("token") != "")
+            .groupBy("token").agg(F.count(F.lit(1)).alias("f")))
+    coded = (freq.withColumn("code", F.expr(soundex_sql("token")))
+             .where(F.col("code").isNotNull()))
+    top = F.expr("max_by(token, struct(f, token))")
+    return (coded.groupBy("code")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum("f").cast("long").alias("total_f"),
+                 F.min("token").alias("min_token"),
+                 top.alias("top_token")))
+
+
+def _q_w_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IGNORE NULLS window surface (running last-known /
+    first-known over a sparse signal): per user under the (ts,
+    event_id) total order, the running last purchase amount and the
+    user's first purchase amount — ``last_value IGNORE NULLS`` over
+    the running frame + ``first_value IGNORE NULLS`` over the full
+    frame.  Engines place the modifier differently (Spark: after the
+    call; DuckDB: inside the call) — twin texts, hash-compared.
+    Single keyed window, no global sort; amounts as exact cents."""
+    ev = _read(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_inw")
+    return spark.sql("""
+        SELECT user_id, event_id,
+               last_value(pc) IGNORE NULLS OVER (
+                   PARTITION BY user_id
+                   ORDER BY unix_micros(CAST(ts AS TIMESTAMP)), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_purchase_cents,
+               first_value(pc) IGNORE NULLS OVER (
+                   PARTITION BY user_id
+                   ORDER BY unix_micros(CAST(ts AS TIMESTAMP)), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+                   AS first_purchase_cents
+        FROM (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100, 0) AS BIGINT)
+                   END AS pc
+            FROM events_inw
+        )
+    """)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -4482,6 +4541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": _q_l_diversity,
         "zipf_fit": _q_zipf_fit,
         "coreset": _q_coreset,
+        "soundex_blocks": _q_soundex_blocks,
+        "w_ignore_nulls": _q_w_ignore_nulls,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -8735,6 +8796,53 @@ FROM pos2
     from frogocr_spark.operators.clustering import (
         maxmin_coreset_oracle_sql)
     o["coreset"] = maxmin_coreset_oracle_sql(k=6, dim=64)
+    from frogocr_spark.functions.phonetic import soundex_sql as _sdx
+    o["soundex_blocks"] = rf"""
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                       string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS token
+            FROM documents
+        ), freq AS (
+            SELECT token, count(*) AS f FROM toks GROUP BY token
+        ), coded AS (
+            SELECT token, f, {_sdx('token', dialect='duckdb')} AS code FROM freq
+        ), nn AS (
+            SELECT * FROM coded WHERE code IS NOT NULL
+        ), top AS (
+            SELECT code, token AS top_token FROM nn
+            QUALIFY row_number() OVER (PARTITION BY code
+                        ORDER BY f DESC, token DESC) = 1
+        )
+        SELECT g.code, g.n_tokens, g.total_f, g.min_token, t.top_token
+        FROM (
+            SELECT code, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(f) AS BIGINT) AS total_f,
+                   min(token) AS min_token
+            FROM nn GROUP BY code
+        ) g JOIN top t USING (code)
+    """
+    o["w_ignore_nulls"] = """
+        SELECT user_id, event_id,
+               last_value(pc IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_purchase_cents,
+               first_value(pc IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+                   AS first_purchase_cents
+        FROM (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100, 0) AS BIGINT)
+                   END AS pc
+            FROM events
+        )
+    """
     o["recs_jaccard"] = """
         WITH bp AS (
             SELECT DISTINCT l_orderkey AS bk, l_partkey AS item

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "hhi_supplier", "readability", "knn_classify",
     "hits", "geohash", "lateral_topn",
     "l_diversity", "zipf_fit", "coreset",
+    "soundex_blocks", "w_ignore_nulls",
 ]
 
 

@@ -741,3 +741,34 @@ def test_zipf_fit_negative_slope_on_zipfian_tokens(spark):
                       (F.length(F.expr("bin(f)")) - 1).alias("y"))
     [row] = ols_fit(b, F.col("x"), F.col("y"), "grp").collect()
     assert row.slope is not None and -1.5 < row.slope < -0.5
+
+
+def test_soundex_nara_vectors(spark):
+    # NARA examples; Ashcraft documents the deliberate simplification
+    # (H/W NOT transparent -> A226, canonical-with-rule would be A261)
+    from pyspark.sql import functions as F
+    from frogocr_spark.functions.phonetic import soundex_sql
+    import duckdb
+    rows = [("Robert",), ("Rupert",), ("Tymczak",), ("Pfister",),
+            ("Honeyman",), ("Ashcraft",), ("123",), ("",)]
+    df = spark.createDataFrame(rows, "x string")
+    got = [r.c for r in df.select(
+        F.expr(soundex_sql("x")).alias("c")).collect()]
+    want = ["R163", "R163", "T522", "P236", "H555", "A226", None, None]
+    assert got == want
+    # identical text, identical result in DuckDB
+    for (x,), w in zip(rows, want):
+        d = duckdb.sql(
+            f"SELECT {soundex_sql('x', dialect='duckdb')} FROM "
+            f"(SELECT '{x}' AS x)").fetchone()[0]
+        assert d == w, (x, d, w)
+
+
+def test_soundex_collapse_long_runs(spark):
+    # a 40-letter same-code run exercises the bounded replace chain
+    from pyspark.sql import functions as F
+    from frogocr_spark.functions.phonetic import soundex_sql
+    df = spark.createDataFrame([("B" + "F" * 40 + "R",)], "x string")
+    [r] = df.select(F.expr(soundex_sql("x")).alias("c")).collect()
+    assert r.c == "B600"  # B,F...F collapse to one '1' (dropped as
+    #                        the first code's duplicate), then R=6
