@@ -4283,6 +4283,80 @@ def _q_w_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation report: kNN predictions for 50 query
+    vectors (the knn_classify machinery) rolled into a per-class
+    precision/recall table with exact-millionths ratios (truncating
+    DIV — no float to drift).  Two keyed counts + a diagonal count
+    over the prediction table, joined on the bounded class universe
+    (operators/ml.classification_report)."""
+    from frogocr_spark.operators.ml import (classification_report,
+                                            knn_classify)
+    emb = _read(spark, sf_dir, "embeddings")
+    pred = knn_classify(emb, emb.where("vec_id < 50"), k=5,
+                        rank_round=4)
+    return classification_report(pred)
+
+
+# single-source reshaping text (the sql_surface discipline): both
+# engines execute this EXACT string — wide per-flag aggregate, then
+# UNPIVOT back to long (the melt surface, ANSI since SQL:2016).
+UNPIVOT_SQL_TEXT = """
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                    AS BIGINT) AS qty_cents,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS price_cents,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, val
+    FROM wide UNPIVOT (val FOR metric IN (qty_cents, price_cents,
+                                          n_rows))
+"""
+
+
+def _q_unpivot_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNPIVOT (melt) surface — wide-to-long reshaping, the
+    inverse of pivot_counts: both engines run UNPIVOT_SQL_TEXT
+    verbatim, so the hash match pins Spark's UNPIVOT rewrite (an
+    Expand under the hood) against DuckDB's.  One keyed agg + a
+    constant-factor row expansion over GROUP rows only."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(UNPIVOT_SQL_TEXT)
+
+
+def _q_zorder3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-dimensional Z-order layout audit (real OPTIMIZE ZORDER BY
+    clusters 3-4 columns): lineitem keyed on (suppkey, partkey,
+    ship-epoch-day) through the N-way Morton interleave
+    (layout.zvalue_n — generated SQL, zvalue_sql discipline), bucketed
+    equal-width into 16 z-ranges; per bucket the row count and each
+    dimension's min-max span — the per-file footer-stat tightness a
+    z-layout buys on ALL THREE predicates.  Interleave is a pure map
+    stage; the only non-map work is the 1-row min-max broadcast + one
+    keyed agg."""
+    from frogocr_spark.operators.layout import zvalue_n
+    li = (_read(spark, sf_dir, "lineitem")
+          .select(F.col("l_suppkey").alias("s"),
+                  F.col("l_partkey").alias("p"),
+                  F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) "
+                         "DIV 86400000000").alias("d")))
+    with_z = li.withColumn("zval", zvalue_n(["s", "p", "d"], bits=16))
+    ext = with_z.agg(F.min("zval").alias("_zmin"),
+                     F.max("zval").alias("_zmax"))
+    b = (with_z.crossJoin(F.broadcast(ext))
+         .withColumn("zbucket", F.expr(
+             "CAST((zval - _zmin) * 16 DIV (_zmax - _zmin + 1) "
+             "AS INT)")))
+    return (b.groupBy("zbucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.min("s").alias("min_s"), F.max("s").alias("max_s"),
+                 F.min("p").alias("min_p"), F.max("p").alias("max_p"),
+                 F.min("d").alias("min_d"), F.max("d").alias("max_d")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -4543,6 +4617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreset": _q_coreset,
         "soundex_blocks": _q_soundex_blocks,
         "w_ignore_nulls": _q_w_ignore_nulls,
+        "knn_eval": _q_knn_eval,
+        "unpivot_surface": _q_unpivot_surface,
+        "zorder3": _q_zorder3,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -8821,6 +8898,72 @@ FROM pos2
                    min(token) AS min_token
             FROM nn GROUP BY code
         ) g JOIN top t USING (code)
+    """
+    o["knn_eval"] = """
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.label AS nl,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(c.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])), 4) DESC,
+                       c.vec_id) AS rk
+            FROM embeddings c,
+                 (SELECT * FROM embeddings WHERE vec_id < 50) q
+            WHERE c.vec_id <> q.vec_id
+        ), votes AS (
+            SELECT query_id, CAST(nl AS BIGINT) AS p, count(*) AS nv
+            FROM scored WHERE rk <= 5 GROUP BY 1, 2
+        ), pred AS (
+            SELECT v.query_id, CAST(q.label AS BIGINT) AS t, v.p
+            FROM (SELECT * FROM votes
+                  QUALIFY row_number() OVER (PARTITION BY query_id
+                              ORDER BY nv DESC, p ASC) = 1) v
+            JOIN embeddings q ON v.query_id = q.vec_id
+        ), classes AS (
+            SELECT t AS label FROM pred UNION SELECT p FROM pred
+        ), nt AS (
+            SELECT t AS label, count(*) AS n_true FROM pred GROUP BY 1
+        ), np AS (
+            SELECT p AS label, count(*) AS n_pred FROM pred GROUP BY 1
+        ), dg AS (
+            SELECT t AS label, count(*) AS n_correct FROM pred
+            WHERE t = p GROUP BY 1
+        )
+        SELECT c.label,
+               CAST(coalesce(n_true, 0) AS BIGINT) AS n_true,
+               CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+               CAST(coalesce(n_correct, 0) AS BIGINT) AS n_correct,
+               CASE WHEN coalesce(n_pred, 0) > 0
+                    THEN CAST((coalesce(n_correct, 0) * 1000000)
+                              // n_pred AS BIGINT) END AS precision_e6,
+               CASE WHEN coalesce(n_true, 0) > 0
+                    THEN CAST((coalesce(n_correct, 0) * 1000000)
+                              // n_true AS BIGINT) END AS recall_e6
+        FROM classes c LEFT JOIN nt USING (label)
+        LEFT JOIN np USING (label) LEFT JOIN dg USING (label)
+    """
+    o["unpivot_surface"] = UNPIVOT_SQL_TEXT
+    from frogocr_spark.operators.layout import zvalue_n_sql as _zn
+    o["zorder3"] = f"""
+        WITH li AS (
+            SELECT l_suppkey AS s, l_partkey AS p,
+                   epoch_us(l_shipdate) // 86400000000 AS d
+            FROM lineitem
+        ), z AS (
+            SELECT s, p, d, {_zn(['s', 'p', 'd'], 16)} AS zval FROM li
+        ), ext AS (
+            SELECT min(zval) AS zmin, max(zval) AS zmax FROM z
+        ), b AS (
+            SELECT s, p, d,
+                   CAST((zval - zmin) * 16 // (zmax - zmin + 1)
+                        AS INT) AS zbucket
+            FROM z CROSS JOIN ext
+        )
+        SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+               min(s) AS min_s, max(s) AS max_s,
+               min(p) AS min_p, max(p) AS max_p,
+               min(d) AS min_d, max(d) AS max_d
+        FROM b GROUP BY zbucket
     """
     o["w_ignore_nulls"] = """
         SELECT user_id, event_id,

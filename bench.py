@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "hits", "geohash", "lateral_topn",
     "l_diversity", "zipf_fit", "coreset",
     "soundex_blocks", "w_ignore_nulls",
+    "knn_eval", "unpivot_surface", "zorder3",
 ]
 
 

@@ -266,3 +266,44 @@ def geohash_encode_sql(latq_expr: str, lonq_expr: str,
     first (the expression otherwise repeats per character)."""
     g = geohash_interleave_sql(latq_expr, lonq_expr, chars)
     return geohash_base32_sql(g, chars)
+
+
+def zvalue_n(cols: list, bits: int = 16) -> "F.Column":
+    """N-column Morton interleave — the multi-dimensional OPTIMIZE
+    ZORDER BY key (real table layouts cluster on 3-4 columns, not 2):
+    bit ``i`` of column ``j`` lands at position ``i·N + j``.  Requires
+    ``N·bits <= 62`` (non-negative int64); values must already fit in
+    ``bits`` bits (mask-truncated otherwise — callers clamp/scale
+    first, same contract as :func:`zvalue`)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError(f"need >= 2 columns, got {n}")
+    if not 1 <= bits or n * bits > 62:
+        raise ValueError(f"n*bits must be in [n, 62], got {n}*{bits}")
+    terms = []
+    for j, c in enumerate(cols):
+        cl = F.col(c).cast("long") if isinstance(c, str) else c.cast("long")
+        for i in range(bits):
+            terms.append(F.shiftleft(
+                F.shiftright(cl, i).bitwiseAND(F.lit(1)), i * n + j))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def zvalue_n_sql(exprs: list, bits: int = 16) -> str:
+    """The identical N-way interleave as SQL text (DuckDB-runnable) —
+    generated programmatically so oracle and operator cannot drift
+    (the :func:`zvalue_sql` discipline)."""
+    n = len(exprs)
+    if n < 2:
+        raise ValueError(f"need >= 2 expressions, got {n}")
+    if not 1 <= bits or n * bits > 62:
+        raise ValueError(f"n*bits must be in [n, 62], got {n}*{bits}")
+    terms = []
+    for j, e in enumerate(exprs):
+        for i in range(bits):
+            terms.append(f"(((CAST({e} AS BIGINT) >> {i}) & 1) "
+                         f"<< {i * n + j})")
+    return "(" + " + ".join(terms) + ")"

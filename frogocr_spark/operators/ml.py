@@ -227,3 +227,45 @@ def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.col("n_votes").cast("long").alias("n_votes"),
                     (F.col("pred_label") == F.col("true_label"))
                     .cast("long").alias("hit")))
+
+
+def classification_report(pred: DataFrame,
+                          true_col: str = "true_label",
+                          pred_col: str = "pred_label") -> DataFrame:
+    """Per-class precision/recall report over a prediction table —
+    the model-eval step after :func:`knn_classify` (or any labeler),
+    integer-exact: ``precision_e6 = diag·10^6 DIV n_pred`` and
+    ``recall_e6 = diag·10^6 DIV n_true`` (truncating DIV — no float
+    ratio to drift), NULL when the denominator is 0 (a class never
+    predicted / never seen).
+
+    Scale shape: two keyed counts over the prediction table (map-side
+    combined) + one diagonal count, joined on the bounded class
+    universe (rows = distinct labels, not predictions).  Output:
+    ``(label, n_true, n_pred, n_correct, precision_e6, recall_e6)``."""
+    t = pred.select(F.col(true_col).cast("long").alias("label"))
+    p = pred.select(F.col(pred_col).cast("long").alias("label"))
+    n_true = t.groupBy("label").agg(F.count(F.lit(1)).alias("n_true"))
+    n_pred = p.groupBy("label").agg(F.count(F.lit(1)).alias("n_pred"))
+    diag = (pred.where(F.col(true_col) == F.col(pred_col))
+            .select(F.col(true_col).cast("long").alias("label"))
+            .groupBy("label").agg(F.count(F.lit(1)).alias("n_correct")))
+    classes = t.union(p).distinct()
+    out = (classes.join(n_true, "label", "left")
+           .join(n_pred, "label", "left")
+           .join(diag, "label", "left")
+           .select("label",
+                   F.coalesce("n_true", F.lit(0)).cast("long")
+                   .alias("n_true"),
+                   F.coalesce("n_pred", F.lit(0)).cast("long")
+                   .alias("n_pred"),
+                   F.coalesce("n_correct", F.lit(0)).cast("long")
+                   .alias("n_correct")))
+    return (out.withColumn(
+        "precision_e6",
+        F.when(F.col("n_pred") > 0,
+               F.expr("(n_correct * 1000000) DIV n_pred")))
+        .withColumn(
+        "recall_e6",
+        F.when(F.col("n_true") > 0,
+               F.expr("(n_correct * 1000000) DIV n_true"))))

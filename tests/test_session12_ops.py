@@ -772,3 +772,60 @@ def test_soundex_collapse_long_runs(spark):
     [r] = df.select(F.expr(soundex_sql("x")).alias("c")).collect()
     assert r.c == "B600"  # B,F...F collapse to one '1' (dropped as
     #                        the first code's duplicate), then R=6
+
+
+def test_classification_report_hand_case(spark):
+    from frogocr_spark.operators.ml import classification_report
+    rows = [(1, 1), (1, 1), (1, 2), (2, 1), (3, 3)]
+    df = spark.createDataFrame(rows, "true_label long, pred_label long")
+    got = {r.label: (r.n_true, r.n_pred, r.n_correct,
+                     r.precision_e6, r.recall_e6)
+           for r in classification_report(df).collect()}
+    # class 1: true 3, pred 3, correct 2
+    assert got[1] == (3, 3, 2, 666_666, 666_666)
+    # class 2: true 1, pred 1, correct 0
+    assert got[2] == (1, 1, 0, 0, 0)
+    # class 3: perfect single
+    assert got[3] == (1, 1, 1, 1_000_000, 1_000_000)
+
+
+def test_classification_report_null_denominators(spark):
+    from frogocr_spark.operators.ml import classification_report
+    # class 9 never predicted -> precision NULL; class 5 never true ->
+    # recall NULL
+    df = spark.createDataFrame([(9, 5)], "true_label long, pred_label long")
+    got = {r.label: (r.precision_e6, r.recall_e6)
+           for r in classification_report(df).collect()}
+    assert got[9] == (None, 0) and got[5] == (0, None)
+
+
+def test_zvalue_n_python_twin(spark):
+    from pyspark.sql import functions as F
+    from frogocr_spark.operators.layout import zvalue_n, zvalue_n_sql
+    import duckdb
+    import itertools
+    pts = list(itertools.product([0, 1, 5, 13], repeat=3))
+    df = spark.createDataFrame(pts, "x long, y long, z long")
+    got = [r.zv for r in df.select(
+        zvalue_n(["x", "y", "z"], bits=5).alias("zv")).collect()]
+
+    def twin(x, y, z):
+        out = 0
+        for j, v in enumerate((x, y, z)):
+            for i in range(5):
+                out |= ((v >> i) & 1) << (i * 3 + j)
+        return out
+
+    assert got == [twin(*p) for p in pts]
+    # and the generated SQL twin agrees in DuckDB
+    sql = zvalue_n_sql(["13", "5", "1"], 5)
+    assert duckdb.sql(f"SELECT {sql}").fetchone()[0] == twin(13, 5, 1)
+
+
+def test_zvalue_n_validates():
+    import pytest
+    from frogocr_spark.operators.layout import zvalue_n_sql
+    with pytest.raises(ValueError):
+        zvalue_n_sql(["a"], 5)          # < 2 columns
+    with pytest.raises(ValueError):
+        zvalue_n_sql(["a", "b", "c"], 21)   # 63 bits > 62
