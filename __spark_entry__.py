@@ -4357,6 +4357,51 @@ def _q_zorder3(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("d").alias("min_d"), F.max("d").alias("max_d")))
 
 
+def _q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of 'does event value separate purchases from
+    clicks': the midrank Mann-Whitney statistic with doubled midranks
+    from an exclusive prefix count over the DISTINCT-score domain —
+    no n⁺·n⁻ pair materialization, no float, true ½-per-tie AUC
+    (operators/analytics.auc_exact)."""
+    from frogocr_spark.operators.analytics import auc_exact
+    ev = (_read(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("click", "purchase")))
+    return auc_exact(ev, F.floor(F.col("value") * 100),
+                     F.col("event_type") == "purchase")
+
+
+def _q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory analysis over part revenue: class A while
+    the inclusive cumulative revenue stays within 80 % of the grand
+    total (decided by integer cross-multiplication, no float share),
+    B within 95 %, else C; the cumulative rides the range-partitioned
+    global_cumsum, the grand total is a broadcast 1-row agg
+    (operators/analytics.abc_classes)."""
+    from frogocr_spark.operators.analytics import abc_classes
+    rev = (_read(spark, sf_dir, "lineitem")
+           .groupBy(F.col("l_partkey").alias("k"))
+           .agg(F.sum(F.round(F.col("l_extendedprice") * 100, 0)
+                      .cast("long")).alias("rev_cents")))
+    return abc_classes(rev, "k", "rev_cents")
+
+
+def _q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily purchase revenue: median of all
+    pairwise day-to-day slopes, quantized to exact
+    (Δcents·10^6 DIV Δdays) — the 29 %-breakdown estimator a
+    spike-day outlier cannot move.  Corpus work is ONE keyed daily
+    agg; the pair join and median window touch only the
+    calendar-bounded day table (operators/analytics.theil_sen_slope)."""
+    from frogocr_spark.operators.analytics import theil_sen_slope
+    ev = _read(spark, sf_dir, "events")
+    daily = (ev.where(F.col("event_type") == "purchase")
+             .groupBy(F.expr("unix_micros(CAST(ts AS TIMESTAMP)) "
+                             "DIV 86400000000").alias("d"))
+             .agg(F.sum(F.floor(F.col("value") * 100))
+                  .cast("long").alias("cents")))
+    return theil_sen_slope(daily, "d", "cents")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -4620,6 +4665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_eval": _q_knn_eval,
         "unpivot_surface": _q_unpivot_surface,
         "zorder3": _q_zorder3,
+        "auc_roc": _q_auc_roc,
+        "abc_analysis": _q_abc_analysis,
+        "theil_sen": _q_theil_sen,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -9014,5 +9062,92 @@ FROM pos2
         SELECT pa AS part, pb AS rec, CAST(n_ab AS BIGINT) AS n_ab,
                jac_e6, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 5
+    """
+    o["auc_roc"] = """
+        WITH lab AS (
+            SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ), g AS (
+            SELECT v, count(*) AS cnt, sum(y) AS npos
+            FROM lab GROUP BY v
+        ), c AS (
+            SELECT cnt, npos,
+                   coalesce(sum(cnt) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cb
+            FROM g
+        ), agg AS (
+            SELECT sum(CAST(npos AS HUGEINT)) AS n_pos,
+                   sum(CAST(cnt - npos AS HUGEINT)) AS n_neg,
+                   sum(CAST(npos AS HUGEINT) * (2 * cb + cnt + 1))
+                       AS r2
+            FROM c
+        ), fin AS (
+            SELECT n_pos, n_neg,
+                   r2 - n_pos * (n_pos + 1) AS u2
+            FROM agg
+        )
+        SELECT CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_neg AS BIGINT) AS n_neg,
+               CAST(u2 AS BIGINT) AS u2,
+               CASE WHEN n_pos > 0 AND n_neg > 0
+                    THEN CAST((u2 * 1000000) // (2 * n_pos * n_neg)
+                              AS BIGINT) END AS auc_e6
+        FROM fin
+    """
+    o["abc_analysis"] = """
+        WITH rev AS (
+            SELECT l_partkey AS k,
+                   sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                       AS v
+            FROM lineitem GROUP BY 1
+        ), c AS (
+            SELECT k, CAST(v AS HUGEINT) AS v,
+                   sum(CAST(v AS HUGEINT)) OVER (ORDER BY -v, k
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum,
+                   sum(CAST(v AS HUGEINT)) OVER () AS tot
+            FROM rev
+        ), cls AS (
+            SELECT v, tot,
+                   CASE WHEN cum * 100 <= 80 * tot THEN 'A'
+                        WHEN cum * 100 <= 95 * tot THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM c
+        )
+        SELECT abc_class, CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(v) AS BIGINT) AS class_value,
+               CASE WHEN max(tot) > 0
+                    THEN CAST((sum(v) * 1000000) // max(tot)
+                              AS BIGINT) END AS share_e6
+        FROM cls GROUP BY 1
+    """
+    o["theil_sen"] = """
+        WITH daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS d,
+                   sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ), pairs AS (
+            SELECT a.d AS x1, b.d AS x2,
+                   CAST(((b.cents - a.cents)
+                         * CAST(1000000 AS HUGEINT))
+                        // (b.d - a.d) AS BIGINT) AS slope_e6
+            FROM daily a JOIN daily b ON a.d < b.d
+        ), ranked AS (
+            SELECT slope_e6,
+                   row_number() OVER (ORDER BY slope_e6, x1, x2)
+                       AS rk,
+                   count(*) OVER () AS n_pairs
+            FROM pairs
+        ), med AS (
+            SELECT CAST(n_pairs AS BIGINT) AS n_pairs, slope_e6
+            FROM ranked WHERE rk = (n_pairs + 1) // 2
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily)
+                   AS n_points,
+               n_pairs, slope_e6
+        FROM med
     """
     return o

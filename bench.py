@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "l_diversity", "zipf_fit", "coreset",
     "soundex_blocks", "w_ignore_nulls",
     "knn_eval", "unpivot_surface", "zorder3",
+    "auc_roc", "abc_analysis", "theil_sen",
 ]
 
 

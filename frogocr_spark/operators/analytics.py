@@ -1826,3 +1826,140 @@ def hhi_concentration_oracle_sql(src_sql: str, group_col: str,
                CAST((ss * 100000000) // (tot * tot) AS BIGINT) AS hhi_e8
         FROM agg WHERE tot > 0
     """
+
+
+def auc_exact(df: DataFrame, score, is_pos) -> DataFrame:
+    """Exact ROC-AUC as the midrank Mann-Whitney statistic — the
+    binary-ranker evaluation (AUC = P(score⁺ > score⁻) + ½·P(=)),
+    computed WITHOUT materializing the n⁺·n⁻ pair space and without a
+    single float: per distinct score ``v`` the positive/total counts,
+    then doubled midranks from the exclusive prefix count
+
+        2·midrank(v) = 2·cnt_below(v) + cnt(v) + 1   (always integer)
+
+    so  ``u2 = Σ_pos 2·midrank − n⁺(n⁺+1) = 2U``  and
+
+        auc_e6 = u2 · 10^6  DIV  (2 · n⁺ · n⁻)
+
+    — one truncating DECIMAL(38,0) division (the hhi/two_prop
+    discipline); NULL when either class is empty.  Unlike
+    :func:`mannwhitney_u` (row_number tie policy) this uses TRUE
+    midranks, so ties contribute exactly ½ — the textbook AUC.
+
+    Scale shape: one map-side-combined agg onto the DISTINCT-score
+    domain, an exclusive prefix count riding the range-partitioned
+    :func:`~frogocr_spark.operators.ranking.global_cumsum` (no
+    single-partition window), then a 1-row aggregate.  ``score`` must
+    be integer-valued.  Output: ``(n_pos, n_neg, u2, auc_e6)``."""
+    from frogocr_spark.operators.ranking import global_cumsum
+    dec = "decimal(38,0)"
+    g = (df.select(score.cast("long").alias("v"),
+                   is_pos.cast("int").alias("y"))
+         .groupBy("v").agg(F.count(F.lit(1)).alias("cnt"),
+                           F.sum("y").alias("npos")))
+    c = global_cumsum(g, ["v"], "cnt", cumsum_col="cb")
+    d = lambda col: F.col(col).cast(dec)  # noqa: E731
+    agg = (c.groupBy()
+           .agg(F.sum("npos").alias("n_pos"),
+                F.sum(F.col("cnt") - F.col("npos")).alias("n_neg"),
+                F.sum(d("npos") * (F.lit(2).cast(dec) * d("cb")
+                                   + d("cnt") + F.lit(1).cast(dec)))
+                .alias("_r2")))
+    return (agg.withColumn(
+        "u2", F.col("_r2") - d("n_pos") * (d("n_pos")
+                                           + F.lit(1).cast(dec)))
+        .select(F.col("n_pos").cast("long").alias("n_pos"),
+                F.col("n_neg").cast("long").alias("n_neg"),
+                F.col("u2").cast("long").alias("u2"),
+                F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                       F.expr("(u2 * 1000000) DIV "
+                              "(2 * CAST(n_pos AS DECIMAL(38,0)) "
+                              "* n_neg)").cast("long"))
+                .alias("auc_e6")))
+
+
+def abc_classes(df: DataFrame, key_col: str, value_col: str,
+                cut_a: int = 80, cut_b: int = 95) -> DataFrame:
+    """ABC / Pareto analysis — the inventory-management classic (which
+    items carry 80 % of the value?): items ranked by value descending
+    under the total ``(-value, key)`` order; an item is class A while
+    the INCLUSIVE cumulative value stays within ``cut_a`` % of the
+    grand total, B within ``cut_b`` %, else C — decided exactly as
+    ``cum·100 <= cut·total`` (one integer cross-multiplication per
+    row, no float share).  A zero/negative grand total puts everything
+    in C (shares undefined; documented).
+
+    Scale shape: the cumulative value rides the range-partitioned
+    :func:`~frogocr_spark.operators.ranking.global_cumsum` (exclusive
+    prefix + own value = inclusive, NO single-partition window); the
+    grand total is a 1-row aggregate broadcast back; the rollup is one
+    keyed agg over 3 classes.  ``value_col`` must be a long.  Output:
+    ``(abc_class, n_items, class_value, share_e6)`` with
+    ``share_e6 = class_value·10^6 DIV total``."""
+    from frogocr_spark.operators.ranking import global_cumsum
+    base = (df.select(F.col(key_col).alias("k"),
+                      F.col(value_col).cast("long").alias("v"))
+            .withColumn("_negv", -F.col("v")))
+    c = (global_cumsum(base, ["_negv", "k"], "v", cumsum_col="cb")
+         .withColumn("cum", F.col("cb") + F.col("v")))
+    tot = c.groupBy().agg(F.sum("v").cast("long").alias("_tot"))
+    dec = "decimal(38,0)"
+    cls = (c.crossJoin(F.broadcast(tot))
+           .withColumn("abc_class", F.when(
+               F.col("cum").cast(dec) * 100
+               <= F.lit(cut_a).cast(dec) * F.col("_tot"), "A")
+               .when(F.col("cum").cast(dec) * 100
+                     <= F.lit(cut_b).cast(dec) * F.col("_tot"), "B")
+               .otherwise("C")))
+    return (cls.groupBy("abc_class")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+                 F.sum("v").cast("long").alias("class_value"),
+                 F.max("_tot").alias("_t"))
+            .select("abc_class", "n_items", "class_value",
+                    F.when(F.col("_t") > 0,
+                           F.expr("(CAST(class_value AS DECIMAL(38,0))"
+                                  " * 1000000) DIV _t").cast("long"))
+                    .alias("share_e6")))
+
+
+def theil_sen_slope(points: DataFrame, x_col: str = "x",
+                    y_col: str = "y") -> DataFrame:
+    """Theil–Sen robust slope — the median of all pairwise slopes
+    (y₂−y₁)/(x₂−x₁) over x₁ < x₂: the trend estimator with a 29 %
+    breakdown point (a spike-day outlier moves OLS, not this).  Each
+    slope is quantized to ``slope_e6 = (y₂−y₁)·10^6 DIV (x₂−x₁)``
+    (truncation toward zero — verified identical in Spark DIV and
+    DuckDB ``//``), and the estimate is the exact nearest-rank LOWER
+    median of the quantized slopes under the total
+    ``(slope_e6, x1, x2)`` order — rank ``(n_pairs+1) DIV 2``.
+
+    PRECONDITION — bounded domain: callers aggregate to a
+    calendar-bounded point set FIRST (days/weeks, not events), so the
+    pair space is |calendar|², independent of corpus size; the pair
+    join is a bounded non-equi self-join and the median window is the
+    lrm_alloc bounded-SinglePartition class (windows over PAIR rows
+    only, never the corpus).  Distinct x per row required (one point
+    per x; equal x would divide by zero).  Output: one row
+    ``(n_points, n_pairs, slope_e6)`` (NULLs when < 2 points)."""
+    from pyspark.sql import Window
+    a = points.select(F.col(x_col).cast("long").alias("x1"),
+                      F.col(y_col).cast("long").alias("y1"))
+    b = points.select(F.col(x_col).cast("long").alias("x2"),
+                      F.col(y_col).cast("long").alias("y2"))
+    pairs = (a.join(b, F.col("x1") < F.col("x2"))
+             .withColumn("slope_e6",
+                         F.expr("((y2 - y1) * CAST(1000000 AS "
+                                "DECIMAL(38,0))) DIV (x2 - x1)")
+                         .cast("long")))
+    w = Window.orderBy("slope_e6", "x1", "x2")
+    wa = Window.partitionBy()
+    ranked = (pairs.withColumn("_rk", F.row_number().over(w))
+              .withColumn("n_pairs", F.count(F.lit(1)).over(wa)))
+    med = (ranked.where(F.col("_rk")
+                        == F.expr("(n_pairs + 1) DIV 2"))
+           .select(F.col("n_pairs").cast("long").alias("n_pairs"),
+                   "slope_e6"))
+    npts = points.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"))
+    return (npts.join(F.broadcast(med), how="left")
+            .select("n_points", "n_pairs", "slope_e6"))

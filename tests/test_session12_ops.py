@@ -829,3 +829,76 @@ def test_zvalue_n_validates():
         zvalue_n_sql(["a"], 5)          # < 2 columns
     with pytest.raises(ValueError):
         zvalue_n_sql(["a", "b", "c"], 21)   # 63 bits > 62
+
+
+def test_auc_exact_hand_case(spark):
+    from frogocr_spark.operators.analytics import auc_exact
+    # pos scores {3,5,5}, neg {1,5}: AUC = (1+0+1+1+0.5+0.5)/6 = 4/6
+    rows = [(3, 1), (5, 1), (5, 1), (1, 0), (5, 0)]
+    df = spark.createDataFrame(rows, "s long, y int")
+    [r] = auc_exact(df, F.col("s"), F.col("y") == 1).collect()
+    assert (r.n_pos, r.n_neg) == (3, 2)
+    assert r.u2 == 8          # 2U; U = 4
+    assert r.auc_e6 == 666_666
+
+
+def test_auc_exact_boundaries(spark):
+    from frogocr_spark.operators.analytics import auc_exact
+    # perfect separation -> 1.0; all-tied -> exactly 0.5
+    perf = spark.createDataFrame([(10, 1), (9, 1), (1, 0)],
+                                 "s long, y int")
+    [r] = auc_exact(perf, F.col("s"), F.col("y") == 1).collect()
+    assert r.auc_e6 == 1_000_000
+    tied = spark.createDataFrame([(7, 1), (7, 0), (7, 0)],
+                                 "s long, y int")
+    [r] = auc_exact(tied, F.col("s"), F.col("y") == 1).collect()
+    assert r.auc_e6 == 500_000
+    # one class empty -> NULL auc
+    mono = spark.createDataFrame([(7, 1), (8, 1)], "s long, y int")
+    [r] = auc_exact(mono, F.col("s"), F.col("y") == 1).collect()
+    assert r.auc_e6 is None and (r.n_pos, r.n_neg) == (2, 0)
+
+
+def test_abc_classes_hand_case(spark):
+    from frogocr_spark.operators.analytics import abc_classes
+    rows = [("w", 50), ("x", 30), ("y", 15), ("z", 5)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {r.abc_class: (r.n_items, r.class_value, r.share_e6)
+           for r in abc_classes(df, "k", "v").collect()}
+    # cum 50(A) 80(A, ==80% boundary inclusive) 95(B, ==95%) 100(C)
+    assert got["A"] == (2, 80, 800_000)
+    assert got["B"] == (1, 15, 150_000)
+    assert got["C"] == (1, 5, 50_000)
+
+
+def test_theil_sen_hand_case(spark):
+    from frogocr_spark.operators.analytics import theil_sen_slope
+    pts = [(0, 0), (1, 10), (2, 19), (3, 35)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    [r] = theil_sen_slope(df).collect()
+    # slopes_e6 sorted: 9e6, 9.5e6, 10e6, 11666666, 12.5e6, 16e6
+    # lower median = rank (6+1) DIV 2 = 3 -> 10_000_000
+    assert (r.n_points, r.n_pairs, r.slope_e6) == (4, 6, 10_000_000)
+
+
+def test_theil_sen_truncation_toward_zero(spark):
+    from frogocr_spark.operators.analytics import theil_sen_slope
+    # single pair, slope -8/3: DIV truncates toward zero -> -2666666
+    # (floor division would give -2666667 — the DuckDB // parity pin)
+    import duckdb
+    df = spark.createDataFrame([(0, 7), (3, -1)], "x long, y long")
+    [r] = theil_sen_slope(df).collect()
+    assert r.slope_e6 == -2_666_666
+    assert duckdb.sql(
+        "SELECT (-8 * CAST(1000000 AS HUGEINT)) // 3"
+    ).fetchone()[0] == -2_666_666
+
+
+def test_theil_sen_outlier_robust(spark):
+    from frogocr_spark.operators.analytics import theil_sen_slope
+    # clean slope 2; one wild spike day barely moves the median
+    pts = [(i, 2 * i) for i in range(9)] + [(9, 1_000_000)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    [r] = theil_sen_slope(df).collect()
+    assert r.n_pairs == 45
+    assert r.slope_e6 == 2_000_000  # the median ignores the spike
