@@ -4402,6 +4402,73 @@ def _q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_slope(daily, "d", "cents")
 
 
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (Cavnar–Trenkle family) with the
+    CJK script rule and deterministic argmax — the brief's 'language-ID
+    (n-gram heuristic)' as a first-class profile classifier (the
+    corpus text carries no language signal, so the prediction is the
+    same deterministic function on both engines; real multilingual
+    behavior is pinned by pytest fixtures)."""
+    from frogocr_spark.operators.textstats import langid_ngram
+    return langid_ngram(_read(spark, sf_dir, "documents"))
+
+
+def _q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of part revenue — the inequality curve
+    integral next to hhi_supplier's point measure; rank-formula
+    numerator/denominator all DECIMAL(38,0), ranks from the
+    range-partitioned global_rank (operators/analytics.gini_exact)."""
+    from frogocr_spark.operators.analytics import gini_exact
+    rev = (_read(spark, sf_dir, "lineitem")
+           .groupBy(F.col("l_partkey").alias("k"))
+           .agg(F.sum(F.round(F.col("l_extendedprice") * 100, 0)
+                      .cast("long")).alias("rev_cents")))
+    return gini_exact(rev, "k", "rev_cents")
+
+
+def _q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a of daily purchase revenue vs time — the ordinal
+    sibling of theil_sen (sign strength of the monotone trend, ±1/0
+    pair votes, one truncating division).  Corpus work is the same ONE
+    keyed daily agg; pairs live on the calendar-bounded day table
+    (operators/analytics.kendall_tau_a)."""
+    from frogocr_spark.operators.analytics import kendall_tau_a
+    ev = _read(spark, sf_dir, "events")
+    daily = (ev.where(F.col("event_type") == "purchase")
+             .groupBy(F.expr("unix_micros(CAST(ts AS TIMESTAMP)) "
+                             "DIV 86400000000").alias("d"))
+             .agg(F.sum(F.floor(F.col("value") * 100))
+                  .cast("long").alias("cents")))
+    return kendall_tau_a(daily, "d", "cents")
+
+
+def _q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document labelers
+    (char-length vs token-count 'long/short' gates) — the
+    chance-corrected agreement audit of a labeling pipeline; confusion
+    matrix is ONE map-side-combined keyed count
+    (operators/analytics.cohen_kappa)."""
+    from frogocr_spark.operators.analytics import cohen_kappa
+    from frogocr_spark.operators.textstats import token_count
+    docs = _read(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") >= 300, "long").otherwise("short")
+        .alias("rater_a"),
+        F.when(token_count(F.col("text")) >= 50, "long")
+        .otherwise("short").alias("rater_b"))
+    return cohen_kappa(docs, "rater_a", "rater_b")
+
+
+def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest-batch corpus novelty: share of each batch's distinct
+    word 8-grams first seen in that batch (batch = doc_id DIV 50, the
+    arrival-order proxy) — the crawl-freshness metric of an incremental
+    pipeline (operators/textstats.novelty_rate)."""
+    from frogocr_spark.operators.textstats import novelty_rate
+    docs = (_read(spark, sf_dir, "documents")
+            .withColumn("batch", F.expr("doc_id DIV 50")))
+    return novelty_rate(docs, "batch")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -4668,6 +4735,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_roc": _q_auc_roc,
         "abc_analysis": _q_abc_analysis,
         "theil_sen": _q_theil_sen,
+        "langid": _q_langid,
+        "gini": _q_gini,
+        "kendall_tau": _q_kendall_tau,
+        "cohen_kappa": _q_cohen_kappa,
+        "novelty": _q_novelty,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -9149,5 +9221,106 @@ FROM pos2
                    AS n_points,
                n_pairs, slope_e6
         FROM med
+    """
+    from frogocr_spark.operators.textstats import langid_ngram_oracle_sql
+    o["langid"] = langid_ngram_oracle_sql(
+        "SELECT doc_id, text FROM documents")
+    o["gini"] = """
+        WITH rev AS (
+            SELECT l_partkey AS k,
+                   sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                       AS v
+            FROM lineitem GROUP BY 1
+        ), r AS (
+            SELECT v, row_number() OVER (ORDER BY v, k) AS i FROM rev
+        ), a AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(v AS HUGEINT)) AS s,
+                   sum(CAST(i AS HUGEINT) * v) AS t
+            FROM r
+        )
+        SELECT CAST(n AS BIGINT) AS n_items, CAST(s AS BIGINT) AS total,
+               CASE WHEN s > 0
+                    THEN CAST(((2 * t - (n + 1) * s) * 1000000)
+                              // (n * s) AS BIGINT) END AS gini_e6
+        FROM a
+    """
+    o["kendall_tau"] = """
+        WITH daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS d,
+                   sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ), p AS (
+            SELECT count(*) AS n_pairs,
+                   coalesce(sum(CASE WHEN b.cents > a.cents
+                                     THEN 1 ELSE 0 END), 0) AS conc,
+                   coalesce(sum(CASE WHEN b.cents < a.cents
+                                     THEN 1 ELSE 0 END), 0) AS disc
+            FROM daily a JOIN daily b ON a.d < b.d
+        ), np AS (SELECT count(*) AS n_points FROM daily)
+        SELECT CAST(n_points AS BIGINT) AS n_points,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(conc AS BIGINT) AS concordant,
+               CAST(disc AS BIGINT) AS discordant,
+               CASE WHEN n_points >= 2 THEN
+                   CAST((2 * CAST(conc - disc AS HUGEINT) * 1000000)
+                        // (CAST(n_points AS HUGEINT) * (n_points - 1))
+                        AS BIGINT)
+               END AS tau_e6
+        FROM np, p
+    """
+    o["cohen_kappa"] = r"""
+        WITH lab AS (
+            SELECT CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END
+                       AS a,
+                   CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(string_split_regex(trim(text),
+                                                          '\s+')) END)
+                            >= 50
+                        THEN 'long' ELSE 'short' END AS b
+            FROM documents
+        ), cells AS (SELECT a, b, count(*) AS c FROM lab GROUP BY 1, 2),
+        rowt AS (SELECT a, sum(c) AS ra FROM cells GROUP BY 1),
+        colt AS (SELECT b, sum(c) AS cb FROM cells GROUP BY 1),
+        pe AS (SELECT coalesce(sum(CAST(ra AS HUGEINT) * cb), 0)
+                   AS pe_num
+               FROM rowt r JOIN colt c ON r.a = c.b),
+        tot AS (SELECT CAST(sum(c) AS HUGEINT) AS n,
+                       CAST(sum(CASE WHEN a = b THEN c ELSE 0 END)
+                            AS HUGEINT) AS agree
+                FROM cells)
+        SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+               CAST((agree * 1000000) // n AS BIGINT) AS po_e6,
+               CAST((pe_num * 1000000) // (n * n) AS BIGINT) AS pe_e6,
+               CASE WHEN n * n <> pe_num THEN
+                   CAST(((n * agree - pe_num) * 1000000)
+                        // (n * n - pe_num) AS BIGINT)
+               END AS kappa_e6
+        FROM tot, pe
+    """
+    o["novelty"] = r"""
+        WITH words AS (
+            SELECT doc_id // 50 AS batch,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT batch,
+                   unnest(CASE WHEN len(ws) >= 8
+                               THEN [array_to_string(ws[j:j+7], ' ')
+                                     for j in range(1, len(ws) - 6)]
+                               ELSE CAST([] AS VARCHAR[]) END) AS gram
+            FROM words
+        ), frst AS (SELECT gram, min(batch) AS fb FROM g GROUP BY 1),
+        per_batch AS (SELECT batch, count(*) AS n_grams
+                      FROM g GROUP BY 1),
+        news AS (SELECT fb AS batch, count(*) AS n_new
+                 FROM frst GROUP BY 1)
+        SELECT CAST(p.batch AS BIGINT) AS batch,
+               CAST(p.n_grams AS BIGINT) AS n_grams,
+               CAST(coalesce(w.n_new, 0) AS BIGINT) AS n_new,
+               CAST((CAST(coalesce(w.n_new, 0) AS HUGEINT) * 1000000)
+                    // p.n_grams AS BIGINT) AS novelty_e6
+        FROM per_batch p LEFT JOIN news w USING (batch)
     """
     return o

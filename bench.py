@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "soundex_blocks", "w_ignore_nulls",
     "knn_eval", "unpivot_surface", "zorder3",
     "auc_roc", "abc_analysis", "theil_sen",
+    "langid", "gini", "kendall_tau", "cohen_kappa", "novelty",
 ]
 
 

@@ -1963,3 +1963,138 @@ def theil_sen_slope(points: DataFrame, x_col: str = "x",
         F.count(F.lit(1)).cast("long").alias("n_points"))
     return (npts.join(F.broadcast(med), how="left")
             .select("n_points", "n_pairs", "slope_e6"))
+
+
+def gini_exact(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Exact Gini coefficient of a non-negative value distribution — the
+    inequality/concentration audit (how unevenly is revenue / token mass
+    / sample weight spread?), the curve-integral sibling of the HHI
+    point measure (:func:`hhi_concentration`).  Under the ascending
+    ``(value, key)`` total order with 1-based ranks ``i``:
+
+        G = (2·Σ i·vᵢ − (n+1)·Σ v) / (n·Σ v)
+
+    (the classic rank formula; the numerator is ≥ 0 exactly when ranks
+    ascend with values, which the sort guarantees), emitted as
+    ``gini_e6 = num·10^6 DIV den`` — one truncating DECIMAL(38,0)
+    division, no float anywhere; NULL when the total is 0.
+
+    Scale shape: ranks ride the range-partitioned
+    :func:`~frogocr_spark.operators.ranking.global_rank` (no
+    single-partition sort), then ONE map-side-combined global aggregate.
+    ``value_col`` must be non-negative integers (quantize money to
+    cents first).  Output: one row ``(n_items, total, gini_e6)``."""
+    from .ranking import global_rank
+    base = df.select(F.col(key_col).alias("k"),
+                     F.col(value_col).cast("long").alias("v"))
+    r = global_rank(base, ["v", "k"], rank_col="i")
+    dec = "decimal(38,0)"
+    agg = r.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("i").cast(dec) * F.col("v").cast(dec)).alias("t"))
+    return agg.select(
+        F.col("n").alias("n_items"),
+        F.col("s").alias("total"),
+        F.when(F.col("s") > 0, F.expr(
+            "((2 * t - (CAST(n AS DECIMAL(38,0)) + 1) "
+            "* CAST(s AS DECIMAL(38,0))) * 1000000) "
+            "DIV (CAST(n AS DECIMAL(38,0)) * s)").cast("long"))
+        .alias("gini_e6"))
+
+
+def kendall_tau_a(points: DataFrame, x_col: str = "x",
+                  y_col: str = "y") -> DataFrame:
+    """Kendall tau-a rank correlation — the concordance trend test
+    (monotone association decided by pair ORDER, not magnitudes): over
+    all pairs x₁ < x₂, ``S = #concordant − #discordant`` (y-ties add 0)
+    and
+
+        tau_e6 = 2·S·10^6 DIV (n·(n−1))
+
+    — integer-exact end to end (S is a sum of ±1/0; the one truncating
+    division is the theil_sen DIV==// parity class, pinned for negative
+    numerators by test).  The ordinal sibling of :func:`theil_sen_slope`
+    (which estimates the SLOPE; this tests its SIGN strength).
+
+    PRECONDITION — bounded domain, same as theil_sen: aggregate to a
+    calendar-bounded point set FIRST; the pair join is |calendar|²,
+    independent of corpus size.  Distinct x per row required.  Output:
+    one row ``(n_points, n_pairs, concordant, discordant, tau_e6)``
+    (tau NULL when < 2 points)."""
+    a = points.select(F.col(x_col).cast("long").alias("x1"),
+                      F.col(y_col).cast("long").alias("y1"))
+    b = points.select(F.col(x_col).cast("long").alias("x2"),
+                      F.col(y_col).cast("long").alias("y2"))
+    pairs = a.join(b, F.col("x1") < F.col("x2"))
+    pagg = pairs.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("y2") > F.col("y1")).cast("long"))
+        .alias("concordant"),
+        F.sum((F.col("y2") < F.col("y1")).cast("long"))
+        .alias("discordant"))
+    npts = points.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"))
+    return (npts.crossJoin(F.broadcast(pagg))
+            .select("n_points", "n_pairs",
+                    F.coalesce("concordant", F.lit(0)).cast("long")
+                    .alias("concordant"),
+                    F.coalesce("discordant", F.lit(0)).cast("long")
+                    .alias("discordant"),
+                    F.when(F.col("n_points") >= 2, F.expr(
+                        "(2 * CAST(concordant - discordant AS "
+                        "DECIMAL(38,0)) * 1000000) "
+                        "DIV (CAST(n_points AS DECIMAL(38,0)) "
+                        "* (n_points - 1))").cast("long"))
+                    .alias("tau_e6")))
+
+
+def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between two categorical
+    labelers — the chance-corrected agreement score every
+    labeling/annotation pipeline reports (raw agreement is inflated by
+    class imbalance; kappa subtracts the margin-product expectation):
+
+        kappa = (n·Σdiag − Σ_c row_c·col_c) / (n² − Σ_c row_c·col_c)
+
+    — the po/pe formula cleared of denominators, so ONE truncating
+    DECIMAL(38,0) division emits ``kappa_e6`` exactly (negative =
+    worse than chance — truncation parity with DuckDB ``//`` pinned by
+    the theil_sen test class); NULL on the degenerate pe = 1 (both
+    raters constant).  ``po_e6``/``pe_e6`` are emitted alongside.
+
+    Scale shape: ONE map-side-combined (a, b) keyed count — the
+    confusion matrix, ≤ |classes|² rows; margins, the pe inner join on
+    class label, and the final math all run over matrix rows, never the
+    corpus.  NOTE: the matrix is localCheckpointed (consumed three
+    times; one corpus scan instead of three — the drift_chi2 lesson),
+    so calling this runs Spark jobs EAGERLY.
+    Output: one row ``(n, agree, po_e6, pe_e6, kappa_e6)``."""
+    dec = "decimal(38,0)"
+    cells = (df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    cells = cells.localCheckpoint(eager=True)
+    rowt = cells.groupBy("a").agg(F.sum("c").alias("ra"))
+    colt = cells.groupBy("b").agg(F.sum("c").alias("cb"))
+    pe = (rowt.join(colt, rowt["a"] == colt["b"])
+          .groupBy().agg(F.sum(F.col("ra").cast(dec)
+                               * F.col("cb").cast(dec)).alias("pe_num")))
+    tot = cells.groupBy().agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))
+              .otherwise(F.lit(0))).cast("long").alias("agree"))
+    return (tot.crossJoin(F.broadcast(pe))
+            .withColumn("pe_num", F.coalesce(
+                "pe_num", F.lit(0).cast(dec)))
+            .select(
+                "n", "agree",
+                F.expr("(CAST(agree AS DECIMAL(38,0)) * 1000000) DIV n")
+                .cast("long").alias("po_e6"),
+                F.expr("(pe_num * 1000000) DIV (CAST(n AS "
+                       "DECIMAL(38,0)) * n)").cast("long")
+                .alias("pe_e6"),
+                F.when(
+                    F.expr("CAST(n AS DECIMAL(38,0)) * n") != F.col("pe_num"),
+                    F.expr("((CAST(n AS DECIMAL(38,0)) * agree - pe_num) "
+                           "* 1000000) DIV (CAST(n AS DECIMAL(38,0)) * n "
+                           "- pe_num)").cast("long")).alias("kappa_e6")))

@@ -1731,3 +1731,157 @@ def flesch_stats_oracle_sql(docs_sql: str) -> str:
                END AS flesch_e3
         FROM c
     """
+
+
+# Cavnar–Trenkle-style character-trigram language profiles (public
+# method: "N-Gram-Based Text Categorization", 1994; profiles hand-pinned
+# here, simplified to DISJOINT distinctive-trigram hit counting so the
+# score is a plain integer and any engine computes it identically).
+# Grams are matched on the space-padded lowercased text, so word-initial
+# (" th") and word-final ("ng ") shapes are first-class.
+LANG_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", "and", " an", "ing", "ng ", " of",
+           "of ", "ion"),
+    "de": ("der", "die", "und", "ein", "ich", "sch", "cht", "ung",
+           "ber", " ge"),
+    "fr": (" le", "le ", "les", " la", "ent", "eur", "ais", "oir",
+           " et", "une"),
+    "es": (" el", "el ", "los", "las", "ión", "ció", "ado", " y ",
+           "rro", "nte"),
+}
+
+
+def langid_ngram(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", cjk_pct: int = 10) -> DataFrame:
+    """Character-n-gram language ID (Cavnar–Trenkle family): every
+    trigram of the space-padded lowercased text is probed against the
+    pinned per-language profile sets (:data:`LANG_TRIGRAM_PROFILES` —
+    DISJOINT by construction, asserted here), score = total profile-hit
+    occurrences, prediction = argmax with the deterministic
+    ``(score DESC, lang ASC)`` tiebreak; ``und`` when nothing hits.
+    CJK needs no trigram profile — a script rule fires first: when
+    ≥ ``cjk_pct`` % of characters sit in the CJK Unified block
+    (U+4E00–U+9FFF, matched as a literal char range so Java regex and
+    RE2 agree), the doc is ``zh`` with score = CJK char count.
+    The stopword sibling is :func:`language_id`; this is the profile
+    version the brief's "language-ID (n-gram heuristic)" names.
+
+    Scale shape: the trigram explode feeds a BROADCAST join against the
+    40-row profile dim that filters ~97 % of grams INSIDE the map stage
+    (no shuffle sees the explode); the shuffle carries only the
+    map-side-combined (doc, lang) partials (≤ 4/doc), and the argmax is
+    a ``min(struct(-score, lang))`` keyed agg — no window.  Output:
+    ``(doc_id, pred_lang, score)``, one row per input row."""
+    rows = [(g, lang) for lang in sorted(LANG_TRIGRAM_PROFILES)
+            for g in LANG_TRIGRAM_PROFILES[lang]]
+    assert len({g for g, _ in rows}) == len(rows), \
+        "profile trigram sets must be disjoint"
+    prof = df.sparkSession.createDataFrame(rows, "gram string, lang string")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+        .alias("_t"),
+        F.length(F.regexp_replace(F.col(text_col), "[^一-鿿]",
+                                  "")).alias("_cjk"),
+        F.length(F.col(text_col)).alias("_n"))
+    tri = base.select(
+        "_id",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(length(_t) - 2, 0)),"
+            " i -> substring(_t, i, 3))")).alias("gram"))
+    best = (tri.join(F.broadcast(prof), "gram")
+            .groupBy("_id", "lang")
+            .agg(F.count(F.lit(1)).alias("score"))
+            .groupBy("_id")
+            .agg(F.min(F.struct((-F.col("score")).alias("ns"),
+                                F.col("lang").alias("lang"))).alias("b")))
+    is_cjk = (F.col("_n") > 0) & (F.col("_cjk") * 100
+                                  >= F.lit(cjk_pct) * F.col("_n"))
+    return (base.join(best, "_id", "left")
+            .select(
+                F.col("_id").alias(id_col),
+                F.when(is_cjk, F.lit("zh"))
+                .when(F.col("b").isNotNull(), F.col("b.lang"))
+                .otherwise(F.lit("und")).alias("pred_lang"),
+                F.when(is_cjk, F.col("_cjk"))
+                .when(F.col("b").isNotNull(), -F.col("b.ns"))
+                .otherwise(F.lit(0)).cast("long").alias("score")))
+
+
+def langid_ngram_oracle_sql(docs_sql: str, cjk_pct: int = 10) -> str:
+    """DuckDB twin of :func:`langid_ngram` — same padded trigrams, same
+    profile VALUES table, same (score DESC, lang ASC) argmax and CJK
+    literal-range script rule."""
+    vals = ", ".join(
+        f"('{g}', '{lang}')" for lang in sorted(LANG_TRIGRAM_PROFILES)
+        for g in LANG_TRIGRAM_PROFILES[lang])
+    return f"""
+        WITH docs AS ({docs_sql}),
+        base AS (
+            SELECT doc_id, ' ' || lower(text) || ' ' AS t,
+                   length(regexp_replace(text, '[^一-鿿]', '',
+                                         'g')) AS cjk,
+                   length(text) AS n
+            FROM docs
+        ), prof(gram, lang) AS (VALUES {vals}),
+        tri AS (
+            SELECT doc_id, substring(t, i, 3) AS gram
+            FROM base,
+                 unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)
+        ), sc AS (
+            SELECT t.doc_id, p.lang, count(*) AS score
+            FROM tri t JOIN prof p USING (gram)
+            GROUP BY 1, 2
+        ), best AS (
+            SELECT doc_id, lang, score,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, lang) AS rk
+            FROM sc
+        )
+        SELECT b.doc_id,
+               CASE WHEN b.n > 0 AND b.cjk * 100 >= {cjk_pct} * b.n
+                    THEN 'zh'
+                    WHEN w.lang IS NOT NULL THEN w.lang
+                    ELSE 'und' END AS pred_lang,
+               CAST(CASE WHEN b.n > 0 AND b.cjk * 100 >= {cjk_pct} * b.n
+                         THEN b.cjk
+                         WHEN w.lang IS NOT NULL THEN w.score
+                         ELSE 0 END AS BIGINT) AS score
+        FROM base b
+        LEFT JOIN (SELECT * FROM best WHERE rk = 1) w USING (doc_id)
+    """
+
+
+def novelty_rate(df: DataFrame, batch_col: str, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 8) -> DataFrame:
+    """Per-batch corpus novelty — the freshness metric an incremental
+    training-data pipeline watches (is the new crawl adding content or
+    re-fetching?): for each ingest batch, the share of its DISTINCT
+    word ``n``-grams whose FIRST occurrence (smallest batch id) is that
+    batch.  ``novelty_e6 = n_new·10^6 DIV n_grams`` — integer exact.
+
+    Scale shape: one gram pass → distinct (batch, gram) keyed agg →
+    two aggregations of THAT relation (per-gram min batch, per-batch
+    gram count; hot grams combine map-side) → a batch-keyed join of two
+    batch-sized sides.  No stage is wider than the distinct
+    (batch, gram) relation.  Batches with zero grams are absent
+    (nothing to measure).  Output: ``(batch, n_grams, n_new,
+    novelty_e6)``."""
+    from .dedup import _shingle_expr
+    g = (df.select(F.col(batch_col).cast("long").alias("batch"),
+                   F.explode(_shingle_expr(text_col, n, None))
+                   .alias("gram"))
+         .where("gram <> ''")
+         .dropDuplicates(["batch", "gram"]))
+    first = g.groupBy("gram").agg(F.min("batch").alias("fb"))
+    per_batch = g.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"))
+    news = first.groupBy(F.col("fb").alias("batch")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new"))
+    return (per_batch.join(news, "batch", "left")
+            .select("batch", "n_grams",
+                    F.coalesce("n_new", F.lit(0)).cast("long")
+                    .alias("n_new"),
+                    F.expr("(CAST(coalesce(n_new, 0) AS DECIMAL(38,0)) "
+                           "* 1000000) DIV n_grams").cast("long")
+                    .alias("novelty_e6")))
