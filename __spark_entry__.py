@@ -4469,6 +4469,67 @@ def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_rate(docs, "batch")
 
 
+def _q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration of the purchase-vs-click score —
+    auc_roc's companion (ranking there, LEVEL here): 10 equal-width
+    bins over the observed score range, per-bin positive rate vs
+    normalized mean score and their gap, all truncating e6 divisions
+    (operators/ml.calibration_bins)."""
+    from frogocr_spark.operators.ml import calibration_bins
+    ev = (_read(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("click", "purchase")))
+    return calibration_bins(ev, F.floor(F.col("value") * 100),
+                            F.col("event_type") == "purchase")
+
+
+def _q_neg_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: 3 negatives per
+    document from the md5-shuffled ring, exact duplicates of the anchor
+    rejected — seedless, append-aware, skew-free equi-join on the ring
+    rank (operators/ml.ring_negatives)."""
+    from frogocr_spark.operators.ml import ring_negatives
+    return ring_negatives(_read(spark, sf_dir, "documents"), k=3)
+
+
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test contamination audit: exact-duplicate pairs
+    bucketed by split pair via the group-size identity (never the pair
+    space) over the seedless hash_split assignment
+    (operators/quality.split_leakage)."""
+    from frogocr_spark.operators.quality import split_leakage
+    return split_leakage(_read(spark, sf_dir, "documents"))
+
+
+def _q_minmax_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning audit of a BETWEEN predicate ($10k–$20k order
+    totals) against a key-ordered file layout (o_orderkey DIV 1000):
+    files skipped on min/max stats alone + residual read amplification
+    — the measurement that motivates the zorder/hilbert layout rows
+    (operators/layout.zonemap_prune_audit)."""
+    from frogocr_spark.operators.layout import zonemap_prune_audit
+    od = _read(spark, sf_dir, "orders")
+    return zonemap_prune_audit(
+        od, F.expr("o_orderkey DIV 1000"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+        1_000_000, 2_000_000)
+
+
+def _q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding-health audit (UTF-8-as-Latin-1 mojibake
+    markers + U+FFFD).  The corpus is clean by construction, so the
+    query augments BOTH sides with the same three literal fixture rows
+    (the pii_scrub discipline) and byte-compares the per-source flag
+    counts (operators/textstats.encoding_audit)."""
+    from frogocr_spark.operators.textstats import encoding_audit
+    docs = _read(spark, sf_dir, "documents").select("source", "text")
+    fixtures = spark.createDataFrame([
+        ("synthetic", "le cafÃ© est servi"),
+        ("synthetic", "itâ€™s here Â now"),
+        ("synthetic", "clean text row"),
+    ], "source string, text string")
+    return encoding_audit(docs.unionByName(fixtures))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -4740,6 +4801,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau": _q_kendall_tau,
         "cohen_kappa": _q_cohen_kappa,
         "novelty": _q_novelty,
+        "calibration": _q_calibration,
+        "neg_sample": _q_neg_sample,
+        "split_leakage": _q_split_leakage,
+        "minmax_prune": _q_minmax_prune,
+        "mojibake": _q_mojibake,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -9322,5 +9388,158 @@ FROM pos2
                CAST((CAST(coalesce(w.n_new, 0) AS HUGEINT) * 1000000)
                     // p.n_grams AS BIGINT) AS novelty_e6
         FROM per_batch p LEFT JOIN news w USING (batch)
+    """
+    o["calibration"] = """
+        WITH lab AS (
+            SELECT CAST(floor(value * 100) AS BIGINT) AS s,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ), rng AS (SELECT min(s) AS smin, max(s) AS smax FROM lab),
+        b AS (
+            SELECT CASE WHEN smax > smin
+                        THEN ((s - smin) * 10) // (smax - smin + 1)
+                        ELSE 0 END AS bin, s, y, smin, smax
+            FROM lab, rng
+        ), agg AS (
+            SELECT bin, count(*) AS n, sum(CAST(s AS HUGEINT)) AS ss,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   max(smin) AS smin, max(smax) AS smax
+            FROM b GROUP BY 1
+        ), fin AS (
+            SELECT bin, n,
+                   CAST((sy * 1000000) // n AS BIGINT) AS pos_rate_e6,
+                   CASE WHEN smax > smin THEN
+                       CAST(((ss - CAST(n AS HUGEINT) * smin) * 1000000)
+                            // (CAST(n AS HUGEINT) * (smax - smin))
+                            AS BIGINT)
+                   END AS mean_score_e6
+            FROM agg
+        )
+        SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+               pos_rate_e6, mean_score_e6,
+               CAST(abs(mean_score_e6 - pos_rate_e6) AS BIGINT)
+                   AS gap_e6
+        FROM fin
+    """
+    o["neg_sample"] = """
+        WITH base AS (
+            SELECT doc_id AS id, md5(text) AS h,
+                   md5(CAST(doc_id AS VARCHAR)) AS o
+            FROM documents
+        ), r AS (
+            SELECT id, h, row_number() OVER (ORDER BY o, id) AS rk,
+                   count(*) OVER () AS n
+            FROM base
+        ), cand AS (
+            SELECT r.id, r.h, ((r.rk - 1 + s.slot) % r.n) + 1 AS nrk,
+                   s.slot
+            FROM r, (SELECT unnest([1, 2, 3]) AS slot) s
+        )
+        SELECT c.id AS doc_id, CAST(c.slot AS BIGINT) AS slot,
+               g.id AS neg_id
+        FROM cand c JOIN r g ON g.rk = c.nrk
+        WHERE g.id <> c.id AND g.h <> c.h
+    """
+    o["split_leakage"] = """
+        WITH s AS (
+            SELECT text,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < 'e6' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < 'f3' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        ), mat AS (
+            SELECT md5(text) AS h,
+                   CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0
+                            END) AS HUGEINT) AS t,
+                   CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0
+                            END) AS HUGEINT) AS v,
+                   CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0
+                            END) AS HUGEINT) AS x
+            FROM s GROUP BY 1
+        ), tot AS (
+            SELECT sum(t * (t - 1) // 2) AS tt,
+                   sum(v * (v - 1) // 2) AS vv,
+                   sum(x * (x - 1) // 2) AS xx,
+                   sum(t * v) AS tv, sum(t * x) AS tx,
+                   sum(v * x) AS vx
+            FROM mat
+        )
+        SELECT 'train' AS split_lo, 'train' AS split_hi,
+               CAST(tt AS BIGINT) AS n_pairs, false AS is_leak FROM tot
+        UNION ALL SELECT 'val', 'val', CAST(vv AS BIGINT), false
+        FROM tot
+        UNION ALL SELECT 'test', 'test', CAST(xx AS BIGINT), false
+        FROM tot
+        UNION ALL SELECT 'train', 'val', CAST(tv AS BIGINT), true
+        FROM tot
+        UNION ALL SELECT 'train', 'test', CAST(tx AS BIGINT), true
+        FROM tot
+        UNION ALL SELECT 'test', 'val', CAST(vx AS BIGINT), true
+        FROM tot
+    """
+    o["minmax_prune"] = """
+        WITH per AS (
+            SELECT o_orderkey // 1000 AS f, count(*) AS n_rows,
+                   sum(CASE WHEN CAST(round(o_totalprice * 100, 0)
+                                      AS BIGINT)
+                                 BETWEEN 1000000 AND 2000000
+                            THEN 1 ELSE 0 END) AS n_match,
+                   min(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS vmin,
+                   max(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS vmax
+            FROM orders GROUP BY 1
+        ), agg AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n_files,
+                   CAST(sum(CASE WHEN vmax >= 1000000
+                                      AND vmin <= 2000000
+                                 THEN 1 ELSE 0 END) AS HUGEINT)
+                       AS files_scanned,
+                   sum(CAST(n_rows AS HUGEINT)) AS rows_total,
+                   sum(CASE WHEN vmax >= 1000000 AND vmin <= 2000000
+                            THEN CAST(n_rows AS HUGEINT)
+                            ELSE 0 END) AS rows_scanned,
+                   sum(CAST(n_match AS HUGEINT)) AS rows_matching
+            FROM per
+        )
+        SELECT CAST(n_files AS BIGINT) AS n_files,
+               CAST(files_scanned AS BIGINT) AS files_scanned,
+               CAST(n_files - files_scanned AS BIGINT) AS files_pruned,
+               CAST(rows_total AS BIGINT) AS rows_total,
+               CAST(rows_scanned AS BIGINT) AS rows_scanned,
+               CAST(rows_matching AS BIGINT) AS rows_matching,
+               CAST(((n_files - files_scanned) * 1000000) // n_files
+                    AS BIGINT) AS prune_frac_e6,
+               CASE WHEN rows_matching > 0
+                    THEN CAST((rows_scanned * 1000000) // rows_matching
+                              AS BIGINT) END AS read_amp_e6
+        FROM agg
+    """
+    o["mojibake"] = """
+        WITH docs AS (
+            SELECT source, text FROM documents
+            UNION ALL SELECT 'synthetic', 'le cafÃ© est servi'
+            UNION ALL SELECT 'synthetic', 'itâ€™s here Â now'
+            UNION ALL SELECT 'synthetic', 'clean text row'
+        ), flag AS (
+            SELECT source,
+                   CASE WHEN contains(text, 'Ã©')
+                             OR contains(text, 'Ã¨')
+                             OR contains(text, 'Ã¼')
+                             OR contains(text, 'Ã±')
+                             OR contains(text, 'â€')
+                             OR contains(text, 'Â ')
+                             OR contains(text, '�')
+                        THEN 1 ELSE 0 END AS bad
+            FROM docs
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(bad) AS BIGINT) AS n_bad,
+               CAST((CAST(sum(bad) AS HUGEINT) * 1000000) // count(*)
+                    AS BIGINT) AS bad_e6
+        FROM flag GROUP BY 1
     """
     return o

@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "knn_eval", "unpivot_surface", "zorder3",
     "auc_roc", "abc_analysis", "theil_sen",
     "langid", "gini", "kendall_tau", "cohen_kappa", "novelty",
+    "calibration", "neg_sample", "split_leakage", "minmax_prune",
+    "mojibake",
 ]
 
 

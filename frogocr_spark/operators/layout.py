@@ -307,3 +307,50 @@ def zvalue_n_sql(exprs: list, bits: int = 16) -> str:
             terms.append(f"(((CAST({e} AS BIGINT) >> {i}) & 1) "
                          f"<< {i * n + j})")
     return "(" + " + ".join(terms) + ")"
+
+
+def zonemap_prune_audit(df: DataFrame, file_col, value_col,
+                        lo: int, hi: int) -> DataFrame:
+    """Zone-map (per-file min/max statistics) pruning audit — the
+    data-layout question behind every BETWEEN predicate on a 100 TB
+    table: how many files does the predicate SKIP on statistics alone,
+    and how much read amplification remains in the files it must scan
+    (rows read per matching row — the number clustering/Z-ordering
+    exists to drive toward 1)?  A file is scanned iff its value range
+    overlaps ``[lo, hi]`` (``vmax >= lo AND vmin <= hi`` — exactly the
+    parquet row-group / Iceberg manifest pruning rule).
+
+    Scale shape: ONE map-side-combined per-file agg (count, conditional
+    match count, min, max) over a single scan, then one aggregate over
+    file rows — the audit costs one pass regardless of file count.
+    Output: one row ``(n_files, files_scanned, files_pruned,
+    rows_total, rows_scanned, rows_matching, prune_frac_e6,
+    read_amp_e6)``; read_amp NULL when nothing matches."""
+    lo, hi = int(lo), int(hi)
+    per = (df.select(file_col.cast("long").alias("f"),
+                     value_col.cast("long").alias("v"))
+           .groupBy("f")
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("v").between(lo, hi).cast("long"))
+                .alias("n_match"),
+                F.min("v").alias("vmin"), F.max("v").alias("vmax")))
+    scanned = (F.col("vmax") >= lo) & (F.col("vmin") <= hi)
+    agg = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(scanned.cast("long")).cast("long").alias("files_scanned"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.sum(F.when(scanned, F.col("n_rows")).otherwise(F.lit(0)))
+        .cast("long").alias("rows_scanned"),
+        F.sum("n_match").cast("long").alias("rows_matching"))
+    return agg.select(
+        "n_files", "files_scanned",
+        (F.col("n_files") - F.col("files_scanned")).cast("long")
+        .alias("files_pruned"),
+        "rows_total", "rows_scanned", "rows_matching",
+        F.expr("(CAST(n_files - files_scanned AS DECIMAL(38,0)) "
+               "* 1000000) DIV n_files").cast("long")
+        .alias("prune_frac_e6"),
+        F.when(F.col("rows_matching") > 0,
+               F.expr("(CAST(rows_scanned AS DECIMAL(38,0)) * 1000000) "
+                      "DIV rows_matching").cast("long"))
+        .alias("read_amp_e6"))

@@ -269,3 +269,90 @@ def classification_report(pred: DataFrame,
         "recall_e6",
         F.when(F.col("n_true") > 0,
                F.expr("(n_correct * 1000000) DIV n_true"))))
+
+
+def calibration_bins(df: DataFrame, score, is_pos,
+                     n_bins: int = 10) -> DataFrame:
+    """Reliability-diagram calibration audit — AUC's companion
+    (:func:`~frogocr_spark.operators.analytics.auc_exact` measures
+    RANKING; this measures whether the score's LEVEL tracks the
+    positive rate): integer scores are normalized over the observed
+    range and cut into ``n_bins`` equal-width bins
+
+        bin = (s − smin)·B DIV (smax − smin + 1)
+
+    and each bin reports the normalized mean score vs the empirical
+    positive rate, both as truncating e6 divisions, plus their absolute
+    gap (the per-bin ECE contribution) — every step integer/DECIMAL
+    exact, no float.  A constant score collapses to bin 0 with NULL
+    mean/gap (normalization undefined; the rate still reports).
+
+    Scale shape: the (smin, smax) range is a 1-row aggregate broadcast
+    back (never a sort); binning is a pure map; the report is ONE
+    map-side-combined keyed agg over ≤ ``n_bins`` groups.  Output:
+    ``(bin, n, pos_rate_e6, mean_score_e6, gap_e6)``."""
+    base = df.select(score.cast("long").alias("s"),
+                     is_pos.cast("long").alias("y"))
+    rng = base.groupBy().agg(F.min("s").alias("smin"),
+                             F.max("s").alias("smax"))
+    b = (base.crossJoin(F.broadcast(rng))
+         .withColumn("bin", F.when(
+             F.col("smax") > F.col("smin"),
+             F.expr(f"((s - smin) * {int(n_bins)}) "
+                    "DIV (smax - smin + 1)")).otherwise(F.lit(0))))
+    agg = (b.groupBy("bin")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("s").alias("ss"), F.sum("y").alias("sy"),
+                F.max("smin").alias("smin"),
+                F.max("smax").alias("smax")))
+    out = agg.select(
+        F.col("bin").cast("long").alias("bin"), "n",
+        F.expr("(CAST(sy AS DECIMAL(38,0)) * 1000000) DIV n")
+        .cast("long").alias("pos_rate_e6"),
+        F.when(F.col("smax") > F.col("smin"), F.expr(
+            "((CAST(ss AS DECIMAL(38,0)) - CAST(n AS DECIMAL(38,0)) "
+            "* smin) * 1000000) DIV (CAST(n AS DECIMAL(38,0)) "
+            "* (smax - smin))").cast("long")).alias("mean_score_e6"))
+    return out.withColumn(
+        "gap_e6", F.abs(F.col("mean_score_e6") - F.col("pos_rate_e6"))
+        .cast("long"))
+
+
+def ring_negatives(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 3) -> DataFrame:
+    """Deterministic negative sampling for contrastive training — each
+    anchor takes the next ``k`` documents in the md5-shuffled ring as
+    negatives (seedless pseudo-random permutation: rank under the
+    ``(md5(id), id)`` total order, candidates at ring offsets 1..k),
+    rejecting the anchor itself and any EXACT duplicate of it (same
+    ``md5(text)`` — those are positives, not negatives).  Seedless and
+    append-aware: the permutation is a pure function of ids, so the
+    sample is reproducible across runs and engines.
+
+    Scale shape: the permutation rides the range-partitioned
+    :func:`~frogocr_spark.operators.ranking.global_rank` (eager — see
+    its note); the candidate fan-out is ``explode(sequence(1, k))``
+    (k rows per anchor, no pair space); the resolve is ONE equi-join on
+    the ring rank — a uniform synthetic key, skew-free by construction.
+    Output: ``(doc_id, slot, neg_id)`` — up to k rows per anchor
+    (fewer when ring neighbors were duplicates)."""
+    from .ranking import global_rank
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.md5(F.col(text_col)).alias("_h"),
+                     F.md5(F.col(id_col).cast("string")).alias("_o"))
+    r = global_rank(base, ["_o", "_id"], rank_col="rk")
+    n = r.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    cand = (r.crossJoin(F.broadcast(n))
+            .select("_id", "_h", "rk", "_n",
+                    F.explode(F.expr(f"sequence(1, {int(k)})"))
+                    .alias("slot"))
+            .withColumn("nrk", (F.col("rk") - 1 + F.col("slot"))
+                        % F.col("_n") + 1))
+    neg = r.select(F.col("rk").alias("nrk"),
+                   F.col("_id").alias("neg_id"),
+                   F.col("_h").alias("_nh"))
+    return (cand.join(neg, "nrk")
+            .where((F.col("neg_id") != F.col("_id"))
+                   & (F.col("_h") != F.col("_nh")))
+            .select(F.col("_id").alias(id_col),
+                    F.col("slot").cast("long").alias("slot"), "neg_id"))

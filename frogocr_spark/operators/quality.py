@@ -261,3 +261,54 @@ def l_diversity(df: DataFrame, qi_cols: list[str], sensitive_col: str,
                  F.count(F.lit(1)).cast("long").alias("n_sensitive"))
             .withColumn("diverse",
                         (F.col("n_sensitive") >= l).cast("long")))
+
+
+def split_leakage(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  train_hex: str = "e6", val_hex: str = "f3") -> DataFrame:
+    """Train/val/test contamination audit — the leakage check every
+    split pipeline must publish: exact-duplicate groups (``md5(text)``)
+    spanning split boundaries leak evaluation content into training.
+    Counts every unordered document pair inside each duplicate group,
+    bucketed by split pair: within-split pairs are redundancy
+    (``is_leak = false``), cross-split pairs are contamination
+    (``is_leak = true``).  Pair counts come from the group-size
+    identity (t·(t−1)/2 within, t·v across) — the pair space is never
+    materialized.
+
+    Scale shape: ONE (content-hash) keyed agg with three conditional
+    counts (map-side combined), then one global aggregate over groups,
+    unpivoted via ``stack`` into 6 rows — no collect, no join, no pair
+    explosion even for a degenerate corpus where one text repeats 10^9
+    times.  Split assignment is the seedless
+    :func:`~frogocr_spark.operators.textstats.hash_split` (same
+    thresholds).  Output: ``(split_lo, split_hi, n_pairs, is_leak)``,
+    6 rows, ordered lexicographically by the caller's sort."""
+    from .textstats import hash_split
+    dec = "decimal(38,0)"
+    s = hash_split(df.select(F.col(id_col).alias("_id"),
+                             F.col(text_col).alias("_t")),
+                   id_col="_id", train_hex=train_hex, val_hex=val_hex)
+    mat = (s.groupBy(F.md5(F.col("_t")).alias("_h"))
+           .agg(F.sum((F.col("split") == "train").cast("long"))
+                .cast(dec).alias("t"),
+                F.sum((F.col("split") == "val").cast("long"))
+                .cast(dec).alias("v"),
+                F.sum((F.col("split") == "test").cast("long"))
+                .cast(dec).alias("x")))
+    tot = mat.groupBy().agg(
+        F.sum(F.expr("t * (t - 1) DIV 2")).alias("tt"),
+        F.sum(F.expr("v * (v - 1) DIV 2")).alias("vv"),
+        F.sum(F.expr("x * (x - 1) DIV 2")).alias("xx"),
+        F.sum(F.expr("t * v")).alias("tv"),
+        F.sum(F.expr("t * x")).alias("tx"),
+        F.sum(F.expr("v * x")).alias("vx"))
+    return tot.selectExpr(
+        "stack(6, "
+        "'train', 'train', CAST(tt AS BIGINT), false, "
+        "'val',   'val',   CAST(vv AS BIGINT), false, "
+        "'test',  'test',  CAST(xx AS BIGINT), false, "
+        "'train', 'val',   CAST(tv AS BIGINT), true, "
+        "'train', 'test',  CAST(tx AS BIGINT), true, "
+        "'test',  'val',   CAST(vx AS BIGINT), true) "
+        "AS (split_lo, split_hi, n_pairs, is_leak)")

@@ -1885,3 +1885,32 @@ def novelty_rate(df: DataFrame, batch_col: str, id_col: str = "doc_id",
                     F.expr("(CAST(coalesce(n_new, 0) AS DECIMAL(38,0)) "
                            "* 1000000) DIV n_grams").cast("long")
                     .alias("novelty_e6")))
+
+
+# UTF-8-decoded-as-Latin-1 artifact markers (the classic mojibake
+# shapes: 'Ã©' = é, 'â€™' = ’, NBSP → 'Â ') plus the U+FFFD
+# replacement char a lossy transcode leaves behind.
+MOJIBAKE_MARKERS = ("Ã©", "Ã¨", "Ã¼", "Ã±", "â€", "Â ", "�")
+
+
+def encoding_audit(df: DataFrame, group_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Per-source encoding-health audit — the ingest gate that catches
+    a crawler or converter double-decoding its bytes: a document is
+    flagged when it carries any pinned mojibake marker
+    (:data:`MOJIBAKE_MARKERS` — plain ``contains`` probes, no regex, so
+    any engine agrees byte-for-byte).  ``bad_e6`` is the flagged share
+    per source as one truncating division.
+
+    Scale shape: pure map (a handful of substring probes fused in one
+    codegen stage) + ONE map-side-combined keyed agg.  Output:
+    ``(source, n_docs, n_bad, bad_e6)``."""
+    bad = F.lit(False)
+    for m in MOJIBAKE_MARKERS:
+        bad = bad | F.col(text_col).contains(m)
+    return (df.groupBy(F.col(group_col).alias("source"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(bad.cast("long")).cast("long").alias("n_bad"))
+            .withColumn("bad_e6",
+                        F.expr("(CAST(n_bad AS DECIMAL(38,0)) "
+                               "* 1000000) DIV n_docs").cast("long")))

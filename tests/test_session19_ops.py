@@ -1,0 +1,133 @@
+"""Session-21 operators: calibration bins, ring negative sampling,
+split-leakage audit, zone-map pruning audit, encoding (mojibake)
+audit — hand-computed cases and adversarial edges (the contract
+queries carry the DuckDB hash checks)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from frogocr_spark.operators.layout import zonemap_prune_audit
+from frogocr_spark.operators.ml import calibration_bins, ring_negatives
+from frogocr_spark.operators.quality import split_leakage
+from frogocr_spark.operators.textstats import (MOJIBAKE_MARKERS,
+                                               encoding_audit)
+
+
+def test_calibration_hand_case(spark):
+    # scores 0..9 (smin 0, smax 9), 2 bins of width (9-0+1)*?/2:
+    # bin = (s * 2) DIV 10 -> s 0..4 bin 0, s 5..9 bin 1
+    rows = [(s, 1 if s >= 7 else 0) for s in range(10)]
+    df = spark.createDataFrame(rows, "s long, y int")
+    got = {r.bin: r for r in calibration_bins(
+        df, F.col("s"), F.col("y") == 1, n_bins=2).collect()}
+    b0, b1 = got[0], got[1]
+    assert (b0.n, b1.n) == (5, 5)
+    assert b0.pos_rate_e6 == 0
+    assert b1.pos_rate_e6 == 600_000          # 3 of 5
+    # mean scores: bin0 mean 2 -> 2/9; bin1 mean 7 -> 7/9
+    assert b0.mean_score_e6 == 222_222
+    assert b1.mean_score_e6 == 777_777
+    assert b1.gap_e6 == 177_777
+
+
+def test_calibration_constant_score(spark):
+    df = spark.createDataFrame([(5, 1), (5, 0)], "s long, y int")
+    [r] = calibration_bins(df, F.col("s"), F.col("y") == 1).collect()
+    assert r.bin == 0 and r.n == 2
+    assert r.pos_rate_e6 == 500_000
+    assert r.mean_score_e6 is None and r.gap_e6 is None
+
+
+def _ring_order(ids):
+    return sorted(ids, key=lambda i: (hashlib.md5(
+        str(i).encode()).hexdigest(), i))
+
+
+def test_ring_negatives_python_twin(spark):
+    rows = [(i, f"text {i}") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.slot): r.neg_id
+           for r in ring_negatives(df, k=2).collect()}
+    ring = _ring_order(range(7))
+    for pos, anchor in enumerate(ring):
+        for slot in (1, 2):
+            assert got[(anchor, slot)] == ring[(pos + slot) % 7]
+
+
+def test_ring_negatives_rejects_exact_dups_and_self(spark):
+    # two docs share text -> when one is the other's ring neighbor the
+    # pair is rejected; with n=2 every other neighbor is self
+    df = spark.createDataFrame([(1, "same"), (2, "same")],
+                               "doc_id long, text string")
+    assert ring_negatives(df, k=2).collect() == []
+
+
+def test_split_leakage_group_size_identity(spark):
+    # force known splits by choosing ids whose md5 prefixes land where
+    # we want is brittle — instead verify the identity on a corpus
+    # where EVERY doc shares one text: total pairs = C(n,2)
+    n = 12
+    df = spark.createDataFrame([(i, "dup") for i in range(n)],
+                               "doc_id long, text string")
+    rows = split_leakage(df).collect()
+    assert sum(r.n_pairs for r in rows) == n * (n - 1) // 2
+    assert {(r.split_lo, r.split_hi) for r in rows} == {
+        ("train", "train"), ("val", "val"), ("test", "test"),
+        ("train", "val"), ("train", "test"), ("test", "val")}
+    leak = {(r.split_lo, r.split_hi): r.is_leak for r in rows}
+    assert leak[("train", "train")] is False
+    assert leak[("train", "val")] is True
+
+
+def test_split_leakage_unique_texts_no_pairs(spark):
+    df = spark.createDataFrame([(i, f"u{i}") for i in range(9)],
+                               "doc_id long, text string")
+    assert all(r.n_pairs == 0 for r in split_leakage(df).collect())
+
+
+def test_zonemap_prune_hand_case(spark):
+    # 3 files: f0 values 1..4 (prunable), f1 values 8..11 (overlap,
+    # 2 match), f2 values 30..33 (prunable) for predicate [9, 20]
+    rows = ([(0, v) for v in (1, 2, 3, 4)]
+            + [(1, v) for v in (8, 9, 10, 11)]
+            + [(2, v) for v in (30, 31, 32, 33)])
+    df = spark.createDataFrame(rows, "f long, v long")
+    [r] = zonemap_prune_audit(df, F.col("f"), F.col("v"), 9, 20).collect()
+    assert (r.n_files, r.files_scanned, r.files_pruned) == (3, 1, 2)
+    assert (r.rows_total, r.rows_scanned, r.rows_matching) == (12, 4, 3)
+    assert r.prune_frac_e6 == 666_666
+    assert r.read_amp_e6 == 1_333_333          # 4 rows read / 3 matching
+
+
+def test_zonemap_prune_nothing_matches(spark):
+    df = spark.createDataFrame([(0, 1), (0, 2)], "f long, v long")
+    [r] = zonemap_prune_audit(df, F.col("f"), F.col("v"),
+                              100, 200).collect()
+    assert r.files_scanned == 0 and r.read_amp_e6 is None
+    assert r.prune_frac_e6 == 1_000_000
+
+
+def test_encoding_audit_markers(spark):
+    rows = [("a", "le cafÃ© est servi"),      # Ã© mojibake
+            ("a", "itâ€™s broken"),            # â€ mojibake
+            ("a", "perfectly clean"),
+            ("b", "lost � char"),          # replacement char
+            ("b", "clean too")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r.source: (r.n_docs, r.n_bad, r.bad_e6)
+           for r in encoding_audit(df).collect()}
+    assert got["a"] == (3, 2, 666_666)
+    assert got["b"] == (2, 1, 500_000)
+
+
+def test_encoding_audit_clean_utf8_not_flagged(spark):
+    # PROPERLY encoded accents must not trip the audit
+    rows = [("a", "le café est servi"), ("a", "naïve œuvre à côté")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    [r] = encoding_audit(df).collect()
+    assert (r.n_bad, r.bad_e6) == (0, 0)
+    assert all(len(m) >= 1 for m in MOJIBAKE_MARKERS)
