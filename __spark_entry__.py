@@ -4530,6 +4530,31 @@ def _q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoding_audit(docs.unionByName(fixtures))
 
 
+def _q_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (Fano factor) of hourly event counts per
+    type — the burstiness audit (Poisson = 1, clumped ≫ 1), exact via
+    (n·Σc² − S²)·10^6 DIV ((n−1)·S) over observed epoch-hour buckets
+    (operators/analytics.fano_dispersion)."""
+    from frogocr_spark.operators.analytics import fano_dispersion
+    ev = _read(spark, sf_dir, "events")
+    return fano_dispersion(
+        ev, "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"))
+
+
+def _q_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-sigma hourly rate-spike detection per event type: the
+    k-sigma decision squared and cross-multiplied into DECIMAL(38,0)
+    (no sqrt, no float — a boundary hour can never flip on an ulp);
+    per-type moments broadcast back onto the bucket counts
+    (operators/analytics.rate_spikes)."""
+    from frogocr_spark.operators.analytics import rate_spikes
+    ev = _read(spark, sf_dir, "events")
+    return rate_spikes(
+        ev, "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -4806,6 +4831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": _q_split_leakage,
         "minmax_prune": _q_minmax_prune,
         "mojibake": _q_mojibake,
+        "fano": _q_fano,
+        "rate_spikes": _q_rate_spikes,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -9541,5 +9568,45 @@ FROM pos2
                CAST((CAST(sum(bad) AS HUGEINT) * 1000000) // count(*)
                     AS BIGINT) AS bad_e6
         FROM flag GROUP BY 1
+    """
+    o["fano"] = """
+        WITH c AS (
+            SELECT event_type AS "group",
+                   epoch_us(ts) // 3600000000 AS b, count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), m AS (
+            SELECT "group", CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(c) AS HUGEINT) AS s,
+                   sum(CAST(c AS HUGEINT) * c) AS q
+            FROM c GROUP BY 1
+        )
+        SELECT "group", CAST(n AS BIGINT) AS n_buckets,
+               CAST(s AS BIGINT) AS total,
+               CASE WHEN n >= 2 AND s > 0
+                    THEN CAST(((n * q - s * s) * 1000000)
+                              // ((n - 1) * s) AS BIGINT)
+               END AS fano_e6
+        FROM m
+    """
+    o["rate_spikes"] = """
+        WITH c AS (
+            SELECT event_type AS "group",
+                   epoch_us(ts) // 3600000000 AS bucket,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ), m AS (
+            SELECT "group", CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(cnt) AS HUGEINT) AS s,
+                   sum(CAST(cnt AS HUGEINT) * cnt) AS q
+            FROM c GROUP BY 1
+        )
+        SELECT c."group", CAST(c.bucket AS BIGINT) AS bucket,
+               CAST(c.cnt AS BIGINT) AS cnt
+        FROM c JOIN m USING ("group")
+        WHERE m.n >= 2
+          AND (CAST(c.cnt AS HUGEINT) * m.n - m.s)
+              * (CAST(c.cnt AS HUGEINT) * m.n - m.s) * (m.n - 1)
+              > 9 * m.n * (m.n * m.q - m.s * m.s)
+          AND CAST(c.cnt AS HUGEINT) * m.n > m.s
     """
     return o

@@ -139,7 +139,7 @@ BENCH_QUERIES = [
     "auc_roc", "abc_analysis", "theil_sen",
     "langid", "gini", "kendall_tau", "cohen_kappa", "novelty",
     "calibration", "neg_sample", "split_leakage", "minmax_prune",
-    "mojibake",
+    "mojibake", "fano", "rate_spikes",
 ]
 
 

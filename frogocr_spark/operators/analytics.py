@@ -2098,3 +2098,83 @@ def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
                     F.expr("((CAST(n AS DECIMAL(38,0)) * agree - pe_num) "
                            "* 1000000) DIV (CAST(n AS DECIMAL(38,0)) * n "
                            "- pe_num)").cast("long")).alias("kappa_e6")))
+
+
+def fano_dispersion(df: DataFrame, group_col: str,
+                    bucket_col) -> DataFrame:
+    """Index of dispersion (Fano factor) of per-bucket event counts —
+    the burstiness audit (Poisson traffic has F = 1; F ≫ 1 means
+    clumped arrivals, F ≪ 1 means pacing):
+
+        F = s²/mean = (n·Σc² − S²) / ((n−1)·S)
+
+    over the OBSERVED buckets of each group (empty buckets are absent
+    by construction — documented; bound the bucket domain upstream if
+    zeros must count), emitted as ``fano_e6`` via one truncating
+    DECIMAL(38,0) division; NULL for groups with < 2 buckets or zero
+    total.
+
+    Scale shape: ONE (group, bucket) keyed count (map-side combined),
+    ONE group-keyed moment agg — both shuffles carry only aggregates.
+    Output: ``(group, n_buckets, total, fano_e6)``."""
+    dec = "decimal(38,0)"
+    c = (df.groupBy(F.col(group_col).alias("group"),
+                    bucket_col.cast("long").alias("_b"))
+         .agg(F.count(F.lit(1)).alias("c")))
+    m = (c.groupBy("group")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"),
+              F.sum("c").cast("long").alias("total"),
+              F.sum(F.col("c").cast(dec) * F.col("c").cast(dec))
+              .alias("q")))
+    return m.select(
+        "group", "n_buckets", "total",
+        F.when((F.col("n_buckets") >= 2) & (F.col("total") > 0),
+               F.expr("((CAST(n_buckets AS DECIMAL(38,0)) * q "
+                      "- CAST(total AS DECIMAL(38,0)) * total) "
+                      "* 1000000) DIV ((CAST(n_buckets AS "
+                      "DECIMAL(38,0)) - 1) * total)").cast("long"))
+        .alias("fano_e6"))
+
+
+def rate_spikes(df: DataFrame, group_col: str, bucket_col,
+                sigmas: int = 3) -> DataFrame:
+    """Per-group rate-spike detection with the EXACT k-sigma decision:
+    a bucket's count ``c`` is a spike when it exceeds the group's
+    bucket-count mean by more than ``sigmas`` sample standard
+    deviations — decided without a sqrt or a float by squaring and
+    cross-multiplying:
+
+        (c·n − S)² · (n−1)  >  k² · n · (n·Q − S²)   and   c·n > S
+
+    (n buckets, S = Σc, Q = Σc²; both sides DECIMAL(38,0), so the
+    boundary bucket can never flip on a float ulp — the two_prop/
+    rank_test discipline applied to anomaly detection).  Groups with
+    < 2 buckets emit nothing (variance undefined).
+
+    Scale shape: ONE (group, bucket) keyed count, ONE group-keyed
+    moment agg (≤ |groups| rows) BROADCAST back onto the bucket
+    counts — the corpus is scanned once and never re-shuffled.
+    Output: ``(group, bucket, cnt)`` — spike buckets only."""
+    dec = "decimal(38,0)"
+    c = (df.groupBy(F.col(group_col).alias("group"),
+                    bucket_col.cast("long").alias("bucket"))
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    m = (c.groupBy("group")
+         .agg(F.count(F.lit(1)).cast("long").alias("_n"),
+              F.sum("cnt").cast("long").alias("_s"),
+              F.sum(F.col("cnt").cast(dec) * F.col("cnt").cast(dec))
+              .alias("_q")))
+    k2 = int(sigmas) * int(sigmas)
+    joined = c.join(F.broadcast(m.where(F.col("_n") >= 2)), "group")
+    lhs = ("(CAST(cnt AS DECIMAL(38,0)) * _n - _s) "
+           "* (CAST(cnt AS DECIMAL(38,0)) * _n - _s) "
+           "* (CAST(_n AS DECIMAL(38,0)) - 1)")
+    rhs = (f"{k2} * CAST(_n AS DECIMAL(38,0)) "
+           "* (CAST(_n AS DECIMAL(38,0)) * _q "
+           "- CAST(_s AS DECIMAL(38,0)) * _s)")
+    return (joined
+            .where(F.expr(f"({lhs}) > ({rhs})")
+                   & (F.expr("CAST(cnt AS DECIMAL(38,0)) * _n")
+                      > F.col("_s")))
+            .select("group", "bucket",
+                    F.col("cnt").cast("long").alias("cnt")))

@@ -131,3 +131,61 @@ def test_encoding_audit_clean_utf8_not_flagged(spark):
     [r] = encoding_audit(df).collect()
     assert (r.n_bad, r.bad_e6) == (0, 0)
     assert all(len(m) >= 1 for m in MOJIBAKE_MARKERS)
+
+
+def test_fano_dispersion_hand_cases(spark):
+    from frogocr_spark.operators.analytics import fano_dispersion
+    # group 'a': counts per bucket = [2, 2, 2] -> variance 0 -> F = 0
+    # group 'b': counts [1, 5] -> mean 3, s^2 = 8 -> F = 8/3
+    rows = ([("a", b) for b in (0, 0, 1, 1, 2, 2)]
+            + [("b", 0)] + [("b", 1)] * 5)
+    df = spark.createDataFrame(rows, "g string, b long")
+    got = {r.group: r for r in fano_dispersion(
+        df, "g", F.col("b")).collect()}
+    assert got["a"].fano_e6 == 0
+    assert (got["b"].n_buckets, got["b"].total) == (2, 6)
+    assert got["b"].fano_e6 == 2_666_666          # 8/3 truncated
+    # single bucket -> NULL (variance undefined)
+    one = spark.createDataFrame([("c", 0), ("c", 0)], "g string, b long")
+    [r] = fano_dispersion(one, "g", F.col("b")).collect()
+    assert r.fano_e6 is None
+
+
+def test_rate_spikes_exact_boundary(spark):
+    from frogocr_spark.operators.analytics import rate_spikes
+    # 20 background buckets with counts 8..12 (x4 each) + one hot
+    # bucket of c.  The python twin finds the smallest spiking c; Spark
+    # must agree exactly on both sides of the boundary.  (Fun fact the
+    # first draft tripped over: a single outlier among n buckets can
+    # never exceed (n-1)/sqrt(n) sample sigmas, so small n or a
+    # constant background makes 3-sigma unreachable or trivial.)
+    bg = [8, 9, 10, 11, 12] * 4
+
+    def is_spike(c):
+        cs = bg + [c]
+        n, s, q = len(cs), sum(cs), sum(x * x for x in cs)
+        return (c * n - s) ** 2 * (n - 1) > 9 * n * (n * q - s * s) \
+            and c * n > s
+    boundary = next(c for c in range(10, 400) if is_spike(c))
+    assert boundary == 17 and not is_spike(boundary - 1)
+
+    def mk(c):
+        rows = [(i, 1) for i, cnt in enumerate(bg) for _ in range(cnt)]
+        rows += [(99, 1)] * c
+        return spark.createDataFrame(rows, "b long, one int")
+
+    spikes = rate_spikes(mk(boundary), "one", F.col("b")).collect()
+    assert [(r.bucket, r.cnt) for r in spikes] == [(99, boundary)]
+    assert rate_spikes(mk(boundary - 1), "one",
+                       F.col("b")).collect() == []
+
+
+def test_rate_spikes_low_outlier_not_flagged(spark):
+    from frogocr_spark.operators.analytics import rate_spikes
+    # a LOW outlier inflates variance but must not be reported (the
+    # detector is one-sided: spikes only)
+    rows = ([("g", i) for i in range(5) for _ in range(50)]
+            + [("g", 9)])          # bucket 9 has 1 event (a dip)
+    df = spark.createDataFrame(rows, "g string, b long")
+    got = rate_spikes(df, "g", F.col("b")).collect()
+    assert all(r.cnt > 1 for r in got) or got == []

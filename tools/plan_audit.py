@@ -821,6 +821,47 @@ def main() -> None:
                 and "CartesianProduct" not in pt2,
                 f"twap_sp={'SinglePartition' in pt2}")
 
+    # 48. Session 20/21 operators keep their scale shapes: the langid
+    #     trigram explode is filtered by a BROADCAST profile join (the
+    #     explode never reaches an Exchange); ring negative sampling is
+    #     equi-joins only (no cartesian/BNLJ — the ring resolve is a
+    #     hash join on the rank key); split_leakage never materializes
+    #     the pair space (aggregates only, zero joins in the plan); the
+    #     spike detector's per-group moments come back via broadcast.
+    from frogocr_spark.operators.analytics import rate_spikes
+    from frogocr_spark.operators.ml import ring_negatives
+    from frogocr_spark.operators.quality import split_leakage
+    from frogocr_spark.operators.textstats import langid_ngram
+    docs3 = spark.read.parquet(f"{SF}/documents.parquet")
+    ev3 = spark.read.parquet(f"{SF}/events.parquet")
+    pli = executed(langid_ngram(docs3))
+    ok &= check("langid profile join broadcast (explode pre-shuffle)",
+                "BroadcastHashJoin" in pli
+                and "CartesianProduct" not in pli,
+                f"broadcasts={pli.count('BroadcastHashJoin')}")
+    prn = executed(ring_negatives(docs3, k=2))
+    ok &= check("ring negatives: ring resolve is a hash equi-join; the "
+                "only nested-loop is the 1-ROW count broadcast",
+                "CartesianProduct" not in prn
+                and prn.count("BroadcastNestedLoopJoin") == 1
+                and ("SortMergeJoin" in prn
+                     or "ShuffledHashJoin" in prn
+                     or "BroadcastHashJoin" in prn),
+                f"bnlj={prn.count('BroadcastNestedLoopJoin')} (the "
+                f"count row), equi_join_present=True, cartesian=0")
+    psl = executed(split_leakage(docs3))
+    ok &= check("split_leakage: pure aggregation, pair space never "
+                "materialized (no join at all)",
+                "Join" not in psl and "partial" in psl.lower(),
+                f"joins={psl.count('Join')}, map-side partials present")
+    psp = executed(rate_spikes(
+        ev3, "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000")))
+    ok &= check("rate_spikes: per-group moments broadcast back",
+                "BroadcastHashJoin" in psp
+                and "CartesianProduct" not in psp,
+                f"broadcasts={psp.count('BroadcastHashJoin')}")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
