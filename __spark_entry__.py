@@ -4555,6 +4555,38 @@ def _q_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"))
 
 
+def _q_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini–Simpson vocabulary diversity per source — the
+    template-spam audit (low diversity slice = boilerplate mill);
+    repeat numerator Σc(c−1) integer-exact per slice
+    (operators/analytics.simpson_diversity)."""
+    from frogocr_spark.operators.analytics import simpson_diversity
+    return simpson_diversity(_read(spark, sf_dir, "documents"),
+                             "source")
+
+
+def _q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between source and lang — the
+    corpus-composition confound check; chi-square over the FULL margin
+    cross (zero cells contribute their expectation), each cell one
+    exact integer term, V² emitted without sqrt
+    (operators/analytics.cramers_v)."""
+    from frogocr_spark.operators.analytics import cramers_v
+    return cramers_v(_read(spark, sf_dir, "documents"),
+                     "source", "lang")
+
+
+def _q_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA effect size η² of event value (cents) across
+    event types — variance-explained screening before a segmented
+    model; per-group e6 quantization summed order-independently, every
+    division a truncating DECIMAL DIV
+    (operators/analytics.eta_squared)."""
+    from frogocr_spark.operators.analytics import eta_squared
+    ev = _read(spark, sf_dir, "events")
+    return eta_squared(ev, "event_type", F.floor(F.col("value") * 100))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -4833,6 +4865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake": _q_mojibake,
         "fano": _q_fano,
         "rate_spikes": _q_rate_spikes,
+        "simpson": _q_simpson,
+        "cramers_v": _q_cramers_v,
+        "eta_squared": _q_eta_squared,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -9608,5 +9643,92 @@ FROM pos2
               * (CAST(c.cnt AS HUGEINT) * m.n - m.s) * (m.n - 1)
               > 9 * m.n * (m.n * m.q - m.s * m.s)
           AND CAST(c.cnt AS HUGEINT) * m.n > m.s
+    """
+    o["simpson"] = r"""
+        WITH toks AS (
+            SELECT source AS "group",
+                   unnest(list_filter(
+                       string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS tok
+            FROM documents
+        ), c AS (
+            SELECT "group", tok, count(*) AS c FROM toks GROUP BY 1, 2
+        ), m AS (
+            SELECT "group", CAST(sum(c) AS HUGEINT) AS n_tokens,
+                   CAST(count(*) AS HUGEINT) AS n_types,
+                   sum(CAST(c AS HUGEINT) * (c - 1)) AS rep
+            FROM c GROUP BY 1
+        )
+        SELECT "group", CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_types AS BIGINT) AS n_types,
+               CASE WHEN n_tokens >= 2 THEN
+                   CAST(1000000 - (rep * 1000000)
+                        // (n_tokens * (n_tokens - 1)) AS BIGINT)
+               END AS simpson_e6
+        FROM m
+    """
+    o["cramers_v"] = """
+        WITH cells AS (
+            SELECT source AS a, lang AS b, count(*) AS o
+            FROM documents GROUP BY 1, 2
+        ),
+        rowt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+        colt AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(sum(o) AS HUGEINT) AS n,
+                       CAST(count(DISTINCT a) AS HUGEINT) AS r,
+                       CAST(count(DISTINCT b) AS HUGEINT) AS c
+                FROM cells),
+        fullx AS (
+            SELECT coalesce(cl.o, 0) AS o, rt.ra, ct.cb
+            FROM rowt rt CROSS JOIN colt ct
+            LEFT JOIN cells cl ON cl.a = rt.a AND cl.b = ct.b
+        ), terms AS (
+            SELECT ((CAST(o AS HUGEINT) * t.n
+                     - CAST(ra AS HUGEINT) * cb)
+                    * (CAST(o AS HUGEINT) * t.n
+                       - CAST(ra AS HUGEINT) * cb)
+                    * 1000000)
+                   // (t.n * CAST(ra AS HUGEINT) * cb) AS trm
+            FROM fullx, tot t
+        ), chi AS (SELECT sum(trm) AS chi2 FROM terms)
+        SELECT CAST(t.n AS BIGINT) AS n, CAST(t.r AS BIGINT) AS r,
+               CAST(t.c AS BIGINT) AS c,
+               CAST(chi2 AS BIGINT) AS chi2_e6,
+               CASE WHEN least(t.r, t.c) >= 2 THEN
+                   CAST(chi2 // (t.n * (least(t.r, t.c) - 1))
+                        AS BIGINT)
+               END AS v2_e6
+        FROM tot t, chi
+    """
+    o["eta_squared"] = """
+        WITH base AS (
+            SELECT event_type AS g,
+                   CAST(floor(value * 100) AS BIGINT) AS v
+            FROM events
+        ), per AS (
+            SELECT g, count(*) AS ng, sum(CAST(v AS HUGEINT)) AS sg,
+                   sum(CAST(v AS HUGEINT) * v) AS qg
+            FROM base GROUP BY 1
+        ), agg AS (
+            SELECT CAST(sum(ng) AS HUGEINT) AS n,
+                   count(*) AS k_groups,
+                   sum(sg) AS s, sum(qg) AS q,
+                   sum((sg * sg * 1000000) // CAST(ng AS HUGEINT))
+                       AS bterm
+            FROM per
+        ), fin AS (
+            SELECT n, k_groups,
+                   bterm - (s * s * 1000000) // n AS ssb,
+                   q * 1000000 - (s * s * 1000000) // n AS sst
+            FROM agg
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(k_groups AS BIGINT) AS k_groups,
+               CAST(ssb AS BIGINT) AS ssb_e6,
+               CAST(sst AS BIGINT) AS sst_e6,
+               CASE WHEN sst > 0
+                    THEN CAST((ssb * 1000000) // sst AS BIGINT)
+               END AS eta2_e6
+        FROM fin
     """
     return o

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "langid", "gini", "kendall_tau", "cohen_kappa", "novelty",
     "calibration", "neg_sample", "split_leakage", "minmax_prune",
     "mojibake", "fano", "rate_spikes",
+    "simpson", "cramers_v", "eta_squared",
 ]
 
 

@@ -2178,3 +2178,141 @@ def rate_spikes(df: DataFrame, group_col: str, bucket_col,
                       > F.col("_s")))
             .select("group", "bucket",
                     F.col("cnt").cast("long").alias("cnt")))
+
+
+def simpson_diversity(df: DataFrame, group_col: str,
+                      text_col: str = "text") -> DataFrame:
+    """Gini–Simpson vocabulary diversity per corpus slice — the
+    repeat-probability audit (1 − P(two random tokens are the same
+    type)): with per-type counts c over a slice of N tokens,
+
+        D = 1 − Σ c·(c−1) / (N·(N−1))
+
+    emitted as ``simpson_e6 = 10^6 − rep·10^6 DIV (N·(N−1))`` — the
+    repeat numerator Σc·(c−1) is the integer already proven in
+    ``lexical_diversity``, lifted from per-document to per-slice; NULL
+    for slices with < 2 tokens.  Low D on one source = template spam.
+
+    Scale shape: one token explode → ONE (slice, type) keyed count →
+    ONE slice-keyed agg, all map-side combined; nothing wider than the
+    (slice, type) relation.  Output: ``(group, n_tokens, n_types,
+    simpson_e6)``."""
+    dec = "decimal(38,0)"
+    toks = df.select(
+        F.col(group_col).alias("group"),
+        F.explode(F.array_remove(
+            F.split(F.trim(F.col(text_col)), r"\s+"), "")).alias("tok"))
+    c = (toks.groupBy("group", "tok")
+         .agg(F.count(F.lit(1)).alias("c")))
+    m = (c.groupBy("group")
+         .agg(F.sum("c").cast("long").alias("n_tokens"),
+              F.count(F.lit(1)).cast("long").alias("n_types"),
+              F.sum(F.col("c").cast(dec)
+                    * (F.col("c").cast(dec) - 1)).alias("rep")))
+    return m.select(
+        "group", "n_tokens", "n_types",
+        F.when(F.col("n_tokens") >= 2,
+               F.lit(1_000_000).cast("long")
+               - F.expr("(rep * 1000000) DIV "
+                        "(CAST(n_tokens AS DECIMAL(38,0)) "
+                        "* (n_tokens - 1))").cast("long"))
+        .alias("simpson_e6"))
+
+
+def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cramér's V association between two categorical columns — the
+    normalized chi-square every corpus-composition audit wants (is
+    `source` confounded with `lang`?).  The chi-square statistic is
+    computed over the FULL r×c margin cross (zero cells contribute
+    their expectation — the classic bug in observed-cells-only
+    implementations) with each cell's contribution reduced to one
+    exact integer expression (the drift_chi2 algebra):
+
+        term_e6 = (O·N − R·C)²·10^6 DIV (N·R·C)
+
+    summed order-independently (integer addition commutes — no float
+    summation-order hazard), and ``v2_e6 = chi2_e6 DIV (N·(min(r,c)−1))``
+    emits V² (no sqrt — by the engine's no-float discipline; take the
+    root client-side).  NULL when min(r,c) < 2.
+
+    Scale shape: ONE (a, b) keyed count (map-side combined); margins,
+    the r×c cross, and the final sum all run over matrix rows, never
+    the corpus.  The matrix is localCheckpointed (consumed three times
+    — one corpus scan, the drift_chi2 lesson), so this runs EAGERLY.
+    Output: one row ``(n, r, c, chi2_e6, v2_e6)``."""
+    dec = "decimal(38,0)"
+    cells = (df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+             .agg(F.count(F.lit(1)).alias("o")))
+    cells = cells.localCheckpoint(eager=True)
+    rowt = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    colt = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = cells.groupBy().agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("a").cast("long").alias("r"),
+        F.countDistinct("b").cast("long").alias("c"))
+    full = (rowt.crossJoin(colt)
+            .join(cells, ["a", "b"], "left")
+            .withColumn("o", F.coalesce("o", F.lit(0)))
+            .crossJoin(F.broadcast(tot)))
+    terms = full.select(F.expr(
+        "((CAST(o AS DECIMAL(38,0)) * n - CAST(ra AS DECIMAL(38,0)) "
+        "* cb) * (CAST(o AS DECIMAL(38,0)) * n "
+        "- CAST(ra AS DECIMAL(38,0)) * cb) * 1000000) "
+        "DIV (CAST(n AS DECIMAL(38,0)) * ra * cb)").alias("t"))
+    chi2 = terms.groupBy().agg(F.sum("t").cast("long").alias("chi2_e6"))
+    return (tot.crossJoin(F.broadcast(chi2))
+            .select("n", "r", "c", "chi2_e6",
+                    F.when(F.least("r", "c") >= 2, F.expr(
+                        "CAST(chi2_e6 AS DECIMAL(38,0)) DIV "
+                        "(CAST(n AS DECIMAL(38,0)) "
+                        "* (least(r, c) - 1))").cast("long"))
+                    .alias("v2_e6")))
+
+
+def eta_squared(df: DataFrame, group_col: str, value) -> DataFrame:
+    """One-way ANOVA effect size η² = SSB/SST — how much of a metric's
+    variance the grouping explains (the screening statistic before
+    investing in a segmented model).  With integer values, group sums
+    S_g / sizes n_g and global (N, S, Q=Σv²), each between-group term
+    is quantized once, order-independently:
+
+        ssb_e6 = Σ_g (S_g²·10^6 DIV n_g)  −  S²·10^6 DIV N
+        sst_e6 = Q·10^6                   −  S²·10^6 DIV N
+        eta2_e6 = ssb_e6·10^6 DIV sst_e6
+
+    — every division is a truncating DECIMAL(38,0) DIV, so both
+    engines compute bit-identical results (deterministic-exact; the
+    e6 quantization per group is the documented approximation).  NULL
+    when SST ≤ 0 (constant metric).
+
+    Scale shape: ONE group-keyed agg (map-side combined) + one global
+    agg over group rows; the corpus is scanned once.  Output: one row
+    ``(n, k_groups, ssb_e6, sst_e6, eta2_e6)``."""
+    dec = "decimal(38,0)"
+    base = df.select(F.col(group_col).alias("g"),
+                     value.cast("long").alias("v"))
+    per = (base.groupBy("g")
+           .agg(F.count(F.lit(1)).alias("ng"),
+                F.sum("v").alias("sg"),
+                F.sum(F.col("v").cast(dec) * F.col("v").cast(dec))
+                .alias("qg")))
+    agg = per.groupBy().agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("sg").cast("long").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum(F.expr("(CAST(sg AS DECIMAL(38,0)) * sg * 1000000) "
+                     "DIV ng")).alias("bterm"))
+    out = agg.select(
+        "n", "k_groups",
+        (F.col("bterm") - F.expr("(CAST(s AS DECIMAL(38,0)) * s "
+                                 "* 1000000) DIV n"))
+        .cast("long").alias("ssb_e6"),
+        (F.col("q") * 1_000_000
+         - F.expr("(CAST(s AS DECIMAL(38,0)) * s * 1000000) DIV n"))
+        .cast("long").alias("sst_e6"))
+    return out.withColumn(
+        "eta2_e6",
+        F.when(F.col("sst_e6") > 0,
+               F.expr("(CAST(ssb_e6 AS DECIMAL(38,0)) * 1000000) "
+                      "DIV sst_e6").cast("long")))

@@ -189,3 +189,79 @@ def test_rate_spikes_low_outlier_not_flagged(spark):
     df = spark.createDataFrame(rows, "g string, b long")
     got = rate_spikes(df, "g", F.col("b")).collect()
     assert all(r.cnt > 1 for r in got) or got == []
+
+
+def test_simpson_diversity_hand_cases(spark):
+    from frogocr_spark.operators.analytics import simpson_diversity
+    rows = [("a", "x x x x"),            # all same type -> D = 0
+            ("b", "p q r s"),            # all distinct -> D = 1
+            ("c", "u u v")]              # rep=2, N=3 -> 1 - 2/6 = 2/3
+    df = spark.createDataFrame(rows, "src string, text string")
+    got = {r.group: (r.n_tokens, r.n_types, r.simpson_e6)
+           for r in simpson_diversity(df, "src").collect()}
+    assert got["a"] == (4, 1, 0)
+    assert got["b"] == (4, 4, 1_000_000)
+    assert got["c"] == (3, 2, 666_667)   # 1e6 - 333333
+    single = spark.createDataFrame([("d", "one")],
+                                   "src string, text string")
+    [r] = simpson_diversity(single, "src").collect()
+    assert r.simpson_e6 is None
+
+
+def test_cramers_v_hand_cases(spark):
+    from frogocr_spark.operators.analytics import cramers_v
+    # perfect association (2x2 diagonal): chi2 = N, V^2 = 1
+    rows = [("x", "p")] * 5 + [("y", "q")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = cramers_v(df, "a", "b").collect()
+    assert (r.n, r.r, r.c) == (10, 2, 2)
+    assert r.chi2_e6 == 10_000_000       # chi2 == N == 10
+    assert r.v2_e6 == 1_000_000
+    # independence (balanced 2x2): chi2 = 0
+    rows = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = cramers_v(df, "a", "b").collect()
+    assert r.chi2_e6 == 0 and r.v2_e6 == 0
+    # degenerate single column level -> V^2 NULL
+    rows = [("x", "p"), ("x", "q")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = cramers_v(df, "a", "b").collect()
+    assert r.v2_e6 is None
+
+
+def test_cramers_v_zero_cells_counted(spark):
+    from frogocr_spark.operators.analytics import cramers_v
+    # 2x2 with an EMPTY cell: x->p (2), x->q (2), y->p (2), y->q (0).
+    # python twin including the zero cell's expectation term:
+    rows = [("x", "p")] * 2 + [("x", "q")] * 2 + [("y", "p")] * 2
+    obs = {("x", "p"): 2, ("x", "q"): 2, ("y", "p"): 2, ("y", "q"): 0}
+    ra = {"x": 4, "y": 2}
+    cb = {"p": 4, "q": 2}
+    n = 6
+    chi2_e6 = sum(
+        ((o * n - ra[a] * cb[b]) ** 2 * 1_000_000)
+        // (n * ra[a] * cb[b])
+        for (a, b), o in obs.items())
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = cramers_v(df, "a", "b").collect()
+    assert r.chi2_e6 == chi2_e6
+    assert r.chi2_e6 > 0                 # zero cell contributes
+
+
+def test_eta_squared_hand_cases(spark):
+    from frogocr_spark.operators.analytics import eta_squared
+    # groups fully explain the variance: within-group constant
+    rows = [("a", 10)] * 3 + [("b", 20)] * 3
+    df = spark.createDataFrame(rows, "g string, v long")
+    [r] = eta_squared(df, "g", F.col("v")).collect()
+    assert r.eta2_e6 == 1_000_000
+    # groups explain nothing: identical distributions
+    rows = [("a", 10), ("a", 20), ("b", 10), ("b", 20)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    [r] = eta_squared(df, "g", F.col("v")).collect()
+    assert r.ssb_e6 == 0 and 0 <= r.eta2_e6 <= 1
+    # constant metric -> SST 0 -> NULL
+    rows = [("a", 7), ("b", 7)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    [r] = eta_squared(df, "g", F.col("v")).collect()
+    assert r.eta2_e6 is None
