@@ -4587,6 +4587,24 @@ def _q_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eta_squared(ev, "event_type", F.floor(F.col("value") * 100))
 
 
+def _q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 vocabulary turnover between corpus halves (id-midpoint
+    arrival proxy): the lexicon-shift audit, exact Jaccard of
+    deterministic top-k sets
+    (operators/textstats.vocab_drift)."""
+    from frogocr_spark.operators.textstats import vocab_drift
+    return vocab_drift(_read(spark, sf_dir, "documents"), k=100)
+
+
+def _q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage at top-10/100/1000 vocabulary cuts — the
+    Zipf companion for tokenizer-budget decisions; ranks ride
+    global_rank and the curve math touches ≤ max(k) rows
+    (operators/textstats.coverage_curve)."""
+    from frogocr_spark.operators.textstats import coverage_curve
+    return coverage_curve(_read(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -4868,6 +4886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simpson": _q_simpson,
         "cramers_v": _q_cramers_v,
         "eta_squared": _q_eta_squared,
+        "vocab_drift": _q_vocab_drift,
+        "coverage_curve": _q_coverage_curve,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -9730,5 +9750,65 @@ FROM pos2
                     THEN CAST((ssb * 1000000) // sst AS BIGINT)
                END AS eta2_e6
         FROM fin
+    """
+    o["vocab_drift"] = r"""
+        WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        halves AS (
+            SELECT CASE WHEN doc_id * 2 <= (SELECT m FROM mx)
+                        THEN 'a' ELSE 'b' END AS half, text
+            FROM documents
+        ), toks AS (
+            SELECT half,
+                   unnest(list_filter(
+                       string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS token
+            FROM halves
+        ), counts AS (
+            SELECT half, token, count(*) AS c FROM toks GROUP BY 1, 2
+        ), top AS (
+            SELECT half, token,
+                   row_number() OVER (PARTITION BY half
+                       ORDER BY c DESC, token) AS rk
+            FROM counts
+        ), sel AS (SELECT half, token FROM top WHERE rk <= 100),
+        m AS (
+            SELECT token,
+                   max(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS ia,
+                   max(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS ib
+            FROM sel GROUP BY 1
+        )
+        SELECT CAST(100 AS BIGINT) AS k,
+               CAST(sum(ia) AS BIGINT) AS n_top_a,
+               CAST(sum(ib) AS BIGINT) AS n_top_b,
+               CAST(sum(ia * ib) AS BIGINT) AS n_common,
+               CASE WHEN sum(ia) + sum(ib) - sum(ia * ib) > 0 THEN
+                   CAST((CAST(sum(ia * ib) AS HUGEINT) * 1000000)
+                        // (sum(ia) + sum(ib) - sum(ia * ib))
+                        AS BIGINT)
+               END AS jaccard_e6
+        FROM m
+    """
+    o["coverage_curve"] = r"""
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                       string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS tok
+            FROM documents
+        ), c AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        r AS (
+            SELECT tok, c,
+                   row_number() OVER (ORDER BY c DESC, tok) AS rank
+            FROM c
+        ), tot AS (SELECT CAST(sum(c) AS HUGEINT) AS total FROM c),
+        ks(k) AS (VALUES (10), (100), (1000))
+        SELECT CAST(ks.k AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(r.c) AS BIGINT) AS covered,
+               CAST(max(t.total) AS BIGINT) AS total,
+               CAST((CAST(sum(r.c) AS HUGEINT) * 1000000)
+                    // max(t.total) AS BIGINT) AS mass_e6
+        FROM r, ks, tot t
+        WHERE r.rank <= ks.k
+        GROUP BY ks.k
     """
     return o

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "calibration", "neg_sample", "split_leakage", "minmax_prune",
     "mojibake", "fano", "rate_spikes",
     "simpson", "cramers_v", "eta_squared",
+    "vocab_drift", "coverage_curve",
 ]
 
 

@@ -1981,7 +1981,8 @@ def gini_exact(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
 
     Scale shape: ranks ride the range-partitioned
     :func:`~frogocr_spark.operators.ranking.global_rank` (no
-    single-partition sort), then ONE map-side-combined global aggregate.
+    single-partition sort; EAGER — see its note), then ONE
+    map-side-combined global aggregate.
     ``value_col`` must be non-negative integers (quantize money to
     cents first).  Output: one row ``(n_items, total, gini_e6)``."""
     from .ranking import global_rank

@@ -1914,3 +1914,76 @@ def encoding_audit(df: DataFrame, group_col: str = "source",
             .withColumn("bad_e6",
                         F.expr("(CAST(n_bad AS DECIMAL(38,0)) "
                                "* 1000000) DIV n_docs").cast("long")))
+
+
+def vocab_drift(df: DataFrame, k: int = 100, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Top-``k`` vocabulary turnover between the first and second half
+    of the corpus (id-midpoint split — the arrival-order proxy): the
+    drift audit that catches a crawl whose LEXICON shifted even when
+    volume and length profiles stayed flat.  Jaccard of the two top-k
+    token sets, integer-exact; the top-k cut is deterministic
+    (count DESC, token ASC — :func:`group_top_terms`).
+
+    Scale shape: one (half, token) keyed count feeding the two-level
+    partial top-k of :func:`group_top_terms` (a half never sorts in one
+    task); the set comparison runs over ≤ 2k surviving rows.  Output:
+    one row ``(k, n_top_a, n_top_b, n_common, jaccard_e6)``."""
+    mx = df.groupBy().agg(F.max(F.col(id_col)).alias("_mx"))
+    halves = (df.crossJoin(F.broadcast(mx))
+              .withColumn("half",
+                          F.when(F.col(id_col) * 2 <= F.col("_mx"),
+                                 "a").otherwise("b")))
+    top = group_top_terms(halves, "half", k, text_col)
+    m = (top.groupBy("token")
+         .agg(F.max((F.col("half") == "a").cast("long")).alias("ia"),
+              F.max((F.col("half") == "b").cast("long")).alias("ib")))
+    return (m.groupBy()
+            .agg(F.lit(int(k)).cast("long").alias("k"),
+                 F.sum("ia").cast("long").alias("n_top_a"),
+                 F.sum("ib").cast("long").alias("n_top_b"),
+                 F.sum(F.col("ia") * F.col("ib")).cast("long")
+                 .alias("n_common"))
+            .withColumn("jaccard_e6", F.when(
+                F.col("n_top_a") + F.col("n_top_b")
+                - F.col("n_common") > 0,
+                F.expr("(CAST(n_common AS DECIMAL(38,0)) * 1000000) "
+                       "DIV (n_top_a + n_top_b - n_common)")
+                .cast("long"))))
+
+
+def coverage_curve(df: DataFrame, ks: tuple = (10, 100, 1000),
+                   text_col: str = "text") -> DataFrame:
+    """Token-mass coverage of the top-``k`` vocabulary at several rank
+    cuts — the Zipf companion every tokenizer-budget decision reads
+    (how much of the corpus do 10 / 100 / 1000 types cover?):
+    ``mass_e6 = covered·10^6 DIV total``, integer-exact.
+
+    Scale shape: ONE token-keyed count; ranks ride the
+    range-partitioned :func:`~frogocr_spark.operators.ranking
+    .global_rank` (EAGER — see its note) under (count DESC, token)
+    and are FILTERED to
+    ``rank <= max(ks)`` before the tiny ks cross — the curve math
+    touches ≤ max(ks) rows however large the vocabulary; the total is
+    a 1-row broadcast agg.  Output: one row per cut
+    ``(k, n_types, covered, total, mass_e6)``."""
+    from .ranking import global_rank
+    ks = sorted(int(x) for x in ks)
+    toks = df.select(
+        F.explode(F.array_remove(
+            F.split(F.trim(F.col(text_col)), _WS), "")).alias("tok"))
+    counts = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+              .withColumn("_negc", -F.col("c")))
+    r = global_rank(counts, ["_negc", "tok"], rank_col="rank")
+    tot = counts.groupBy().agg(F.sum("c").cast("long").alias("total"))
+    surv = r.where(F.col("rank") <= ks[-1])
+    kdf = df.sparkSession.createDataFrame([(x,) for x in ks], "k long")
+    return (surv.crossJoin(F.broadcast(kdf))
+            .where(F.col("rank") <= F.col("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_types"),
+                 F.sum("c").cast("long").alias("covered"))
+            .crossJoin(F.broadcast(tot))
+            .withColumn("mass_e6",
+                        F.expr("(CAST(covered AS DECIMAL(38,0)) "
+                               "* 1000000) DIV total").cast("long")))

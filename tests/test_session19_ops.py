@@ -265,3 +265,35 @@ def test_eta_squared_hand_cases(spark):
     df = spark.createDataFrame(rows, "g string, v long")
     [r] = eta_squared(df, "g", F.col("v")).collect()
     assert r.eta2_e6 is None
+
+
+def test_vocab_drift_hand_cases(spark):
+    from frogocr_spark.operators.textstats import vocab_drift
+    # ids 0..3: half a = {0, 1} (doc_id*2 <= 3), half b = {2, 3}
+    rows = [(0, "x y"), (1, "x z"), (2, "x y"), (3, "x w")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    [r] = vocab_drift(df, k=2).collect()
+    # half a counts: x2 y1 z1 -> top2 (x, y); half b: x2 w1 y1 -> (x, w)
+    assert (r.n_top_a, r.n_top_b, r.n_common) == (2, 2, 1)
+    assert r.jaccard_e6 == 333_333       # 1 / 3
+    # identical halves -> jaccard 1
+    same = spark.createDataFrame([(0, "a b"), (1, "a b")],
+                                 "doc_id long, text string")
+    [r] = vocab_drift(same, k=2).collect()
+    assert r.jaccard_e6 == 1_000_000
+
+
+def test_coverage_curve_hand_case(spark):
+    from frogocr_spark.operators.textstats import coverage_curve
+    # counts: x5 y3 z1 w1 -> total 10; cuts at 1 and 3
+    df = spark.createDataFrame(
+        [(0, "x x x x x y y y z w")], "doc_id long, text string")
+    got = {r.k: (r.n_types, r.covered, r.mass_e6)
+           for r in coverage_curve(df, ks=(1, 3)).collect()}
+    assert got[1] == (1, 5, 500_000)
+    # rank 2 = y (count desc), rank 3 = w (token asc beats z on tie)
+    assert got[3] == (3, 9, 900_000)
+    # cut larger than the vocabulary covers everything
+    got = {r.k: r.mass_e6 for r in coverage_curve(
+        df, ks=(100,)).collect()}
+    assert got[100] == 1_000_000
