@@ -4605,6 +4605,48 @@ def _q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_curve(_read(spark, sf_dir, "documents"))
 
 
+def _q_layout_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-effectiveness shootout: the SAME value predicate
+    (floor(value) BETWEEN 10 AND 20) zone-map-audited under three file
+    layouts — 'key' (event_id ranges: clustering uncorrelated with the
+    predicate), 'zorder' (Morton buckets over (user_id, value):
+    partial value locality), 'value' (equal-width value buckets:
+    perfect locality).  The hash-matched read-amplification ordering
+    value ≤ zorder ≤ key IS the quantified case for OPTIMIZE ZORDER
+    (operators/layout.zorder_buckets + zonemap_prune_audit)."""
+    from frogocr_spark.operators.layout import (zonemap_prune_audit,
+                                                zorder_buckets)
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("x"),
+        F.floor(F.col("value")).cast("long").alias("y"))
+    lo, hi = 10, 20
+
+    key = zonemap_prune_audit(ev, F.expr("event_id DIV 5000"),
+                              F.col("y"), lo, hi)
+    zb = zorder_buckets(ev, "x", "y", n_buckets=16, bits=16)
+    zo = zonemap_prune_audit(zb, F.col("zbucket"), F.col("y"), lo, hi)
+    rng = ev.groupBy().agg(F.min("y").alias("ymin"),
+                           F.max("y").alias("ymax"))
+    vb = (ev.crossJoin(F.broadcast(rng))
+          .withColumn("vbucket",
+                      F.expr("((y - ymin) * 16) DIV (ymax - ymin + 1)")))
+    va = zonemap_prune_audit(vb, F.col("vbucket"), F.col("y"), lo, hi)
+    return (key.select(F.lit("key").alias("layout"), "*")
+            .unionByName(zo.select(F.lit("zorder").alias("layout"), "*"))
+            .unionByName(va.select(F.lit("value").alias("layout"), "*")))
+
+
+def _q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chronological 80/2/18 train/embargo/test split over event time —
+    the purged-split leakage control for forward-looking labels; exact
+    integer microsecond boundaries, one min/max broadcast, pure-map
+    labels (operators/ml.time_embargo_split)."""
+    from frogocr_spark.operators.ml import time_embargo_split
+    ev = _read(spark, sf_dir, "events")
+    return time_embargo_split(
+        ev, F.expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -4888,6 +4930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eta_squared": _q_eta_squared,
         "vocab_drift": _q_vocab_drift,
         "coverage_curve": _q_coverage_curve,
+        "layout_compare": _q_layout_compare,
+        "time_split": _q_time_split,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -9810,5 +9854,80 @@ FROM pos2
         FROM r, ks, tot t
         WHERE r.rank <= ks.k
         GROUP BY ks.k
+    """
+    _zv2 = zvalue_sql("x", "y", bits=16)
+
+    def _audit_block(base: str, label: str) -> str:
+        # base must be a CTE name providing (f, v); predicate [10, 20]
+        return f"""
+        SELECT '{label}' AS layout,
+               CAST(n_files AS BIGINT) AS n_files,
+               CAST(files_scanned AS BIGINT) AS files_scanned,
+               CAST(n_files - files_scanned AS BIGINT) AS files_pruned,
+               CAST(rows_total AS BIGINT) AS rows_total,
+               CAST(rows_scanned AS BIGINT) AS rows_scanned,
+               CAST(rows_matching AS BIGINT) AS rows_matching,
+               CAST(((n_files - files_scanned) * 1000000) // n_files
+                    AS BIGINT) AS prune_frac_e6,
+               CASE WHEN rows_matching > 0
+                    THEN CAST((rows_scanned * 1000000) // rows_matching
+                              AS BIGINT) END AS read_amp_e6
+        FROM (
+            SELECT CAST(count(*) AS HUGEINT) AS n_files,
+                   CAST(sum(CASE WHEN vmax >= 10 AND vmin <= 20
+                                 THEN 1 ELSE 0 END) AS HUGEINT)
+                       AS files_scanned,
+                   sum(CAST(n_rows AS HUGEINT)) AS rows_total,
+                   sum(CASE WHEN vmax >= 10 AND vmin <= 20
+                            THEN CAST(n_rows AS HUGEINT) ELSE 0 END)
+                       AS rows_scanned,
+                   sum(CAST(n_match AS HUGEINT)) AS rows_matching
+            FROM (
+                SELECT f, count(*) AS n_rows,
+                       sum(CASE WHEN v BETWEEN 10 AND 20
+                                THEN 1 ELSE 0 END) AS n_match,
+                       min(v) AS vmin, max(v) AS vmax
+                FROM {base} GROUP BY 1
+            )
+        )"""
+
+    o["layout_compare"] = f"""
+        WITH ev AS (
+            SELECT event_id, user_id AS x,
+                   CAST(floor(value) AS BIGINT) AS y
+            FROM events
+        ),
+        zx AS (SELECT event_id, y, {_zv2} AS zval FROM ev),
+        zext AS (SELECT min(zval) AS zmin, max(zval) AS zmax FROM zx),
+        yext AS (SELECT min(y) AS ymin, max(y) AS ymax FROM ev),
+        bk AS (SELECT event_id // 5000 AS f, y AS v FROM ev),
+        bz AS (SELECT CAST(floor(((zval - zmin) * 16)
+                                 / (zmax - zmin + 1)) AS BIGINT) AS f,
+                      y AS v
+               FROM zx, zext),
+        bv AS (SELECT ((y - ymin) * 16) // (ymax - ymin + 1) AS f,
+                      y AS v
+               FROM ev, yext)
+        {_audit_block('bk', 'key')}
+        UNION ALL {_audit_block('bz', 'zorder')}
+        UNION ALL {_audit_block('bv', 'value')}
+    """
+    o["time_split"] = """
+        WITH base AS (
+            SELECT epoch_us(ts) AS us FROM events
+        ), rng AS (SELECT min(us) AS tmin, max(us) AS tmax FROM base),
+        lab AS (
+            SELECT CASE
+                WHEN us < tmin + ((tmax - tmin) * 80) // 100
+                    THEN 'train'
+                WHEN us < tmin + ((tmax - tmin) * 82) // 100
+                    THEN 'embargo'
+                ELSE 'test' END AS split, us
+            FROM base, rng
+        )
+        SELECT split, CAST(count(*) AS BIGINT) AS n,
+               CAST(min(us) AS BIGINT) AS first_us,
+               CAST(max(us) AS BIGINT) AS last_us
+        FROM lab GROUP BY 1
     """
     return o

@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "mojibake", "fano", "rate_spikes",
     "simpson", "cramers_v", "eta_squared",
     "vocab_drift", "coverage_curve",
+    "layout_compare", "time_split",
 ]
 
 

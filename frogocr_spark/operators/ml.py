@@ -356,3 +356,40 @@ def ring_negatives(df: DataFrame, id_col: str = "doc_id",
                    & (F.col("_h") != F.col("_nh")))
             .select(F.col("_id").alias(id_col),
                     F.col("slot").cast("long").alias("slot"), "neg_id"))
+
+
+def time_embargo_split(df: DataFrame, ts_micros,
+                       train_pct: int = 80,
+                       embargo_pct: int = 2) -> DataFrame:
+    """Chronological train/test split with a purge embargo — the
+    leakage control for models whose labels look FORWARD in time
+    (rows spanning the boundary leak test information into training;
+    the purged/embargoed split is standard evaluation practice in
+    financial ML): the observed time range is cut at
+    ``train_pct`` %, the next ``embargo_pct`` % is DISCARDED, the rest
+    is test.  Boundaries are exact integer microsecond arithmetic
+    (``tmin + Δ·pct DIV 100``), so the assignment is reproducible
+    across engines and appends never move old boundaries backward
+    silently (re-derive on a frozen range for that).
+
+    Scale shape: ONE 1-row min/max agg broadcast back, split label =
+    pure map, ONE keyed agg over 3 groups.  Output: one row per
+    non-empty split ``(split, n, first_us, last_us)``."""
+    if not (0 < train_pct and train_pct + embargo_pct < 100):
+        raise ValueError("need 0 < train_pct and "
+                         "train_pct + embargo_pct < 100")
+    base = df.select(ts_micros.cast("long").alias("us"))
+    rng = base.groupBy().agg(F.min("us").alias("tmin"),
+                             F.max("us").alias("tmax"))
+    t_tr = F.expr(f"tmin + ((tmax - tmin) * {int(train_pct)}) DIV 100")
+    t_em = F.expr(f"tmin + ((tmax - tmin) * "
+                  f"{int(train_pct) + int(embargo_pct)}) DIV 100")
+    lab = (base.crossJoin(F.broadcast(rng))
+           .withColumn("split",
+                       F.when(F.col("us") < t_tr, "train")
+                       .when(F.col("us") < t_em, "embargo")
+                       .otherwise(F.lit("test"))))
+    return (lab.groupBy("split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min("us").alias("first_us"),
+                 F.max("us").alias("last_us")))

@@ -297,3 +297,41 @@ def test_coverage_curve_hand_case(spark):
     got = {r.k: r.mass_e6 for r in coverage_curve(
         df, ks=(100,)).collect()}
     assert got[100] == 1_000_000
+
+
+def test_time_embargo_split_hand_case(spark):
+    from frogocr_spark.operators.ml import time_embargo_split
+    # us 0..99: range = 99, so t_train = 99*80 DIV 100 = 79 and
+    # t_embargo = 99*82 DIV 100 = 81 -> train < 79, embargo 79..80
+    df = spark.createDataFrame([(i,) for i in range(100)], "us long")
+    got = {r.split: (r.n, r.first_us, r.last_us)
+           for r in time_embargo_split(df, F.col("us")).collect()}
+    assert got["train"] == (79, 0, 78)
+    assert got["embargo"] == (2, 79, 80)
+    assert got["test"] == (19, 81, 99)
+    with pytest.raises(ValueError):
+        time_embargo_split(df, F.col("us"), train_pct=99,
+                           embargo_pct=5)
+
+
+def test_layout_compare_zorder_beats_uncorrelated_key(spark):
+    # grid corpus where the value dimension is uncorrelated with the
+    # row id: a value-bucketed layout must scan fewer rows than the
+    # id-bucketed one for a value predicate, with zorder in between
+    from frogocr_spark.operators.layout import (zonemap_prune_audit,
+                                                zorder_buckets)
+    rows = [(i, i % 64, (i * 37) % 64) for i in range(4096)]
+    df = spark.createDataFrame(rows, "event_id long, x long, y long")
+    lo, hi = 10, 20
+    [key] = zonemap_prune_audit(df, F.expr("event_id DIV 256"),
+                                F.col("y"), lo, hi).collect()
+    zb = zorder_buckets(df, "x", "y", n_buckets=16, bits=6)
+    [zo] = zonemap_prune_audit(zb, F.col("zbucket"),
+                               F.col("y"), lo, hi).collect()
+    vb = df.withColumn("vbucket", F.expr("(y * 16) DIV 64"))
+    [va] = zonemap_prune_audit(vb, F.col("vbucket"),
+                               F.col("y"), lo, hi).collect()
+    assert key.rows_scanned == 4096          # id layout prunes nothing
+    assert zo.rows_scanned < key.rows_scanned
+    assert va.rows_scanned <= zo.rows_scanned
+    assert va.rows_matching == zo.rows_matching == key.rows_matching
