@@ -4647,6 +4647,34 @@ def _q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, F.expr("unix_micros(CAST(ts AS TIMESTAMP))"))
 
 
+def _q_ctx_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window fit report at 16/64/256-token cuts (sized to the
+    synthetic corpus's length profile): whole-doc fit fraction and the
+    token mass a hard truncation discards, integer-exact
+    (operators/textstats.context_fit)."""
+    from frogocr_spark.operators.textstats import context_fit
+    return context_fit(_read(spark, sf_dir, "documents"),
+                       cuts=(16, 64, 256))
+
+
+def _q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-pretoken fertility per source (pre-tokens per whitespace
+    word) — the token-budget audit that catches punctuation/digit-heavy
+    slices; both counts are the pinned portable definitions
+    (operators/textstats.tokenizer_fertility)."""
+    from frogocr_spark.operators.textstats import tokenizer_fertility
+    return tokenizer_fertility(_read(spark, sf_dir, "documents"))
+
+
+def _q_max_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest repeated-token run per document (gaps-and-islands) —
+    the degenerate-repetition audit for looping generators and
+    navigation boilerplate; deterministic (run DESC, token ASC,
+    start ASC) winner (operators/textstats.max_token_run)."""
+    from frogocr_spark.operators.textstats import max_token_run
+    return max_token_run(_read(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -4932,6 +4960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_curve": _q_coverage_curve,
         "layout_compare": _q_layout_compare,
         "time_split": _q_time_split,
+        "ctx_fit": _q_ctx_fit,
+        "fertility": _q_fertility,
+        "max_run": _q_max_run,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -9929,5 +9960,79 @@ FROM pos2
                CAST(min(us) AS BIGINT) AS first_us,
                CAST(max(us) AS BIGINT) AS last_us
         FROM lab GROUP BY 1
+    """
+    o["ctx_fit"] = r"""
+        WITH base AS (
+            SELECT CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+'))
+                   END AS t
+            FROM documents
+        ), ks(cut) AS (VALUES (16), (64), (256))
+        SELECT CAST(cut AS BIGINT) AS cut,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN t <= cut THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_fit,
+               CAST((CAST(sum(CASE WHEN t <= cut THEN 1 ELSE 0 END)
+                          AS HUGEINT) * 1000000) // count(*)
+                    AS BIGINT) AS fit_e6,
+               CAST(sum(t) AS BIGINT) AS tokens_total,
+               CAST(sum(least(t, cut)) AS BIGINT) AS tokens_kept,
+               CASE WHEN sum(t) > 0 THEN
+                   CAST((CAST(sum(t) - sum(least(t, cut)) AS HUGEINT)
+                         * 1000000) // sum(t) AS BIGINT)
+               END AS loss_e6
+        FROM base, ks GROUP BY 1
+    """
+    o["fertility"] = r"""
+        WITH base AS (
+            SELECT source AS "group",
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text),
+                                                    '\s+')) END AS w,
+                   len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS p
+            FROM documents
+        )
+        SELECT "group", CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS words,
+               CAST(sum(p) AS BIGINT) AS pre_tokens,
+               CASE WHEN sum(w) > 0 THEN
+                   CAST((CAST(sum(p) AS HUGEINT) * 1000000) // sum(w)
+                        AS BIGINT)
+               END AS fertility_e6
+        FROM base GROUP BY 1
+    """
+    o["max_run"] = r"""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, ws[i] AS tok, i - 1 AS pos
+            FROM words, unnest(range(1, len(ws) + 1)) AS u(i)
+        ), isl AS (
+            SELECT doc_id, tok, pos,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY pos)
+                   - row_number() OVER (PARTITION BY doc_id, tok
+                                        ORDER BY pos) AS g
+            FROM toks
+        ), runs AS (
+            SELECT doc_id, tok, g, count(*) AS run,
+                   min(pos) AS start
+            FROM isl GROUP BY 1, 2, 3
+        ), best AS (
+            SELECT doc_id, run, tok, start,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY run DESC, tok, start) AS rk
+            FROM runs
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(b.run, 0) AS BIGINT) AS max_run,
+               b.tok AS run_token,
+               CAST(b.start AS BIGINT) AS run_start
+        FROM documents d
+        LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
     """
     return o

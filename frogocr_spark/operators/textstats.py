@@ -1987,3 +1987,108 @@ def coverage_curve(df: DataFrame, ks: tuple = (10, 100, 1000),
             .withColumn("mass_e6",
                         F.expr("(CAST(covered AS DECIMAL(38,0)) "
                                "* 1000000) DIV total").cast("long")))
+
+
+def context_fit(df: DataFrame, cuts: tuple = (512, 2048, 8192),
+                text_col: str = "text") -> DataFrame:
+    """Context-window fit report — the packing/truncation planning
+    number for each candidate sequence length: per cut, how many
+    documents fit whole, and what fraction of the token mass a
+    hard truncation at that cut would discard
+    (``loss_e6 = (total − Σ min(tokens, cut))·10^6 DIV total``) —
+    all integer-exact on whitespace token counts.
+
+    Scale shape: token counting is a pure map; the per-cut report is
+    ONE map-side-combined agg over the 3-row broadcast cuts cross
+    (3 rows per doc, never a token explode).  Output: one row per cut
+    ``(cut, n_docs, n_fit, fit_e6, tokens_total, tokens_kept,
+    loss_e6)``."""
+    cuts = sorted(int(c) for c in cuts)
+    base = df.select(token_count(F.col(text_col)).cast("long")
+                     .alias("t"))
+    kdf = df.sparkSession.createDataFrame([(c,) for c in cuts],
+                                          "cut long")
+    return (base.crossJoin(F.broadcast(kdf))
+            .groupBy("cut")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum((F.col("t") <= F.col("cut")).cast("long"))
+                 .cast("long").alias("n_fit"),
+                 F.sum("t").cast("long").alias("tokens_total"),
+                 F.sum(F.least("t", "cut")).cast("long")
+                 .alias("tokens_kept"))
+            .select("cut", "n_docs", "n_fit",
+                    F.expr("(CAST(n_fit AS DECIMAL(38,0)) * 1000000) "
+                           "DIV n_docs").cast("long").alias("fit_e6"),
+                    "tokens_total", "tokens_kept",
+                    F.when(F.col("tokens_total") > 0, F.expr(
+                        "(CAST(tokens_total - tokens_kept AS "
+                        "DECIMAL(38,0)) * 1000000) DIV tokens_total")
+                        .cast("long")).alias("loss_e6")))
+
+
+def tokenizer_fertility(df: DataFrame, group_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Tokenizer fertility per corpus slice — BPE-style pre-tokens per
+    whitespace word (``fertility_e6 = Σpre·10^6 DIV Σwords``): the
+    compression audit that catches a source whose punctuation/digit mix
+    blows up the token budget (fertility ≫ 1 = expensive slice).  Both
+    counts are the pinned portable definitions (:func:`token_count`,
+    :func:`bpe_token_count`), so the ratio is integer-exact.
+
+    Scale shape: two fused regex/split counts in ONE map stage + ONE
+    keyed agg.  Slices with zero words are NULL (nothing to tokenize).
+    Output: ``(group, n_docs, words, pre_tokens, fertility_e6)``."""
+    base = df.select(F.col(group_col).alias("group"),
+                     token_count(F.col(text_col)).cast("long")
+                     .alias("w"),
+                     bpe_token_count(F.col(text_col)).cast("long")
+                     .alias("p"))
+    return (base.groupBy("group")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("w").cast("long").alias("words"),
+                 F.sum("p").cast("long").alias("pre_tokens"))
+            .withColumn("fertility_e6", F.when(
+                F.col("words") > 0,
+                F.expr("(CAST(pre_tokens AS DECIMAL(38,0)) * 1000000) "
+                       "DIV words").cast("long"))))
+
+
+def max_token_run(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Longest consecutive repeated-token run per document — the
+    degenerate-repetition audit (looping generators and scraped
+    navigation boilerplate both leave ``foo foo foo …`` runs that
+    per-token frequency stats miss).  Runs are gaps-and-islands:
+    island id = pos − rank-within-token (both per-doc window
+    row_numbers), winner = the deterministic
+    ``(run DESC, token ASC, start ASC)`` argmin-struct.  Empty docs
+    keep a row with ``max_run = 0``.
+
+    Scale shape: posexplode → two per-doc keyed windows (full
+    parallelism across docs, never a global sort) → (doc, token,
+    island) keyed agg → per-doc min-struct agg.  Output:
+    ``(doc_id, max_run, run_token, run_start)``."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.array_remove(
+            F.split(F.trim(F.col(text_col)), _WS), ""))
+        .alias("pos", "tok"))
+    w_all = Window.partitionBy("_id").orderBy("pos")
+    w_tok = Window.partitionBy("_id", "tok").orderBy("pos")
+    isl = (toks.withColumn("_isl", F.row_number().over(w_all)
+                           - F.row_number().over(w_tok)))
+    runs = (isl.groupBy("_id", "tok", "_isl")
+            .agg(F.count(F.lit(1)).alias("run"),
+                 F.min("pos").alias("start")))
+    best = (runs.groupBy("_id")
+            .agg(F.min(F.struct((-F.col("run")).alias("nr"),
+                                F.col("tok").alias("tok"),
+                                F.col("start").alias("start")))
+                 .alias("b")))
+    return (df.select(F.col(id_col).alias("_id"))
+            .join(best, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce(-F.col("b.nr"), F.lit(0)).cast("long")
+                    .alias("max_run"),
+                    F.col("b.tok").alias("run_token"),
+                    F.col("b.start").cast("long").alias("run_start")))

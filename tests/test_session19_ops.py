@@ -335,3 +335,44 @@ def test_layout_compare_zorder_beats_uncorrelated_key(spark):
     assert zo.rows_scanned < key.rows_scanned
     assert va.rows_scanned <= zo.rows_scanned
     assert va.rows_matching == zo.rows_matching == key.rows_matching
+
+
+def test_context_fit_hand_case(spark):
+    from frogocr_spark.operators.textstats import context_fit
+    rows = [(0, "a b c"), (1, "a b c d e"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.cut: r for r in context_fit(df, cuts=(4,)).collect()}
+    r = got[4]
+    # tokens: 3, 5, 0 -> fits: doc0 and doc2; kept = 3 + 4 + 0 = 7
+    assert (r.n_docs, r.n_fit) == (3, 2)
+    assert r.fit_e6 == 666_666
+    assert (r.tokens_total, r.tokens_kept) == (8, 7)
+    assert r.loss_e6 == 125_000
+
+
+def test_tokenizer_fertility_hand_case(spark):
+    from frogocr_spark.operators.textstats import tokenizer_fertility
+    # "don't stop!" -> words 2; pre-tokens: don ' t stop ! = 5
+    rows = [("a", "don't stop!"), ("a", "plain words here"),
+            ("b", "")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r.group: r for r in tokenizer_fertility(df).collect()}
+    a = got["a"]
+    assert (a.n_docs, a.words, a.pre_tokens) == (2, 5, 8)
+    assert a.fertility_e6 == 1_600_000
+    assert got["b"].fertility_e6 is None
+
+
+def test_max_token_run_hand_cases(spark):
+    from frogocr_spark.operators.textstats import max_token_run
+    rows = [(0, "x x x y y z"),          # run of 3 'x' at pos 0
+            (1, "a b a b a b"),          # no adjacent repeats -> 1
+            (2, ""),                      # empty -> 0
+            (3, "p q q p p q")]          # two runs of 2: 'p'@3 beats
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.max_run, r.run_token, r.run_start)
+           for r in max_token_run(df).collect()}
+    assert got[0] == (3, "x", 0)
+    assert got[1][0] == 1
+    assert got[2] == (0, None, None)
+    assert got[3] == (2, "p", 3)         # token ASC tiebreak: p < q
