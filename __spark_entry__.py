@@ -4675,6 +4675,40 @@ def _q_max_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return max_token_run(_read(spark, sf_dir, "documents"))
 
 
+def _q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-agreement meta-audit: the SimHash (hamming ≤ 3) and
+    word-trigram exact-Jaccard (t = 0.7) near-dup detectors run on the
+    SAME corpus, pair sets compared — |A|, |B|, |A∩B| and the
+    set-Jaccard of the two detectors.  The number a dedup pipeline
+    needs before trusting ONE detector at 100 TB: low agreement means
+    the cheap detector is not a substitute for the exact one.  Both
+    constituent pipelines are independently oracle-verified
+    (dedup_simhash, dedup_jaccard_3gram); this audits their RELATION."""
+    from frogocr_spark.operators.dedup import (ngram_jaccard_pairs,
+                                               simhash_near_pairs)
+    docs = _read_split(spark, sf_dir, "documents")
+    a = (simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+         .select("id_a", "id_b",
+                 F.lit(1).alias("ia"), F.lit(0).alias("ib")))
+    b = (ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.7,
+                             ngram=3)
+         .select("id_a", "id_b",
+                 F.lit(0).alias("ia"), F.lit(1).alias("ib")))
+    m = (a.unionByName(b).groupBy("id_a", "id_b")
+         .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib")))
+    return (m.groupBy()
+            .agg(F.sum("ia").cast("long").alias("n_simhash"),
+                 F.sum("ib").cast("long").alias("n_jaccard3"),
+                 F.sum(F.col("ia") * F.col("ib")).cast("long")
+                 .alias("n_common"))
+            .withColumn("agree_e6", F.when(
+                F.col("n_simhash") + F.col("n_jaccard3")
+                - F.col("n_common") > 0,
+                F.expr("(CAST(n_common AS DECIMAL(38,0)) * 1000000) "
+                       "DIV (n_simhash + n_jaccard3 - n_common)")
+                .cast("long"))))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -4963,6 +4997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ctx_fit": _q_ctx_fit,
         "fertility": _q_fertility,
         "max_run": _q_max_run,
+        "dedup_agreement": _q_dedup_agreement,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -10034,5 +10069,26 @@ FROM pos2
                CAST(b.start AS BIGINT) AS run_start
         FROM documents d
         LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+    """
+    o["dedup_agreement"] = f"""
+        WITH simp AS ({o["dedup_simhash"]}),
+        jacp AS ({_jaccard_oracle(_JACCARD_TRIGRAM_CTE, 0.7)}),
+        tags AS (
+            SELECT id_a, id_b, 1 AS ia, 0 AS ib FROM simp
+            UNION ALL
+            SELECT id_a, id_b, 0 AS ia, 1 AS ib FROM jacp
+        ), m AS (
+            SELECT id_a, id_b, max(ia) AS ia, max(ib) AS ib
+            FROM tags GROUP BY 1, 2
+        )
+        SELECT CAST(sum(ia) AS BIGINT) AS n_simhash,
+               CAST(sum(ib) AS BIGINT) AS n_jaccard3,
+               CAST(sum(ia * ib) AS BIGINT) AS n_common,
+               CASE WHEN sum(ia) + sum(ib) - sum(ia * ib) > 0 THEN
+                   CAST((CAST(sum(ia * ib) AS HUGEINT) * 1000000)
+                        // (sum(ia) + sum(ib) - sum(ia * ib))
+                        AS BIGINT)
+               END AS agree_e6
+        FROM m
     """
     return o

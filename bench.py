@@ -143,7 +143,7 @@ BENCH_QUERIES = [
     "simpson", "cramers_v", "eta_squared",
     "vocab_drift", "coverage_curve",
     "layout_compare", "time_split",
-    "ctx_fit", "fertility", "max_run",
+    "ctx_fit", "fertility", "max_run", "dedup_agreement",
 ]
 
 

@@ -376,3 +376,19 @@ def test_max_token_run_hand_cases(spark):
     assert got[1][0] == 1
     assert got[2] == (0, None, None)
     assert got[3] == (2, "p", 3)         # token ASC tiebreak: p < q
+
+
+def test_dedup_agreement_identical_pair(spark, tmp_path):
+    # two identical docs and one unrelated: both detectors must find
+    # exactly the identical pair -> perfect agreement
+    import __spark_entry__ as entry
+    rows = [(1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "utterly different words entirely here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    [r] = entry._q_dedup_agreement(spark, sf).collect()
+    assert r.n_common >= 1
+    assert (r.n_simhash, r.n_jaccard3, r.n_common,
+            r.agree_e6) == (1, 1, 1, 1_000_000)
