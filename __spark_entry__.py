@@ -4709,6 +4709,30 @@ def _q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long"))))
 
 
+def _q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured Bloom false-positive rate of the decontamination filter
+    (same eval split and 65536-bit filter as bloom_decontam) against
+    exact anti-join truth — every hit on a provable non-member is a
+    false positive (operators/textstats.bloom_false_positive_rate)."""
+    from frogocr_spark.operators.textstats import \
+        bloom_false_positive_rate
+    docs = _read(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    rest = docs.where(F.col("doc_id") % 97 != 0)
+    return bloom_false_positive_rate(rest, ev, m_bits=65536)
+
+
+def _q_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit at 256/1024/4096 widths — the
+    sizing companion to feat_hash, measuring exactly the collisions the
+    featurizer's 60-bit md5 incurs on THIS feature space (word
+    bigrams — the vocabulary that actually stresses small widths)
+    (operators/ml.hash_collision_audit)."""
+    from frogocr_spark.operators.ml import hash_collision_audit
+    return hash_collision_audit(_read(spark, sf_dir, "documents"),
+                                ngram=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -4998,6 +5022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fertility": _q_fertility,
         "max_run": _q_max_run,
         "dedup_agreement": _q_dedup_agreement,
+        "bloom_fpr": _q_bloom_fpr,
+        "hash_collisions": _q_hash_collisions,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -10090,5 +10116,83 @@ FROM pos2
                         AS BIGINT)
                END AS agree_e6
         FROM m
+    """
+    o["bloom_fpr"] = r"""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id,
+                   unnest(CASE WHEN len(ws) >= 8
+                               THEN [array_to_string(ws[j:j+7], ' ')
+                                     for j in range(1, len(ws) - 6)]
+                               ELSE CAST([] AS VARCHAR[]) END) AS gram
+            FROM words
+        ), mem AS (
+            SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+        ), pos AS (
+            SELECT DISTINCT
+                   ('0x' || substr(md5(gram), 1 + 8*j, 8))::BIGINT
+                   % 65536 AS p
+            FROM mem, unnest([0, 1, 2]) t(j)
+        ), probes AS (
+            SELECT DISTINCT gram FROM g
+            WHERE doc_id % 97 <> 0
+              AND gram NOT IN (SELECT gram FROM mem)
+        ), hits AS (
+            SELECT gram,
+                   (('0x' || substr(md5(gram), 1, 8))::BIGINT % 65536)
+                       IN (SELECT p FROM pos)
+                   AND (('0x' || substr(md5(gram), 9, 8))::BIGINT
+                        % 65536) IN (SELECT p FROM pos)
+                   AND (('0x' || substr(md5(gram), 17, 8))::BIGINT
+                        % 65536) IN (SELECT p FROM pos) AS hit
+            FROM probes
+        )
+        SELECT CAST(65536 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k,
+               (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_members,
+               CAST(count(*) AS BIGINT) AS n_probes,
+               CAST(coalesce(sum(CASE WHEN hit THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_fp,
+               CASE WHEN count(*) > 0 THEN
+                   CAST((CAST(coalesce(sum(CASE WHEN hit THEN 1
+                                            ELSE 0 END), 0) AS HUGEINT)
+                         * 1000000) // count(*) AS BIGINT)
+               END AS fpr_e6
+        FROM hits
+    """
+    o["hash_collisions"] = r"""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), toks AS (
+            SELECT DISTINCT
+                   unnest(CASE WHEN len(ws) >= 2
+                               THEN [array_to_string(ws[j:j+1], ' ')
+                                     for j in range(1, len(ws))]
+                               ELSE CAST([] AS VARCHAR[]) END) AS token
+            FROM words
+        ), hs AS (
+            SELECT ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+            FROM toks
+        ), ws(n_buckets) AS (VALUES (256), (1024), (4096)),
+        cells AS (
+            SELECT n_buckets, h % n_buckets AS b, count(*) AS c
+            FROM hs, ws GROUP BY 1, 2
+        )
+        SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS occupied,
+               CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                   AS colliding,
+               CAST((CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                          AS HUGEINT) * 1000000) // sum(c) AS BIGINT)
+                   AS collision_e6,
+               CAST(max(c) AS BIGINT) AS max_load
+        FROM cells GROUP BY 1
     """
     return o

@@ -393,3 +393,46 @@ def time_embargo_split(df: DataFrame, ts_micros,
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.min("us").alias("first_us"),
                  F.max("us").alias("last_us")))
+
+
+def hash_collision_audit(df: DataFrame, widths: tuple = (256, 1024, 4096),
+                         text_col: str = "text",
+                         ngram: int = 1) -> DataFrame:
+    """Hashing-trick collision audit — the width-sizing companion to
+    :func:`feature_hash`: for each candidate bucket width, how many
+    DISTINCT tokens share a bucket with another token (``colliding``),
+    what fraction of the vocabulary that is (``collision_e6``), how
+    many buckets are occupied, and the worst bucket load.  Same 60-bit
+    md5 hash as feature_hash, so the audit measures exactly the
+    collisions the featurizer will incur.  ``ngram`` switches the
+    feature vocabulary to word n-grams (the feature space that
+    actually stresses small widths).
+
+    Scale shape: ONE distinct-token pass + one md5 per token, a 3-row
+    broadcast widths cross (3 rows per token, never per occurrence),
+    ONE (width, bucket) keyed count and ONE width-keyed rollup — all
+    map-side combined.  Output: one row per width ``(n_buckets,
+    n_tokens, occupied, colliding, collision_e6, max_load)``."""
+    from frogocr_spark.operators.dedup import _shingle_expr
+    toks = (df.select(F.explode(
+        _shingle_expr(text_col, ngram, None)).alias("token"))
+        .where(F.col("token") != "").distinct())
+    h = (F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10)
+         .cast("long"))
+    wdf = df.sparkSession.createDataFrame(
+        [(int(w),) for w in sorted(widths)], "n_buckets long")
+    cells = (toks.select(h.alias("h"))
+             .crossJoin(F.broadcast(wdf))
+             .groupBy("n_buckets", F.expr("h % n_buckets").alias("b"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    return (cells.groupBy("n_buckets")
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("long").alias("occupied"),
+                 F.sum(F.when(F.col("c") >= 2, F.col("c"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("colliding"),
+                 F.max("c").cast("long").alias("max_load"))
+            .select("n_buckets", "n_tokens", "occupied", "colliding",
+                    F.expr("(CAST(colliding AS DECIMAL(38,0)) "
+                           "* 1000000) DIV n_tokens").cast("long")
+                    .alias("collision_e6"), "max_load"))

@@ -2092,3 +2092,53 @@ def max_token_run(df: DataFrame, id_col: str = "doc_id",
                     .alias("max_run"),
                     F.col("b.tok").alias("run_token"),
                     F.col("b.start").cast("long").alias("run_start")))
+
+
+def bloom_false_positive_rate(df: DataFrame, eval_df: DataFrame,
+                              text_col: str = "text", n: int = 8,
+                              m_bits: int = 65536) -> DataFrame:
+    """MEASURED Bloom false-positive rate against exact truth — the
+    audit that turns :func:`bloom_decontaminate`'s theoretical
+    ``(1-e^{-kn/m})^k`` bound into a number for THIS corpus and filter:
+    corpus grams provably NOT in the eval set (exact anti-join) are
+    probed against the filter; every hit is by definition a false
+    positive.  ``fpr_e6 = n_fp·10^6 DIV n_probes`` — what the
+    decontamination pipeline over-discards at the chosen ``m_bits``.
+
+    Scale shape: the filter is built once (driver-bounded ≤ m_bits
+    set-bit rows — EAGER, see :func:`bloom_build`); truth is ONE
+    gram-keyed anti-join of distinct corpus grams against distinct
+    eval grams; the probe is a pure map over surviving grams; the
+    report is two 1-row aggregates.  Output: one row
+    ``(m_bits, k, n_members, n_probes, n_fp, fpr_e6)``."""
+    from .dedup import _shingle_expr
+    bloom = bloom_build(eval_df, text_col, n, m_bits)
+    members = (eval_df.select(
+        F.explode(_shingle_expr(text_col, n, None)).alias("gram"))
+        .where("gram <> ''").distinct())
+    corpus = (df.select(
+        F.explode(_shingle_expr(text_col, n, None)).alias("gram"))
+        .where("gram <> ''").distinct())
+    probes = corpus.join(members, "gram", "left_anti")
+    h = F.md5(F.col("gram"))
+    hit = None
+    for j in range(BLOOM_K):
+        p = (F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10)
+             .cast("long") % m_bits).cast("int")
+        c = F.substring(F.lit(bloom), p + 1, F.lit(1)) == "1"
+        hit = c if hit is None else (hit & c)
+    pagg = probes.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(hit.cast("long")).cast("long").alias("n_fp"))
+    magg = members.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"))
+    return (magg.crossJoin(F.broadcast(pagg))
+            .select(F.lit(int(m_bits)).cast("long").alias("m_bits"),
+                    F.lit(int(BLOOM_K)).cast("long").alias("k"),
+                    "n_members", "n_probes",
+                    F.coalesce("n_fp", F.lit(0)).cast("long")
+                    .alias("n_fp"),
+                    F.when(F.col("n_probes") > 0, F.expr(
+                        "(CAST(coalesce(n_fp, 0) AS DECIMAL(38,0)) "
+                        "* 1000000) DIV n_probes").cast("long"))
+                    .alias("fpr_e6")))

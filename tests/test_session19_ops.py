@@ -392,3 +392,56 @@ def test_dedup_agreement_identical_pair(spark, tmp_path):
     assert r.n_common >= 1
     assert (r.n_simhash, r.n_jaccard3, r.n_common,
             r.agree_e6) == (1, 1, 1, 1_000_000)
+
+
+def test_hash_collision_audit_python_twin(spark):
+    from frogocr_spark.operators.ml import hash_collision_audit
+    words = [f"w{i}" for i in range(40)]
+    df = spark.createDataFrame([(0, " ".join(words))],
+                               "doc_id long, text string")
+    got = {r.n_buckets: r for r in hash_collision_audit(
+        df, widths=(8, 64), ngram=1).collect()}
+
+    def twin(bwidth):
+        hs = [int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+              % bwidth for w in words]
+        from collections import Counter
+        c = Counter(hs)
+        colliding = sum(v for v in c.values() if v >= 2)
+        return (len(words), len(c), colliding, max(c.values()))
+    for b in (8, 64):
+        r = got[b]
+        assert (r.n_tokens, r.occupied, r.colliding,
+                r.max_load) == twin(b)
+        assert r.collision_e6 == r.colliding * 1_000_000 // r.n_tokens
+
+
+def test_bloom_fpr_python_twin_and_no_false_negatives(spark):
+    from frogocr_spark.operators.textstats import (
+        BLOOM_K, bloom_build, bloom_false_positive_rate)
+    mk = lambda i, t: (i, t)  # noqa: E731
+    base = "a b c d e f g h"          # the 8-gram vocabulary base
+    ev_rows = [mk(0, base), mk(1, "p q r s t u v w")]
+    corpus_rows = [mk(10, base),                       # member gram
+                   mk(11, "m n o p q r s t"),          # non-member
+                   mk(12, "z y x w v u t s")]          # non-member
+    ev = spark.createDataFrame(ev_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(corpus_rows,
+                                   "doc_id long, text string")
+    m_bits = 512
+    [r] = bloom_false_positive_rate(corpus, ev, m_bits=m_bits).collect()
+    assert (r.m_bits, r.k) == (m_bits, BLOOM_K)
+    assert r.n_members == 2 and r.n_probes == 2
+    # python twin decides which non-members are false positives
+    bloom = bloom_build(ev, m_bits=m_bits)
+
+    def is_fp(gram):
+        h = hashlib.md5(gram.encode()).hexdigest()
+        return all(bloom[int(h[8 * j:8 * j + 8], 16) % m_bits] == "1"
+                   for j in range(BLOOM_K))
+    expect_fp = sum(is_fp(g) for g in
+                    ("m n o p q r s t", "z y x w v u t s"))
+    assert r.n_fp == expect_fp
+    # no false negatives: the member gram always hits (probed set
+    # excludes it, so it cannot appear among probes at all)
+    assert r.n_probes == 2
