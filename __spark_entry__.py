@@ -4733,6 +4733,38 @@ def _q_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ngram=2)
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit — recall@5 of the LSH index against the exact
+    brute-force top-5, per query: THE standard ANN evaluation, and the
+    number that decides whether the 100 TB scale path (bucketed LSH)
+    is allowed to replace the exact quadratic join.  Both constituent
+    pipelines are independently oracle-verified (sim_cosine_topk,
+    sim_cosine_lsh); this audits their RELATION."""
+    from frogocr_spark.operators.similarity import (cosine_topk_bruteforce,
+                                                    cosine_topk_lsh)
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.where("vec_id < 10")
+    exact = (cosine_topk_bruteforce(emb, qs, k=5, rank_round=4)
+             .select("query_id", "neighbor_id",
+                     F.lit(1).alias("ie"), F.lit(0).alias("il")))
+    lsh = (cosine_topk_lsh(emb, qs, k=5, dim=64, nbits=8, ntables=4,
+                           rank_round=4)
+           .select("query_id", "neighbor_id",
+                   F.lit(0).alias("ie"), F.lit(1).alias("il")))
+    m = (exact.unionByName(lsh)
+         .groupBy("query_id", "neighbor_id")
+         .agg(F.max("ie").alias("ie"), F.max("il").alias("il")))
+    return (m.groupBy("query_id")
+            .agg(F.sum("ie").cast("long").alias("n_exact"),
+                 F.sum("il").cast("long").alias("n_lsh"),
+                 F.sum(F.col("ie") * F.col("il")).cast("long")
+                 .alias("n_hit"))
+            .withColumn("recall_e6", F.when(
+                F.col("n_exact") > 0,
+                F.expr("(CAST(n_hit AS DECIMAL(38,0)) * 1000000) "
+                       "DIV n_exact").cast("long"))))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -5024,6 +5056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_agreement": _q_dedup_agreement,
         "bloom_fpr": _q_bloom_fpr,
         "hash_collisions": _q_hash_collisions,
+        "ann_recall": _q_ann_recall,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -10194,5 +10227,27 @@ FROM pos2
                    AS collision_e6,
                CAST(max(c) AS BIGINT) AS max_load
         FROM cells GROUP BY 1
+    """
+    o["ann_recall"] = f"""
+        WITH ex AS ({o["sim_cosine_topk"]}),
+        ls AS ({o["sim_cosine_lsh"]}),
+        tags AS (
+            SELECT query_id, neighbor_id, 1 AS ie, 0 AS il FROM ex
+            UNION ALL
+            SELECT query_id, neighbor_id, 0 AS ie, 1 AS il FROM ls
+        ), m AS (
+            SELECT query_id, neighbor_id,
+                   max(ie) AS ie, max(il) AS il
+            FROM tags GROUP BY 1, 2
+        )
+        SELECT query_id,
+               CAST(sum(ie) AS BIGINT) AS n_exact,
+               CAST(sum(il) AS BIGINT) AS n_lsh,
+               CAST(sum(ie * il) AS BIGINT) AS n_hit,
+               CASE WHEN sum(ie) > 0 THEN
+                   CAST((CAST(sum(ie * il) AS HUGEINT) * 1000000)
+                        // sum(ie) AS BIGINT)
+               END AS recall_e6
+        FROM m GROUP BY 1
     """
     return o

@@ -445,3 +445,23 @@ def test_bloom_fpr_python_twin_and_no_false_negatives(spark):
     # no false negatives: the member gram always hits (probed set
     # excludes it, so it cannot appear among probes at all)
     assert r.n_probes == 2
+
+
+def test_ann_recall_exact_duplicate_always_recalled(spark, tmp_path):
+    # an exact duplicate vector hashes identically in EVERY LSH table,
+    # so it is always a candidate and must appear in both top-5 sets
+    import numpy as np
+    import __spark_entry__ as entry
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 64).astype("float32")
+    vecs[20] = vecs[0]                    # vec 20 duplicates query 0
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    got = {r.query_id: r for r in
+           entry._q_ann_recall(spark, sf).collect()}
+    assert got[0].n_hit >= 1               # the duplicate is recalled
+    assert all(r.n_exact == 5 for r in got.values())
+    assert all(0 <= r.recall_e6 <= 1_000_000 for r in got.values())
