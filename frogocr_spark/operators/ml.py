@@ -291,6 +291,8 @@ def calibration_bins(df: DataFrame, score, is_pos,
     back (never a sort); binning is a pure map; the report is ONE
     map-side-combined keyed agg over ≤ ``n_bins`` groups.  Output:
     ``(bin, n, pos_rate_e6, mean_score_e6, gap_e6)``."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     base = df.select(score.cast("long").alias("s"),
                      is_pos.cast("long").alias("y"))
     rng = base.groupBy().agg(F.min("s").alias("smin"),
@@ -336,6 +338,10 @@ def ring_negatives(df: DataFrame, id_col: str = "doc_id",
     the ring rank — a uniform synthetic key, skew-free by construction.
     Output: ``(doc_id, slot, neg_id)`` — up to k rows per anchor
     (fewer when ring neighbors were duplicates)."""
+    if k < 1:
+        # sequence(1, 0) in Spark counts DOWN to [1, 0] — a silent
+        # k=0 would emit slot-0 self rows instead of nothing
+        raise ValueError(f"k must be >= 1, got {k}")
     from .ranking import global_rank
     base = df.select(F.col(id_col).alias("_id"),
                      F.md5(F.col(text_col)).alias("_h"),
@@ -413,6 +419,8 @@ def hash_collision_audit(df: DataFrame, widths: tuple = (256, 1024, 4096),
     ONE (width, bucket) keyed count and ONE width-keyed rollup — all
     map-side combined.  Output: one row per width ``(n_buckets,
     n_tokens, occupied, colliding, collision_e6, max_load)``."""
+    if not widths or min(int(w) for w in widths) < 2:
+        raise ValueError(f"widths must all be >= 2, got {widths}")
     from frogocr_spark.operators.dedup import _shingle_expr
     toks = (df.select(F.explode(
         _shingle_expr(text_col, ngram, None)).alias("token"))

@@ -1929,6 +1929,8 @@ def vocab_drift(df: DataFrame, k: int = 100, id_col: str = "doc_id",
     partial top-k of :func:`group_top_terms` (a half never sorts in one
     task); the set comparison runs over ≤ 2k surviving rows.  Output:
     one row ``(k, n_top_a, n_top_b, n_common, jaccard_e6)``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     mx = df.groupBy().agg(F.max(F.col(id_col)).alias("_mx"))
     halves = (df.crossJoin(F.broadcast(mx))
               .withColumn("half",
@@ -2003,6 +2005,8 @@ def context_fit(df: DataFrame, cuts: tuple = (512, 2048, 8192),
     (3 rows per doc, never a token explode).  Output: one row per cut
     ``(cut, n_docs, n_fit, fit_e6, tokens_total, tokens_kept,
     loss_e6)``."""
+    if not cuts or min(int(c) for c in cuts) < 1:
+        raise ValueError(f"cuts must all be >= 1, got {cuts}")
     cuts = sorted(int(c) for c in cuts)
     base = df.select(token_count(F.col(text_col)).cast("long")
                      .alias("t"))

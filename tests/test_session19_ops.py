@@ -465,3 +465,22 @@ def test_ann_recall_exact_duplicate_always_recalled(spark, tmp_path):
     assert got[0].n_hit >= 1               # the duplicate is recalled
     assert all(r.n_exact == 5 for r in got.values())
     assert all(0 <= r.recall_e6 <= 1_000_000 for r in got.values())
+
+
+def test_new_operator_argument_guards(spark):
+    # k=0 would hit Spark's DESCENDING sequence(1, 0) == [1, 0] and
+    # silently emit self rows; the other guards pin the same class
+    from frogocr_spark.operators.ml import hash_collision_audit
+    from frogocr_spark.operators.textstats import (context_fit,
+                                                   vocab_drift)
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        ring_negatives(df, k=0)
+    with pytest.raises(ValueError):
+        calibration_bins(df, F.col("doc_id"), F.lit(True), n_bins=0)
+    with pytest.raises(ValueError):
+        hash_collision_audit(df, widths=(1,))
+    with pytest.raises(ValueError):
+        vocab_drift(df, k=0)
+    with pytest.raises(ValueError):
+        context_fit(df, cuts=())
