@@ -4765,6 +4765,15 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "DIV n_exact").cast("long"))))
 
 
+def _q_group_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type effect report — the segmented follow-up a
+    significant eta_squared demands: exact e6 group means and signed
+    deltas vs the grand mean (operators/analytics.group_effects)."""
+    from frogocr_spark.operators.analytics import group_effects
+    ev = _read(spark, sf_dir, "events")
+    return group_effects(ev, "event_type", F.floor(F.col("value") * 100))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -5057,6 +5066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpr": _q_bloom_fpr,
         "hash_collisions": _q_hash_collisions,
         "ann_recall": _q_ann_recall,
+        "group_effects": _q_group_effects,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -10249,5 +10259,23 @@ FROM pos2
                         // sum(ie) AS BIGINT)
                END AS recall_e6
         FROM m GROUP BY 1
+    """
+    o["group_effects"] = """
+        WITH per AS (
+            SELECT event_type AS "group", count(*) AS n,
+                   sum(CAST(floor(value * 100) AS BIGINT)) AS total
+            FROM events GROUP BY 1
+        ), grand AS (
+            SELECT CAST(sum(n) AS HUGEINT) AS gn,
+                   CAST(sum(total) AS HUGEINT) AS gs
+            FROM per
+        )
+        SELECT "group", CAST(n AS BIGINT) AS n,
+               CAST(total AS BIGINT) AS total,
+               CAST((CAST(total AS HUGEINT) * 1000000) // n AS BIGINT)
+                   AS mean_e6,
+               CAST((CAST(total AS HUGEINT) * 1000000) // n
+                    - (gs * 1000000) // gn AS BIGINT) AS delta_e6
+        FROM per, grand
     """
     return o

@@ -144,7 +144,7 @@ BENCH_QUERIES = [
     "vocab_drift", "coverage_curve",
     "layout_compare", "time_split",
     "ctx_fit", "fertility", "max_run", "dedup_agreement",
-    "bloom_fpr", "hash_collisions", "ann_recall",
+    "bloom_fpr", "hash_collisions", "ann_recall", "group_effects",
 ]
 
 

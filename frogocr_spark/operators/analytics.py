@@ -2317,3 +2317,33 @@ def eta_squared(df: DataFrame, group_col: str, value) -> DataFrame:
         F.when(F.col("sst_e6") > 0,
                F.expr("(CAST(ssb_e6 AS DECIMAL(38,0)) * 1000000) "
                       "DIV sst_e6").cast("long")))
+
+
+def group_effects(df: DataFrame, group_col: str, value) -> DataFrame:
+    """Per-group effect report — the segmented follow-up a significant
+    :func:`eta_squared` demands (WHICH groups sit above/below the grand
+    mean, by how much?): per group the exact e6 mean and its signed
+    delta vs the grand mean, both truncating DECIMAL(38,0) divisions
+    on integer values (means quantized once each; the delta is the
+    difference of the two quantized means — deterministic on any
+    engine, quantization documented).
+
+    Scale shape: ONE group-keyed agg (map-side combined) + a 1-row
+    grand-total broadcast back onto the ≤ |groups| rows.  Output:
+    ``(group, n, total, mean_e6, delta_e6)``."""
+    base = df.select(F.col(group_col).alias("group"),
+                     value.cast("long").alias("v"))
+    per = (base.groupBy("group")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("v").cast("long").alias("total")))
+    grand = per.groupBy().agg(
+        F.sum("n").cast("long").alias("_gn"),
+        F.sum("total").cast("long").alias("_gs"))
+    return (per.crossJoin(F.broadcast(grand))
+            .select("group", "n", "total",
+                    F.expr("(CAST(total AS DECIMAL(38,0)) * 1000000) "
+                           "DIV n").cast("long").alias("mean_e6"),
+                    F.expr("(CAST(total AS DECIMAL(38,0)) * 1000000) "
+                           "DIV n - (CAST(_gs AS DECIMAL(38,0)) "
+                           "* 1000000) DIV _gn").cast("long")
+                    .alias("delta_e6")))

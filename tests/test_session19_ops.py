@@ -484,3 +484,17 @@ def test_new_operator_argument_guards(spark):
         vocab_drift(df, k=0)
     with pytest.raises(ValueError):
         context_fit(df, cuts=())
+
+
+def test_group_effects_hand_case(spark):
+    from frogocr_spark.operators.analytics import group_effects
+    rows = [("a", 10), ("a", 20), ("b", 40)]   # grand mean 70/3
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.group: r for r in group_effects(
+        df, "g", F.col("v")).collect()}
+    grand_e6 = 70 * 1_000_000 // 3             # 23333333
+    assert got["a"].mean_e6 == 15_000_000
+    assert got["a"].delta_e6 == 15_000_000 - grand_e6
+    assert got["b"].mean_e6 == 40_000_000
+    assert got["b"].delta_e6 == 40_000_000 - grand_e6
+    assert (got["a"].n, got["b"].n) == (2, 1)

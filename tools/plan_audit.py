@@ -862,6 +862,21 @@ def main() -> None:
                 and "CartesianProduct" not in psp,
                 f"broadcasts={psp.count('BroadcastHashJoin')}")
 
+    # 49. The compositional audits keep their constituents' plans
+    #     clean: ann_recall (exact + LSH cosine top-k compared) and
+    #     dedup_agreement (simhash + trigram-Jaccard pair sets
+    #     compared) introduce NO cartesian product anywhere — the
+    #     comparison layers are keyed aggregations over the verified
+    #     pipelines' outputs.
+    import __spark_entry__ as entry
+    pann = executed(entry._q_ann_recall(spark, SF))
+    pagr = executed(entry._q_dedup_agreement(spark, SF))
+    ok &= check("compositional audits cartesian-free end to end",
+                "CartesianProduct" not in pann
+                and "CartesianProduct" not in pagr,
+                f"ann_joins={pann.count('Join')}, "
+                f"agree_joins={pagr.count('Join')}, cartesian=0")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
