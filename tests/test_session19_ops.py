@@ -1,7 +1,11 @@
-"""Session-21 operators: calibration bins, ring negative sampling,
-split-leakage audit, zone-map pruning audit, encoding (mojibake)
-audit — hand-computed cases and adversarial edges (the contract
-queries carry the DuckDB hash checks)."""
+"""Sessions 21–30 operators: calibration bins, ring negative
+sampling, split-leakage / zone-map / encoding audits, Fano +
+exact k-sigma spikes, vocabulary drift + coverage curves, purged
+time split, layout shootout, context fit / fertility / token runs,
+detector agreement, Bloom FPR + hash-collision audits, ANN recall,
+group effects, and the argument guards — hand-computed cases,
+python twins, and adversarial edges (the contract queries carry the
+DuckDB hash checks)."""
 
 from __future__ import annotations
 
