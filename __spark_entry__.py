@@ -4774,6 +4774,97 @@ def _q_group_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_effects(ev, "event_type", F.floor(F.col("value") * 100))
 
 
+def _q_split_leak_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate contamination across the train/val/test split:
+    SimHash near-dup pairs (hamming ≤ 3) tagged with each side's
+    hash_split assignment, rolled up per unordered split combo — the
+    near-dup companion of split_leakage's exact-dup audit (a close
+    paraphrase of a training doc inside the test split inflates eval
+    just as surely as an exact copy, and the exact audit cannot see
+    it).  Both constituent pipelines are independently oracle-verified
+    (dedup_simhash, hash_split); this audits their COMPOSITION.  Scale
+    shape: the pair set (output-bounded) joins the split map twice on
+    bare ids; the rollup is ≤ 6 rows and share_e6 rides an
+    unpartitioned window over those rollup rows only (the
+    bounded-SinglePartition class)."""
+    from pyspark.sql import Window
+
+    from frogocr_spark.operators.dedup import simhash_near_pairs
+    from frogocr_spark.operators.textstats import hash_split
+    docs = _read(spark, sf_dir, "documents")
+    splits = hash_split(docs).select("doc_id", "split")
+    pairs = simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    j = (pairs
+         .join(splits.select(F.col("doc_id").alias("id_a"),
+                             F.col("split").alias("sa")), "id_a")
+         .join(splits.select(F.col("doc_id").alias("id_b"),
+                             F.col("split").alias("sb")), "id_b"))
+    agg = (j.groupBy(F.least("sa", "sb").alias("split_a"),
+                     F.greatest("sa", "sb").alias("split_b"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+    tot = F.sum("n_pairs").over(Window.partitionBy())
+    return (agg.withColumn("_tot", tot)
+            .withColumn("share_e6",
+                        F.expr("CAST((CAST(n_pairs AS DECIMAL(38,0)) "
+                               "* 1000000) DIV _tot AS BIGINT)"))
+            .drop("_tot"))
+
+
+def _q_minhash_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair the
+    32-hash estimate (an exact rational k/32, scaled e6) is compared
+    against the TRUE word-set Jaccard of the same pair (array_intersect
+    over the distinct-word arrays — integer-exact), rolled up into the
+    calibration report: pair count, mean/max |error|, over/underestimate
+    counts.  The number that sizes num_hashes before trusting the
+    estimate as the dedup threshold at 100 TB (stddev ≈ √(J(1−J)/k)).
+    Both constituent pipelines are independently oracle-verified
+    (dedup_minhash, dedup_jaccard); this audits their RELATION.  Scale
+    shape: true Jaccard is computed ONLY for the output-bounded
+    candidate set via two bare-id joins against the word-set relation —
+    never a second pair enumeration; the report is one global agg."""
+    from frogocr_spark.operators.dedup import TOKEN_SPLIT, minhash_lsh_pairs
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32,
+                              bands=4, threshold=0.5, hash_fn="md5")
+    words = docs.select(
+        "doc_id",
+        F.array_distinct(F.filter(F.split(F.trim(F.col("text")),
+                                          TOKEN_SPLIT),
+                                  lambda w: w != "")).alias("ws"))
+    j = (pairs
+         .join(words.select(F.col("doc_id").alias("id_a"),
+                            F.col("ws").alias("wa")), "id_a")
+         .join(words.select(F.col("doc_id").alias("id_b"),
+                            F.col("ws").alias("wb")), "id_b"))
+    inter = F.size(F.array_intersect("wa", "wb"))
+    per = (j.withColumn("inter", inter)
+           .withColumn("uni", F.size("wa") + F.size("wb") - inter)
+           # est_jaccard = k/32 is dyadic and 1e6/32 = 31250 exactly, so
+           # est*1e6 is an exactly-representable integer-valued double
+           .withColumn("est_e6",
+                       (F.col("est_jaccard") * 1000000).cast("long"))
+           .withColumn("true_e6",
+                       F.expr("CAST((CAST(inter AS DECIMAL(38,0)) "
+                              "* 1000000) DIV uni AS BIGINT)"))
+           .withColumn("err", F.col("est_e6") - F.col("true_e6")))
+    return (per.groupBy()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.coalesce(F.sum(F.abs("err")), F.lit(0))
+                 .cast("long").alias("_sum_abs"),
+                 F.max(F.abs("err")).cast("long")
+                 .alias("max_abs_err_e6"),
+                 F.coalesce(F.sum((F.col("err") > 0).cast("long")),
+                            F.lit(0)).cast("long").alias("n_over"),
+                 F.coalesce(F.sum((F.col("err") < 0).cast("long")),
+                            F.lit(0)).cast("long").alias("n_under"))
+            .withColumn("mean_abs_err_e6", F.when(
+                F.col("n_pairs") > 0,
+                F.expr("CAST(CAST(_sum_abs AS DECIMAL(38,0)) "
+                       "DIV n_pairs AS BIGINT)")))
+            .drop("_sum_abs"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -5067,6 +5158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_collisions": _q_hash_collisions,
         "ann_recall": _q_ann_recall,
         "group_effects": _q_group_effects,
+        "split_leak_near": _q_split_leak_near,
+        "minhash_err": _q_minhash_err,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -10259,6 +10352,59 @@ FROM pos2
                         // sum(ie) AS BIGINT)
                END AS recall_e6
         FROM m GROUP BY 1
+    """
+    o["split_leak_near"] = f"""
+        WITH ph AS ({o["dedup_simhash"]}),
+        sp AS ({o["hash_split"]}),
+        tagged AS (
+            SELECT least(sa.split, sb.split) AS split_a,
+                   greatest(sa.split, sb.split) AS split_b
+            FROM ph
+            JOIN sp sa ON ph.id_a = sa.doc_id
+            JOIN sp sb ON ph.id_b = sb.doc_id
+        ), agg AS (
+            SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM tagged GROUP BY 1, 2
+        )
+        SELECT split_a, split_b, n_pairs,
+               CAST((CAST(n_pairs AS HUGEINT) * 1000000)
+                    // (SUM(n_pairs) OVER ()) AS BIGINT) AS share_e6
+        FROM agg
+    """
+    o["minhash_err"] = f"""
+        WITH mh AS ({o["dedup_minhash"]}),
+        {_JACCARD_WORDSET_CTE},
+        sz AS (
+            SELECT doc_id, count(*) AS n FROM toks_ne GROUP BY 1
+        ), ix AS (
+            SELECT mh.id_a, mh.id_b, count(*) AS inter
+            FROM mh
+            JOIN toks_ne ta ON ta.doc_id = mh.id_a
+            JOIN toks_ne tb ON tb.doc_id = mh.id_b
+                           AND tb.token = ta.token
+            GROUP BY 1, 2
+        ), per AS (
+            SELECT CAST(mh.est_jaccard * 1000000 AS BIGINT)
+                   - CAST((CAST(coalesce(ix.inter, 0) AS HUGEINT)
+                           * 1000000)
+                          // (za.n + zb.n - coalesce(ix.inter, 0))
+                       AS BIGINT) AS err
+            FROM mh
+            LEFT JOIN ix ON ix.id_a = mh.id_a AND ix.id_b = mh.id_b
+            JOIN sz za ON za.doc_id = mh.id_a
+            JOIN sz zb ON zb.doc_id = mh.id_b
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(max(abs(err)) AS BIGINT) AS max_abs_err_e6,
+               CAST(coalesce(sum(CASE WHEN err > 0 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_over,
+               CAST(coalesce(sum(CASE WHEN err < 0 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_under,
+               CASE WHEN count(*) > 0 THEN
+                   CAST(CAST(coalesce(sum(abs(err)), 0) AS HUGEINT)
+                        // count(*) AS BIGINT)
+               END AS mean_abs_err_e6
+        FROM per
     """
     o["group_effects"] = """
         WITH per AS (
