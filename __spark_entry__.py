@@ -4865,6 +4865,36 @@ def _q_minhash_err(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("_sum_abs"))
 
 
+def _q_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Gram matrix X'X over the first 16 embedding
+    dimensions on the floor(v·4096) grid — the sufficient statistic for
+    covariance/PCA/whitening.  Spark side is the matrix-partial-
+    aggregation pattern (one numpy X'X fold per task, ≤ d(d+1)/2 partial
+    rows exchanged per partition — NO explode, NO join); the oracle is
+    the textbook per-row index expansion + pairwise product sum, so the
+    hash match proves the scale plan ≡ the definition
+    (operators/similarity.gram_matrix_int)."""
+    from frogocr_spark.operators.similarity import gram_matrix_int
+    emb = _read(spark, sf_dir, "embeddings")
+    return gram_matrix_int(emb, use_dims=16)
+
+
+def _q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision of 'does event value rank purchases
+    above clicks' — the precision-recall companion of auc_roc (AP is
+    the metric of record under class imbalance, where ROC-AUC
+    flatters): per-positive truncating e6 terms under the (score DESC,
+    event_id) total order, rank and positive-prefix both riding ONE
+    range-partitioned prefix sum via carry-free bit-packing
+    (operators/analytics.average_precision_exact)."""
+    from frogocr_spark.operators.analytics import average_precision_exact
+    ev = (_read(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("click", "purchase")))
+    return average_precision_exact(
+        ev, F.floor(F.col("value") * 100),
+        F.col("event_type") == "purchase", "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -5160,6 +5190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_effects": _q_group_effects,
         "split_leak_near": _q_split_leak_near,
         "minhash_err": _q_minhash_err,
+        "emb_gram": _q_emb_gram,
+        "avg_precision": _q_avg_precision,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -10405,6 +10437,46 @@ FROM pos2
                         // count(*) AS BIGINT)
                END AS mean_abs_err_e6
         FROM per
+    """
+    o["emb_gram"] = """
+        WITH vq AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * 4096) AS BIGINT))
+                   AS q
+            FROM embeddings
+        ), ex AS (
+            SELECT vec_id, i, q[CAST(i AS INT)] AS v
+            FROM vq, range(1, 17) r(i)
+        )
+        SELECT CAST(a.i - 1 AS BIGINT) AS i, CAST(b.i - 1 AS BIGINT) AS j,
+               CAST(SUM(CAST(a.v AS HUGEINT) * b.v) AS BIGINT) AS gram
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+        GROUP BY 1, 2
+    """
+    o["avg_precision"] = """
+        WITH s AS (
+            SELECT event_id AS i,
+                   CAST(floor(value * 100) AS BIGINT) AS v,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+        ), r AS (
+            SELECT y,
+                   row_number() OVER (ORDER BY v DESC, i) AS k,
+                   SUM(y) OVER (ORDER BY v DESC, i
+                                ROWS UNBOUNDED PRECEDING) AS cp
+            FROM s
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CASE WHEN sum(y) > 0 THEN
+                   CAST(sum(CASE WHEN y = 1 THEN
+                            (CAST(cp AS HUGEINT) * 1000000) // k END)
+                        // sum(y) AS BIGINT)
+               END AS ap_e6
+        FROM r
     """
     o["group_effects"] = """
         WITH per AS (

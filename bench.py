@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "layout_compare", "time_split",
     "ctx_fit", "fertility", "max_run", "dedup_agreement",
     "bloom_fpr", "hash_collisions", "ann_recall", "group_effects",
+    "split_leak_near", "minhash_err", "emb_gram",
 ]
 
 

@@ -2347,3 +2347,51 @@ def group_effects(df: DataFrame, group_col: str, value) -> DataFrame:
                            "DIV n - (CAST(_gs AS DECIMAL(38,0)) "
                            "* 1000000) DIV _gn").cast("long")
                     .alias("delta_e6")))
+
+
+def average_precision_exact(df: DataFrame, score, is_pos,
+                            id_col: str) -> DataFrame:
+    """Exact average precision (AP — the area under the
+    precision-recall curve at the operating points, the standard
+    retrieval/imbalanced-class metric next to :func:`auc_exact`):
+    under the deterministic total order ``(score DESC, id ASC)``,
+
+        AP_e6 = ( Σ_{k: y_k=1} (cum_pos_k · 10^6 DIV k) ) DIV n_pos
+
+    with per-term truncating division (the eta_squared
+    deterministic-exact discipline: every term is an exact integer, so
+    the sum is order-independent and engine-portable; quantization ≤
+    1e-6 per positive, documented).
+
+    Scale shape: BOTH the global rank ``k`` and the inclusive positive
+    prefix ``cum_pos`` ride ONE range-partitioned exclusive prefix sum
+    (:func:`~frogocr_spark.operators.ranking.global_cumsum`) by the
+    ks_test carry-free bit-packing — each row contributes
+    ``2^31 + y``, so ``prefix >> 31`` is the 0-based rank and
+    ``prefix & (2^31−1)`` the exclusive positive count (no carries
+    while rows < 2^32; beyond that widen the pack).  No
+    single-partition window, no pair space.  ``score`` must be
+    integer-valued; ties get distinct deterministic ranks via the id
+    tiebreak (so AP is well-defined under ties on both engines).
+    Output: ``(n, n_pos, ap_e6)``; ap_e6 NULL when no positives."""
+    from frogocr_spark.operators.ranking import global_cumsum
+    s = df.select((-score.cast("long")).alias("_nv"),
+                  F.col(id_col).cast("long").alias("_i"),
+                  is_pos.cast("long").alias("_y"))
+    packed = s.withColumn("_pk", F.lit(1 << 31) + F.col("_y"))
+    c = global_cumsum(packed, ["_nv", "_i"], "_pk", cumsum_col="_cx")
+    per = (c.withColumn("_k", F.expr("shiftright(_cx, 31) + 1"))
+           .withColumn("_cp", F.expr("(_cx & 2147483647) + _y"))
+           .withColumn("_term", F.when(
+               F.col("_y") == 1,
+               F.expr("(CAST(_cp AS DECIMAL(38,0)) * 1000000) "
+                      "DIV _k"))))
+    return (per.groupBy()
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("_y").cast("long").alias("n_pos"),
+                 F.sum("_term").alias("_st"))
+            .select("n", "n_pos",
+                    F.when(F.col("n_pos") > 0,
+                           F.expr("CAST(_st AS DECIMAL(38,0)) "
+                                  "DIV n_pos").cast("long"))
+                    .alias("ap_e6")))

@@ -776,3 +776,67 @@ def sparse_dot_topk(corpus_sparse: DataFrame, query_sparse: DataFrame,
         F.desc("sdot"), F.asc("doc_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= top_k))
+
+
+def gram_matrix_int(df: DataFrame, *, vec_col: str = "embedding",
+                    use_dims: int = 16, scale: int = 4096) -> DataFrame:
+    """Exact integer Gram matrix X'X of the quantized embedding corpus —
+    the sufficient statistic for covariance/PCA/whitening and the
+    linear-regression normal equations: ``gram(i, j) = Σ_rows q_i·q_j``
+    over the established ``floor(v·scale)`` grid (the same quantization
+    every exact embedding path here uses), upper triangle ``i ≤ j``.
+
+    Scale shape — the matrix-partial-aggregation pattern: each task
+    folds its Arrow batches into ONE local ``use_dims × use_dims`` int64
+    accumulator (numpy ``X'X``, BLAS-backed), then emits at most
+    ``d(d+1)/2`` partial rows; the only exchange carries
+    ``P · d(d+1)/2`` rows REGARDLESS of corpus size — never a
+    per-row explode (d² row blowup) and never a pairwise join.  The
+    DuckDB oracle IS the textbook per-row expansion (corpus × 16 index
+    cross then pairwise product sum), so the hash match proves the
+    partial-agg plan equivalent to the definition.
+
+    Exactness: |q| ≤ scale (unit-ish inputs), so a partial product is
+    ≤ scale² and an int64 partial sum holds ~5·10^8 rows per task at
+    scale=4096; the cross-task sum is DECIMAL(38,0) — exact at any
+    corpus size; the emitted total is BIGINT (raise ``scale`` awareness:
+    at 10^12 rows keep the DECIMAL column instead).  Output:
+    ``i, j, gram`` (0-based dims, long)."""
+    if use_dims < 1:
+        raise ValueError(f"use_dims must be >= 1, got {use_dims}")
+    d, sc = int(use_dims), int(scale)
+
+    def fold(batches):
+        import numpy as np
+        import pyarrow as pa
+        acc = np.zeros((d, d), dtype=np.int64)
+        seen = False
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            col = rb.column(0)
+            # embeddings are fixed-length rows; flatten + reshape is the
+            # zero-copy path (offsets are uniform by construction)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            mat = flat.astype(np.float64).reshape(rb.num_rows, -1)
+            if mat.shape[1] < d:
+                raise ValueError(
+                    f"vector length {mat.shape[1]} < use_dims {d}")
+            q = np.floor(mat[:, :d] * sc).astype(np.int64)
+            acc += q.T @ q
+            seen = True
+        if seen:
+            iu, ju = np.triu_indices(d)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(iu.astype("int32")),
+                 pa.array(ju.astype("int32")),
+                 pa.array(acc[iu, ju])],
+                names=["i", "j", "psum"])
+
+    parts = df.select(vec_col).mapInArrow(
+        fold, schema="i int, j int, psum long")
+    return (parts.groupBy("i", "j")
+            .agg(F.sum(F.col("psum").cast("decimal(38,0)"))
+                 .cast("long").alias("gram"))
+            .select(F.col("i").cast("long").alias("i"),
+                    F.col("j").cast("long").alias("j"), "gram"))

@@ -877,6 +877,20 @@ def main() -> None:
                 f"ann_joins={pann.count('Join')}, "
                 f"agree_joins={pagr.count('Join')}, cartesian=0")
 
+    # 50. emb_gram — the matrix-partial-aggregation pattern: the Gram
+    #     matrix plan must be ONE ArrowEvalPython-free map fold + ONE
+    #     keyed aggregation — no Generate (d²-per-row explode), no Join
+    #     (pairwise index expansion); the exchange carries only
+    #     P·d(d+1)/2 partial rows.
+    pgr = executed(entry._q_emb_gram(spark, SF))
+    ok &= check("emb_gram: no explode, no join — map-side matrix fold "
+                "+ one keyed agg",
+                "Join" not in pgr and "Generate" not in pgr
+                and "partial" in pgr.lower(),
+                f"joins={pgr.count('Join')}, "
+                f"generates={pgr.count('Generate')}, map-side partials "
+                f"present")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
