@@ -4895,6 +4895,18 @@ def _q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase", "event_id")
 
 
+def _q_ir_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality report of the BM25 ranker: per-query MRR@10
+    and binary NDCG@10 against deterministic conjunctive-containment
+    qrels, with the irrational log2 discounts pinned as hardcoded e6
+    constants (operators/textstats.ir_eval; oracle composes the
+    verbatim bm25 oracle text, so ranker and evaluator are verified
+    TOGETHER)."""
+    from frogocr_spark.operators.textstats import ir_eval
+    docs = _read(spark, sf_dir, "documents")
+    return ir_eval(docs, BM25_QUERIES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -5192,6 +5204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_err": _q_minhash_err,
         "emb_gram": _q_emb_gram,
         "avg_precision": _q_avg_precision,
+        "ir_eval": _q_ir_eval,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -10478,6 +10491,8 @@ FROM pos2
                END AS ap_e6
         FROM r
     """
+    from frogocr_spark.operators.textstats import ir_eval_oracle_sql
+    o["ir_eval"] = ir_eval_oracle_sql(BM25_QUERIES)
     o["group_effects"] = """
         WITH per AS (
             SELECT event_type AS "group", count(*) AS n,

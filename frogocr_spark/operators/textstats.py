@@ -2146,3 +2146,164 @@ def bloom_false_positive_rate(df: DataFrame, eval_df: DataFrame,
                         "(CAST(coalesce(n_fp, 0) AS DECIMAL(38,0)) "
                         "* 1000000) DIV n_probes").cast("long"))
                     .alias("fpr_e6")))
+
+
+# NDCG@10 discount table: floor(10^6 / log2(r+1)) for rank r = 1..10,
+# and its inclusive prefix sums (the binary-relevance ideal-DCG table).
+# Hardcoded e6 integer constants (the benford/dp_counts discipline: no
+# runtime libm, so the irrational log2 values cannot differ across
+# engines in the last ulp); tests/test_session31_ops.py recomputes the
+# table from math.log2.
+NDCG_DISC_E6 = (1000000, 630929, 500000, 430676, 386852,
+                356207, 333333, 315464, 301029, 289064)
+NDCG_IDCG_CUM_E6 = (1000000, 1630929, 2130929, 2561605, 2948457,
+                    3304664, 3637997, 3953461, 4254490, 4543554)
+
+
+def ir_eval(docs: DataFrame, queries: dict[str, list[str]], *,
+            id_col: str = "doc_id", text_col: str = "text",
+            top_k: int = 10) -> DataFrame:
+    """Retrieval-quality report of the BM25 ranker — MRR@k and binary
+    NDCG@k per query against DETERMINISTIC relevance labels (a doc is
+    relevant to q iff it contains ALL of q's terms — the conjunctive
+    containment both engines can recompute exactly; no human qrels in
+    this sandbox).  The evaluation layer every ranker change needs
+    before shipping: bm25 alone proves the scores, this proves the
+    RANKING QUALITY.
+
+        rr_e6   = 10^6 DIV rank of first relevant in top-k (0 = miss)
+        dcg_e6  = Σ_{hits} NDCG_DISC_E6[rank]        (exact int sum)
+        idcg_e6 = NDCG_IDCG_CUM_E6[min(n_rel, k)]
+        ndcg_e6 = dcg_e6 · 10^6 DIV idcg_e6          (NULL if n_rel=0)
+
+    Scale shape: the run list is :func:`bm25_scores`' audited plan
+    (term-filtered scan, keyed rank window); qrels come from ONE
+    distinct (doc, term) pass over the term-filtered tokens joined to
+    the broadcast literal (query, term) map — a doc is relevant when
+    its matched-distinct-term count equals the query's term count; the
+    per-query report joins the k-row run lists to the qrel relation on
+    (query, doc).  Output: ``query_id, n_rel, hits, rr_e6, dcg_e6,
+    idcg_e6, ndcg_e6``."""
+    if top_k > len(NDCG_DISC_E6):
+        raise ValueError(f"top_k must be <= {len(NDCG_DISC_E6)} "
+                         f"(discount table), got {top_k}")
+    runs = bm25_scores(docs, queries, id_col=id_col, text_col=text_col,
+                       top_k=top_k).select("query_id", "doc_id", "rank")
+    terms = sorted({t for ts in queries.values() for t in ts})
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(F.array_distinct(F.filter(
+                            F.split(F.lower(F.trim(F.col(text_col))),
+                                    r"\s+"),
+                            lambda w: w != ""))).alias("tok"))
+            .where(F.col("tok").isin(terms)))
+    qt = docs.sparkSession.createDataFrame(
+        [(q, t) for q, ts in queries.items() for t in ts],
+        "query_id string, tok string")
+    need = docs.sparkSession.createDataFrame(
+        [(q, len(set(ts))) for q, ts in queries.items()],
+        "query_id string, n_terms int")
+    qrels = (toks.join(F.broadcast(qt), "tok")
+             .groupBy("query_id", "doc_id")
+             .agg(F.countDistinct("tok").alias("_m"))
+             .join(F.broadcast(need), "query_id")
+             .where(F.col("_m") == F.col("n_terms"))
+             .select("query_id", "doc_id"))
+    n_rel = qrels.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel"))
+    disc = "array({})".format(", ".join(
+        str(x) for x in NDCG_DISC_E6[:top_k]))
+    cum = "array({})".format(", ".join(
+        str(x) for x in NDCG_IDCG_CUM_E6[:top_k]))
+    j = (runs.join(qrels.withColumn("_rel", F.lit(1)),
+                   ["query_id", "doc_id"], "left")
+         .withColumn("_rel", F.coalesce("_rel", F.lit(0))))
+    per = (j.groupBy("query_id")
+           .agg(F.sum(F.when(F.col("_rel") == 1,
+                             F.expr(f"element_at({disc}, rank)"))
+                      .otherwise(F.lit(0))).cast("long").alias("dcg_e6"),
+                F.sum("_rel").cast("long").alias("hits"),
+                F.min(F.when(F.col("_rel") == 1, F.col("rank")))
+                .alias("_fr")))
+    return (per.join(n_rel, "query_id", "left")
+            .withColumn("n_rel", F.coalesce("n_rel", F.lit(0)))
+            .withColumn("rr_e6", F.when(
+                F.col("_fr").isNotNull(),
+                F.expr("CAST(1000000 AS BIGINT) DIV _fr"))
+                .otherwise(F.lit(0)).cast("long"))
+            .withColumn("idcg_e6", F.when(
+                F.col("n_rel") > 0,
+                F.expr(f"element_at({cum}, CAST(least(n_rel, "
+                       f"{top_k}) AS INT))")).otherwise(F.lit(0))
+                .cast("long"))
+            .withColumn("ndcg_e6", F.when(
+                F.col("n_rel") > 0,
+                F.expr("(CAST(dcg_e6 AS DECIMAL(38,0)) * 1000000) "
+                       "DIV idcg_e6").cast("long")))
+            .select("query_id", "n_rel", "hits", "rr_e6",
+                    "dcg_e6", "idcg_e6", "ndcg_e6"))
+
+
+def ir_eval_oracle_sql(queries: dict[str, list[str]], *,
+                       docs_table: str = "documents",
+                       text_col: str = "text",
+                       top_k: int = 10) -> str:
+    """DuckDB twin of :func:`ir_eval`: the run list is the verbatim
+    :func:`bm25_oracle_sql` text as a CTE; qrels are per-query
+    conjunctive list_contains filters; the same hardcoded e6 discount
+    tables (list literals indexed by rank) and the same truncating
+    divisions."""
+    runs = bm25_oracle_sql(queries, docs_table=docs_table,
+                           text_col=text_col, top_k=top_k)
+    qparts = []
+    for qid, ts in queries.items():
+        conj = " AND ".join(f"list_contains(ws, '{t}')"
+                            for t in sorted(set(ts)))
+        qparts.append(f"SELECT '{qid}' AS query_id, doc_id "
+                      f"FROM words WHERE {conj}")
+    qr = " UNION ALL ".join(qparts)
+    disc = "[{}]".format(", ".join(str(x)
+                                   for x in NDCG_DISC_E6[:top_k]))
+    cum = "[{}]".format(", ".join(str(x)
+                                  for x in NDCG_IDCG_CUM_E6[:top_k]))
+    return rf"""
+        WITH runs AS ({runs}),
+        words AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(
+                       lower(trim({text_col})), '\s+'),
+                       w -> w <> '') AS ws
+            FROM {docs_table}
+        ), qrels AS ({qr}),
+        nr AS (
+            SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+            FROM qrels GROUP BY 1
+        ), per AS (
+            SELECT r.query_id,
+                   CAST(coalesce(sum(CASE WHEN q.doc_id IS NOT NULL
+                            THEN {disc}[r.rank] ELSE 0 END), 0)
+                       AS BIGINT) AS dcg_e6,
+                   CAST(coalesce(sum(CASE WHEN q.doc_id IS NOT NULL
+                            THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+                   min(CASE WHEN q.doc_id IS NOT NULL
+                            THEN r.rank END) AS fr
+            FROM runs r
+            LEFT JOIN qrels q ON q.query_id = r.query_id
+                             AND q.doc_id = r.doc_id
+            GROUP BY 1
+        )
+        SELECT p.query_id, coalesce(nr.n_rel, 0) AS n_rel, p.hits,
+               CASE WHEN p.fr IS NOT NULL
+                    THEN CAST(1000000 // p.fr AS BIGINT)
+                    ELSE 0 END AS rr_e6,
+               p.dcg_e6,
+               CASE WHEN coalesce(nr.n_rel, 0) > 0
+                    THEN CAST({cum}[CAST(least(nr.n_rel, {top_k})
+                                         AS INT)] AS BIGINT)
+                    ELSE 0 END AS idcg_e6,
+               CASE WHEN coalesce(nr.n_rel, 0) > 0 THEN
+                   CAST((CAST(p.dcg_e6 AS HUGEINT) * 1000000)
+                        // {cum}[CAST(least(nr.n_rel, {top_k})
+                                      AS INT)] AS BIGINT)
+               END AS ndcg_e6
+        FROM per p LEFT JOIN nr USING (query_id)
+    """

@@ -136,3 +136,70 @@ def test_average_precision_ties_and_empty_pos(spark):
     r = average_precision_exact(df, F.col("s"), F.col("y") == 1,
                                 "id").collect()[0]
     assert r.ap_e6 is None and r.n_pos == 0
+
+
+def test_ndcg_discount_tables_recompute():
+    # the hardcoded e6 discount constants are floor(1e6/log2(r+1));
+    # recompute from libm (the dp_counts table discipline)
+    import math
+
+    from frogocr_spark.operators.textstats import (NDCG_DISC_E6,
+                                                   NDCG_IDCG_CUM_E6)
+    expect = tuple(int(10**6 / math.log2(r + 1)) for r in range(1, 11))
+    assert NDCG_DISC_E6 == expect
+    acc, cums = 0, []
+    for x in expect:
+        acc += x
+        cums.append(acc)
+    assert NDCG_IDCG_CUM_E6 == tuple(cums)
+
+
+def test_ir_eval_hand_case(spark):
+    # corpus: d1 contains both terms (relevant), d2 only one, d3 none.
+    # BM25 ranks d1 first for the conjunctive query; MRR = 1.0; with
+    # n_rel = 1, NDCG = dcg/idcg = disc[rank of d1]/disc[1]
+    from frogocr_spark.operators.textstats import NDCG_DISC_E6, ir_eval
+    rows = [(1, "apple banana cherry"),
+            (2, "apple date elderberry"),
+            (3, "fig grape melon")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.query_id: r for r in
+           ir_eval(df, {"q1": ["apple", "banana"],
+                        "q2": ["missingword"]}).collect()}
+    r1 = got["q1"]
+    assert r1.n_rel == 1
+    assert r1.hits == 1
+    assert r1.rr_e6 == 1_000_000            # d1 must outrank d2
+    assert r1.dcg_e6 == NDCG_DISC_E6[0]
+    assert r1.idcg_e6 == NDCG_DISC_E6[0]
+    assert r1.ndcg_e6 == 1_000_000
+    # q2 matches nothing: bm25 emits no rows for it, so it is absent
+    # from the report (no run list to evaluate)
+    assert "q2" not in got
+
+
+def test_ir_eval_miss_case(spark):
+    # the relevant doc is outranked at top_k=1: 'y' is made cheap
+    # (df 9 of 10 docs -> idf ~0.147) while d2's tf=12 on 'x'
+    # (idf ~1.48) scores 2.27 vs d1's 1.69 -- the only relevant doc
+    # (d1, the sole one containing BOTH terms) misses the 1-row run
+    # list, so MRR and NDCG@1 are exactly 0 with n_rel = 1
+    from frogocr_spark.operators.textstats import ir_eval
+    rows = [(1, "x y"), (2, "x x x x x x x x x x x x")]
+    rows += [(i, "y") for i in range(3, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.query_id: r for r in
+           ir_eval(df, {"q": ["x", "y"]}, top_k=1).collect()}
+    r = got["q"]
+    assert r.n_rel == 1
+    assert r.hits == 0
+    assert r.rr_e6 == 0 and r.dcg_e6 == 0 and r.ndcg_e6 == 0
+
+
+def test_ir_eval_topk_guard(spark):
+    import pytest as _pt
+
+    from frogocr_spark.operators.textstats import ir_eval
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        ir_eval(df, {"q": ["a"]}, top_k=11)
