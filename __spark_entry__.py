@@ -4907,6 +4907,32 @@ def _q_ir_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ir_eval(docs, BM25_QUERIES)
 
 
+_DBSCAN_MIN_PTS = 3
+
+
+def _q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the spatial_join point set (same md5-derived integer
+    grid, eps = 25, min_pts = 3): density clustering with noise,
+    composed from the audited grid-blocked neighbor join + star-CC,
+    with the scan-order-dependent textbook border rule made
+    deterministic (min cluster id).  The oracle keeps the quadratic
+    distance predicate and a recursive-CTE label closure, so the hash
+    match proves the blocked + star-CC plan equivalent to the
+    definition (operators/clustering.dbscan_grid)."""
+    from frogocr_spark.operators.clustering import dbscan_grid
+    cust = (_read(spark, sf_dir, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING"))
+
+    def coord(tag: str):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit(tag), F.col("c_custkey").cast("string"))), 1, 15),
+            16, 10).cast("long") % _SPATIAL_GRID)
+
+    pts = cust.select(F.col("c_custkey").alias("id"),
+                      coord("x:").alias("x"), coord("y:").alias("y"))
+    return dbscan_grid(pts, _SPATIAL_RADIUS, _DBSCAN_MIN_PTS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate (round-2 lesson: the driver's
     correctness artifact recorded exactly the FIRST 50 entries, silently
@@ -5205,6 +5231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_gram": _q_emb_gram,
         "avg_precision": _q_avg_precision,
         "ir_eval": _q_ir_eval,
+        "dbscan": _q_dbscan,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -10511,4 +10538,15 @@ FROM pos2
                     - (gs * 1000000) // gn AS BIGINT) AS delta_e6
         FROM per, grand
     """
+    from frogocr_spark.operators.clustering import dbscan_oracle_sql
+    o["dbscan"] = dbscan_oracle_sql(
+        f"""SELECT c_custkey AS id,
+                   CAST(('0x' || substr(md5('x:' ||
+                        CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % {_SPATIAL_GRID} AS x,
+                   CAST(('0x' || substr(md5('y:' ||
+                        CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % {_SPATIAL_GRID} AS y
+            FROM customer WHERE c_mktsegment = 'BUILDING'""",
+        _SPATIAL_RADIUS, _DBSCAN_MIN_PTS)
     return o

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "ctx_fit", "fertility", "max_run", "dedup_agreement",
     "bloom_fpr", "hash_collisions", "ann_recall", "group_effects",
     "split_leak_near", "minhash_err", "emb_gram",
+    "avg_precision", "ir_eval", "dbscan",
 ]
 
 
@@ -161,6 +162,10 @@ def _time_queries(spark, names: list[str]) -> dict[str, float]:
     stays visible."""
     import __spark_entry__ as entrymod
     qs = entrymod.queries()
+    # drift guard: any registry entry missing from the explicit panel
+    # list is appended (registry order) so a newly added query can
+    # never silently escape the bench
+    names = list(names) + [n for n in qs if n not in set(names)]
     out: dict[str, float] = {}
     cold_total = 0.0
     for name in names:

@@ -263,3 +263,116 @@ def maxmin_coreset_oracle_sql(k: int = 5, dim: int = 64, *,
                      f"CAST(d AS BIGINT) AS dist FROM p{r}")
     sql.append("\n" + "\nUNION ALL\n".join(parts))
     return "".join(sql)
+
+
+def dbscan_grid(pts: DataFrame, eps: int, min_pts: int, *,
+                id_col: str = "id", x_col: str = "x",
+                y_col: str = "y") -> DataFrame:
+    """DBSCAN (Ester 1996) — density clustering with noise, the
+    cluster-shape-agnostic complement of :func:`kmeans_int` — composed
+    entirely from audited scale pieces and made DETERMINISTIC (classic
+    DBSCAN's border assignment is scan-order-dependent; here every tie
+    breaks to the SMALLEST cluster id, so the result is a pure function
+    of the input):
+
+    - ε-neighbor pairs from the grid-blocked equi-join
+      (:func:`~frogocr_spark.operators.spatial.grid_neighbor_pairs` —
+      never the quadratic all-pairs);
+    - core points: |N_ε(p)| ≥ min_pts COUNTING p itself (the textbook
+      definition);
+    - clusters: connected components of the core-core ε-graph via
+      large-star/small-star
+      (:func:`~frogocr_spark.operators.dedup.dup_clusters_star`,
+      O(log n) rounds at any diameter); cluster id = min core id, an
+      edge-less core is its own singleton cluster;
+    - border points: non-core with ≥ 1 core ε-neighbor, assigned the
+      MIN cluster id among those neighbors; everything else is noise.
+
+    Scale shape: one blocked neighbor join + two keyed aggs + the CC
+    rounds; the border resolve is one id-keyed join of the symmetric
+    pair list against the core labels.  Output: ``(id, role ∈
+    {core, border, noise}, cluster_id — NULL for noise)``."""
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    from frogocr_spark.operators.dedup import dup_clusters_star
+    from frogocr_spark.operators.spatial import grid_neighbor_pairs
+    pairs = (grid_neighbor_pairs(pts, id_col, x_col, y_col, eps)
+             .select("id_a", "id_b").localCheckpoint())
+    sym = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"),
+                     F.col("id_a").alias("id_b")))
+    cnt = sym.groupBy(F.col("id_a").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_nb"))
+    ids = pts.select(F.col(id_col).cast("long").alias("id"))
+    deg = (ids.join(cnt, "id", "left")
+           .withColumn("n_nb", F.coalesce("n_nb", F.lit(0))))
+    core = deg.where(F.col("n_nb") + 1 >= int(min_pts)).select("id")
+    ce = (pairs
+          .join(core.select(F.col("id").alias("id_a")), "id_a")
+          .join(core.select(F.col("id").alias("id_b")), "id_b"))
+    comp = dup_clusters_star(ce).select(
+        F.col("doc_id").alias("id"), "cluster_id")
+    core_lab = (core.join(comp, "id", "left")
+                .withColumn("cluster_id",
+                            F.coalesce("cluster_id", F.col("id"))))
+    nb_core = (sym.join(core_lab.select(F.col("id").alias("id_b"),
+                                        F.col("cluster_id")), "id_b")
+               .groupBy(F.col("id_a").alias("id"))
+               .agg(F.min("cluster_id").alias("_bcl")))
+    return (deg.select("id")
+            .join(core_lab.select("id", F.col("cluster_id")
+                                  .alias("_ccl")), "id", "left")
+            .join(nb_core, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("_ccl").isNotNull(), F.lit("core"))
+                .when(F.col("_bcl").isNotNull(), F.lit("border"))
+                .otherwise(F.lit("noise")).alias("role"),
+                F.when(F.col("_ccl").isNotNull(), F.col("_ccl"))
+                .otherwise(F.col("_bcl")).cast("long")
+                .alias("cluster_id")))
+
+
+def dbscan_oracle_sql(pts_sql: str, eps: int, min_pts: int) -> str:
+    """DuckDB twin of :func:`dbscan_grid` — the textbook form: direct
+    quadratic ε-neighbor predicate, correlated neighbor counts, and a
+    recursive-CTE min-label closure over the core-core graph, so the
+    hash match proves the blocked join + star-CC + deterministic
+    border rule equivalent to the definition."""
+    e2 = int(eps) * int(eps)
+    return f"""
+        WITH RECURSIVE pts AS ({pts_sql}),
+        nb AS (
+            SELECT a.id AS ia, b.id AS ib FROM pts a JOIN pts b
+            ON a.id <> b.id
+            AND (a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) <= {e2}
+        ), deg AS (
+            SELECT p.id, count(nb.ib) AS n_nb
+            FROM pts p LEFT JOIN nb ON nb.ia = p.id GROUP BY 1
+        ), core AS (
+            SELECT id FROM deg WHERE n_nb + 1 >= {int(min_pts)}
+        ), ce AS (
+            SELECT ia, ib FROM nb
+            WHERE ia IN (SELECT id FROM core)
+              AND ib IN (SELECT id FROM core)
+        ), lbl(node, l) AS (
+            SELECT id, id FROM core
+            UNION
+            SELECT ce.ib, lbl.l FROM lbl JOIN ce ON ce.ia = lbl.node
+        ), comp AS (
+            SELECT node AS id, min(l) AS cl FROM lbl GROUP BY 1
+        ), bord AS (
+            SELECT nb.ia AS id, min(c.cl) AS bcl
+            FROM nb JOIN comp c ON nb.ib = c.id GROUP BY 1
+        )
+        SELECT p.id,
+               CASE WHEN cm.cl IS NOT NULL THEN 'core'
+                    WHEN b.bcl IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               CAST(CASE WHEN cm.cl IS NOT NULL THEN cm.cl
+                         ELSE b.bcl END AS BIGINT) AS cluster_id
+        FROM pts p
+        LEFT JOIN comp cm ON cm.id = p.id
+        LEFT JOIN bord b ON b.id = p.id
+    """

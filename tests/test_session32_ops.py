@@ -1,0 +1,51 @@
+"""Session 32 operators: DBSCAN (grid-blocked, deterministic border
+rule)."""
+
+from __future__ import annotations
+
+import pytest
+
+from frogocr_spark.operators.clustering import dbscan_grid
+
+
+def _rows(spark, pts):
+    return spark.createDataFrame(pts, "id long, x long, y long")
+
+
+def test_dbscan_hand_case(spark):
+    # one dense triangle (all core, cluster 1), one border hanging off
+    # B, one isolated noise point; eps=2, min_pts=3 (count incl. self)
+    pts = [(1, 0, 0), (2, 1, 0), (3, 0, 1), (4, 3, 0), (5, 9, 9)]
+    got = {r.id: (r.role, r.cluster_id)
+           for r in dbscan_grid(_rows(spark, pts), 2, 3).collect()}
+    assert got == {1: ("core", 1), 2: ("core", 1), 3: ("core", 1),
+                   4: ("border", 1), 5: ("noise", None)}
+
+
+def test_dbscan_border_tiebreak_min_cluster(spark):
+    # two 4-point core clusters (ids 1-4 and 5-8) and a point exactly
+    # eps from a core of EACH; with min_pts=4 it stays non-core (2
+    # neighbors + self) and the deterministic rule assigns the MIN
+    # cluster id (1), independent of any scan order
+    pts = [(1, 0, 0), (2, 1, 0), (3, 2, 0), (4, 1, 1),
+           (5, 6, 0), (6, 7, 0), (7, 8, 0), (8, 7, 1),
+           (9, 4, 0)]
+    got = {r.id: (r.role, r.cluster_id)
+           for r in dbscan_grid(_rows(spark, pts), 2, 4).collect()}
+    assert got[9] == ("border", 1)
+    assert {got[i] for i in (1, 2, 3, 4)} == {("core", 1)}
+    assert {got[i] for i in (5, 6, 7, 8)} == {("core", 5)}
+
+
+def test_dbscan_singleton_core(spark):
+    # min_pts=1: every point is trivially core (itself); an edge-less
+    # core is its own singleton cluster
+    pts = [(7, 0, 0), (9, 50, 50)]
+    got = {r.id: (r.role, r.cluster_id)
+           for r in dbscan_grid(_rows(spark, pts), 2, 1).collect()}
+    assert got == {7: ("core", 7), 9: ("core", 9)}
+
+
+def test_dbscan_min_pts_guard(spark):
+    with pytest.raises(ValueError):
+        dbscan_grid(_rows(spark, [(1, 0, 0)]), 2, 0)
