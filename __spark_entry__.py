@@ -4907,6 +4907,18 @@ def _q_ir_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ir_eval(docs, BM25_QUERIES)
 
 
+def _q_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top uncentered principal direction + eigenvalue of the embedding
+    corpus via engine-exact fixed-iteration power method over the
+    distributed integer Gram matrix — the spectral follow-up emb_gram
+    enables; all corpus-scale work is the gram partial agg, the
+    iteration is bounded O(iters·d²) driver arithmetic
+    (operators/similarity.power_iteration_int)."""
+    from frogocr_spark.operators.similarity import power_iteration_int
+    emb = _read(spark, sf_dir, "embeddings")
+    return power_iteration_int(emb, use_dims=16, iters=4)
+
+
 _DBSCAN_MIN_PTS = 3
 
 
@@ -5232,6 +5244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_precision": _q_avg_precision,
         "ir_eval": _q_ir_eval,
         "dbscan": _q_dbscan,
+        "spectral": _q_spectral,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -10549,4 +10562,8 @@ FROM pos2
                        % {_SPATIAL_GRID} AS y
             FROM customer WHERE c_mktsegment = 'BUILDING'""",
         _SPATIAL_RADIUS, _DBSCAN_MIN_PTS)
+    from frogocr_spark.operators.similarity import (
+        power_iteration_oracle_sql)
+    o["spectral"] = power_iteration_oracle_sql(
+        "SELECT embedding FROM embeddings", use_dims=16, iters=4)
     return o

@@ -840,3 +840,131 @@ def gram_matrix_int(df: DataFrame, *, vec_col: str = "embedding",
                  .cast("long").alias("gram"))
             .select(F.col("i").cast("long").alias("i"),
                     F.col("j").cast("long").alias("j"), "gram"))
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division TRUNCATING toward zero (b > 0) — DuckDB's ``//``
+    semantics, which differ from Python's floor ``//`` on negative
+    dividends (-7 // 2: DuckDB -3, Python -4).  Every signed e6 scaling
+    step in the spectral path goes through this so the oracle's ``//``
+    reproduces the engine bit-for-bit."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def power_iteration_int(df: DataFrame, *, vec_col: str = "embedding",
+                        use_dims: int = 16, scale: int = 4096,
+                        iters: int = 4) -> DataFrame:
+    """Dominant eigenvector + eigenvalue (Rayleigh quotient) of the
+    exact integer Gram matrix X'X — the top UNCENTERED principal
+    direction of the embedding corpus, the spectral follow-up
+    :func:`gram_matrix_int` exists to enable (PCA energy, whitening,
+    spectral outlier axes).
+
+    Engine-exact fixed-iteration power method: v₀ = 1e6·𝟙; each round
+    w = G·v (exact big-int), then v = trunc(w·1e6 / max|w|) — the
+    normalization is TRUNCATING division (:func:`_tdiv`) so DuckDB's
+    ``//`` reproduces it on signed components.  After ``iters`` rounds
+    the Rayleigh quotient trunc(v'Gv·1e6 / v'v) estimates λ₁.  A fixed
+    iteration count (not a convergence test) keeps the chain a pure
+    function of the input — both engines run the identical arithmetic,
+    converged or not; raise ``iters`` for a tighter λ₁.
+
+    Scale shape: ALL corpus-size-dependent work is the distributed
+    Gram partial aggregation; the collect is the bounded d(d+1)/2
+    upper triangle and the iteration is O(iters·d²) driver arithmetic
+    on exact Python ints — the right split at any corpus size (same
+    bounded-driver contract as ``kmeans_int``/``pq_fit``).  Output
+    magnitudes: λ₁ ≤ trace(G) ≤ N·d·scale², ×1e6 must fit int64 —
+    holds to ~10^8 rows at the defaults; keep DECIMAL beyond.
+
+    Output: ``(i, component_e6, rayleigh_e6)`` — d rows, the
+    eigenvalue repeated per row.  Raises on an all-zero Gram matrix.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    d = int(use_dims)
+    rows = gram_matrix_int(df, vec_col=vec_col, use_dims=d,
+                           scale=scale).collect()
+    G = [[0] * d for _ in range(d)]
+    for r in rows:
+        G[int(r["i"])][int(r["j"])] = int(r["gram"])
+        G[int(r["j"])][int(r["i"])] = int(r["gram"])
+    v = [10 ** 6] * d
+
+    def matvec(x):
+        return [sum(G[i][j] * x[j] for j in range(d)) for i in range(d)]
+
+    for _ in range(iters):
+        w = matvec(v)
+        m = max(abs(c) for c in w)
+        if m == 0:
+            raise ValueError("all-zero Gram matrix: no dominant "
+                             "eigenvector (empty or zero corpus)")
+        v = [_tdiv(c * 10 ** 6, m) for c in w]
+    w = matvec(v)
+    num = sum(v[i] * w[i] for i in range(d))
+    den = sum(c * c for c in v)
+    ray = _tdiv(num * 10 ** 6, den)
+    return df.sparkSession.createDataFrame(
+        [(i, v[i], ray) for i in range(d)],
+        "i long, component_e6 long, rayleigh_e6 long")
+
+
+def power_iteration_oracle_sql(vecs_sql: str, *, use_dims: int = 16,
+                               scale: int = 4096,
+                               iters: int = 4) -> str:
+    """DuckDB twin of :func:`power_iteration_int`: textbook per-row
+    Gram expansion (the verbatim ``emb_gram`` oracle shape), then the
+    iteration chain unrolled as CTEs — matrix-vector product as a
+    join+sum, normalization as HUGEINT ``//`` (truncating, matching
+    :func:`_tdiv`)."""
+    d, sc = int(use_dims), int(scale)
+    sql = [f"""
+        WITH vq AS (
+            SELECT list_transform(v, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * {sc}) AS BIGINT))
+                   AS q, rid
+            FROM (SELECT embedding AS v, row_number() OVER () AS rid
+                  FROM ({vecs_sql}))
+        ), ex AS (
+            SELECT rid, i, q[CAST(i AS INT)] AS val
+            FROM vq, range(1, {d} + 1) r(i)
+        ), g AS (
+            SELECT a.i - 1 AS i, b.i - 1 AS j,
+                   SUM(CAST(a.val AS HUGEINT) * b.val) AS gram
+            FROM ex a JOIN ex b ON a.rid = b.rid AND b.i >= a.i
+            GROUP BY 1, 2
+        ), gs AS (
+            SELECT i, j, gram FROM g
+            UNION ALL
+            SELECT j, i, gram FROM g WHERE i <> j
+        ), v0 AS (
+            SELECT CAST(t.i AS BIGINT) AS i,
+                   CAST(1000000 AS HUGEINT) AS v
+            FROM range(0, {d}) t(i)
+        )"""]
+    for r in range(1, iters + 1):
+        p = r - 1
+        sql.append(f""", w{r} AS (
+            SELECT gs.i, SUM(gs.gram * vp.v) AS w
+            FROM gs JOIN v{p} vp ON vp.i = gs.j GROUP BY 1
+        ), v{r} AS (
+            SELECT w{r}.i, (w * 1000000)
+                   // (SELECT max(abs(w)) FROM w{r}) AS v
+            FROM w{r}
+        )""")
+    n = iters
+    sql.append(f""", wf AS (
+            SELECT gs.i, SUM(gs.gram * vp.v) AS w
+            FROM gs JOIN v{n} vp ON vp.i = gs.j GROUP BY 1
+        ), ray AS (
+            SELECT (SUM(v{n}.v * wf.w) * 1000000)
+                   // (SELECT SUM(v * v) FROM v{n}) AS r
+            FROM v{n} JOIN wf ON wf.i = v{n}.i
+        )
+        SELECT CAST(v{n}.i AS BIGINT) AS i,
+               CAST(v{n}.v AS BIGINT) AS component_e6,
+               CAST(ray.r AS BIGINT) AS rayleigh_e6
+        FROM v{n}, ray""")
+    return "".join(sql)

@@ -49,3 +49,42 @@ def test_dbscan_singleton_core(spark):
 def test_dbscan_min_pts_guard(spark):
     with pytest.raises(ValueError):
         dbscan_grid(_rows(spark, [(1, 0, 0)]), 2, 0)
+
+
+def test_power_iteration_hand_case(spark):
+    # diagonal Gram: two copies of e1, one e2 -> G = diag(2s, s) with
+    # s = 4096^2; each round halves the second component's ratio, so
+    # after 4 rounds v = (1e6, 62500); Rayleigh recomputed here with
+    # explicit integer arithmetic (trunc division, as documented)
+    from frogocr_spark.operators.similarity import power_iteration_int
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    rows = (power_iteration_int(df, use_dims=2, iters=4)
+            .orderBy("i").collect())
+    assert [r.component_e6 for r in rows] == [1000000, 62500]
+    s = 4096 * 4096
+    num = (10**6 * (2 * s * 10**6) + 62500 * (s * 62500)) * 10**6
+    den = 10**12 + 62500 * 62500
+    assert rows[0].rayleigh_e6 == num // den  # positive: trunc == floor
+    assert rows[0].rayleigh_e6 == rows[1].rayleigh_e6
+
+
+def test_power_iteration_guards(spark):
+    from frogocr_spark.operators.similarity import power_iteration_int
+    df = spark.createDataFrame([(1, [0.0, 0.0])],
+                               "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        power_iteration_int(df, use_dims=2, iters=0)
+    with pytest.raises(ValueError, match="zero"):
+        power_iteration_int(df, use_dims=2, iters=2)
+
+
+def test_tdiv_matches_duckdb_trunc_semantics():
+    import duckdb
+
+    from frogocr_spark.operators.similarity import _tdiv
+    con = duckdb.connect()
+    for a in (-7, -1, 0, 1, 7, -1000001, 999999):
+        got = con.execute(f"SELECT CAST({a} AS HUGEINT) // 2").fetchone()[0]
+        assert _tdiv(a, 2) == int(got)
