@@ -4919,6 +4919,26 @@ def _q_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration_int(emb, use_dims=16, iters=4)
 
 
+def _q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based, squared-distance) silhouette of the
+    k=4 k-means clustering — the cluster-quality audit; one pure-map
+    assignment pass + one k-row agg, integer-exact end to end
+    (operators/clustering.kmeans_silhouette)."""
+    from frogocr_spark.operators.clustering import kmeans_silhouette
+    emb = _read(spark, sf_dir, "embeddings")
+    return kmeans_silhouette(emb, k=4, iters=3)
+
+
+def _q_clustering_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Adjusted Rand Index between the k=4 and k=8 k-means
+    partitions of the embedding corpus — pair-counting agreement,
+    multiplied-through integer formula, bounded k_a·k_b contingency
+    (operators/clustering.kmeans_agreement_ari)."""
+    from frogocr_spark.operators.clustering import kmeans_agreement_ari
+    emb = _read(spark, sf_dir, "embeddings")
+    return kmeans_agreement_ari(emb, k_a=4, k_b=8, iters=3)
+
+
 _DBSCAN_MIN_PTS = 3
 
 
@@ -5245,6 +5265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_eval": _q_ir_eval,
         "dbscan": _q_dbscan,
         "spectral": _q_spectral,
+        "silhouette": _q_silhouette,
+        "clustering_ari": _q_clustering_ari,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -10566,4 +10588,9 @@ FROM pos2
         power_iteration_oracle_sql)
     o["spectral"] = power_iteration_oracle_sql(
         "SELECT embedding FROM embeddings", use_dims=16, iters=4)
+    from frogocr_spark.operators.clustering import (
+        kmeans_agreement_oracle_sql, kmeans_silhouette_oracle_sql)
+    o["silhouette"] = kmeans_silhouette_oracle_sql(k=4, iters=3)
+    o["clustering_ari"] = kmeans_agreement_oracle_sql(
+        k_a=4, k_b=8, iters=3)
     return o

@@ -88,3 +88,64 @@ def test_tdiv_matches_duckdb_trunc_semantics():
     for a in (-7, -1, 0, 1, 7, -1000001, 999999):
         got = con.execute(f"SELECT CAST({a} AS HUGEINT) // 2").fetchone()[0]
         assert _tdiv(a, 2) == int(got)
+
+
+def test_silhouette_hand_case(spark):
+    # ids 1..4, md5-order seeds are ids 4 and 1 (a87.. < c4c..); after
+    # one Lloyd round the centroids are hand-derivable: c0 = [100000,
+    # 100001] (floor mean of ids 3,4), c1 = [0, 1] (ids 1,2); expected
+    # a/b/s recomputed below with explicit integer arithmetic
+    from frogocr_spark.operators.clustering import kmeans_silhouette
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0002]),
+         (3, [10.0, 10.0]), (4, [10.0, 10.0002])],
+        "vec_id long, embedding array<float>")
+    got = {r.cluster: (r.n_members, r.mean_s_e6)
+           for r in kmeans_silhouette(df, k=2, iters=1).collect()}
+    c0, c1 = [100000, 100001], [0, 1]
+    qs = {1: [0, 0], 2: [0, 2], 3: [100000, 100000],
+          4: [100000, 100002]}
+
+    def d2(q, c):
+        return (q[0] - c[0]) ** 2 + (q[1] - c[1]) ** 2
+
+    exp = {0: [], 1: []}
+    for q in qs.values():
+        da, db = sorted((d2(q, c0), d2(q, c1)))
+        cl = 0 if d2(q, c0) <= d2(q, c1) else 1
+        exp[cl].append((db - da) * 10**6 // db)
+    assert got == {cl: (len(v), sum(v) // len(v))
+                   for cl, v in exp.items()}
+
+
+def test_ari_identical_partitions(spark):
+    # same k, same iters, same corpus -> identical partitions -> ARI
+    # is exactly 1e6 and s_ij == s_a == s_b (= 2 * C(2,2) = 2)
+    from frogocr_spark.operators.clustering import kmeans_agreement_ari
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0002]),
+         (3, [10.0, 10.0]), (4, [10.0, 10.0002])],
+        "vec_id long, embedding array<float>")
+    r = kmeans_agreement_ari(df, k_a=2, k_b=2, iters=2).collect()[0]
+    assert (r.n, r.s_ij, r.s_a, r.s_b) == (4, 2, 2, 2)
+    assert r.ari_e6 == 1_000_000
+
+
+def test_ari_degenerate_single_cluster_convention(spark):
+    # all points identical: both runs collapse to one non-empty
+    # cluster -> denominator 0 -> ARI defined as 1e6
+    from frogocr_spark.operators.clustering import kmeans_agreement_ari
+    df = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(1, 5)],
+        "vec_id long, embedding array<float>")
+    r = kmeans_agreement_ari(df, k_a=2, k_b=2, iters=1).collect()[0]
+    assert (r.s_ij, r.s_a, r.s_b) == (6, 6, 6)
+    assert r.ari_e6 == 1_000_000
+
+
+def test_silhouette_k_guard(spark):
+    from frogocr_spark.operators.clustering import kmeans_silhouette
+    df = spark.createDataFrame([(1, [0.0])],
+                               "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        kmeans_silhouette(df, k=1, iters=1)
