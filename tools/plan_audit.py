@@ -891,6 +891,22 @@ def main() -> None:
                 f"generates={pgr.count('Generate')}, map-side partials "
                 f"present")
 
+    # 51. clustering family scale shapes: DBSCAN is the blocked
+    #     neighbor join + star-CC — cartesian-free end to end; the
+    #     silhouette's label pass ships centroids as literals, so its
+    #     plan has NO join at all (one pure-map pass + one keyed agg).
+    #     (clustering_ari and spectral return bounded local relations —
+    #     their corpus-scale work is the same label pass / the gram
+    #     fold of check 50.)
+    pdb = executed(entry._q_dbscan(spark, SF))
+    psil = executed(entry._q_silhouette(spark, SF))
+    ok &= check("dbscan cartesian-free; silhouette label pass join-free",
+                "CartesianProduct" not in pdb
+                and "BroadcastNestedLoopJoin" not in pdb
+                and "Join" not in psil,
+                f"dbscan_joins={pdb.count('Join')}, cartesian=0, "
+                f"silhouette_joins={psil.count('Join')}")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
