@@ -4919,6 +4919,30 @@ def _q_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration_int(emb, use_dims=16, iters=4)
 
 
+def _q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA, minimax form) recalibration of the purchase
+    score over the same 10 bins as `calibration` — the best
+    non-decreasing probability per bin, engine-exact via integer
+    interval keys (operators/ml.isotonic_calibration)."""
+    from frogocr_spark.operators.ml import isotonic_calibration
+    ev = (_read(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("click", "purchase")))
+    return isotonic_calibration(ev, F.floor(F.col("value") * 100),
+                                F.col("event_type") == "purchase")
+
+
+def _q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal upper bound on the event value score per event
+    type at alpha=0.1: md5-half calibration split, k-th order statistic
+    k = ceil((n+1)*0.9) via one per-group rank window, held-out
+    empirical coverage audit (operators/ml.conformal_threshold)."""
+    from frogocr_spark.operators.ml import conformal_threshold
+    ev = _read(spark, sf_dir, "events")
+    return conformal_threshold(ev, "event_type",
+                               F.floor(F.col("value") * 100),
+                               "event_id")
+
+
 def _q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simplified (centroid-based, squared-distance) silhouette of the
     k=4 k-means clustering — the cluster-quality audit; one pure-map
@@ -5267,6 +5291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral": _q_spectral,
         "silhouette": _q_silhouette,
         "clustering_ari": _q_clustering_ari,
+        "isotonic": _q_isotonic,
+        "conformal": _q_conformal,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -10593,4 +10619,17 @@ FROM pos2
     o["silhouette"] = kmeans_silhouette_oracle_sql(k=4, iters=3)
     o["clustering_ari"] = kmeans_agreement_oracle_sql(
         k_a=4, k_b=8, iters=3)
+    from frogocr_spark.operators.ml import (
+        isotonic_calibration_oracle_sql)
+    o["isotonic"] = isotonic_calibration_oracle_sql(
+        """SELECT CAST(floor(value * 100) AS BIGINT) AS s,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                      AS y
+           FROM events WHERE event_type IN ('click', 'purchase')""")
+    from frogocr_spark.operators.ml import conformal_threshold_oracle_sql
+    o["conformal"] = conformal_threshold_oracle_sql(
+        """SELECT event_type AS grp,
+                  CAST(floor(value * 100) AS BIGINT) AS s,
+                  CAST(event_id AS VARCHAR) AS id
+           FROM events""")
     return o

@@ -444,3 +444,239 @@ def hash_collision_audit(df: DataFrame, widths: tuple = (256, 1024, 4096),
                     F.expr("(CAST(colliding AS DECIMAL(38,0)) "
                            "* 1000000) DIV n_tokens").cast("long")
                     .alias("collision_e6"), "max_load"))
+
+
+def isotonic_calibration(df: DataFrame, score, is_pos,
+                         n_bins: int = 10,
+                         key_scale: int = 10 ** 12) -> DataFrame:
+    """Isotonic (PAVA) calibration of a score against binary labels —
+    the monotone recalibration step after :func:`calibration_bins`
+    reveals a mis-calibrated classifier (Zadrozny & Elkan 2002): fit
+    the best NON-DECREASING probability per score bin.
+
+    Instead of the sequential pool-adjacent-violators sweep, this uses
+    PAVA's closed-form minimax characterization — for ordered bins with
+    weights c (counts) and totals p (positives),
+
+        fit_i = max_{j ≤ i} min_{k ≥ i} mean(p[j..k]) / mean-weight,
+
+    with every candidate interval mean represented as the INTEGER key
+    ``(Δp · key_scale) DIV Δc``.  Both engines fold the identical keys,
+    so the result is engine-exact by construction; the key-minimax
+    equals the true rational minimax whenever key_scale ≥ n² (distinct
+    rationals with denominators ≤ n differ by > 1/n²) — at the default
+    1e12 that holds to corpora of 10⁶ labeled rows; beyond, raise
+    key_scale (and move the arithmetic to DECIMAL).
+
+    Scale shape: the corpus-scale work is the same pure-map binning +
+    ONE ≤n_bins-row keyed agg as ``calibration_bins``; the minimax runs
+    on the BOUNDED bin table (n_bins³ candidate triples — broadcast
+    joins over ≤ n_bins-row relations, the documented bounded-small-
+    table exemption to the no-cartesian rule).  Output: ``(bin, n,
+    pos_rate_e6, fit_e6)``, fit non-decreasing in bin."""
+    from pyspark.sql import Window
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    base = df.select(score.cast("long").alias("s"),
+                     is_pos.cast("long").alias("y"))
+    rng = base.groupBy().agg(F.min("s").alias("smin"),
+                             F.max("s").alias("smax"))
+    b = (base.crossJoin(F.broadcast(rng))
+         .withColumn("bin", F.when(
+             F.col("smax") > F.col("smin"),
+             F.expr(f"((s - smin) * {int(n_bins)}) "
+                    "DIV (smax - smin + 1)")).otherwise(F.lit(0))))
+    bins = (b.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("c"), F.sum("y").alias("p")))
+    # bounded ≤ n_bins rows from here on: a single unpartitioned window
+    # is fine (and necessary — the bins are one ordered sequence)
+    w = Window.orderBy("bin")
+    cum = (bins
+           .withColumn("i", F.row_number().over(w))
+           .withColumn("cc", F.sum("c").over(w))
+           .withColumn("cy", F.sum("p").over(w))
+           .localCheckpoint(eager=True))
+    lo = cum.select(F.col("i").alias("j"),
+                    (F.col("cy") - F.col("p")).alias("cy0"),
+                    (F.col("cc") - F.col("c")).alias("cc0"))
+    hi = cum.select(F.col("i").alias("k"), F.col("cy").alias("cy1"),
+                    F.col("cc").alias("cc1"))
+    pairs = (lo.join(hi, F.col("k") >= F.col("j"))
+             .select("j", "k",
+                     F.expr(f"((cy1 - cy0) * CAST({int(key_scale)} "
+                            "AS BIGINT)) DIV (cc1 - cc0)")
+                     .alias("key")))
+    idx = cum.select(F.col("i").alias("t"))
+    fit = (pairs.join(idx, (F.col("j") <= F.col("t"))
+                      & (F.col("k") >= F.col("t")))
+           .groupBy("t", "j").agg(F.min("key").alias("mk"))
+           .groupBy("t").agg(F.max("mk").alias("fk")))
+    return (cum.join(fit, cum["i"] == fit["t"])
+            .select(F.col("bin").cast("long").alias("bin"),
+                    F.col("c").cast("long").alias("n"),
+                    F.expr("(CAST(p AS DECIMAL(38,0)) * 1000000) DIV c")
+                    .cast("long").alias("pos_rate_e6"),
+                    F.expr(f"fk DIV {int(key_scale) // 10 ** 6}")
+                    .cast("long").alias("fit_e6")))
+
+
+def isotonic_calibration_oracle_sql(labeled_sql: str, n_bins: int = 10,
+                                    key_scale: int = 10 ** 12) -> str:
+    """DuckDB twin of :func:`isotonic_calibration` — identical binning
+    (the verbatim ``calibration_bins`` oracle shape), cumulative sums,
+    integer interval keys, and the max-over-j of min-over-k fold.
+    ``labeled_sql`` must yield ``(s BIGINT, y 0/1)``."""
+    ks = int(key_scale)
+    return f"""
+        WITH lab AS ({labeled_sql}),
+        rng AS (SELECT min(s) AS smin, max(s) AS smax FROM lab),
+        bx AS (
+            SELECT CASE WHEN smax > smin
+                        THEN ((s - smin) * {int(n_bins)})
+                             // (smax - smin + 1)
+                        ELSE 0 END AS bin, y
+            FROM lab, rng
+        ), bins AS (
+            SELECT bin, count(*) AS c, sum(y) AS p FROM bx GROUP BY 1
+        ), cum AS (
+            SELECT bin, c, p,
+                   row_number() OVER (ORDER BY bin) AS i,
+                   sum(c) OVER (ORDER BY bin) AS cc,
+                   sum(p) OVER (ORDER BY bin) AS cy
+            FROM bins
+        ), pr AS (
+            SELECT lo.i AS j, hi.i AS k,
+                   (CAST(hi.cy - (lo.cy - lo.p) AS HUGEINT) * {ks})
+                   // (hi.cc - (lo.cc - lo.c)) AS key
+            FROM cum lo JOIN cum hi ON hi.i >= lo.i
+        ), mn AS (
+            SELECT t.i AS t, pr.j, min(pr.key) AS mk
+            FROM cum t JOIN pr ON pr.j <= t.i AND pr.k >= t.i
+            GROUP BY 1, 2
+        ), ft AS (SELECT t, max(mk) AS fk FROM mn GROUP BY 1)
+        SELECT CAST(cum.bin AS BIGINT) AS bin,
+               CAST(cum.c AS BIGINT) AS n,
+               CAST((CAST(cum.p AS HUGEINT) * 1000000) // cum.c
+                    AS BIGINT) AS pos_rate_e6,
+               CAST(ft.fk // {ks // 10 ** 6} AS BIGINT) AS fit_e6
+        FROM cum JOIN ft ON ft.t = cum.i
+    """
+
+
+def conformal_threshold(df: DataFrame, group_col: str, score,
+                        id_col: str, *, alpha_num: int = 1,
+                        alpha_den: int = 10,
+                        calib_hex: str = "8") -> DataFrame:
+    """Split-conformal upper prediction bound per group (Vovk;
+    Papadopoulos 2002 inductive form) — the distribution-free way to
+    turn ANY score into a threshold with a finite-sample coverage
+    guarantee (the statistically sound cut for outlier gates and
+    quality filters):
+
+    - calibration half: ids whose ``md5`` first hex digit sorts below
+      ``calib_hex`` (default 8/16 = 50%) — the repo's standard
+      seedless, engine-portable split (same family as ``hash_split``);
+    - threshold = the k-th smallest calibration score under the total
+      order (score, id), k = ⌈(n_cal+1)·(1−α)⌉ — the conformal
+      quantile, NULL when k > n_cal (too few calibration points for
+      the requested α: no finite bound exists);
+    - audit: empirical coverage on the held-out half, n_covered·1e6
+      DIV n_eval — exchangeability says E[coverage] ≥ 1−α.
+
+    Scale shape: the split is a pure map; the k-th order statistic
+    rides ONE per-group rank window (full parallelism across groups;
+    a degenerate single group serializes only itself — the documented
+    ``quantile_summary`` trade); the eval pass is one broadcast join
+    of the ≤|groups| threshold table + one keyed agg.  Output:
+    ``(group, n_cal, k, thr, n_eval, coverage_e6)``."""
+    from pyspark.sql import Window
+
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError(
+            f"need 0 < alpha_num < alpha_den, got {alpha_num}/{alpha_den}")
+    import re as _re
+    if not _re.fullmatch(r"[0-9a-f]", calib_hex):
+        raise ValueError(f"calib_hex must be one lowercase hex digit, "
+                         f"got {calib_hex!r}")
+    keep = alpha_den - alpha_num
+    base = df.select(F.col(group_col).alias("group"),
+                     score.cast("long").alias("s"),
+                     F.col(id_col).cast("string").alias("_id"))
+    half = F.substring(F.md5(F.col("_id")), 1, 1)
+    calib = base.where(half < calib_hex)
+    holdout = base.where(half >= calib_hex)
+    w = Window.partitionBy("group").orderBy("s", "_id")
+    ranked = (calib
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n_cal", F.count(F.lit(1)).over(
+                  Window.partitionBy("group")))
+              .withColumn("k", F.expr(
+                  f"((n_cal + 1) * {int(keep)} + {int(alpha_den)} - 1) "
+                  f"DIV {int(alpha_den)}")))
+    stats = (ranked.groupBy("group")
+             .agg(F.max("n_cal").cast("long").alias("n_cal"),
+                  F.max("k").cast("long").alias("k"),
+                  F.max(F.when(F.col("rn") == F.col("k"), F.col("s")))
+                  .cast("long").alias("thr")))
+    cov = (holdout.join(F.broadcast(stats), "group")
+           .groupBy("group")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_eval"),
+                F.sum(F.when(F.col("s") <= F.col("thr"), 1)
+                      .otherwise(0)).alias("n_cov")))
+    return (stats.join(cov, "group", "left")
+            .select("group", "n_cal", "k", "thr",
+                    F.coalesce("n_eval", F.lit(0)).cast("long")
+                    .alias("n_eval"),
+                    F.when(F.col("thr").isNotNull()
+                           & (F.col("n_eval") > 0),
+                           F.expr("(n_cov * CAST(1000000 AS BIGINT)) "
+                                  "DIV n_eval")).cast("long")
+                    .alias("coverage_e6")))
+
+
+def conformal_threshold_oracle_sql(scored_sql: str, *,
+                                   alpha_num: int = 1,
+                                   alpha_den: int = 10,
+                                   calib_hex: str = "8") -> str:
+    """DuckDB twin of :func:`conformal_threshold`.  ``scored_sql`` must
+    yield ``(grp, s BIGINT, id VARCHAR)``."""
+    keep = int(alpha_den) - int(alpha_num)
+    return f"""
+        WITH base AS ({scored_sql}),
+        calib AS (
+            SELECT grp, s, id FROM base
+            WHERE substr(md5(id), 1, 1) < '{calib_hex}'
+        ), holdout AS (
+            SELECT grp, s FROM base
+            WHERE substr(md5(id), 1, 1) >= '{calib_hex}'
+        ), ranked AS (
+            SELECT grp, s,
+                   row_number() OVER (PARTITION BY grp
+                                      ORDER BY s, id) AS rn,
+                   count(*) OVER (PARTITION BY grp) AS n_cal
+            FROM calib
+        ), stats AS (
+            SELECT grp, max(n_cal) AS n_cal,
+                   max(((n_cal + 1) * {keep} + {int(alpha_den)} - 1)
+                       // {int(alpha_den)}) AS k,
+                   max(CASE WHEN rn = ((n_cal + 1) * {keep}
+                                       + {int(alpha_den)} - 1)
+                                      // {int(alpha_den)}
+                            THEN s END) AS thr
+            FROM ranked GROUP BY grp
+        ), cov AS (
+            SELECT h.grp, count(*) AS n_eval,
+                   sum(CASE WHEN h.s <= st.thr THEN 1 ELSE 0 END)
+                       AS n_cov
+            FROM holdout h JOIN stats st ON st.grp = h.grp
+            GROUP BY h.grp
+        )
+        SELECT st.grp AS "group", CAST(st.n_cal AS BIGINT) AS n_cal,
+               CAST(st.k AS BIGINT) AS k, CAST(st.thr AS BIGINT) AS thr,
+               CAST(coalesce(cov.n_eval, 0) AS BIGINT) AS n_eval,
+               CAST(CASE WHEN st.thr IS NOT NULL AND cov.n_eval > 0
+                         THEN (cov.n_cov * 1000000) // cov.n_eval
+                    END AS BIGINT) AS coverage_e6
+        FROM stats st LEFT JOIN cov ON cov.grp = st.grp
+    """

@@ -4,6 +4,7 @@ rule)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from frogocr_spark.operators.clustering import dbscan_grid
 
@@ -149,3 +150,94 @@ def test_silhouette_k_guard(spark):
                                "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         kmeans_silhouette(df, k=1, iters=1)
+
+
+def test_isotonic_pools_violating_bins(spark):
+    # n_bins=2: scores 0-4 -> bin 0 (all positive), 5-9 -> bin 1 (none)
+    # -- a decreasing pair, so PAVA pools both bins to 2/4 = 0.5
+    from frogocr_spark.operators.ml import isotonic_calibration
+    rows = [(0, 1), (4, 1), (5, 0), (9, 0)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    got = {r.bin: (r.n, r.pos_rate_e6, r.fit_e6)
+           for r in isotonic_calibration(
+               df, F.col("s"), F.col("y") == 1, n_bins=2).collect()}
+    assert got == {0: (2, 1000000, 500000), 1: (2, 0, 500000)}
+
+
+def test_isotonic_keeps_monotone_input(spark):
+    from frogocr_spark.operators.ml import isotonic_calibration
+    rows = [(0, 0), (4, 0), (5, 1), (9, 1)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    got = {r.bin: r.fit_e6
+           for r in isotonic_calibration(
+               df, F.col("s"), F.col("y") == 1, n_bins=2).collect()}
+    assert got == {0: 0, 1: 1000000}
+
+
+def test_isotonic_fit_is_nondecreasing(spark):
+    # mixed rates across 5 bins: whatever the pools, the output must be
+    # non-decreasing in bin (the defining isotonic property)
+    from frogocr_spark.operators.ml import isotonic_calibration
+    rows = [(s, 1 if (s * 7) % 3 == 0 else 0) for s in range(50)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    fits = [r.fit_e6 for r in isotonic_calibration(
+        df, F.col("s"), F.col("y") == 1, n_bins=5)
+        .orderBy("bin").collect()]
+    assert len(fits) == 5
+    assert fits == sorted(fits)
+
+
+def test_conformal_hand_case(spark):
+    # python twin of the definition over ids 1..40, one group; the md5
+    # half-split is replicated here with hashlib
+    import hashlib
+
+    from frogocr_spark.operators.ml import conformal_threshold
+    rows = [(i, "g", i * 3 % 17) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "event_id long, g string, s long")
+    r = conformal_threshold(
+        df, "g", F.col("s"), "event_id").collect()[0]
+    calib = sorted(
+        (s, str(i)) for i, _, s in rows
+        if hashlib.md5(str(i).encode()).hexdigest()[0] < "8")
+    hold = [s for i, _, s in rows
+            if hashlib.md5(str(i).encode()).hexdigest()[0] >= "8"]
+    n_cal = len(calib)
+    k = ((n_cal + 1) * 9 + 9) // 10
+    thr = calib[k - 1][0] if k <= n_cal else None
+    assert (r.n_cal, r.k, r.thr) == (n_cal, k, thr)
+    assert r.n_eval == len(hold)
+    assert r.coverage_e6 == sum(
+        1 for s in hold if s <= thr) * 10**6 // len(hold)
+
+
+def test_conformal_too_few_calibration_points(spark):
+    # 2 calibration points at alpha=0.1 -> k = ceil(3*0.9) = 3 > 2:
+    # no finite bound -> NULL thr and NULL coverage
+    import hashlib
+
+    from frogocr_spark.operators.ml import conformal_threshold
+    calib_ids = [i for i in range(1, 100)
+                 if hashlib.md5(str(i).encode()).hexdigest()[0] < "8"][:2]
+    hold_ids = [i for i in range(1, 100)
+                if hashlib.md5(str(i).encode()).hexdigest()[0] >= "8"][:3]
+    rows = [(i, "g", 5) for i in calib_ids + hold_ids]
+    df = spark.createDataFrame(rows, "event_id long, g string, s long")
+    r = conformal_threshold(df, "g", F.col("s"), "event_id").collect()[0]
+    assert (r.n_cal, r.k) == (2, 3)
+    assert r.thr is None and r.coverage_e6 is None
+
+
+def test_conformal_and_isotonic_guards(spark):
+    from frogocr_spark.operators.ml import (conformal_threshold,
+                                            isotonic_calibration)
+    df = spark.createDataFrame([(1, "g", 5)],
+                               "event_id long, g string, s long")
+    with pytest.raises(ValueError):
+        conformal_threshold(df, "g", F.col("s"), "event_id",
+                            alpha_num=0)
+    with pytest.raises(ValueError):
+        conformal_threshold(df, "g", F.col("s"), "event_id",
+                            calib_hex="G")
+    with pytest.raises(ValueError):
+        isotonic_calibration(df, F.col("s"), F.col("s") > 0, n_bins=0)
