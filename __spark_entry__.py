@@ -4931,6 +4931,43 @@ def _q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.col("event_type") == "purchase")
 
 
+def _q_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size health profile of the dedup graph: md5-2-hex-bucket
+    chain pairs → star CC (+ singleton coalesce) → log2 size histogram
+    with giant-component fraction — the over-merging alarm.  Oracle
+    knows each component is its bucket, so the hash match proves the
+    CC + profile pipeline end to end
+    (operators/dedup.cluster_size_profile)."""
+    from pyspark.sql import Window
+
+    from frogocr_spark.operators.dedup import (cluster_size_profile,
+                                               dup_clusters_star)
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "digest", F.substring(F.md5("text"), 1, 2))
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    pairs = (docs.withColumn("prev_id", F.lag("doc_id").over(w))
+             .where(F.col("prev_id").isNotNull())
+             .select(F.col("prev_id").alias("id_a"),
+                     F.col("doc_id").alias("id_b")))
+    comp = dup_clusters_star(pairs)
+    lab = (docs.select("doc_id").join(comp, "doc_id", "left")
+           .withColumn("cluster_id",
+                       F.coalesce("cluster_id", F.col("doc_id"))))
+    return cluster_size_profile(lab)
+
+
+def _q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS join-cardinality estimate vs the exact join size for the
+    click ⋈ purchase self-join of events on user_id — the
+    optimizer-statistics audit behind join reorder/broadcast decisions
+    (operators/sketches.cms_join_size)."""
+    from frogocr_spark.operators.sketches import cms_join_size
+    ev = _read(spark, sf_dir, "events")
+    return cms_join_size(ev.where(F.col("event_type") == "click"),
+                         ev.where(F.col("event_type") == "purchase"),
+                         "user_id")
+
+
 def _q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal upper bound on the event value score per event
     type at alpha=0.1: md5-half calibration split, k-th order statistic
@@ -5293,6 +5330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_ari": _q_clustering_ari,
         "isotonic": _q_isotonic,
         "conformal": _q_conformal,
+        "dup_profile": _q_dup_profile,
+        "join_size_est": _q_join_size_est,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -10632,4 +10671,23 @@ FROM pos2
                   CAST(floor(value * 100) AS BIGINT) AS s,
                   CAST(event_id AS VARCHAR) AS id
            FROM events""")
+    o["dup_profile"] = """
+        WITH sz AS (
+            SELECT substr(md5(text), 1, 2) AS g, count(*) AS size
+            FROM documents GROUP BY 1
+        ), tot AS (SELECT sum(size) AS td, max(size) AS mx FROM sz)
+        SELECT CAST(length(bin(size)) - 1 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(size) AS BIGINT) AS n_docs,
+               CAST(mx AS BIGINT) AS max_size,
+               CAST((CAST(mx AS HUGEINT) * 1000000) // td AS BIGINT)
+                   AS giant_frac_e6
+        FROM sz, tot GROUP BY 1, 4, 5
+    """
+    from frogocr_spark.operators.sketches import cms_join_size_oracle_sql
+    o["join_size_est"] = cms_join_size_oracle_sql(
+        """SELECT CAST(user_id AS VARCHAR) AS k FROM events
+           WHERE event_type = 'click'""",
+        """SELECT CAST(user_id AS VARCHAR) AS k FROM events
+           WHERE event_type = 'purchase'""")
     return o

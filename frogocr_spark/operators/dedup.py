@@ -974,3 +974,32 @@ def snm_candidates_oracle_sql(src_sql: str, key_expr: str,
         FROM ranked a JOIN ranked b
           ON b.r > a.r AND b.r - a.r <= {window}
     """
+
+
+def cluster_size_profile(clusters: DataFrame,
+                         cluster_col: str = "cluster_id") -> DataFrame:
+    """Health profile of a duplicate-cluster assignment — the audit a
+    pipeline runs BEFORE trusting dedup resolution at 100 TB: a
+    cluster-size histogram (log2 buckets, bucket = ⌊log2 size⌋ via the
+    binary-string length — no float log near powers of two) plus the
+    giant-component fraction, the loudest over-merging alarm (one hub
+    cluster absorbing the corpus means the pair generator or the CC is
+    broken).
+
+    Scale shape: ONE cluster-keyed count + ONE ≤64-row bucket agg; the
+    (max, total) stats ride a 1-row broadcast back onto the bucket
+    rows.  Output: one row per occupied bucket — ``(bucket,
+    n_clusters, n_docs, max_size, giant_frac_e6)``, the last two
+    repeated per row (giant_frac_e6 = max·1e6 DIV total docs)."""
+    sz = (clusters.groupBy(F.col(cluster_col).alias("_cl"))
+          .agg(F.count(F.lit(1)).alias("size")))
+    tot = sz.agg(F.sum("size").alias("_td"), F.max("size").alias("_mx"))
+    return (sz.groupBy(F.expr("length(bin(size)) - 1").cast("long")
+                       .alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"),
+                 F.sum("size").cast("long").alias("n_docs"))
+            .crossJoin(F.broadcast(tot))
+            .select("bucket", "n_clusters", "n_docs",
+                    F.col("_mx").cast("long").alias("max_size"),
+                    F.expr("(_mx * CAST(1000000 AS BIGINT)) DIV _td")
+                    .cast("long").alias("giant_frac_e6")))

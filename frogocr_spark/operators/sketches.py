@@ -507,3 +507,96 @@ def ams_f2_oracle_sql(src_sql: str, key_expr: str,
         SELECT f2_est, f2_exact, CAST({int(reps)} AS INT) AS reps
         FROM est CROSS JOIN exact
     """
+
+
+def cms_join_size(a: DataFrame, b: DataFrame, key_col: str,
+                  d: int = 4, w: int = 512) -> DataFrame:
+    """Join-cardinality estimation audit — the optimizer-statistics
+    question behind every join reorder / broadcast decision at 100 TB:
+    estimate |A ⋈_key B| from two count-min sketches and report it
+    against the exact size.
+
+    - exact |A ⋈ B| = Σ_k c_A(k)·c_B(k) — ONE keyed count agg per side
+      + one equi-join of the (distinct-key-bounded) count tables;
+    - estimate = min over the d hash rows of the row inner product
+      Σ_col cntA[r][col]·cntB[r][col] (the classic CMS/AMS join-size
+      estimator; collisions only ADD mass, so est ≥ exact always —
+      the report's ``over_e6`` is the relative overestimate).
+
+    Scale shape: each sketch is ≤ d·w cells regardless of input size;
+    the estimate is a ≤ d·w-row join + a d-row min.  A hash row whose
+    cells never collide with the other side contributes inner product
+    0 — the d-row spine join keeps it (dropping it would silently
+    raise the min).  Output: one row ``(n_a, n_b, exact_size,
+    est_size, over_e6)``; ``over_e6`` NULL when the exact size is 0.
+    """
+    sa = cms_build(a, key_col, d, w).select(
+        "row", "col", F.col("cnt").alias("ca"))
+    sb = cms_build(b, key_col, d, w).select(
+        "row", "col", F.col("cnt").alias("cb"))
+    spark = a.sparkSession
+    spine = spark.createDataFrame([(i,) for i in range(d)], "row int")
+    ip = (sa.join(sb, ["row", "col"])
+          .groupBy("row")
+          .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip")))
+    est = (spine.join(ip, "row", "left")
+           .agg(F.min(F.coalesce("ip", F.lit(0))).cast("long")
+                .alias("est_size")))
+    key = F.col(key_col).cast("string").alias("k")
+    ea = a.select(key).groupBy("k").agg(F.count(F.lit(1)).alias("na"))
+    eb = b.select(key).groupBy("k").agg(F.count(F.lit(1)).alias("nb"))
+    exact = (ea.join(eb, "k")
+             .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")),
+                             F.lit(0)).cast("long").alias("exact_size")))
+    na = a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    return (na.crossJoin(nb).crossJoin(exact).crossJoin(est)
+            .select("n_a", "n_b", "exact_size", "est_size",
+                    F.when(F.col("exact_size") > 0, F.expr(
+                        "((est_size - exact_size) "
+                        "* CAST(1000000 AS BIGINT)) DIV exact_size"))
+                    .cast("long").alias("over_e6")))
+
+
+def cms_join_size_oracle_sql(a_sql: str, b_sql: str, *, d: int = 4,
+                             w: int = 512) -> str:
+    """DuckDB twin of :func:`cms_join_size`.  ``a_sql``/``b_sql`` must
+    each yield one column ``k`` (VARCHAR)."""
+    rows = ", ".join(str(i) for i in range(d))
+
+    def cells(side: str) -> str:
+        return f"""
+            SELECT r.i AS row,
+                   CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR)
+                        || ':' || k), 1, 15)) AS BIGINT) % {w} AS col,
+                   count(*) AS cnt
+            FROM {side}, (SELECT unnest([{rows}]) AS i) r
+            GROUP BY 1, 2"""
+
+    return f"""
+        WITH a AS ({a_sql}), b AS ({b_sql}),
+        sa AS ({cells('a')}), sb AS ({cells('b')}),
+        ip AS (
+            SELECT sa.row, sum(sa.cnt * sb.cnt) AS ip
+            FROM sa JOIN sb ON sa.row = sb.row AND sa.col = sb.col
+            GROUP BY 1
+        ), est AS (
+            SELECT min(coalesce(ip.ip, 0)) AS est_size
+            FROM (SELECT unnest([{rows}]) AS row) spine
+            LEFT JOIN ip ON ip.row = spine.row
+        ), exact AS (
+            SELECT coalesce(sum(ea.na * eb.nb), 0) AS exact_size
+            FROM (SELECT k, count(*) AS na FROM a GROUP BY 1) ea
+            JOIN (SELECT k, count(*) AS nb FROM b GROUP BY 1) eb
+                 ON ea.k = eb.k
+        )
+        SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+               CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+               CAST(exact_size AS BIGINT) AS exact_size,
+               CAST(est_size AS BIGINT) AS est_size,
+               CAST(CASE WHEN exact_size > 0 THEN
+                        (CAST(est_size - exact_size AS HUGEINT)
+                         * 1000000) // exact_size
+                    END AS BIGINT) AS over_e6
+        FROM exact, est
+    """

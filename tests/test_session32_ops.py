@@ -241,3 +241,57 @@ def test_conformal_and_isotonic_guards(spark):
                             calib_hex="G")
     with pytest.raises(ValueError):
         isotonic_calibration(df, F.col("s"), F.col("s") > 0, n_bins=0)
+
+
+def test_cluster_size_profile_hand_case(spark):
+    from frogocr_spark.operators.dedup import cluster_size_profile
+    df = spark.createDataFrame(
+        [("d1", "c1"), ("d2", "c1"), ("d3", "c1"), ("d4", "c2")],
+        "doc_id string, cluster_id string")
+    got = {r.bucket: (r.n_clusters, r.n_docs, r.max_size,
+                      r.giant_frac_e6)
+           for r in cluster_size_profile(df).collect()}
+    # sizes {3, 1} -> buckets floor(log2): 1 and 0; giant 3/4
+    assert got == {1: (1, 3, 3, 750000), 0: (1, 1, 3, 750000)}
+
+
+def test_cms_join_size_python_twin(spark):
+    # exact inner-product twin of both the true join size and the CMS
+    # row estimates at w=8 (small enough to force collisions)
+    import hashlib
+    from collections import Counter
+
+    from frogocr_spark.operators.sketches import cms_join_size
+    ka = ["x", "x", "y", "q"]
+    kb = ["x", "y", "y", "z"]
+    a = spark.createDataFrame([(k,) for k in ka], "k string")
+    b = spark.createDataFrame([(k,) for k in kb], "k string")
+    r = cms_join_size(a, b, "k", d=4, w=8).collect()[0]
+    ca, cb = Counter(ka), Counter(kb)
+    exact = sum(ca[k] * cb[k] for k in ca)
+
+    def cell(row, k, w=8):
+        return int(hashlib.md5(f"{row}:{k}".encode())
+                   .hexdigest()[:15], 16) % w
+
+    ests = []
+    for row in range(4):
+        sa, sb = Counter(), Counter()
+        for k in ka:
+            sa[cell(row, k)] += 1
+        for k in kb:
+            sb[cell(row, k)] += 1
+        ests.append(sum(sa[c] * sb[c] for c in sa))
+    assert (r.n_a, r.n_b, r.exact_size) == (4, 4, exact)
+    assert r.est_size == min(ests)
+    assert r.est_size >= exact
+    assert r.over_e6 == (r.est_size - exact) * 10**6 // exact
+
+
+def test_cms_join_size_disjoint_keys(spark):
+    from frogocr_spark.operators.sketches import cms_join_size
+    a = spark.createDataFrame([("p",)], "k string")
+    b = spark.createDataFrame([("q",)], "k string")
+    r = cms_join_size(a, b, "k").collect()[0]
+    assert r.exact_size == 0 and r.over_e6 is None
+    assert r.est_size >= 0
