@@ -5000,6 +5000,17 @@ def _q_clustering_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_agreement_ari(emb, k_a=4, k_b=8, iters=3)
 
 
+def _q_spectral2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 uncentered principal directions + eigenvalues + explained
+    energy of the embedding corpus: the spectral chain plus one
+    multiplied-through integer deflation (H = (v'v)²G − (v'Gv)vv',
+    truncated) — PCA-pair cartography from ONE distributed Gram fold
+    (operators/similarity.power_iteration_top2)."""
+    from frogocr_spark.operators.similarity import power_iteration_top2
+    emb = _read(spark, sf_dir, "embeddings")
+    return power_iteration_top2(emb, use_dims=16, iters=4)
+
+
 _DBSCAN_MIN_PTS = 3
 
 
@@ -5332,6 +5343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal": _q_conformal,
         "dup_profile": _q_dup_profile,
         "join_size_est": _q_join_size_est,
+        "spectral2": _q_spectral2,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -10652,6 +10664,10 @@ FROM pos2
     from frogocr_spark.operators.similarity import (
         power_iteration_oracle_sql)
     o["spectral"] = power_iteration_oracle_sql(
+        "SELECT embedding FROM embeddings", use_dims=16, iters=4)
+    from frogocr_spark.operators.similarity import (
+        power_iteration_top2_oracle_sql)
+    o["spectral2"] = power_iteration_top2_oracle_sql(
         "SELECT embedding FROM embeddings", use_dims=16, iters=4)
     from frogocr_spark.operators.clustering import (
         kmeans_agreement_oracle_sql, kmeans_silhouette_oracle_sql)

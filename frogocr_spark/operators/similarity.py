@@ -968,3 +968,193 @@ def power_iteration_oracle_sql(vecs_sql: str, *, use_dims: int = 16,
                CAST(ray.r AS BIGINT) AS rayleigh_e6
         FROM v{n}, ray""")
     return "".join(sql)
+
+
+def power_iteration_top2(df: DataFrame, *, vec_col: str = "embedding",
+                         use_dims: int = 16, scale: int = 4096,
+                         iters: int = 4,
+                         deflate_div: int = 10 ** 26) -> DataFrame:
+    """Top-2 uncentered principal directions + eigenvalues + explained
+    energy — the PCA pair embedding-cartography plots need, via
+    :func:`power_iteration_int`'s fixed-iteration chain plus one
+    integer DEFLATION step:
+
+    - v₁, λ₁ from the same power chain as ``power_iteration_int``;
+    - deflated matrix, multiplied through so no rational exists:
+      ``H = (v₁'v₁)²·G − (v₁'Gv₁)·v₁v₁'`` (same eigenvectors as the
+      textbook ``G − λ₁v₁v₁'/(v₁'v₁)``, eigenvalues scaled by
+      (v₁'v₁)²), then ``H ← trunc(H / deflate_div)`` so every later
+      fold fits 128-bit integers — a deterministic quantization BOTH
+      engines apply identically (the operator is DEFINED over the
+      truncated deflate; at the defaults the truncation is ~1e-12
+      relative);
+    - v₂ = power iteration on the truncated H (an all-zero H — a
+      rank-1 corpus — yields the zero vector, reported as-is);
+    - λ₂ = Rayleigh of v₂ against the ORIGINAL G;
+    - energy share: λ·1e6 DIV trace(G) per component (trace = Σλᵢ for
+      PSD G, so these are the classic explained-variance ratios,
+      uncentered).
+
+    Every signed division is TRUNCATING (:func:`_tdiv` / DuckDB
+    ``//``).  Magnitude audit at the defaults (|q| ≤ 4096, d = 16):
+    G ≤ N·scale², H pre-division ≤ (d·1e12)²·G ≈ 2.6e26·G — int128-
+    safe to N ≈ 6e5 corpus rows; beyond, raise ``deflate_div`` and
+    lower ``scale``.  Scale shape: identical to
+    ``power_iteration_int`` — ALL corpus-scale work is the one
+    distributed Gram fold; everything after is O(d²) driver/CTE
+    arithmetic.  Output: d rows ``(i, c1_e6, c2_e6, lambda1_e6,
+    lambda2_e6, energy1_e6, energy2_e6)``."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    d = int(use_dims)
+    rows = gram_matrix_int(df, vec_col=vec_col, use_dims=d,
+                           scale=scale).collect()
+    G = [[0] * d for _ in range(d)]
+    for r in rows:
+        G[int(r["i"])][int(r["j"])] = int(r["gram"])
+        G[int(r["j"])][int(r["i"])] = int(r["gram"])
+
+    def matvec(M, x):
+        return [sum(M[i][j] * x[j] for j in range(d)) for i in range(d)]
+
+    def iterate(M):
+        v = [10 ** 6] * d
+        for _ in range(iters):
+            w = matvec(M, v)
+            m = max(abs(c) for c in w)
+            if m == 0:
+                return [0] * d
+            v = [_tdiv(c * 10 ** 6, m) for c in w]
+        return v
+
+    def rayleigh(x):
+        den = sum(c * c for c in x)
+        if den == 0:
+            return 0
+        return _tdiv(sum(x[i] * matvec(G, x)[i] for i in range(d))
+                     * 10 ** 6, den)
+
+    v1 = iterate(G)
+    if all(c == 0 for c in v1):
+        raise ValueError("all-zero Gram matrix: no dominant "
+                         "eigenvector (empty or zero corpus)")
+    l1 = rayleigh(v1)
+    s1 = sum(c * c for c in v1)
+    s2 = sum(v1[i] * matvec(G, v1)[i] for i in range(d))
+    H = [[_tdiv(s1 * s1 * G[i][j] - s2 * v1[i] * v1[j],
+                int(deflate_div))
+          for j in range(d)] for i in range(d)]
+    v2 = iterate(H)
+    l2 = rayleigh(v2)
+    tr = sum(G[i][i] for i in range(d))
+    e1 = _tdiv(l1 * 10 ** 6, tr * 10 ** 6) if tr else 0
+    e2 = _tdiv(l2 * 10 ** 6, tr * 10 ** 6) if tr else 0
+    return df.sparkSession.createDataFrame(
+        [(i, v1[i], v2[i], l1, l2, e1, e2) for i in range(d)],
+        "i long, c1_e6 long, c2_e6 long, lambda1_e6 long, "
+        "lambda2_e6 long, energy1_e6 long, energy2_e6 long")
+
+
+def power_iteration_top2_oracle_sql(vecs_sql: str, *,
+                                    use_dims: int = 16,
+                                    scale: int = 4096, iters: int = 4,
+                                    deflate_div: int = 10 ** 26) -> str:
+    """DuckDB twin of :func:`power_iteration_top2` — the
+    ``power_iteration_oracle_sql`` chain, then the outer-product
+    deflation as a 2-vector cross join, a second unrolled iteration
+    chain over the truncated H, and the Rayleigh/trace/energy rollup.
+    All HUGEINT; every ``//`` truncates, matching ``_tdiv``."""
+    d, sc, dd = int(use_dims), int(scale), int(deflate_div)
+    sql = [f"""
+        WITH vq AS (
+            SELECT list_transform(v, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * {sc}) AS BIGINT))
+                   AS q, rid
+            FROM (SELECT embedding AS v, row_number() OVER () AS rid
+                  FROM ({vecs_sql}))
+        ), ex AS (
+            SELECT rid, i, q[CAST(i AS INT)] AS val
+            FROM vq, range(1, {d} + 1) r(i)
+        ), g AS (
+            SELECT a.i - 1 AS i, b.i - 1 AS j,
+                   SUM(CAST(a.val AS HUGEINT) * b.val) AS gram
+            FROM ex a JOIN ex b ON a.rid = b.rid AND b.i >= a.i
+            GROUP BY 1, 2
+        ), gs AS MATERIALIZED (
+            SELECT i, j, gram FROM g
+            UNION ALL
+            SELECT j, i, gram FROM g WHERE i <> j
+        ), v0 AS (
+            SELECT CAST(t.i AS BIGINT) AS i,
+                   CAST(1000000 AS HUGEINT) AS v
+            FROM range(0, {d}) t(i)
+        )"""]
+    for r in range(1, iters + 1):
+        p = r - 1
+        sql.append(f""", w{r} AS MATERIALIZED (
+            SELECT gs.i, SUM(gs.gram * vp.v) AS w
+            FROM gs JOIN v{p} vp ON vp.i = gs.j GROUP BY 1
+        ), v{r} AS MATERIALIZED (
+            SELECT w{r}.i, (w * 1000000)
+                   // (SELECT max(abs(w)) FROM w{r}) AS v
+            FROM w{r}
+        )""")
+    n = iters
+    sql.append(f""", gv AS MATERIALIZED (
+            SELECT gs.i, SUM(gs.gram * vp.v) AS w
+            FROM gs JOIN v{n} vp ON vp.i = gs.j GROUP BY 1
+        ), sc1 AS MATERIALIZED (
+            SELECT (SELECT SUM(v * v) FROM v{n}) AS s1,
+                   (SELECT SUM(v{n}.v * gv.w)
+                    FROM v{n} JOIN gv ON gv.i = v{n}.i) AS s2
+        ), hm AS MATERIALIZED (
+            SELECT gs.i, gs.j,
+                   (sc1.s1 * sc1.s1 * gs.gram
+                    - sc1.s2 * a.v * b.v) // {dd} AS h
+            FROM gs, sc1, v{n} a, v{n} b
+            WHERE a.i = gs.i AND b.i = gs.j
+        ), u0 AS (
+            SELECT CAST(t.i AS BIGINT) AS i,
+                   CAST(1000000 AS HUGEINT) AS v
+            FROM range(0, {d}) t(i)
+        )""")
+    for r in range(1, iters + 1):
+        p = r - 1
+        sql.append(f""", x{r} AS MATERIALIZED (
+            SELECT hm.i, SUM(hm.h * up.v) AS w
+            FROM hm JOIN u{p} up ON up.i = hm.j GROUP BY 1
+        ), y{r} AS MATERIALIZED (
+            SELECT max(abs(w)) AS m FROM x{r}
+        ), u{r} AS MATERIALIZED (
+            SELECT x{r}.i,
+                   CASE WHEN y{r}.m = 0 THEN CAST(0 AS HUGEINT)
+                        ELSE (w * 1000000) // y{r}.m END AS v
+            FROM x{r}, y{r}
+        )""")
+    sql.append(f""", gv2 AS MATERIALIZED (
+            SELECT gs.i, SUM(gs.gram * up.v) AS w
+            FROM gs JOIN u{n} up ON up.i = gs.j GROUP BY 1
+        ), fin AS MATERIALIZED (
+            SELECT (SELECT (s2 * 1000000) // s1 FROM sc1) AS l1,
+                   CASE WHEN (SELECT SUM(v * v) FROM u{n}) = 0
+                        THEN CAST(0 AS HUGEINT)
+                        ELSE (SELECT SUM(u{n}.v * gv2.w) FROM u{n}
+                              JOIN gv2 ON gv2.i = u{n}.i) * 1000000
+                             // (SELECT SUM(v * v) FROM u{n}) END AS l2,
+                   (SELECT SUM(gram) FROM gs WHERE i = j) AS tr
+        )
+        SELECT CAST(v{n}.i AS BIGINT) AS i,
+               CAST(v{n}.v AS BIGINT) AS c1_e6,
+               CAST(u{n}.v AS BIGINT) AS c2_e6,
+               CAST(fin.l1 AS BIGINT) AS lambda1_e6,
+               CAST(fin.l2 AS BIGINT) AS lambda2_e6,
+               CAST(CASE WHEN fin.tr = 0 THEN 0
+                         ELSE (fin.l1 * 1000000)
+                              // (fin.tr * 1000000) END AS BIGINT)
+                   AS energy1_e6,
+               CAST(CASE WHEN fin.tr = 0 THEN 0
+                         ELSE (fin.l2 * 1000000)
+                              // (fin.tr * 1000000) END AS BIGINT)
+                   AS energy2_e6
+        FROM v{n} JOIN u{n} ON u{n}.i = v{n}.i, fin""")
+    return "".join(sql)

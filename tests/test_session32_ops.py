@@ -295,3 +295,40 @@ def test_cms_join_size_disjoint_keys(spark):
     r = cms_join_size(a, b, "k").collect()[0]
     assert r.exact_size == 0 and r.over_e6 is None
     assert r.est_size >= 0
+
+
+def test_power_iteration_top2_separable_axes(spark):
+    # axis-aligned corpus: G = diag(2s, s) -> first component on axis
+    # 0, second on axis 1; eigen-energies 2/3 and 1/3 of the trace
+    from frogocr_spark.operators.similarity import power_iteration_top2
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    rows = (power_iteration_top2(df, use_dims=2, iters=4)
+            .orderBy("i").collect())
+    s = 4096 * 4096
+    assert [r.c1_e6 for r in rows] == [1000000, 62500]
+    # the deflated dominant direction is axis 1 (up to sign); at
+    # iters=4 on an eigen-gap of 2, v1 carries a ~1/16 residual and
+    # the deflation inherits it — tolerances sized to that, the
+    # engine-exactness itself is pinned by the oracle hash match
+    assert abs(rows[1].c2_e6) == 1000000
+    assert abs(rows[0].c2_e6) <= 160000
+    assert abs(rows[0].lambda2_e6 - s * 10**6) <= s * 10**6 // 25
+    assert abs(rows[0].energy1_e6 - 666666) <= 10000
+    assert abs(rows[0].energy2_e6 - 333333) <= 10000
+
+
+def test_power_iteration_top2_rank1_exact_zero_deflate(spark):
+    # identical vectors: H = s1^2*G - s2*v1v1' vanishes EXACTLY, so the
+    # second component is the zero vector with lambda2 = energy2 = 0
+    from frogocr_spark.operators.similarity import power_iteration_top2
+    df = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(1, 4)],
+        "vec_id long, embedding array<float>")
+    rows = (power_iteration_top2(df, use_dims=2, iters=4)
+            .orderBy("i").collect())
+    assert [r.c1_e6 for r in rows] == [1000000, 1000000]
+    assert [r.c2_e6 for r in rows] == [0, 0]
+    assert rows[0].lambda2_e6 == 0 and rows[0].energy2_e6 == 0
+    assert rows[0].energy1_e6 >= 999999  # lambda1 = trace (rank 1)
