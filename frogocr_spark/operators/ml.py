@@ -478,6 +478,11 @@ def isotonic_calibration(df: DataFrame, score, is_pos,
 
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if key_scale < 10 ** 6 or key_scale % 10 ** 6:
+        # fit_e6 = key DIV (key_scale/1e6): a scale below 1e6 (or not a
+        # multiple) would make that divisor 0 / lossy
+        raise ValueError(f"key_scale must be a multiple of 1e6 >= 1e6, "
+                         f"got {key_scale}")
     base = df.select(score.cast("long").alias("s"),
                      is_pos.cast("long").alias("y"))
     rng = base.groupBy().agg(F.min("s").alias("smin"),

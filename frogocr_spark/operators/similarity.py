@@ -1006,6 +1006,8 @@ def power_iteration_top2(df: DataFrame, *, vec_col: str = "embedding",
     lambda2_e6, energy1_e6, energy2_e6)``."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if deflate_div < 1:
+        raise ValueError(f"deflate_div must be >= 1, got {deflate_div}")
     d = int(use_dims)
     rows = gram_matrix_int(df, vec_col=vec_col, use_dims=d,
                            scale=scale).collect()

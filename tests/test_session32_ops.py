@@ -241,6 +241,14 @@ def test_conformal_and_isotonic_guards(spark):
                             calib_hex="G")
     with pytest.raises(ValueError):
         isotonic_calibration(df, F.col("s"), F.col("s") > 0, n_bins=0)
+    with pytest.raises(ValueError, match="key_scale"):
+        isotonic_calibration(df, F.col("s"), F.col("s") > 0,
+                             key_scale=500)
+    from frogocr_spark.operators.similarity import power_iteration_top2
+    edf = spark.createDataFrame([(1, [1.0, 0.0])],
+                                "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="deflate_div"):
+        power_iteration_top2(edf, use_dims=2, deflate_div=0)
 
 
 def test_cluster_size_profile_hand_case(spark):
