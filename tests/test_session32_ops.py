@@ -340,3 +340,117 @@ def test_power_iteration_top2_rank1_exact_zero_deflate(spark):
     assert [r.c2_e6 for r in rows] == [0, 0]
     assert rows[0].lambda2_e6 == 0 and rows[0].energy2_e6 == 0
     assert rows[0].energy1_e6 >= 999999  # lambda1 = trace (rank 1)
+
+
+def _dbscan_twin(pts, eps, min_pts):
+    # independent textbook DBSCAN with the same determinism rules:
+    # brute-force neighbors, union-find min-label cores, min-cluster
+    # border assignment
+    ids = [p[0] for p in pts]
+    xy = {p[0]: (p[1], p[2]) for p in pts}
+    nb = {i: [] for i in ids}
+    for i in ids:
+        for j in ids:
+            if i != j:
+                dx = xy[i][0] - xy[j][0]
+                dy = xy[i][1] - xy[j][1]
+                if dx * dx + dy * dy <= eps * eps:
+                    nb[i].append(j)
+    core = {i for i in ids if len(nb[i]) + 1 >= min_pts}
+    parent = {i: i for i in core}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in core:
+        for j in nb[i]:
+            if j in core:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+    # min id per component
+    comp = {}
+    for i in core:
+        r = find(i)
+        comp[r] = min(comp.get(r, i), i)
+    out = {}
+    for i in ids:
+        if i in core:
+            out[i] = ("core", comp[find(i)])
+        else:
+            cls = [comp[find(j)] for j in nb[i] if j in core]
+            out[i] = ("border", min(cls)) if cls else ("noise", None)
+    return out
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_dbscan_random_vs_twin(spark, seed):
+    import random
+
+    from frogocr_spark.operators.clustering import dbscan_grid
+    rng = random.Random(seed)
+    n = rng.randint(4, 24)
+    pts = [(i, rng.randint(0, 20), rng.randint(0, 20))
+           for i in range(1, n + 1)]
+    eps = rng.randint(1, 5)
+    min_pts = rng.randint(1, 5)
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {r.id: (r.role, r.cluster_id)
+           for r in dbscan_grid(df, eps, min_pts).collect()}
+    assert got == _dbscan_twin(pts, eps, min_pts)
+
+
+def _pava_twin(bins):
+    # textbook sequential pool-adjacent-violators on (count, positives)
+    # ordered bins; exact rational pool means via Fraction
+    from fractions import Fraction
+    pools = []  # [sum_p, sum_c, bins_in_pool]
+    for c, p in bins:
+        pools.append([p, c, 1])
+        while (len(pools) >= 2
+               and Fraction(pools[-2][0], pools[-2][1])
+               > Fraction(pools[-1][0], pools[-1][1])):
+            p2, c2, k2 = pools.pop()
+            p1, c1, k1 = pools.pop()
+            pools.append([p1 + p2, c1 + c2, k1 + k2])
+    res = []
+    for p, c, k in pools:
+        res.extend([Fraction(p, c)] * k)
+    return res
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_isotonic_random_vs_pava_twin(spark, seed):
+    # the minimax-over-integer-keys form must equal floor(1e6 * the
+    # textbook sequential PAVA pool means) on random labeled sets
+    import random
+
+    from frogocr_spark.operators.ml import isotonic_calibration
+    rng = random.Random(1000 + seed)
+    rows = [(s, rng.randint(0, 1))
+            for s in range(rng.randint(10, 60)) for _ in range(
+                rng.randint(1, 3))]
+    df = spark.createDataFrame(rows, "s long, y long")
+    n_bins = rng.randint(1, 6)
+    got = sorted(
+        (r.bin, r.n, r.fit_e6)
+        for r in isotonic_calibration(df, F.col("s"), F.col("y") == 1,
+                                      n_bins=n_bins).collect())
+    # rebuild the binning exactly, then run textbook PAVA
+    smin = min(s for s, _ in rows)
+    smax = max(s for s, _ in rows)
+    from collections import defaultdict
+    agg = defaultdict(lambda: [0, 0])
+    for s, y in rows:
+        b = ((s - smin) * n_bins) // (smax - smin + 1) if smax > smin else 0
+        agg[b][0] += 1
+        agg[b][1] += y
+    ordered = sorted(agg.items())
+    fits = _pava_twin([(c, p) for _, (c, p) in ordered])
+    exp = sorted((b, c, int(f * 10**6))
+                 for (b, (c, p)), f in zip(ordered, fits))
+    assert got == exp
