@@ -907,6 +907,24 @@ def main() -> None:
                 f"dbscan_joins={pdb.count('Join')}, cartesian=0, "
                 f"silhouette_joins={psil.count('Join')}")
 
+    # 52. session-33 operators keep their scale shapes: the conformal
+    #     rank window is PARTITIONED by group (no single-partition
+    #     exchange — a global rank would serialize the corpus), and the
+    #     dedup profile / join-size / isotonic pipelines are
+    #     cartesian-free (their only tiny-table joins are broadcast:
+    #     the ≤n_bins minimax relation, the d-row sketch spine, the
+    #     1-row stats rows).
+    pcf = executed(entry._q_conformal(spark, SF))
+    pdp = executed(entry._q_dup_profile(spark, SF))
+    pjs = executed(entry._q_join_size_est(spark, SF))
+    piso = executed(entry._q_isotonic(spark, SF))
+    ok &= check("conformal group-partitioned; profile/join-size/isotonic "
+                "cartesian-free",
+                "SinglePartition" not in pcf
+                and all("CartesianProduct" not in p
+                        for p in (pcf, pdp, pjs, piso)),
+                f"conformal_single_partition=0, cartesian=0 across 4 plans")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
