@@ -5011,6 +5011,22 @@ def _q_spectral2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration_top2(emb, use_dims=16, iters=4)
 
 
+_EDIT_MAX_DIST = 10
+
+
+def _q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded edit-distance similarity join over documents: SNM
+    prefix blocking (12-char key, window 3) + thresholded Levenshtein
+    verify (banded DP, −1 past the bound) — the record-linkage dedup
+    for character-level noise that token-set similarity under-weights.
+    Candidates O(N·w) via the rank band join, never quadratic
+    (operators/dedup.edit_distance_pairs)."""
+    from frogocr_spark.operators.dedup import edit_distance_pairs
+    docs = _read(spark, sf_dir, "documents")
+    return edit_distance_pairs(docs, max_dist=_EDIT_MAX_DIST,
+                               key_len=12, window=_SNM_WINDOW)
+
+
 _DBSCAN_MIN_PTS = 3
 
 
@@ -5344,6 +5360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_profile": _q_dup_profile,
         "join_size_est": _q_join_size_est,
         "spectral2": _q_spectral2,
+        "dedup_edit": _q_dedup_edit,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -10669,6 +10686,11 @@ FROM pos2
         power_iteration_top2_oracle_sql)
     o["spectral2"] = power_iteration_top2_oracle_sql(
         "SELECT embedding FROM embeddings", use_dims=16, iters=4)
+    from frogocr_spark.operators.dedup import (
+        edit_distance_pairs_oracle_sql)
+    o["dedup_edit"] = edit_distance_pairs_oracle_sql(
+        "SELECT doc_id, text FROM documents",
+        max_dist=_EDIT_MAX_DIST, key_len=12, window=_SNM_WINDOW)
     from frogocr_spark.operators.clustering import (
         kmeans_agreement_oracle_sql, kmeans_silhouette_oracle_sql)
     o["silhouette"] = kmeans_silhouette_oracle_sql(k=4, iters=3)

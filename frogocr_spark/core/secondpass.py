@@ -153,8 +153,12 @@ def _merge_two_pass(raw: str, run_second: bool) -> tuple[list[Word], float]:
         regions = []
     fp_conf = np.fromiter((w.conf for w in fp_words), np.float32,
                           len(fp_words))
-    fp_mean = np.float32(fp_conf.mean(dtype=np.float32)
-                         if len(fp_conf) else 1.0)
+    # sum/div form is bit-identical to .mean(dtype=float32) (same pairwise
+    # umr_sum, same float32 division — asserted over the conf alphabet in
+    # tests) but skips numpy's _mean dispatch, which dominates on the tiny
+    # per-row arrays this path sees
+    fp_mean = (fp_conf.sum(dtype=np.float32) / np.float32(len(fp_conf))
+               if len(fp_conf) else np.float32(1.0))
 
     # J1 + J3: regions where the first pass did badly.  First-pass words
     # are disjoint and emitted in increasing-position order, so both their
@@ -173,7 +177,8 @@ def _merge_two_pass(raw: str, run_second: bool) -> tuple[list[Word], float]:
             hi = bisect.bisect_left(starts, r[1])
             idx = [i for i in range(lo, hi)
                    if overlaps_either((starts[i], ends[i]), r)]
-            mean = (np.float32(fp_conf[idx].mean(dtype=np.float32))
+            mean = (fp_conf[idx].sum(dtype=np.float32)
+                    / np.float32(len(idx))
                     if idx else np.float32(1.0))
             if mean < QUAD_GATE:
                 kept_regions.append(r)
@@ -231,8 +236,9 @@ def _merge_two_pass(raw: str, run_second: bool) -> tuple[list[Word], float]:
     merged.sort(key=lambda w: (w.order_key, w.start, w.end))
 
     if sp_words:
-        sp_mean = np.float32(np.mean([w.conf for w in sp_words],
-                                     dtype=np.float32))
+        sp_conf = np.fromiter((w.conf for w in sp_words), np.float32,
+                              len(sp_words))
+        sp_mean = sp_conf.sum(dtype=np.float32) / np.float32(len(sp_conf))
         doc_conf = float((fp_mean + sp_mean) / np.float32(2.0))  # A6
     else:
         doc_conf = float(fp_mean)

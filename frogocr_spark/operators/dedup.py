@@ -1003,3 +1003,73 @@ def cluster_size_profile(clusters: DataFrame,
                     F.col("_mx").cast("long").alias("max_size"),
                     F.expr("(_mx * CAST(1000000 AS BIGINT)) DIV _td")
                     .cast("long").alias("giant_frac_e6")))
+
+
+def edit_distance_pairs(df: DataFrame, max_dist: int = 10,
+                        key_len: int = 12, window: int = 3,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Bounded edit-distance similarity join: sorted-neighborhood
+    blocking (:func:`snm_candidates` on a ``key_len``-char trimmed text
+    prefix) + exact Levenshtein verification — the classic
+    record-linkage dedup for OCR/transcription noise, where near-dups
+    differ by character edits that token-level Jaccard/MinHash
+    under-weights (reference two-pass replacement analog: words that
+    differ by recognition noise, ``Source/TaskProcessor.cpp:390``
+    neighborhood).
+
+    Scale shape: candidates are SNM band-join output (O(N·w), never
+    quadratic); texts ride back via two corpus-keyed equi-joins; the
+    symmetric length filter ``|len(a)−len(b)| ≤ d`` prunes before the
+    verify, and the verify itself uses Spark's THRESHOLDED
+    ``levenshtein(l, r, d)`` (banded DP, O(d·min(m,n)) with early
+    exit, returning −1 past the bound) so a pathological candidate
+    pair never pays the full O(m·n) matrix.  Output:
+    ``(id_a, id_b, dist)`` with dist ≤ max_dist.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(F.trim(F.col(text_col)), 1, key_len).alias("_k"))
+    cands = snm_candidates(keyed, "_k", window)
+    txt = df.select(F.col(id_col).alias("_tid"),
+                    F.col(text_col).alias("_txt"),
+                    F.length(text_col).alias("_len"))
+    scored = (
+        cands
+        .join(txt.select(F.col("_tid").alias("id_a"),
+                         F.col("_txt").alias("_ta"),
+                         F.col("_len").alias("_la")), "id_a")
+        .join(txt.select(F.col("_tid").alias("id_b"),
+                         F.col("_txt").alias("_tb"),
+                         F.col("_len").alias("_lb")), "id_b")
+        .where(F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+        .select("id_a", "id_b",
+                F.levenshtein("_ta", "_tb", max_dist).alias("dist")))
+    return scored.where(F.col("dist") >= 0)
+
+
+def edit_distance_pairs_oracle_sql(src_sql: str, max_dist: int = 10,
+                                   key_len: int = 12,
+                                   window: int = 3) -> str:
+    """DuckDB twin of :func:`edit_distance_pairs` — textbook form:
+    rank-distance SNM candidates, length filter, full ``levenshtein``
+    (DuckDB has no banded variant; equality with the thresholded Spark
+    result on kept rows is exactly what the hash proves)."""
+    return f"""
+        WITH src AS ({src_sql}),
+        ranked AS (
+            SELECT doc_id AS id, text, length(text) AS len,
+                   row_number() OVER (
+                       ORDER BY substr(trim(text), 1, {key_len}),
+                                doc_id) AS r
+            FROM src
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(levenshtein(a.text, b.text) AS INT) AS dist
+        FROM ranked a JOIN ranked b
+          ON b.r > a.r AND b.r - a.r <= {window}
+        WHERE abs(a.len - b.len) <= {max_dist}
+          AND levenshtein(a.text, b.text) <= {max_dist}
+    """

@@ -174,3 +174,28 @@ def test_window_pruning_matches_exhaustive_scan():
                     assert (w.start, w.end) in got_sp_words
                     checked += 1
     assert checked > 50  # the assertion actually exercised real regions
+
+
+def test_sumdiv_mean_bit_identity():
+    """The hot-path sum/div confidence means (secondpass._merge_two_pass)
+    must be bit-identical to the np.mean(dtype=float32) forms they
+    replaced, over the actual confidence alphabet at every array size the
+    pairwise summation regime distinguishes (incl. >8 and >2*8192-block
+    boundaries are unreachable per-row, 4097 covers the pairwise split)."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(7)
+    alphabet = [float(sp.FIRSTPASS_CONF), float(sp.GARBLED_CONF),
+                float(sp.SECONDPASS_CONF), float(sp.SECONDPASS_HARD_CONF)]
+    for n in list(range(1, 33)) + [100, 1000, 4097]:
+        a = np.array([rng.choice(alphabet) for _ in range(n)],
+                     dtype=np.float32)
+        lhs = a.sum(dtype=np.float32) / np.float32(n)
+        rhs = np.float32(a.mean(dtype=np.float32))
+        assert np.float32(lhs).tobytes() == rhs.tobytes(), n
+        idx = sorted(rng.sample(range(n), max(1, n // 3)))
+        lhs = a[idx].sum(dtype=np.float32) / np.float32(len(idx))
+        rhs = np.float32(a[idx].mean(dtype=np.float32))
+        assert np.float32(lhs).tobytes() == rhs.tobytes(), n
