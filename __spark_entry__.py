@@ -5027,6 +5027,83 @@ def _q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
                                key_len=12, window=_SNM_WINDOW)
 
 
+_COMPACT_TARGET = 2000
+
+
+def _q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (Iceberg rewrite_data_files
+    binpack analog): greedy close-at-threshold packing of each
+    source's file manifest into ~target-byte output bins.  Plans over
+    the MANIFEST (one row per file), one group shuffle + per-group
+    Arrow-batch pack; the oracle replays the walk as a recursive CTE
+    (operators/layout.compaction_plan)."""
+    from frogocr_spark.operators.layout import compaction_plan
+    docs = _read(spark, sf_dir, "documents")
+    return compaction_plan(docs, group_col="source", id_col="doc_id",
+                           size_col="n_chars", target=_COMPACT_TARGET)
+
+
+_CV_K = 5
+
+
+def _q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-fold cross-validation of the exact 1R decision stump over
+    events (same feature/label as `stump`): md5(event_id) mod k folds,
+    per-fold exact train and held-out-test accuracy counts — the
+    generalization audit behind any learned curation rule.  2k bounded
+    passes over a localCheckpointed base (operators/ml.cv_stump)."""
+    from frogocr_spark.operators.ml import cv_stump
+    ev = _read(spark, sf_dir, "events")
+    return cv_stump(ev, F.round(F.col("value") * 100, 0),
+                    F.col("event_type") == "error", id_col="event_id",
+                    k=_CV_K)
+
+
+_SQA_RATE_MOD = 8
+
+
+def _q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-quantile error audit: exact nearest-rank p50/p90/p99
+    per event type on the full data vs the md5 1-in-8 hash sample —
+    the measured can-a-sample-profile-this-column answer, tails
+    included.  Two rank-window passes + one tiny group join
+    (operators/analytics.sample_quantile_audit)."""
+    from frogocr_spark.operators.analytics import sample_quantile_audit
+    ev = _read(spark, sf_dir, "events")
+    return sample_quantile_audit(
+        ev, "event_type", F.round(F.col("value") * 100, 0), "event_id",
+        rate_mod=_SQA_RATE_MOD)
+
+
+def _q_ivm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance audit: the per-type (count, cent
+    sum) view absorbs a synthetic CDC batch (deletes = event_id % 17
+    == 0, inserts = copies of event_id % 13 == 0 at value+7) via the
+    delta algebra — maintained result joined against the full
+    recompute of base∖deletes∪inserts, so any divergent row is an IVM
+    bug.  Delta side = ONE small keyed agg
+    (operators/analytics.ivm_group_counts)."""
+    from frogocr_spark.operators.analytics import ivm_group_counts
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    dels = (ev.where(F.col("event_id") % 17 == 0)
+            .select(F.lit("D").alias("op"), "event_type", "cents"))
+    ins = (ev.where(F.col("event_id") % 13 == 0)
+           .select(F.lit("I").alias("op"), "event_type",
+                   (F.col("cents") + 7).alias("cents")))
+    delta = dels.unionByName(ins)
+    view = ivm_group_counts(ev, delta, "event_type", F.col("cents"))
+    rec = (ev.where(F.col("event_id") % 17 != 0)
+           .select("event_type", "cents")
+           .unionByName(ins.select("event_type", "cents"))
+           .groupBy("event_type")
+           .agg(F.count("*").alias("n_rec"),
+                F.sum("cents").alias("sum_rec")))
+    return view.join(rec, "event_type", "full_outer").select(
+        "event_type", "n_view", "sum_view", "n_rec", "sum_rec")
+
+
 _DBSCAN_MIN_PTS = 3
 
 
@@ -5361,6 +5438,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_est": _q_join_size_est,
         "spectral2": _q_spectral2,
         "dedup_edit": _q_dedup_edit,
+        "compaction_plan": _q_compaction_plan,
+        "cv_folds": _q_cv_folds,
+        "sample_quantiles": _q_sample_quantiles,
+        "ivm_counts": _q_ivm_counts,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -10691,6 +10772,58 @@ FROM pos2
     o["dedup_edit"] = edit_distance_pairs_oracle_sql(
         "SELECT doc_id, text FROM documents",
         max_dist=_EDIT_MAX_DIST, key_len=12, window=_SNM_WINDOW)
+    from frogocr_spark.operators.layout import compaction_plan_oracle_sql
+    o["compaction_plan"] = compaction_plan_oracle_sql(
+        "SELECT source, doc_id, n_chars FROM documents",
+        target=_COMPACT_TARGET)
+    from frogocr_spark.operators.analytics import (
+        ivm_group_counts_oracle_sql)
+    _ivm_base = ("SELECT event_type AS g, "
+                 "CAST(round(value * 100, 0) AS BIGINT) AS v "
+                 "FROM events")
+    _ivm_delta = (
+        "SELECT 'D' AS op, event_type AS g, "
+        "CAST(round(value * 100, 0) AS BIGINT) AS v "
+        "FROM events WHERE event_id % 17 = 0 "
+        "UNION ALL "
+        "SELECT 'I', event_type, "
+        "CAST(round(value * 100, 0) AS BIGINT) + 7 "
+        "FROM events WHERE event_id % 13 = 0")
+    o["ivm_counts"] = f"""
+        WITH view AS ({ivm_group_counts_oracle_sql(_ivm_base,
+                                                   _ivm_delta,
+                                                   "event_type")}),
+        rec AS (
+            SELECT g AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_rec,
+                   CAST(sum(v) AS BIGINT) AS sum_rec
+            FROM (
+                SELECT event_type AS g,
+                       CAST(round(value * 100, 0) AS BIGINT) AS v
+                FROM events WHERE event_id % 17 <> 0
+                UNION ALL
+                SELECT event_type,
+                       CAST(round(value * 100, 0) AS BIGINT) + 7
+                FROM events WHERE event_id % 13 = 0
+            ) GROUP BY g
+        )
+        SELECT COALESCE(view.event_type, rec.event_type) AS event_type,
+               n_view, sum_view, n_rec, sum_rec
+        FROM view FULL OUTER JOIN rec
+          ON view.event_type = rec.event_type
+    """
+    from frogocr_spark.operators.analytics import (
+        sample_quantile_audit_oracle_sql)
+    o["sample_quantiles"] = sample_quantile_audit_oracle_sql(
+        """SELECT event_type AS grp, event_id AS id,
+                  CAST(round(value * 100, 0) AS BIGINT) AS v
+           FROM events""", "event_type", rate_mod=_SQA_RATE_MOD)
+    from frogocr_spark.operators.ml import cv_stump_oracle_sql
+    o["cv_folds"] = cv_stump_oracle_sql(
+        """SELECT event_id AS id,
+                  CAST(round(value * 100, 0) AS BIGINT) AS v,
+                  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+           FROM events""", k=_CV_K)
     from frogocr_spark.operators.clustering import (
         kmeans_agreement_oracle_sql, kmeans_silhouette_oracle_sql)
     o["silhouette"] = kmeans_silhouette_oracle_sql(k=4, iters=3)

@@ -2395,3 +2395,161 @@ def average_precision_exact(df: DataFrame, score, is_pos,
                            F.expr("CAST(_st AS DECIMAL(38,0)) "
                                   "DIV n_pos").cast("long"))
                     .alias("ap_e6")))
+
+
+def sample_quantile_audit(df: DataFrame, group_col: str, value_col,
+                          id_col: str = "event_id", rate_mod: int = 8,
+                          ps: tuple = (50, 90, 99)) -> DataFrame:
+    """Sampled-quantile error audit: exact NEAREST-RANK quantiles of
+    the full data vs the same quantiles over a deterministic
+    ``md5(id) mod rate_mod == 0`` hash sample (≈1/rate_mod of rows),
+    per group and percentile — the measured answer to "can the
+    profiler estimate this column's distribution from a 12% sample?",
+    with the tail percentiles (p99) exactly where hash sampling
+    degrades first.  Seedless: the sample is stable across runs,
+    engines, and repartitioning, so both engines audit the identical
+    subset.
+
+    Scale shape: two :func:`quantile_summary` passes (each ONE keyed
+    rank window + one map-side agg — the sampled pass over ~1/rate_mod
+    of rows) + one group-keyed LEFT join of two ≤|groups|-row frames.
+    Output per group: ``n_full, n_samp`` and, per p,
+    ``p{p}_full, p{p}_samp, p{p}_err`` (NULL when the sample has no
+    rows for the group).
+    """
+    if rate_mod < 2:
+        raise ValueError(f"rate_mod must be >= 2, got {rate_mod}")
+    full = quantile_summary(df, group_col, value_col, id_col, ps)
+    keep = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                               1, 15), 16, 10).cast("long")
+            % rate_mod == 0)
+    samp = quantile_summary(df.where(keep), group_col, value_col,
+                            id_col, ps)
+    fsel = [F.col("n").alias("n_full")] + \
+        [F.col(f"p{int(p)}").alias(f"p{int(p)}_full") for p in ps]
+    ssel = [F.col("n").alias("n_samp")] + \
+        [F.col(f"p{int(p)}").alias(f"p{int(p)}_samp") for p in ps]
+    joined = (full.select(group_col, *fsel)
+              .join(samp.select(group_col, *ssel), group_col, "left"))
+    out = [group_col, "n_full", "n_samp"]
+    errs = []
+    for p in ps:
+        out += [f"p{int(p)}_full", f"p{int(p)}_samp"]
+        errs.append(F.abs(F.col(f"p{int(p)}_full")
+                          - F.col(f"p{int(p)}_samp"))
+                    .cast("long").alias(f"p{int(p)}_err"))
+    return joined.select(*out, *errs)
+
+
+def sample_quantile_audit_oracle_sql(src_sql: str, group_col: str,
+                                     rate_mod: int = 8,
+                                     ps: tuple = (50, 90, 99)) -> str:
+    """DuckDB twin of :func:`sample_quantile_audit`.  ``src_sql`` must
+    yield ``(grp, id, v)`` rows."""
+    def side(pred: str, tag: str) -> str:
+        cuts = ",\n               ".join(
+            f"max(CASE WHEN rn = greatest((n * {int(p)} + 99) // 100, 1)"
+            f" THEN v END) AS p{int(p)}_{tag}" for p in ps)
+        return f"""
+            SELECT grp, CAST(max(n) AS BIGINT) AS n_{tag},
+               {cuts}
+            FROM (
+                SELECT grp, v, row_number() OVER (
+                           PARTITION BY grp ORDER BY v, id) AS rn,
+                       count(*) OVER (PARTITION BY grp) AS n
+                FROM src WHERE {pred}
+            ) GROUP BY grp
+        """
+    errs = ",\n               ".join(
+        f"CAST(abs(f.p{int(p)}_full - s.p{int(p)}_samp) AS BIGINT)"
+        f" AS p{int(p)}_err" for p in ps)
+    pcols = ",\n               ".join(
+        f"f.p{int(p)}_full, s.p{int(p)}_samp" for p in ps)
+    return f"""
+        WITH src AS MATERIALIZED ({src_sql}),
+        f AS ({side('TRUE', 'full')}),
+        s AS ({side(
+            f"('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT"
+            f" % {rate_mod} = 0", 'samp')})
+        SELECT f.grp AS {group_col}, f.n_full, s.n_samp,
+               {pcols},
+               {errs}
+        FROM f LEFT JOIN s ON f.grp = s.grp
+    """
+
+
+def ivm_group_counts(base: DataFrame, delta: DataFrame,
+                     group_col: str, value_col,
+                     op_col: str = "op") -> DataFrame:
+    """Incremental view maintenance (IVM) of a grouped count/sum view
+    under a CDC delta batch, audited against full recompute.  The
+    delta algebra for distributive aggregates: a view row
+    ``(g, n, s)`` absorbs a batch as ``n += Σ sign, s += Σ sign·v``
+    where sign = +1 for 'I' (insert) and −1 for 'D' (delete; an update
+    arrives as D+I) — groups whose maintained count reaches zero leave
+    the view.  Returns the MAINTAINED view; the contract query joins
+    it against a full recompute of base∖deletes∪inserts so any
+    maintained ≠ recomputed row is an IVM bug (or a non-distributive
+    aggregate smuggled in).
+
+    Scale shape: the delta side is ONE small keyed agg full-outer-
+    joined onto the view.  Here the view is materialized once from
+    ``base`` (the initial-build cost any view pays); in production the
+    view is a table you READ, so each batch costs
+    O(|delta| + |groups touched|) — recompute is the full scan IVM
+    saves.  Deletes are matched by row identity upstream;
+    this operator trusts the delta's (op, group, value) content.
+    Output: ``group, n_view, sum_view``.
+    """
+    # an op outside {I, D} must fail the job, not silently NULL the
+    # maintained sums
+    sign = (F.when(F.col(op_col) == "I", F.lit(1))
+            .when(F.col(op_col) == "D", F.lit(-1))
+            .otherwise(F.raise_error(F.concat(
+                F.lit("ivm_group_counts: unknown op "),
+                F.col(op_col)))))
+    d = (delta.select(F.col(group_col).alias("_g"),
+                      sign.alias("_sg"),
+                      value_col.cast("long").alias("_v"))
+         .groupBy("_g")
+         .agg(F.sum("_sg").alias("_dn"),
+              F.sum(F.col("_sg") * F.col("_v")).alias("_ds")))
+    b = (base.select(F.col(group_col).alias("_g"),
+                     value_col.cast("long").alias("_v"))
+         .groupBy("_g")
+         .agg(F.count("*").alias("_bn"), F.sum("_v").alias("_bs")))
+    view = (b.join(d, "_g", "full_outer")
+            .select("_g",
+                    (F.coalesce("_bn", F.lit(0))
+                     + F.coalesce("_dn", F.lit(0))).alias("n_view"),
+                    (F.coalesce("_bs", F.lit(0))
+                     + F.coalesce("_ds", F.lit(0))).alias("sum_view"))
+            .where(F.col("n_view") != 0))
+    return view.select(F.col("_g").alias(group_col),
+                       "n_view", "sum_view")
+
+
+def ivm_group_counts_oracle_sql(base_sql: str, delta_sql: str,
+                                group_col: str = "g") -> str:
+    """DuckDB twin of :func:`ivm_group_counts`: the same delta algebra
+    in SQL.  ``base_sql`` yields (g, v); ``delta_sql`` yields
+    (op, g, v)."""
+    return f"""
+        WITH b AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS bn,
+                   CAST(sum(v) AS BIGINT) AS bs
+            FROM ({base_sql}) GROUP BY g
+        ), d AS (
+            SELECT g,
+                   CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE -1 END)
+                        AS BIGINT) AS dn,
+                   CAST(sum((CASE WHEN op = 'I' THEN 1 ELSE -1 END) * v)
+                        AS BIGINT) AS ds
+            FROM ({delta_sql}) GROUP BY g
+        )
+        SELECT COALESCE(b.g, d.g) AS {group_col},
+               COALESCE(bn, 0) + COALESCE(dn, 0) AS n_view,
+               COALESCE(bs, 0) + COALESCE(ds, 0) AS sum_view
+        FROM b FULL OUTER JOIN d ON b.g = d.g
+        WHERE COALESCE(bn, 0) + COALESCE(dn, 0) <> 0
+    """

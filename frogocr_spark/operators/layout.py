@@ -354,3 +354,94 @@ def zonemap_prune_audit(df: DataFrame, file_col, value_col,
                F.expr("(CAST(rows_scanned AS DECIMAL(38,0)) * 1000000) "
                       "DIV rows_matching").cast("long"))
         .alias("read_amp_e6"))
+
+
+def compaction_plan(files: DataFrame, group_col: str = "source",
+                    id_col: str = "doc_id", size_col: str = "n_chars",
+                    target: int = 2000) -> DataFrame:
+    """Greedy small-file compaction planning — the maintenance pass
+    Iceberg exposes as ``rewrite_data_files`` (binpack): walk each
+    group's file manifest in ``id_col`` order, accumulate files into
+    the current output bin, and CLOSE the bin as soon as its byte size
+    reaches ``target`` (the next file starts a fresh bin).  Emits the
+    per-bin plan ``(group, bin_id, n_files, bin_bytes, first_id,
+    last_id)`` a rewrite job would execute.
+
+    Scale shape: this plans over the MANIFEST (one row per file —
+    ~10^5–10^6 rows for 100 TB at 128 MB files), not the data.  ONE
+    shuffle on ``group_col``, then a per-group sequential pack inside
+    an Arrow batch (greedy close-at-threshold is order-dependent by
+    definition — no parallel form exists; at manifest scale the loop
+    is microseconds per group).  Groups pack in parallel.  The oracle
+    replays the same walk as a DuckDB recursive CTE, so the hash match
+    pins the exact greedy semantics (boundary file INCLUDED in the
+    closing bin, accumulator reset to zero).
+    """
+    import pandas as pd
+
+    if target < 1:
+        raise ValueError(f"target must be >= 1, got {target}")
+
+    out_schema = (f"{group_col} string, bin_id long, n_files long, "
+                  f"bin_bytes long, first_id long, last_id long")
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        sizes = pdf[size_col].to_numpy()
+        ids = pdf[id_col].to_numpy()
+        bins = [0] * len(sizes)
+        b, acc = 1, 0
+        for i, s in enumerate(sizes):
+            bins[i] = b
+            acc += int(s)
+            if acc >= target:
+                b, acc = b + 1, 0
+        plan = pd.DataFrame({group_col: pdf[group_col].to_numpy(),
+                             "bin_id": bins, "sz": sizes, "fid": ids})
+        roll = plan.groupby("bin_id", sort=True).agg(
+            **{group_col: (group_col, "first"),
+               "n_files": ("sz", "size"), "bin_bytes": ("sz", "sum"),
+               "first_id": ("fid", "min"), "last_id": ("fid", "max")}
+        ).reset_index()
+        return roll[[group_col, "bin_id", "n_files", "bin_bytes",
+                     "first_id", "last_id"]]
+
+    manifest = files.select(group_col, id_col, size_col)
+    return manifest.groupBy(group_col).applyInPandas(pack, out_schema)
+
+
+def compaction_plan_oracle_sql(files_sql: str, group_col: str = "source",
+                               id_col: str = "doc_id",
+                               size_col: str = "n_chars",
+                               target: int = 2000) -> str:
+    """DuckDB twin of :func:`compaction_plan`: the greedy walk as a
+    recursive CTE carrying ``(bin, acc)`` one file forward per step —
+    the sequential definition the distributed per-group pack must
+    reproduce."""
+    return f"""
+        WITH RECURSIVE manifest AS (
+            SELECT {group_col} AS grp, {id_col} AS fid,
+                   {size_col} AS sz,
+                   row_number() OVER (PARTITION BY {group_col}
+                                      ORDER BY {id_col}) AS rn
+            FROM ({files_sql})
+        ),
+        walk AS (
+            SELECT grp, fid, sz, rn, 1 AS bin,
+                   CAST(sz AS BIGINT) AS acc
+            FROM manifest WHERE rn = 1
+            UNION ALL
+            SELECT m.grp, m.fid, m.sz, m.rn,
+                   CASE WHEN w.acc >= {target} THEN w.bin + 1
+                        ELSE w.bin END,
+                   CASE WHEN w.acc >= {target} THEN CAST(m.sz AS BIGINT)
+                        ELSE w.acc + m.sz END
+            FROM walk w JOIN manifest m
+              ON m.grp = w.grp AND m.rn = w.rn + 1
+        )
+        SELECT grp AS {group_col}, CAST(bin AS BIGINT) AS bin_id,
+               count(*) AS n_files, CAST(sum(sz) AS BIGINT) AS bin_bytes,
+               min(fid) AS first_id, max(fid) AS last_id
+        FROM walk
+        GROUP BY grp, bin
+    """

@@ -685,3 +685,137 @@ def conformal_threshold_oracle_sql(scored_sql: str, *,
                     END AS BIGINT) AS coverage_e6
         FROM stats st LEFT JOIN cov ON cov.grp = st.grp
     """
+
+
+def cv_stump(df: DataFrame, value_col, label_col,
+             id_col: str = "event_id", k: int = 5) -> DataFrame:
+    """k-fold cross-validation of the exact 1R decision stump
+    (analytics.decision_stump): fold = md5(id) mod k (seedless,
+    engine-portable, stable under repartitioning — the same digest
+    idiom as hash_split), train on the other k−1 folds, report exact
+    test-fold accuracy counts per fold.  THE standard audit separating
+    a rule's training fit from its generalization — a stump whose
+    train_correct/train_total is far above test_correct/test_total is
+    memorizing its cut.
+
+    Scale shape: the fold column is a pure map; each fold's training
+    pass is the stump's one map-side-combined count + range-partitioned
+    prefix sum, and its evaluation is ONE filter + agg — 2k bounded
+    passes total (k is a small constant; the input is localCheckpointed
+    once so the scan is not re-read from source k times).  EAGER at
+    call time (documented house rule for rule-extracting learners);
+    driver state = k one-row rules.  Output: k rows
+    ``(fold, rule, threshold, train_correct, train_total,
+    test_correct, test_total)``.
+    """
+    from frogocr_spark.operators.analytics import decision_stump
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    fold = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                               1, 15), 16, 10).cast("long") % k)
+    base = df.select(value_col.cast("long").alias("_v"),
+                     F.when(label_col, 1).otherwise(0).alias("_y"),
+                     fold.alias("_f")).localCheckpoint()
+    rows = []
+    for f in range(k):
+        rule = decision_stump(base.where(F.col("_f") != f),
+                              F.col("_v"), F.col("_y") == 1
+                              ).collect()[0]
+        pred_pos = (F.col("_v") <= F.lit(rule["threshold"])
+                    if rule["rule"] == "le"
+                    else F.col("_v") > F.lit(rule["threshold"]))
+        ev = (base.where(F.col("_f") == f)
+              .agg(F.count("*").alias("tt"),
+                   F.coalesce(F.sum(F.when(
+                       pred_pos == (F.col("_y") == 1), 1).otherwise(0)),
+                       F.lit(0)).alias("tc")).collect()[0])
+        rows.append((f, rule["rule"], int(rule["threshold"]),
+                     int(rule["n_correct"]), int(rule["n_total"]),
+                     int(ev["tc"]), int(ev["tt"])))
+    return df.sparkSession.createDataFrame(
+        rows, "fold int, rule string, threshold long, "
+              "train_correct long, train_total long, "
+              "test_correct long, test_total long")
+
+
+def cv_stump_oracle_sql(src_sql: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`cv_stump`.  ``src_sql`` must yield
+    ``(id, v, y)`` rows (v integer feature, y 0/1 label); emits one
+    stump-train + test-eval block per fold, unioned."""
+    blocks = []
+    for f in range(k):
+        blocks.append(f"""
+        SELECT {f} AS fold, best.rule, best.threshold,
+               best.n_correct AS train_correct,
+               best.n_total AS train_total,
+               ev.tc AS test_correct, ev.tt AS test_total
+        FROM (
+            WITH b AS (
+                SELECT v, y FROM folded WHERE f <> {f}
+            ), g AS (
+                SELECT v, sum(y) AS p, sum(1 - y) AS n FROM b GROUP BY v
+            ), t AS (
+                SELECT CAST(sum(p) AS BIGINT) AS pos,
+                       CAST(sum(n) AS BIGINT) AS neg FROM g
+            ), c AS (
+                SELECT v, sum(p) OVER (ORDER BY v) AS pc,
+                       sum(n) OVER (ORDER BY v) AS nc
+                FROM g
+            ), cand AS (
+                SELECT 'le' AS rule, v AS threshold,
+                       pc + (t.neg - nc) AS n_correct
+                FROM c CROSS JOIN t
+                UNION ALL
+                SELECT 'gt', v, nc + (t.pos - pc) FROM c CROSS JOIN t
+            )
+            SELECT rule, CAST(threshold AS BIGINT) AS threshold,
+                   CAST(n_correct AS BIGINT) AS n_correct,
+                   CAST(t.pos + t.neg AS BIGINT) AS n_total
+            FROM cand CROSS JOIN t
+            ORDER BY n_correct DESC, rule, threshold LIMIT 1
+        ) best CROSS JOIN (
+            SELECT CAST(count(*) AS BIGINT) AS tt,
+                   CAST(COALESCE(sum(CASE WHEN
+                       (CASE WHEN best2.rule = 'le'
+                             THEN fo.v <= best2.threshold
+                             ELSE fo.v > best2.threshold END)
+                       = (fo.y = 1) THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS tc
+            FROM (SELECT * FROM folded WHERE f = {f}) fo
+            CROSS JOIN (
+                WITH b AS (
+                    SELECT v, y FROM folded WHERE f <> {f}
+                ), g AS (
+                    SELECT v, sum(y) AS p, sum(1 - y) AS n
+                    FROM b GROUP BY v
+                ), t AS (
+                    SELECT CAST(sum(p) AS BIGINT) AS pos,
+                           CAST(sum(n) AS BIGINT) AS neg FROM g
+                ), c AS (
+                    SELECT v, sum(p) OVER (ORDER BY v) AS pc,
+                           sum(n) OVER (ORDER BY v) AS nc
+                    FROM g
+                ), cand AS (
+                    SELECT 'le' AS rule, v AS threshold,
+                           pc + (t.neg - nc) AS n_correct
+                    FROM c CROSS JOIN t
+                    UNION ALL
+                    SELECT 'gt', v, nc + (t.pos - pc) FROM c CROSS JOIN t
+                )
+                SELECT rule, threshold
+                FROM cand CROSS JOIN t
+                ORDER BY n_correct DESC, rule, threshold LIMIT 1
+            ) best2
+            GROUP BY ALL
+        ) ev""")
+    body = "\n        UNION ALL\n".join(blocks)
+    return f"""
+        WITH folded AS MATERIALIZED (
+            SELECT ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))
+                       ::BIGINT % {k} AS f,
+                   v, y
+            FROM ({src_sql})
+        )
+        {body}
+    """

@@ -925,6 +925,26 @@ def main() -> None:
                         for p in (pcf, pdp, pjs, piso)),
                 f"conformal_single_partition=0, cartesian=0 across 4 plans")
 
+    # 53. session-34 operators: the edit-distance join stays blocked
+    #     (SNM band join — no cartesian, no nested-loop fallback: a
+    #     quadratic verify would dwarf the banded-Levenshtein saving),
+    #     the compaction plan is ONE group exchange over the manifest
+    #     (any second data shuffle would mean it re-sorted the corpus,
+    #     not the file list), and the CV stump's per-fold plans stay
+    #     cartesian-free.
+    ped = executed(entry._q_dedup_edit(spark, SF))
+    pcp = executed(entry._q_compaction_plan(spark, SF))
+    pcv = executed(entry._q_cv_folds(spark, SF))
+    ok &= check("edit join blocked; compaction one exchange; cv "
+                "cartesian-free",
+                "CartesianProduct" not in ped
+                and "BroadcastNestedLoopJoin" not in ped
+                and pcp.count("Exchange") <= 1
+                and "CartesianProduct" not in pcp
+                and "CartesianProduct" not in pcv,
+                f"edit_cartesian=0, compaction_exchanges="
+                f"{pcp.count('Exchange')}, cv_cartesian=0")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
