@@ -5104,6 +5104,26 @@ def _q_ivm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_view", "sum_view", "n_rec", "sum_rec")
 
 
+def _q_fleiss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across the THREE curation gates as binary raters
+    (language == en, quality >= 0.5, n_tokens >= 5) over all documents
+    — do the gates agree beyond their marginal keep-rates, or is the
+    curate intersection mostly chance?  Pure-map votes + ONE 3-value
+    global agg + exact big-int driver finish
+    (operators/analytics.fleiss_kappa)."""
+    from frogocr_spark.operators.analytics import fleiss_kappa
+    from frogocr_spark.operators.textstats import (language_id,
+                                                   quality_score,
+                                                   token_count)
+    docs = _read(spark, sf_dir, "documents")
+    c = F.col("text")
+    return fleiss_kappa(docs, [
+        language_id(c) == "en",
+        quality_score(c) >= 0.5,
+        token_count(c) >= 5,
+    ])
+
+
 _DBSCAN_MIN_PTS = 3
 
 
@@ -5442,6 +5462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_folds": _q_cv_folds,
         "sample_quantiles": _q_sample_quantiles,
         "ivm_counts": _q_ivm_counts,
+        "fleiss": _q_fleiss,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -10776,6 +10797,61 @@ FROM pos2
     o["compaction_plan"] = compaction_plan_oracle_sql(
         "SELECT source, doc_id, n_chars FROM documents",
         target=_COMPACT_TARGET)
+    # Fleiss' kappa over the three curate gates as binary raters —
+    # same stats CTE as the curate oracle; HUGEINT finish replays the
+    # multiplied-through formula with DuckDB // (truncating, = _tdiv)
+    o["fleiss"] = f"""
+        WITH stats AS (
+            SELECT CAST({n_tokens} AS INT) AS n_tokens,
+                   CASE WHEN {n_tokens} = 0 THEN 'xx'
+                        WHEN {en_hits} >= {no_hits}
+                             AND {en_hits} * 50 >= {n_tokens} THEN 'en'
+                        WHEN {no_hits} > {en_hits}
+                             AND {no_hits} * 50 >= {n_tokens} THEN 'no'
+                        ELSE 'xx' END AS lang_id,
+                   round((
+                       least(length(trim(text)) / 500.0, 1.0)
+                       + CASE WHEN length(trim(text)) > 0
+                              THEN CAST(length(regexp_replace(trim(text),
+                                   '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                                   / length(trim(text))
+                              ELSE 0.0 END
+                       + CASE WHEN {n_tokens} > 0
+                                   AND length(trim(text)) * 1.0
+                                       / {n_tokens} >= 3
+                                   AND length(trim(text)) * 1.0
+                                       / {n_tokens} <= 12
+                              THEN 1.0 ELSE 0.5 END
+                   ) / 3.0, 6) AS quality
+            FROM documents
+        ), votes AS (
+            SELECT CAST(CASE WHEN lang_id = 'en' THEN 1 ELSE 0 END
+                        + CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END
+                        + CASE WHEN n_tokens >= 5 THEN 1 ELSE 0 END
+                        AS HUGEINT) AS k
+            FROM stats
+        ), agg AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(k) AS HUGEINT) AS kk,
+                   CAST(sum(k * k + (3 - k) * (3 - k)) AS HUGEINT) AS a
+            FROM votes
+        ), fin AS (
+            SELECT n, kk, a, 3 * n - kk AS d FROM agg
+        )
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               CAST(3 AS BIGINT) AS n_raters,
+               CAST((a - n * 3) * 1000000 // (n * 6) AS BIGINT)
+                   AS pbar_e6,
+               CAST((kk * kk + d * d) * 1000000 // (9 * n * n)
+                   AS BIGINT) AS pe_e6,
+               CAST(CASE WHEN 2 * (9 * n * n - kk * kk - d * d) = 0
+                         THEN 1000000
+                         ELSE ((a - n * 3) * 3 * n
+                               - 2 * (kk * kk + d * d)) * 1000000
+                              // (2 * (9 * n * n - kk * kk - d * d))
+                    END AS BIGINT) AS kappa_e6
+        FROM fin
+    """
     from frogocr_spark.operators.analytics import (
         ivm_group_counts_oracle_sql)
     _ivm_base = ("SELECT event_type AS g, "

@@ -2553,3 +2553,57 @@ def ivm_group_counts_oracle_sql(base_sql: str, delta_sql: str,
         FROM b FULL OUTER JOIN d ON b.g = d.g
         WHERE COALESCE(bn, 0) + COALESCE(dn, 0) <> 0
     """
+
+
+def fleiss_kappa(df: DataFrame, rater_cols: list) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) for r ≥ 2 binary raters: chance-
+    corrected agreement over N subjects where every subject receives
+    one keep/drop vote from EACH rater — the multi-rater generalization
+    of :func:`cohen_kappa`, and the audit that says whether a panel of
+    curation gates (or annotators, or detectors) agree beyond what
+    their marginal keep-rates force.  With k_i = keep votes on subject
+    i, A = Σ(k_i² + (r−k_i)²), K = Σk_i, D = rN−K:
+
+        P̄  = (A − Nr) / (Nr(r−1))      observed pairwise agreement
+        P̄e = (K² + D²) / (r²N²)         chance agreement
+        κ  = (P̄ − P̄e) / (1 − P̄e)
+           = ((A−Nr)·rN − (r−1)(K²+D²)) / ((r−1)(r²N² − K² − D²))
+
+    multiplied through so the only division is the final signed
+    truncating e6 scaling (``_tdiv``, DuckDB ``//`` semantics).
+    Degenerate den = 0 (every rater votes one way on everything) → κ =
+    1e6, the clustering_ari convention.
+
+    Scale shape: votes are a pure map; ONE global 3-value agg (count +
+    two sums, map-side combined) reaches the driver, and the finish is
+    exact unbounded python ints — nothing quadratic, nothing keyed.
+    Output: one row ``(n_docs, n_raters, pbar_e6, pe_e6, kappa_e6)``.
+    """
+    from frogocr_spark.operators.similarity import _tdiv
+
+    r = len(rater_cols)
+    if r < 2:
+        raise ValueError(f"need >= 2 raters, got {r}")
+    k = sum((F.when(c, 1).otherwise(0) for c in rater_cols),
+            F.lit(0)).cast("long")
+    dec = "decimal(38,0)"
+    row = (df.select(k.alias("_k"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("_k").cast("long").alias("kk"),
+                F.sum(F.col("_k").cast(dec) * F.col("_k")
+                      + (r - F.col("_k")).cast(dec)
+                      * (r - F.col("_k"))).alias("a"))
+           .collect()[0])
+    n, kk, a = int(row["n"]), int(row["kk"] or 0), int(row["a"] or 0)
+    if n == 0:
+        raise ValueError("fleiss_kappa: empty input")
+    d = r * n - kk
+    pbar_e6 = _tdiv((a - n * r) * 10 ** 6, n * r * (r - 1))
+    pe_e6 = _tdiv((kk * kk + d * d) * 10 ** 6, r * r * n * n)
+    den = (r - 1) * (r * r * n * n - kk * kk - d * d)
+    num = (a - n * r) * r * n - (r - 1) * (kk * kk + d * d)
+    kappa_e6 = 1_000_000 if den == 0 else _tdiv(num * 10 ** 6, den)
+    return df.sparkSession.createDataFrame(
+        [(n, r, pbar_e6, pe_e6, kappa_e6)],
+        "n_docs long, n_raters long, pbar_e6 long, pe_e6 long, "
+        "kappa_e6 long")

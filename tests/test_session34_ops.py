@@ -282,3 +282,53 @@ def test_ivm_unknown_op_raises(spark):
                                   "op string, g string, v long")
     with pytest.raises((Py4JJavaError, SparkRuntimeException)):
         ivm_group_counts(base, delta, "g", F.col("v")).collect()
+
+
+# ---- fleiss_kappa ----
+
+def test_fleiss_kappa_vs_fraction_twin(spark):
+    from fractions import Fraction
+
+    from frogocr_spark.operators.analytics import fleiss_kappa
+    rng = random.Random(3)
+    rows = [(rng.random() < 0.6, rng.random() < 0.5, rng.random() < 0.4)
+            for _ in range(120)]
+    df = spark.createDataFrame(rows, "r1 boolean, r2 boolean, r3 boolean")
+    got = fleiss_kappa(df, [F.col("r1"), F.col("r2"),
+                            F.col("r3")]).collect()[0]
+    # textbook Fraction twin
+    n, r = len(rows), 3
+    ks = [sum(v) for v in rows]
+    a = sum(k * k + (r - k) * (r - k) for k in ks)
+    kk = sum(ks)
+    d = r * n - kk
+    pbar = Fraction(a - n * r, n * r * (r - 1))
+    pe = Fraction(kk * kk + d * d, r * r * n * n)
+    kappa = (pbar - pe) / (1 - pe)
+
+    def trunc_e6(fr):
+        v = fr * 10 ** 6
+        q = abs(v.numerator) // v.denominator
+        return q if v >= 0 else -q
+
+    assert got.n_docs == n and got.n_raters == r
+    assert got.pbar_e6 == trunc_e6(pbar)
+    assert got.pe_e6 == trunc_e6(pe)
+    assert got.kappa_e6 == trunc_e6(kappa)
+
+
+def test_fleiss_kappa_unanimous_degenerate(spark):
+    from frogocr_spark.operators.analytics import fleiss_kappa
+    df = spark.createDataFrame([(True, True)] * 5, "r1 boolean, r2 boolean")
+    got = fleiss_kappa(df, [F.col("r1"), F.col("r2")]).collect()[0]
+    assert got.kappa_e6 == 1_000_000  # den = 0 convention
+
+
+def test_fleiss_kappa_guards(spark):
+    from frogocr_spark.operators.analytics import fleiss_kappa
+    df = spark.createDataFrame([(True,)], "r1 boolean")
+    with pytest.raises(ValueError):
+        fleiss_kappa(df, [F.col("r1")])
+    empty = spark.createDataFrame([], "r1 boolean, r2 boolean")
+    with pytest.raises(ValueError):
+        fleiss_kappa(empty, [F.col("r1"), F.col("r2")])
