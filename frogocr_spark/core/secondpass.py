@@ -114,19 +114,46 @@ def _words_of(text: str, base: int, conf: np.float32) -> list[Word]:
             for m in _WORD_RE.finditer(text)]
 
 
-def first_pass(raw: str) -> tuple[list[Word], list[tuple[int, int]]]:
-    """Read everything; garbled regions at GARBLED_CONF.  Returns the word
-    list plus the candidate region intervals (detector output, X1 analog)."""
-    words: list[Word] = []
+def _first_pass_arrays(raw: str) -> tuple[list[str], list[int], list[int],
+                                          list[float],
+                                          list[tuple[int, int]]]:
+    """Hot-path form of :func:`first_pass`: parallel (texts, starts,
+    ends, confs) lists instead of Word objects — first-pass words never
+    carry variants, so the per-word dataclass was pure allocation
+    overhead on the batch path.  Same scan, same values."""
+    texts: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    confs: list[float] = []
     regions: list[tuple[int, int]] = []
+
+    def scan(seg: str, base: int, conf_f: float) -> None:
+        for m in _WORD_RE.finditer(seg):
+            texts.append(m.group())
+            starts.append(base + m.start())
+            ends.append(base + m.end())
+            confs.append(conf_f)
+
+    fp_f, gb_f = float(FIRSTPASS_CONF), float(GARBLED_CONF)
     pos = 0
     for m in _REGION_RE.finditer(raw):
-        words.extend(_words_of(raw[pos:m.start()], pos, FIRSTPASS_CONF))
+        scan(raw[pos:m.start()], pos, fp_f)
         a, b = m.start(1), m.end(1)
         regions.append((a, b))
-        words.extend(_words_of(raw[a:b], a, GARBLED_CONF))
+        scan(raw[a:b], a, gb_f)
         pos = m.end()
-    words.extend(_words_of(raw[pos:], pos, FIRSTPASS_CONF))
+    scan(raw[pos:], pos, fp_f)
+    return texts, starts, ends, confs, regions
+
+
+def first_pass(raw: str) -> tuple[list[Word], list[tuple[int, int]]]:
+    """Read everything; garbled regions at GARBLED_CONF.  Returns the word
+    list plus the candidate region intervals (detector output, X1 analog).
+    (Word-object view of :func:`_first_pass_arrays` — the merge hot path
+    uses the arrays directly.)"""
+    texts, starts, ends, confs, regions = _first_pass_arrays(raw)
+    words = [Word(t, s, e, c, s)
+             for t, s, e, c in zip(texts, starts, ends, confs)]
     return words, regions
 
 
@@ -143,22 +170,27 @@ def second_pass_recognize(raw: str, region: tuple[int, int]) -> list[Word]:
     return out
 
 
-def _merge_two_pass(raw: str, run_second: bool) -> tuple[list[Word], float]:
+def _merge_two_pass(raw: str, run_second: bool
+                    ) -> tuple[list[tuple], float]:
     """The full two-pass merge up to (but not including) Segment/Block
-    construction; returns ``(merged_words_in_reading_order, doc_conf)``.
-    Shared by the scalar :func:`extract_two_pass` and the allocation-light
-    batch twin :func:`two_pass_arrays`."""
-    fp_words, regions = first_pass(raw)
+    construction; returns ``(merged, doc_conf)`` where ``merged`` is a
+    reading-ordered list of ``(order_key, start, end, text, conf,
+    variants)`` tuples (first-pass words never carry variants, so the
+    hot path works on parallel lists/tuples; only second-pass words —
+    which accumulate J2 variants — are Word objects internally).
+    Shared by the scalar :func:`extract_two_pass` and the
+    allocation-light batch twin :func:`two_pass_arrays`."""
+    texts, starts, ends, confs, regions = _first_pass_arrays(raw)
     if not run_second:
         regions = []
-    fp_conf = np.fromiter((w.conf for w in fp_words), np.float32,
-                          len(fp_words))
+    n_fp = len(texts)
+    fp_conf = np.fromiter(confs, np.float32, n_fp)
     # sum/div form is bit-identical to .mean(dtype=float32) (same pairwise
     # umr_sum, same float32 division — asserted over the conf alphabet in
     # tests) but skips numpy's _mean dispatch, which dominates on the tiny
     # per-row arrays this path sees
-    fp_mean = (fp_conf.sum(dtype=np.float32) / np.float32(len(fp_conf))
-               if len(fp_conf) else np.float32(1.0))
+    fp_mean = (fp_conf.sum(dtype=np.float32) / np.float32(n_fp)
+               if n_fp else np.float32(1.0))
 
     # J1 + J3: regions where the first pass did badly.  First-pass words
     # are disjoint and emitted in increasing-position order, so both their
@@ -169,9 +201,7 @@ def _merge_two_pass(raw: str, run_second: bool) -> tuple[list[Word], float]:
     # scan, O(log W + hits) per region instead of O(W) (path-agreement
     # tested against the exhaustive loop).
     kept_regions: list[tuple[int, int]] = []
-    if regions and len(fp_words):
-        starts = [w.start for w in fp_words]
-        ends = [w.end for w in fp_words]
+    if regions and n_fp:
         for r in regions:
             lo = bisect.bisect_right(ends, r[0])
             hi = bisect.bisect_left(starts, r[1])
@@ -195,45 +225,47 @@ def _merge_two_pass(raw: str, run_second: bool) -> tuple[list[Word], float]:
 
     # J2: declarative erase — keep fp word unless low-conf AND overlapped.
     # Same bisect-window pruning over the (sorted) second-pass intervals.
-    if sp_words and len(fp_words):
+    # Merged entries are (order_key, start, end, text, conf, variants)
+    # tuples; fp order_key == start.
+    merged: list[tuple] = []
+    if sp_words and n_fp:
         sp_sorted = sorted(sp_words, key=lambda w: (w.start, w.end))
         sp_ivl = [(w.start, w.end) for w in sp_sorted]
         sp_starts = [s for s, _ in sp_ivl]
         sp_ends = [e for _, e in sp_ivl]
 
-        def _eraser_of(w: Word) -> Word | None:
-            """The sp word that erases ``w`` (None = kept): J2's gate,
-            winner = max intersection, ties → earliest interval."""
-            if w.conf > WORD_GATE:
-                return None
-            # any sp interval with positive intersection has end > w.start
-            # and start < w.end; sp intervals are disjoint (region words),
+        for j in range(n_fp):
+            ws, we, wc = starts[j], ends[j], confs[j]
+            # the sp word that erases this fp word (None = kept): J2's
+            # gate, winner = max intersection, ties → earliest interval.
+            # any sp interval with positive intersection has end > ws
+            # and start < we; sp intervals are disjoint (region words),
             # so both bound lists are sorted
-            lo = bisect.bisect_right(sp_ends, w.start)
-            hi = bisect.bisect_left(sp_starts, w.end)
             best, best_inter = None, 0
-            for i in range(lo, hi):
-                if overlaps_either((w.start, w.end), sp_ivl[i]):
-                    inter = (min(w.end, sp_ivl[i][1])
-                             - max(w.start, sp_ivl[i][0]))
-                    if inter > best_inter:
-                        best, best_inter = sp_sorted[i], inter
-            return best
-
-        merged = []
-        for w in fp_words:
-            eraser = _eraser_of(w)
-            if eraser is None:
-                merged.append(w)
+            if wc <= WORD_GATE:
+                lo = bisect.bisect_right(sp_ends, ws)
+                hi = bisect.bisect_left(sp_starts, we)
+                for i in range(lo, hi):
+                    if overlaps_either((ws, we), sp_ivl[i]):
+                        inter = (min(we, sp_ivl[i][1])
+                                 - max(ws, sp_ivl[i][0]))
+                        if inter > best_inter:
+                            best, best_inter = sp_sorted[i], inter
+            if best is None:
+                merged.append((ws, ws, we, texts[j], wc, ()))
             else:
                 # the losing reading survives as a Variant of its
                 # replacement (reference Variant depth, Document.hpp:22-30)
-                eraser.variants.append((w.text, w.conf))
+                best.variants.append((texts[j], wc))
     else:
-        merged = list(fp_words)
-    # J4 union, then W1 stable order on interval start
-    merged.extend(sp_words)
-    merged.sort(key=lambda w: (w.order_key, w.start, w.end))
+        merged = [(starts[j], starts[j], ends[j], texts[j], confs[j], ())
+                  for j in range(n_fp)]
+    # J4 union, then W1 stable order on interval start.  Sort key stays
+    # EXACTLY (order_key, start, end) — raw tuple order would break ties
+    # on text/conf, changing the stable fp-before-sp resolution.
+    merged.extend((w.order_key, w.start, w.end, w.text, w.conf,
+                   tuple(w.variants)) for w in sp_words)
+    merged.sort(key=lambda t: (t[0], t[1], t[2]))
 
     if sp_words:
         sp_conf = np.fromiter((w.conf for w in sp_words), np.float32,
@@ -251,10 +283,10 @@ def extract_two_pass(raw: str, run_second: bool = True) -> tuple[list[Block], fl
     ``run_second=False`` = the reference with the second pass disabled
     (Settings ``SecondPass=off``): first-pass words only."""
     merged, doc_conf = _merge_two_pass(raw, run_second)
-    segs = [Segment(text=w.text, start=w.start, end=w.end,
-                    glue=GLUE_SPACE if i else "", confidence=w.conf,
-                    variants=list(w.variants))
-            for i, w in enumerate(merged)]
+    segs = [Segment(text=t[3], start=t[1], end=t[2],
+                    glue=GLUE_SPACE if i else "", confidence=t[4],
+                    variants=list(t[5]))
+            for i, t in enumerate(merged)]
     blocks = [Block(segments=segs, kind="merged",
                     detector="lowconf", recognizer="twopass")] if segs else []
     return blocks, doc_conf
@@ -271,7 +303,7 @@ def two_pass_arrays(raw: str, run_second: bool = True
     emits a single Block).  Byte/bit parity with the scalar path is
     asserted row-by-row in tests/test_extract.py."""
     merged, doc_conf = _merge_two_pass(raw, run_second)
-    text = " ".join(w.text for w in merged)
-    spans = [(w.start, w.end) for w in merged]
-    n_var = sum(len(w.variants) for w in merged)
+    text = " ".join(t[3] for t in merged)
+    spans = [(t[1], t[2]) for t in merged]
+    n_var = sum(len(t[5]) for t in merged)
     return text, spans, len(merged), n_var, doc_conf

@@ -332,3 +332,48 @@ def test_fleiss_kappa_guards(spark):
     empty = spark.createDataFrame([], "r1 boolean, r2 boolean")
     with pytest.raises(ValueError):
         fleiss_kappa(empty, [F.col("r1"), F.col("r2")])
+
+
+def test_edit_distance_random_differential(spark):
+    """Random-corpus differential: the blocked+thresholded plan must
+    equal the exhaustive twin (same SNM blocking replayed in python +
+    full Levenshtein) — pairs, and distances, exactly."""
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(99)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsil", "zeta"]
+    rows = []
+    for i in range(60):
+        words = [rng.choice(vocab) for _ in range(6)]
+        rows.append((i, " ".join(words)))
+        if rng.random() < 0.5:  # planted near-dup: one char flipped
+            t = list(" ".join(words))
+            t[rng.randrange(len(t))] = "x"
+            rows.append((1000 + i, "".join(t)))
+    df = _docs(spark, rows)
+    got = {(r.id_a, r.id_b): r.dist
+           for r in edit_distance_pairs(df, max_dist=4, key_len=12,
+                                        window=3).collect()}
+    # twin: replay the SNM order (prefix12 of trimmed text, then id),
+    # candidate = rank distance <= 3, verify with full DP
+    order = sorted(rows, key=lambda x: (x[1].strip()[:12], x[0]))
+    expect = {}
+    for i in range(len(order)):
+        for j in range(i + 1, min(i + 4, len(order))):
+            (ia, ta), (ib, tb) = order[i], order[j]
+            if abs(len(ta) - len(tb)) <= 4:
+                d = lev(ta, tb)
+                if d <= 4:
+                    expect[(ia, ib)] = d
+    assert got == expect and len(expect) > 10
