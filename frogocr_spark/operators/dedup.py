@@ -1015,8 +1015,8 @@ def edit_distance_pairs(df: DataFrame, max_dist: int = 10,
     record-linkage dedup for OCR/transcription noise, where near-dups
     differ by character edits that token-level Jaccard/MinHash
     under-weights (reference two-pass replacement analog: words that
-    differ by recognition noise, ``Source/TaskProcessor.cpp:390``
-    neighborhood).
+    differ by recognition noise — the word-replacement gate family,
+    ``Source/TaskProcessor.cpp:287-297``).
 
     Scale shape: candidates are SNM band-join output (O(N·w), never
     quadratic); texts ride back via two corpus-keyed equi-joins; the
