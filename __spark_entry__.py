@@ -5124,6 +5124,20 @@ def _q_fleiss(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def _q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li 2007) completing the privacy triad beside
+    k_anonymity and l_diversity: per epoch-day QI group, the exact
+    cross-multiplied variational distance between the group's
+    event-type distribution and the table's, flagged against t = 0.3.
+    Profile-row joins only, global counts broadcast
+    (operators/quality.t_closeness)."""
+    from frogocr_spark.operators.quality import t_closeness
+    ev = (_read(spark, sf_dir, "events")
+          .withColumn("day", F.expr(
+              "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")))
+    return t_closeness(ev, ["day"], "event_type", t_e6=300_000)
+
+
 _DBSCAN_MIN_PTS = 3
 
 
@@ -5463,6 +5477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_quantiles": _q_sample_quantiles,
         "ivm_counts": _q_ivm_counts,
         "fleiss": _q_fleiss,
+        "t_closeness": _q_t_closeness,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -10797,6 +10812,11 @@ FROM pos2
     o["compaction_plan"] = compaction_plan_oracle_sql(
         "SELECT source, doc_id, n_chars FROM documents",
         target=_COMPACT_TARGET)
+    from frogocr_spark.operators.quality import t_closeness_oracle_sql
+    o["t_closeness"] = t_closeness_oracle_sql(
+        "SELECT epoch_us(ts) // 86400000000 AS day, event_type "
+        "FROM events",
+        [("day", "day")], "event_type", t_e6=300_000)
     # Fleiss' kappa over the three curate gates as binary raters —
     # same stats CTE as the curate oracle; HUGEINT finish replays the
     # multiplied-through formula with DuckDB // (truncating, = _tdiv)

@@ -312,3 +312,106 @@ def split_leakage(df: DataFrame, id_col: str = "doc_id",
         "'train', 'test',  CAST(tx AS BIGINT), true, "
         "'test',  'val',   CAST(vx AS BIGINT), true) "
         "AS (split_lo, split_hi, n_pairs, is_leak)")
+
+
+def t_closeness(df: DataFrame, qi_cols: list[str], sensitive_col: str,
+                t_e6: int = 300_000) -> DataFrame:
+    """t-closeness audit (Li 2007) — the third privacy gate: a group
+    can be k-large AND l-diverse yet still leak when its sensitive
+    distribution DIFFERS sharply from the table's (one group being 90%
+    a sensitive value the table has at 2%).  For categorical sensitive
+    values the variational distance TV(g) = 1/2 Σ_j |p_gj − p_j| is
+    exact in integers once cross-multiplied: with group counts c_gj,
+    group size n_g, global counts C_j, N total rows,
+
+        tv_e6(g) = (Σ_j |c_gj·N − C_j·n_g|) · 10^6 DIV (2·n_g·N)
+
+    and sensitive values ABSENT from a group need no rows — their
+    contribution Σ_absent C_j·n_g telescopes to n_g·N − Σ_observed
+    C_j·n_g (Σ_all C_j = N), so only OBSERVED (QI, sensitive) pairs
+    are ever materialized.
+
+    Scale shape: one (QI…, sensitive) keyed count (map-side combined),
+    the ≤|sensitive-alphabet| global counts BROADCAST onto those
+    profile rows, group sizes re-joined QI-keyed, one QI-keyed sum —
+    output bounded by distinct QI combos; every product DECIMAL(38,0),
+    one truncating DIV.  N reaches the plan as a literal via one
+    bounded count (EAGER, documented).  Output: ``<qi_cols…>, n,
+    tv_e6, ok`` (ok = tv_e6 <= t_e6).
+    """
+    if not (0 <= t_e6 <= 1_000_000):
+        raise ValueError(f"t_e6 must be in [0, 1e6], got {t_e6}")
+    dec = "decimal(38,0)"
+    pairs = (df.select(*qi_cols, F.col(sensitive_col).alias("_s"))
+             .groupBy(*qi_cols, "_s")
+             .agg(F.count(F.lit(1)).alias("_c")))
+    glob = (df.select(F.col(sensitive_col).alias("_s")).groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_cj")))
+    n_total = df.count()
+    if n_total == 0:
+        raise ValueError("t_closeness: empty input")
+    sizes = (pairs.groupBy(*qi_cols)
+             .agg(F.sum("_c").cast("long").alias("_ng")))
+    dev = (pairs.join(F.broadcast(glob), "_s")
+           .join(sizes, list(qi_cols))
+           .groupBy(*qi_cols)
+           .agg(F.max("_ng").cast("long").alias("n"),
+                F.sum(F.abs(F.col("_c").cast(dec) * F.lit(n_total)
+                            - F.col("_cj").cast(dec) * F.col("_ng")))
+                .alias("_dev"),
+                F.sum(F.col("_cj").cast(dec) * F.col("_ng"))
+                .alias("_cov")))
+    dev = dev.withColumn(
+        "_tot",
+        (F.col("_dev") + (F.lit(n_total).cast(dec) * F.col("n")
+                          - F.col("_cov"))).cast(dec))
+    out = dev.withColumn(
+        "tv_e6",
+        F.expr(f"(CAST(_tot AS DECIMAL(38,0)) * 1000000) "
+               f"DIV (CAST(2 AS DECIMAL(38,0)) * n * {n_total})")
+        .cast("long"))
+    return out.select(*qi_cols, "n", "tv_e6",
+                      (F.col("tv_e6") <= t_e6).alias("ok"))
+
+
+def t_closeness_oracle_sql(src_sql: str,
+                           qi_named: list[tuple[str, str]],
+                           sensitive_expr: str,
+                           t_e6: int = 300_000) -> str:
+    """DuckDB twin of :func:`t_closeness`.  ``qi_named`` =
+    ``[(expr, out_name), ...]`` so the oracle emits the same QI column
+    names as the Spark side; HUGEINT cross-multiplication, ``//``."""
+    qs = ", ".join(f"{e} AS {n}" for e, n in qi_named)
+    qn = ", ".join(n for _, n in qi_named)
+    return f"""
+        WITH src AS MATERIALIZED (
+            SELECT {qs}, {sensitive_expr} AS s FROM ({src_sql})
+        ), pairs AS (
+            SELECT {qn}, s, CAST(count(*) AS HUGEINT) AS c
+            FROM src GROUP BY {qn}, s
+        ), gcnt AS (
+            SELECT s, CAST(count(*) AS HUGEINT) AS cj
+            FROM src GROUP BY s
+        ), tot AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n_total FROM src
+        ), sizes AS (
+            SELECT {qn}, CAST(sum(c) AS HUGEINT) AS ng
+            FROM pairs GROUP BY {qn}
+        ), dev AS (
+            SELECT {qn}, max(ng) AS n,
+                   sum(abs(c * n_total - cj * ng)) AS d,
+                   sum(cj * ng) AS cov,
+                   max(n_total) AS n_total
+            FROM pairs
+            JOIN gcnt USING (s)
+            JOIN sizes USING ({qn})
+            CROSS JOIN tot
+            GROUP BY {qn}
+        )
+        SELECT {qn}, CAST(n AS BIGINT) AS n,
+               CAST((d + (n_total * n - cov)) * 1000000
+                    // (2 * n * n_total) AS BIGINT) AS tv_e6,
+               ((d + (n_total * n - cov)) * 1000000
+                    // (2 * n * n_total)) <= {t_e6} AS ok
+        FROM dev
+    """

@@ -945,6 +945,16 @@ def main() -> None:
                 f"edit_cartesian=0, compaction_exchanges="
                 f"{pcp.count('Exchange')}, cv_cartesian=0")
 
+    # 54. t-closeness: the global sensitive-alphabet counts must reach
+    #     the profile rows as a BROADCAST (shuffling the corpus to meet
+    #     a ≤|alphabet|-row side would be the wrong plan), and the
+    #     whole audit is cartesian-free.
+    ptc = executed(entry._q_t_closeness(spark, SF))
+    ok &= check("t_closeness broadcasts global counts, cartesian-free",
+                "BroadcastHashJoin" in ptc
+                and "CartesianProduct" not in ptc,
+                "broadcast=present, cartesian=0")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
