@@ -56,6 +56,92 @@ def _classify(b: _RawBlock) -> bool:
     return b.words >= MIN_WORDS
 
 
+def html_arrays(raw: str) -> tuple[str, list[tuple[int, int]], int, int]:
+    """Allocation-light batch twin of :func:`extract_html` +
+    ``assemble.finalize_pruned``: the same tag scan and block
+    classification, but kept segments go straight to the output arrays —
+    no Segment/_RawBlock/Block objects, no closure flush, no prune walk
+    (segments are non-whitespace by construction), and confidence is the
+    constant 1.0 finalize would compute (every html Segment carries
+    confidence 1.0 and no variants).  html's intra-block glue is always
+    a single space (first-in-block gets the line glue), so a kept block's
+    text is exactly ``" ".join(texts)`` and blocks join with ``"\\n"``.
+    The scalar path's ``stack`` bookkeeping is dropped here: nothing
+    observable reads it (it only pops itself).  Returns
+    ``(extracted_text, span_pairs, n_blocks, n_spans)``; row-by-row
+    parity with the scalar oracle in tests/test_extract.py."""
+    block_strs: list[str] = []
+    spans: list[tuple[int, int]] = []
+    seg_texts: list[str] = []
+    seg_spans: list[tuple[int, int]] = []
+    chars = 0
+    link_chars = 0
+    words = 0
+    blacklisted = False
+    black_depth = 0
+    link_depth = 0
+    pos = 0
+    for m in _TAG_RE.finditer(raw):
+        st, en = m.span()
+        text = raw[pos:st]
+        seg_text = text.strip()
+        if seg_text:
+            s = pos + (len(text) - len(text.lstrip()))
+            seg_texts.append(seg_text)
+            seg_spans.append((s, s + len(seg_text)))
+            n = len(seg_text)
+            chars += n
+            words += len(seg_text.split())
+            if link_depth > 0:
+                link_chars += n
+            if black_depth > 0:
+                blacklisted = True
+        pos = en
+
+        g1, g2 = m.group(1, 2)
+        name = g2.lower()
+        if name == "a":
+            if g1:
+                if link_depth:
+                    link_depth -= 1
+            else:
+                link_depth += 1
+        elif name in BLOCK_TAGS:
+            if seg_texts:   # flush + classify inline
+                if (not blacklisted and words >= MIN_WORDS
+                        and link_chars / chars <= MAX_LINK_DENSITY):
+                    block_strs.append(" ".join(seg_texts))
+                    spans.extend(seg_spans)
+                seg_texts = []
+                seg_spans = []
+                chars = link_chars = words = 0
+                blacklisted = False
+            if name in BLACKLIST:
+                if g1:
+                    if black_depth:
+                        black_depth -= 1
+                else:
+                    black_depth += 1
+    tail = raw[pos:]
+    seg_text = tail.strip()
+    if seg_text:
+        s = pos + (len(tail) - len(tail.lstrip()))
+        seg_texts.append(seg_text)
+        seg_spans.append((s, s + len(seg_text)))
+        chars += len(seg_text)
+        words += len(seg_text.split())
+        if black_depth > 0:
+            blacklisted = True
+        if link_depth > 0:
+            link_chars += len(seg_text)
+    if seg_texts:
+        if (not blacklisted and words >= MIN_WORDS
+                and link_chars / chars <= MAX_LINK_DENSITY):
+            block_strs.append(" ".join(seg_texts))
+            spans.extend(seg_spans)
+    return "\n".join(block_strs), spans, len(block_strs), len(spans)
+
+
 def extract_html(raw: str) -> list[Block]:
     """Strip boilerplate; return kept content blocks with raw-offset spans."""
     blocks: list[_RawBlock] = []

@@ -195,19 +195,15 @@ def extract_batch(texts: pd.Series,
 
     # structured classes: per-row extractors (regex state machines — not
     # cross-row vectorizable), but everything AROUND them is batched and
-    # allocation-light: two_pass and pdf_layout go straight from their
-    # internal word/box lists to the output arrays (no Segment/Block
-    # objects at all — secondpass.two_pass_arrays / segment.pdf_arrays);
-    # html/markdown keep their Block builders but prune+assemble+
-    # confidence run as ONE fused walk (assemble.finalize_pruned);
+    # allocation-light: ALL FOUR classes go straight from their internal
+    # scan state to the output arrays (no Segment/Block objects at all —
+    # secondpass.two_pass_arrays / segment.pdf_arrays /
+    # boilerplate.html_arrays / markdown.markdown_arrays);
     # per-class bulk column fill by position
-    _EXTRACTORS = {"html": boilerplate.extract_html,
-                   "markdown": markdown.extract_markdown}
     for cls in ("html", "pdf_layout", "markdown", "two_pass"):
         pos = np.flatnonzero(cls_np == cls)
         if not len(pos):
             continue
-        fn = _EXTRACTORS.get(cls)
         texts_l: list[str] = []
         nsp: list[int] = []
         nbl: list[int] = []
@@ -222,9 +218,14 @@ def extract_batch(texts: pd.Series,
             elif cls == "pdf_layout":
                 extracted, spans, n_blocks, n_segs = segment.pdf_arrays(raw)
                 n_var, conf = 0, 1.0
+            elif cls == "html":
+                extracted, spans, n_blocks, n_segs = \
+                    boilerplate.html_arrays(raw)
+                n_var, conf = 0, 1.0
             else:
-                extracted, spans, n_blocks, n_segs, n_var, conf = \
-                    assemble.finalize_pruned(fn(raw))
+                extracted, spans, n_blocks, n_segs = \
+                    markdown.markdown_arrays(raw)
+                n_var, conf = 0, 1.0
             texts_l.append(extracted)
             spans_col[pos_i] = (spans if pairs else
                                 [{"start": a, "end": b} for a, b in spans])

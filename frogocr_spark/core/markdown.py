@@ -33,6 +33,62 @@ _INLINE_RE = re.compile(
 _FENCE_RE = re.compile(r"^\s*```")
 
 
+def markdown_arrays(raw: str) -> tuple[str, list[tuple[int, int]], int, int]:
+    """Allocation-light batch twin of :func:`extract_markdown` +
+    ``assemble.finalize_pruned``: the same line/piece scan, but kept
+    pieces go straight to the output arrays — no Segment/Block objects
+    and no prune walk (whitespace-only pieces are already skipped here),
+    and confidence is the constant 1.0 finalize would compute (markdown
+    Segments carry confidence 1.0 and no variants).  Glue is exactly the
+    scalar rule: ``" "`` before a piece only when a whitespace-only piece
+    preceded it within the line (``pending_space``), nothing otherwise;
+    kept lines join with ``"\\n"``.  Returns ``(extracted_text,
+    span_pairs, n_blocks, n_spans)``; row-by-row parity with the scalar
+    oracle in tests/test_extract.py."""
+    block_strs: list[str] = []
+    spans: list[tuple[int, int]] = []
+    n_blocks = 0
+    offset = 0
+    for line in raw.split("\n"):
+        line_start, line_len = offset, len(line)
+        offset += line_len + 1
+        if _FENCE_RE.match(line):
+            continue
+        content_begin = 0
+        hm = _HEAD_RE.match(line)
+        if hm:
+            content_begin = hm.end()
+        pieces: list[tuple[int, int]] = []
+        pos = content_begin
+        for m in _INLINE_RE.finditer(line, content_begin):
+            ms = m.start()
+            if ms > pos:
+                pieces.append((pos, ms))
+            for gi in (1, 4, 6, 7):
+                if m.group(gi) is not None:
+                    pieces.append(m.span(gi))
+                    break
+            pos = m.end()
+        if pos < line_len:
+            pieces.append((pos, line_len))
+        parts: list[str] = []
+        pending_space = False
+        for a, b in pieces:
+            piece = line[a:b]
+            if not piece.strip():
+                pending_space = True
+                continue
+            if parts and pending_space:
+                parts.append(" ")
+            parts.append(piece)
+            spans.append((line_start + a, line_start + b))
+            pending_space = False
+        if parts:
+            block_strs.append("".join(parts))
+            n_blocks += 1
+    return "\n".join(block_strs), spans, n_blocks, len(spans)
+
+
 def extract_markdown(raw: str) -> list[Block]:
     """One Block per kept line; segments are the kept raw sub-intervals."""
     blocks: list[Block] = []

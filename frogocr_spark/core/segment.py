@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from operator import itemgetter
 
 from .assemble import Block, GLUE_LINE, GLUE_SPACE, Segment
 
@@ -106,26 +107,52 @@ def extract_pdf_layout(raw: str) -> list[Block]:
     return blocks
 
 
+_YX = itemgetter(0, 1)
+
+
 def pdf_arrays(raw: str) -> tuple[str, list[tuple[int, int]], int, int]:
     """Allocation-light batch twin of :func:`extract_pdf_layout` +
-    ``assemble.finalize_pruned``: the same parse/filter/order/group
-    pipeline (shared code — no drift), but the grouped boxes go straight
-    to the output arrays: no Segment/Block objects, no prune walk (box
-    texts are ``\\S+`` so pruning can never drop one), confidence is the
-    constant 1.0 finalize would compute.  Returns ``(extracted_text,
-    span_pairs, n_blocks, n_spans)``; parity with the scalar path is
-    asserted row-by-row in tests/test_extract.py."""
-    ordered = reading_order(filter_boxes(parse_layout(raw)))
-    lines = group_lines(ordered)
+    ``assemble.finalize_pruned``: the same parse → F5/band filter → W6
+    cap → (y, x) stable sort → W1 bubble pass → line grouping pipeline,
+    fused over bare ``(y, x, text, start, end)`` tuples — no Box/Segment/
+    Block objects, no prune walk (box texts are ``\\S+`` so pruning can
+    never drop one), confidence is the constant 1.0 finalize would
+    compute.  Equivalences with the scalar path: breaking the parse once
+    MAX_BOXES boxes are KEPT equals ``kept[:MAX_BOXES]`` (later boxes are
+    discarded either way); ``list.sort(key=itemgetter(0, 1))`` over parse
+    order is the same stable permutation as ``sorted(boxes, key=lambda
+    b: (b.y, b.x))``.  Returns ``(extracted_text, span_pairs, n_blocks,
+    n_spans)``; parity with the scalar path is asserted row-by-row in
+    tests/test_extract.py."""
+    kept: list[tuple[int, int, str, int, int]] = []
+    for m in _TOKEN_RE.finditer(raw):
+        sx, sy, sw, sh, text = m.group(1, 2, 3, 4, 5)
+        if int(sw) >= MIN_SIDE and int(sh) >= MIN_SIDE:
+            y = int(sy)
+            if HEADER_Y <= y < FOOTER_Y:
+                kept.append((y, int(sx), text, m.start(5), m.end(5)))
+                if len(kept) == MAX_BOXES:
+                    break
+    kept.sort(key=_YX)
+    band = BAND_PX
+    for i in range(len(kept) - 1):
+        a = kept[i]
+        b = kept[i + 1]
+        if abs(b[0] - a[0]) < band and b[1] < a[1]:
+            kept[i], kept[i + 1] = b, a
     parts: list[str] = []
     spans: list[tuple[int, int]] = []
-    for li, line in enumerate(lines):
-        for i, b in enumerate(line):
-            if i:
-                parts.append(GLUE_SPACE + b.text)
-            elif li:
-                parts.append(GLUE_LINE + b.text)
-            else:
-                parts.append(b.text)
-            spans.append((b.start, b.end))
-    return "".join(parts), spans, len(lines), len(spans)
+    n_blocks = 0
+    prev_y = 0
+    for t in kept:
+        y = t[0]
+        if n_blocks and abs(y - prev_y) < band:
+            parts.append(GLUE_SPACE)
+        else:
+            if n_blocks:
+                parts.append(GLUE_LINE)
+            n_blocks += 1
+        parts.append(t[2])
+        spans.append((t[3], t[4]))
+        prev_y = y
+    return "".join(parts), spans, n_blocks, len(spans)

@@ -165,3 +165,34 @@ def test_spans_pairs_mode_matches_dicts_mode(corpus):
         == [(d["start"], d["end"])
             for d in extract.extract_turn(
                 texts.iloc[0], "MinWordConfidence=0.9")["spans"]]
+
+
+def test_arrays_twins_equal_finalize_pruned_composition(corpus):
+    """Each structured class's *_arrays fast path must equal the exact
+    composition its docstring claims: ``assemble.finalize_pruned(
+    extract_<cls>(raw))`` — same text, same spans, same counts, and the
+    constant confidence/variant values the Block path would compute.
+    Run over every structured row of the full generated corpus."""
+    from frogocr_spark.core import assemble, boilerplate, markdown, segment
+
+    twins = {
+        "html": (boilerplate.html_arrays, boilerplate.extract_html),
+        "markdown": (markdown.markdown_arrays, markdown.extract_markdown),
+        "pdf_layout": (segment.pdf_arrays, segment.extract_pdf_layout),
+    }
+    checked = {k: 0 for k in twins}
+    for r in corpus:
+        raw = r["text"]
+        cls = extract.extract_turn(raw)["payload_class"]
+        if cls not in twins:
+            continue
+        arrays_fn, block_fn = twins[cls]
+        text, spans, n_blocks, n_spans = arrays_fn(raw)
+        f_text, f_spans, f_blocks, f_n, f_var, f_conf = \
+            assemble.finalize_pruned(block_fn(raw))
+        assert text == f_text
+        assert spans == f_spans
+        assert (n_blocks, n_spans) == (f_blocks, f_n)
+        assert (f_var, f_conf) == (0, 1.0)   # the constants the fast
+        checked[cls] += 1                    # path hard-codes
+    assert all(v > 50 for v in checked.values()), checked
