@@ -43,3 +43,28 @@ def test_scalar_vector_parity_examples():
 @given(st.text(alphabet=st.characters(codec="ascii"), max_size=120))
 def test_scalar_vector_parity_fuzz(t):
     assert sniff.sniff(t) == sniff.sniff_series(pd.Series([t])).iloc[0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from([
+    "# ", "#x", "```", "``", "> q", ">q", "- i", "-i", "* i", "1. x",
+    "[a](b)", "[a]b", "**s**", "*e*", "plain", "\n", " ", "<p>", "@",
+    "{", "[[LOWCONF]]",
+]), max_size=12))
+def test_scalar_vector_parity_marker_edges(atoms):
+    """Marker-char-dense payloads around the sniffer's necessary-char
+    guards: every string here contains guard characters, so the guarded
+    regexes must still run (and agree with the scalar oracle) whenever
+    the guard fires, including near-miss markers (#x, >q, -i, ``)."""
+    t = "".join(atoms)
+    assert sniff.sniff(t) == sniff.sniff_series(pd.Series([t])).iloc[0]
+
+
+def test_vector_batch_order_and_index():
+    """A mixed batch keeps per-row classification and the input index."""
+    texts = ["plain here", "# h", "<p>a</p>", '{"k":1}',
+             "@1,2,30,30|x", "[[LOWCONF]]a[[/LOWCONF]]", ""]
+    s = pd.Series(texts, index=[9, 3, 7, 1, 5, 0, 2])
+    vec = sniff.sniff_series(s)
+    assert list(vec.index) == [9, 3, 7, 1, 5, 0, 2]
+    assert vec.tolist() == [sniff.sniff(t) for t in texts]
