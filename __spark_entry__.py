@@ -4719,7 +4719,11 @@ def _q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     ev = docs.where(F.col("doc_id") % 97 == 0)
     rest = docs.where(F.col("doc_id") % 97 != 0)
-    return bloom_false_positive_rate(rest, ev, m_bits=65536)
+    # the local test table is ONE parquet row group — same defensive
+    # round-robin as bloom_decontam so the gram explosion uses the cores
+    return bloom_false_positive_rate(
+        rest, ev, m_bits=65536,
+        min_parallelism=spark.sparkContext.defaultParallelism)
 
 
 def _q_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:

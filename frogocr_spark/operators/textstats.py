@@ -738,12 +738,20 @@ def bloom_decontaminate(df: DataFrame, bloom: str, id_col: str = "doc_id",
     # higher-order-function lambdas don't get common-subexpression
     # elimination — measured 3x the hash work inside an interpreted
     # HOF.)
+    # the filter ships as a BINARY literal, not a string: substring on
+    # a UTF8String is O(position) (it counts codepoints from the start,
+    # so each probe scans ~m_bits/2 bytes — measured 2.4 s vs 0.4 s over
+    # 222k grams at m_bits=65536, and LINEAR in m_bits), while substring
+    # on BinaryType is a byte-indexed O(1) slice.  Same bits, same
+    # answer — '1' is byte 0x31
+    blit = F.lit(bloom.encode("ascii"))
+
     def _hit(h):
         ok = None
         for j in range(BLOOM_K):
             p = (F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10)
                  .cast("long") % m_bits).cast("int")
-            c = F.substring(F.lit(bloom), p + 1, F.lit(1)) == "1"
+            c = F.substring(blit, p + 1, F.lit(1)) == F.lit(b"1")
             ok = c if ok is None else (ok & c)
         return ok
 
@@ -2100,7 +2108,8 @@ def max_token_run(df: DataFrame, id_col: str = "doc_id",
 
 def bloom_false_positive_rate(df: DataFrame, eval_df: DataFrame,
                               text_col: str = "text", n: int = 8,
-                              m_bits: int = 65536) -> DataFrame:
+                              m_bits: int = 65536,
+                              min_parallelism: int | None = None) -> DataFrame:
     """MEASURED Bloom false-positive rate against exact truth — the
     audit that turns :func:`bloom_decontaminate`'s theoretical
     ``(1-e^{-kn/m})^k`` bound into a number for THIS corpus and filter:
@@ -2114,8 +2123,21 @@ def bloom_false_positive_rate(df: DataFrame, eval_df: DataFrame,
     gram-keyed anti-join of distinct corpus grams against distinct
     eval grams; the probe is a pure map over surviving grams; the
     report is two 1-row aggregates.  Output: one row
-    ``(m_bits, k, n_members, n_probes, n_fp, fpr_e6)``."""
+    ``(m_bits, k, n_members, n_probes, n_fp, fpr_e6)``.
+
+    ``min_parallelism``: same defensive repartition as
+    :func:`bloom_decontaminate` — gram explosion + k bit-probes per
+    gram cost far more compute per input byte than the scan, so when
+    the parquet layout yields fewer scan partitions than this (one row
+    group can never split), round-robin the raw rows first.  A
+    well-laid-out 100 TB corpus has thousands of row groups and skips
+    the exchange (the default)."""
     from .dedup import _shingle_expr
+    if min_parallelism is not None:
+        if df.rdd.getNumPartitions() < min_parallelism:
+            df = df.repartition(min_parallelism)
+        if eval_df.rdd.getNumPartitions() < min_parallelism:
+            eval_df = eval_df.repartition(min_parallelism)
     bloom = bloom_build(eval_df, text_col, n, m_bits)
     members = (eval_df.select(
         F.explode(_shingle_expr(text_col, n, None)).alias("gram"))
@@ -2126,10 +2148,13 @@ def bloom_false_positive_rate(df: DataFrame, eval_df: DataFrame,
     probes = corpus.join(members, "gram", "left_anti")
     h = F.md5(F.col("gram"))
     hit = None
+    # BINARY literal probe — see bloom_decontaminate: string substring
+    # is O(position) per probe, binary substring is O(1)
+    blit = F.lit(bloom.encode("ascii"))
     for j in range(BLOOM_K):
         p = (F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10)
              .cast("long") % m_bits).cast("int")
-        c = F.substring(F.lit(bloom), p + 1, F.lit(1)) == "1"
+        c = F.substring(blit, p + 1, F.lit(1)) == F.lit(b"1")
         hit = c if hit is None else (hit & c)
     pagg = probes.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("n_probes"),
