@@ -738,12 +738,13 @@ def bloom_decontaminate(df: DataFrame, bloom: str, id_col: str = "doc_id",
     # higher-order-function lambdas don't get common-subexpression
     # elimination — measured 3x the hash work inside an interpreted
     # HOF.)
-    # the filter ships as a BINARY literal, not a string: substring on
-    # a UTF8String is O(position) (it counts codepoints from the start,
-    # so each probe scans ~m_bits/2 bytes — measured 2.4 s vs 0.4 s over
-    # 222k grams at m_bits=65536, and LINEAR in m_bits), while substring
-    # on BinaryType is a byte-indexed O(1) slice.  Same bits, same
-    # answer — '1' is byte 0x31
+    # the filter ships as a BINARY literal, not a string: measured over
+    # 222k probed grams, variable-position substring against a STRING
+    # literal costs time LINEAR in the probed position / filter width
+    # (0.6 s at 8 Kibit, 2.4 s at 64 Kibit, 4.5 s at 128 Kibit — small
+    # or constant positions are cheap, so the scan happens per probe),
+    # while substring on a BinaryType literal is position-independent
+    # (0.4 s at every width).  Same bits, same answer — '1' is byte 0x31
     blit = F.lit(bloom.encode("ascii"))
 
     def _hit(h):
