@@ -5142,6 +5142,37 @@ def _q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t_closeness(ev, ["day"], "event_type", t_e6=300_000)
 
 
+def _q_src_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source repeated-line stripping (CCNet/RefinedWeb-style site
+    template removal): the corpus is single-line, so both sides
+    deterministically assemble multi-line documents — every doc of a
+    source gets that source's copyright footer (template: recurs in all
+    ~25 docs of the source), even doc_ids get the source's nav line
+    (template), doc_id%7 gets a unique closing remark (df=1 — must
+    survive), and an empty line separates body from footer (must
+    survive: only RECURRING NON-EMPTY lines are templates).  The
+    byte-compared ``kept_text`` verifies strip + in-order reassembly
+    end-to-end (operators/textstats.source_line_dedup)."""
+    from frogocr_spark.operators.textstats import source_line_dedup
+    docs = _read_split(spark, sf_dir, "documents")
+    nl = "\n"
+    aug = docs.select(
+        "doc_id", "source",
+        F.concat(
+            F.col("text"),
+            F.lit(nl + nl + "(c) "), F.col("source"),
+            F.lit(" | all rights reserved"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.concat(F.lit(nl + "Navigation: home | about | "),
+                            F.col("source"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(nl + "Unique closing remark "),
+                            F.col("doc_id").cast("string"), F.lit(".")))
+            .otherwise(F.lit("")),
+        ).alias("text"))
+    return source_line_dedup(aug, min_docs=3)
+
+
 _DBSCAN_MIN_PTS = 3
 
 
@@ -5482,6 +5513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_counts": _q_ivm_counts,
         "fleiss": _q_fleiss,
         "t_closeness": _q_t_closeness,
+        "src_line_dedup": _q_src_line_dedup,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -10816,6 +10848,51 @@ FROM pos2
     o["compaction_plan"] = compaction_plan_oracle_sql(
         "SELECT source, doc_id, n_chars FROM documents",
         target=_COMPACT_TARGET)
+    # src_line_dedup: same deterministic multi-line composition; the
+    # template set is per-source count(DISTINCT doc) >= 3 on trimmed
+    # non-empty lines; DuckDB strips via list_filter against the
+    # source's template LIST (order-preserving — no positional
+    # bookkeeping needed), which is value-equivalent to the Spark
+    # side's distributed (source, line)-keyed join + pos re-sort
+    o["src_line_dedup"] = r"""
+        WITH aug AS (
+            SELECT doc_id, source,
+                   text || chr(10) || chr(10) || '(c) ' || source
+                   || ' | all rights reserved'
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN chr(10) || 'Navigation: home | about | '
+                                || source ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN chr(10) || 'Unique closing remark '
+                                || CAST(doc_id AS VARCHAR) || '.'
+                           ELSE '' END AS text
+            FROM documents
+        ), l AS (
+            SELECT doc_id, source,
+                   string_split(text, chr(10)) AS ls
+            FROM aug
+        ), x AS (
+            SELECT doc_id, source, unnest(ls) AS line FROM l
+        ), tmpl AS (
+            SELECT source, trim(line) AS t
+            FROM x WHERE trim(line) <> ''
+            GROUP BY source, trim(line)
+            HAVING count(DISTINCT doc_id) >= 3
+        ), tl AS (
+            SELECT source, list(t) AS ts FROM tmpl GROUP BY source
+        ), k AS (
+            SELECT l.doc_id, l.source, l.ls,
+                   list_filter(l.ls, y -> NOT list_contains(
+                       coalesce(tl.ts, CAST([] AS VARCHAR[])),
+                       trim(y))) AS kept
+            FROM l LEFT JOIN tl ON l.source = tl.source
+        )
+        SELECT doc_id, source,
+               CAST(len(ls) AS INT) AS n_lines,
+               CAST(len(ls) - len(kept) AS INT) AS n_stripped,
+               array_to_string(kept, chr(10)) AS kept_text
+        FROM k
+    """
     from frogocr_spark.operators.quality import t_closeness_oracle_sql
     o["t_closeness"] = t_closeness_oracle_sql(
         "SELECT epoch_us(ts) // 86400000000 AS day, event_type "

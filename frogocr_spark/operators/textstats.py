@@ -664,6 +664,52 @@ def line_filters(df: DataFrame, text_col: str = "text",
             .drop("_lines", "_kept"))
 
 
+def source_line_dedup(df: DataFrame, source_col: str = "source",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      min_docs: int = 3) -> DataFrame:
+    """Per-source repeated-line stripping — the CCNet/RefinedWeb-style
+    site-template removal that rule-based :func:`line_filters` cannot
+    express: a line is boilerplate not because of WHAT it says but
+    because the same (trimmed) line recurs across ``>= min_docs``
+    DISTINCT documents of the same source (nav bars, footers, cookie
+    banners specific to one site).  Non-template lines — including
+    whitespace-only ones — are kept verbatim and in order.
+
+    Scale shape (never a cartesian, never a per-source collect):
+    posexplode lines → ONE (source, trimmed-line) keyed distinct-doc
+    count (map-side combined) filtered to the template set (output
+    bounded by template lines) → equi-JOIN back on (source,
+    trimmed-line) — the template set stays distributed, so a source
+    with millions of template lines never has to fit in one list —
+    → one doc-keyed agg that re-assembles kept lines via
+    ``array_sort(collect_list(struct(pos, line)))`` (collect_list
+    skips the NULLed-out stripped lines).  Output: ``(doc_id, source,
+    n_lines, n_stripped, kept_text)``."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    lines = df.select(
+        F.col(id_col), F.col(source_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("_pos", "_line")).withColumn("_t", F.trim("_line"))
+    templates = (lines.where(F.col("_t") != "")
+                 .groupBy(source_col, "_t")
+                 .agg(F.countDistinct(id_col).alias("_df"))
+                 .where(F.col("_df") >= min_docs))
+    marked = lines.join(templates, [source_col, "_t"], "left")
+    return (marked.groupBy(id_col, source_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_lines"),
+                 F.sum(F.col("_df").isNotNull().cast("int"))
+                 .cast("int").alias("n_stripped"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("_df").isNull(),
+                                    F.struct(F.col("_pos"),
+                                             F.col("_line"))))),
+                         lambda x: x["_line"]), "\n")
+                 .alias("kept_text")))
+
+
 BLOOM_K = 3  # probes per key; at m/n = 8 bits/key the FP rate ≈ 3.1%
 
 

@@ -955,6 +955,19 @@ def main() -> None:
                 and "CartesianProduct" not in ptc,
                 "broadcast=present, cartesian=0")
 
+    # 55. src_line_dedup: the template set must meet the exploded lines
+    #     through a keyed equi-join (never a cartesian, never a
+    #     collected per-source list — a source with millions of
+    #     template lines stays distributed), and the line explosion
+    #     must not funnel through a single partition.
+    psl = executed(entry._q_src_line_dedup(spark, SF))
+    ok &= check("src_line_dedup keyed template join, cartesian-free, "
+                "no single-partition exchange",
+                "CartesianProduct" not in psl
+                and "BroadcastNestedLoopJoin" not in psl
+                and "SinglePartition" not in psl,
+                "cartesian=0, nested_loop=0, single_partition=0")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
