@@ -75,3 +75,42 @@ def test_all_arrays_survive_arbitrary_text(raw):
         _compose(markdown.extract_markdown, raw)
     assert segment.pdf_arrays(raw) == \
         _compose(segment.extract_pdf_layout, raw)
+
+
+def test_large_payload_parity_and_sanity():
+    """Megabyte-scale payloads through every structured twin: parity
+    with the Block-path composition must hold and nothing may
+    recurse/overflow.  Guards against accidental quadratic rewrites:
+    these inputs are ~1000x the corpus mean, where an O(n^2) regression
+    would hang the suite rather than shave a benchmark."""
+    big_html = ("<div><p>" + "word " * 60 + "</p>"
+                + "<nav>skip this</nav>"
+                + "<p><a>l</a> tiny</p>") * 800          # ~0.9 MB
+    big_md = ("# head\n" + "a line of **bold** text here\n" * 20
+              + "```\nfence\n```\n") * 700               # ~0.9 MB
+    big_pdf = " ".join(f"@{(i * 7) % 900},{100 + (i % 60) * 10},20,9|w{i}"
+                       for i in range(30000))            # ~0.8 MB
+    checks = [
+        (boilerplate.html_arrays, boilerplate.extract_html, big_html),
+        (markdown.markdown_arrays, markdown.extract_markdown, big_md),
+        (segment.pdf_arrays, segment.extract_pdf_layout, big_pdf),
+    ]
+    for arrays_fn, block_fn, raw in checks:
+        got = arrays_fn(raw)
+        assert got == _compose(block_fn, raw)
+        text, spans, n_blocks, n_spans = got
+        assert n_spans == len(spans) and n_blocks > 0
+        for a, b in spans[:100]:
+            assert raw[a:b].strip()
+    # two_pass at scale through the real batch entry
+    from frogocr_spark.core import extract
+    import pandas as pd
+    big_tp = ("plain words here [[LOWCONF]]delbrag sdrow[[/LOWCONF]] "
+              "more text. ") * 12000                     # ~0.8 MB
+    row = extract.extract_batch(pd.Series([big_tp]),
+                                spans_as="pairs").iloc[0]
+    rec = extract.extract_turn(big_tp)
+    assert row["payload_class"] == rec["payload_class"] == "two_pass"
+    assert row["extracted_text"] == rec["extracted_text"]
+    assert row["n_spans"] == rec["n_spans"]
+    assert row["confidence"] == rec["confidence"]
