@@ -1099,11 +1099,18 @@ def postings_delta(docs: DataFrame, id_col: str = "doc_id",
     varint-friendly): per surviving term, the SORTED distinct doc-id
     postings as ``first_doc`` + the consecutive gaps.
 
-    Scale shape: one token-keyed map-side-combined agg (per-doc
-    distinct terms first, so a term counts once per doc); the df band
+    Scale shape: per-doc distinct terms, then TWO phases so the df band
     [min_df, max_df] caps both stopword-grade hot terms AND singleton
-    noise BEFORE the array materializes; the gap transform is a pure
-    array expression (``zip_with`` of the list against its own tail).
+    noise BEFORE any postings array materializes: (1) a term-keyed
+    COUNT — map-side combined, a hot term like "have" never
+    concentrates rows — filtered to the band, (2) a term-keyed
+    equi-join prunes the token stream to surviving terms and only THEN
+    ``collect_set`` builds the (band-bounded, ≤ max_df element)
+    postings arrays.  (The earlier one-phase form collected the full
+    postings list per term and filtered on its SIZE — at 10^12 docs a
+    stopword's postings would have had to fit one reducer row before
+    being dropped.)  The gap transform is a pure array expression
+    (``zip_with`` of the list against its own tail).
     Output: ``term, df int, first_doc long, gaps array<long>``."""
     toks = (docs.select(F.col(id_col).alias("_id"),
                         F.explode(F.array_distinct(F.filter(
@@ -1111,10 +1118,13 @@ def postings_delta(docs: DataFrame, id_col: str = "doc_id",
                                     r"\s+"),
                             lambda w: F.length(w) >= min_len)))
                         .alias("term")))
-    posts = (toks.groupBy("term")
-             .agg(F.sort_array(F.collect_set("_id")).alias("_ps"))
-             .where((F.size("_ps") >= min_df)
-                    & (F.size("_ps") <= max_df)))
+    band = (toks.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_df0"))
+            .where((F.col("_df0") >= min_df)
+                   & (F.col("_df0") <= max_df)))
+    posts = (toks.join(band.select("term"), "term")
+             .groupBy("term")
+             .agg(F.sort_array(F.collect_set("_id")).alias("_ps")))
     tail = F.slice(F.col("_ps"), 2, F.size("_ps") - 1)
     head = F.slice(F.col("_ps"), 1, F.size("_ps") - 1)
     return posts.select(

@@ -968,6 +968,19 @@ def main() -> None:
                 and "SinglePartition" not in psl,
                 "cartesian=0, nested_loop=0, single_partition=0")
 
+    # 56. postings_delta: the df-band filter must act BEFORE postings
+    #     arrays materialize — i.e. the plan prunes the token stream
+    #     through the band equi-join (a Join node present, cartesian-
+    #     free) rather than collecting full postings and filtering on
+    #     array size (the one-phase shape had no join at all and would
+    #     build a stopword's complete postings list in one reducer row).
+    from frogocr_spark.operators.textstats import postings_delta
+    ppd = executed(postings_delta(docs, min_len=4, min_df=2, max_df=16))
+    ok &= check("postings_delta band-join prunes before collect",
+                ("Join" in ppd and "CartesianProduct" not in ppd
+                 and "BroadcastNestedLoopJoin" not in ppd),
+                "band_join=present, cartesian=0")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
