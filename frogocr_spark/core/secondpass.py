@@ -130,8 +130,9 @@ def _first_pass_arrays(raw: str) -> tuple[list[str], list[int], list[int],
     def scan(seg: str, base: int, conf_f: float) -> None:
         for m in _WORD_RE.finditer(seg):
             texts.append(m.group())
-            starts.append(base + m.start())
-            ends.append(base + m.end())
+            s, e = m.span()
+            starts.append(base + s)
+            ends.append(base + e)
             confs.append(conf_f)
 
     fp_f, gb_f = float(FIRSTPASS_CONF), float(GARBLED_CONF)
@@ -164,9 +165,10 @@ def second_pass_recognize(raw: str, region: tuple[int, int]) -> list[Word]:
     corrected = raw[a:b][::-1]
     conf = SECONDPASS_HARD_CONF if "?" in corrected else SECONDPASS_CONF
     out: list[Word] = []
+    conf_f = float(conf)
     for m in _WORD_RE.finditer(corrected):
-        p, q = m.start(), m.end()
-        out.append(Word(m.group(), b - q, b - p, float(conf), order_key=a + p))
+        p, q = m.span()
+        out.append(Word(m.group(), b - q, b - p, conf_f, order_key=a + p))
     return out
 
 
