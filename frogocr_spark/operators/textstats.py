@@ -687,9 +687,12 @@ def source_line_dedup(df: DataFrame, source_col: str = "source",
     n_lines, n_stripped, kept_text)``."""
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    # NULL text = empty doc (one empty kept line), not a vanished row —
+    # posexplode of a null array would silently drop the document
     lines = df.select(
         F.col(id_col), F.col(source_col),
-        F.posexplode(F.split(F.col(text_col), "\n"))
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             "\n"))
         .alias("_pos", "_line")).withColumn("_t", F.trim("_line"))
     templates = (lines.where(F.col("_t") != "")
                  .groupBy(source_col, "_t")

@@ -83,3 +83,13 @@ def test_src_line_dedup_python_twin(spark):
 def test_src_line_dedup_guard(spark):
     with pytest.raises(ValueError):
         source_line_dedup(_rows(spark, [(1, "A", "x")]), min_docs=1)
+
+
+def test_src_line_dedup_null_text_kept(spark):
+    rows = [(1, "A", None), (2, "A", "x\ny"), (3, "A", "x")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.doc_id: r for r in
+           source_line_dedup(df, min_docs=3).collect()}
+    assert set(got) == {1, 2, 3}            # null-text doc not dropped
+    assert (got[1].n_lines, got[1].n_stripped, got[1].kept_text) \
+        == (1, 0, "")
