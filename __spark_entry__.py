@@ -5173,6 +5173,77 @@ def _q_src_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_line_dedup(aug, min_docs=3)
 
 
+def _para_aug(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-paragraph composition for the paragraph-dedup
+    queries (the corpus is single-paragraph): every doc gets its unique
+    body, a per-source shared footer paragraph (duplicated across the
+    ~25 docs of the source — only the globally first occurrence may
+    survive), doc_id%5 gets a corpus-wide newsletter paragraph,
+    doc_id%10 repeats it WITHIN the same doc (in-doc second occurrence
+    must also drop), and doc_id%7 gets a unique remark (must survive)."""
+    sep = "\n\n"
+    news = "Subscribe to the newsletter today"
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(sep + "Shared footer for "), F.col("source"),
+            F.lit(" | courtesy note"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(sep + news))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 10 == 0, F.lit(sep + news))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(sep + "Unique remark "),
+                            F.col("doc_id").cast("string"), F.lit(".")))
+            .otherwise(F.lit("")),
+        ).alias("text"))
+
+
+def _q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (Dolma-style): over the
+    deterministic multi-paragraph composition (:func:`_para_aug`), only
+    the globally first occurrence — smallest (doc_id, position) — of
+    each trimmed paragraph survives; unique bodies and remarks are kept
+    verbatim.  The byte-compared kept_text verifies owner selection +
+    in-order reassembly end-to-end, including the in-doc repeat case
+    (operators/textstats.paragraph_dedup)."""
+    from frogocr_spark.operators.textstats import paragraph_dedup
+    docs = _read_split(spark, sf_dir, "documents")
+    return paragraph_dedup(_para_aug(docs))
+
+
+_BLOCKLIST = ("dup", "slow", "spam")  # common / rare / absent from corpus
+
+
+def _q_blockwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level banned-term gate (the C4 bad-words curation step): keep
+    a doc only if no lowercased token is on the blocklist; occurrence
+    and distinct-term counts give drop attribution.  The list spans a
+    common corpus term, a rare one, and an absent one so both gate
+    outcomes and the zero-hit path are exercised
+    (operators/textstats.blocklist_gate)."""
+    from frogocr_spark.operators.textstats import blocklist_gate
+    docs = _read(spark, sf_dir, "documents")
+    return blocklist_gate(docs, list(_BLOCKLIST))
+
+
+_N_SHARDS = 16
+
+
+def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard export plan: global md5 shuffle order →
+    round-robin deal into exactly balanced shards, each with an
+    order-independent integrity manifest (count, exact DECIMAL(38,0)
+    hash sum, id range).  The oracle recomputes the full rank chain via
+    row_number, so the hash match proves the range-partition +
+    broadcast-offset global rank equivalent to the total order
+    (operators/layout.shard_plan)."""
+    from frogocr_spark.operators.layout import shard_plan
+    docs = _read(spark, sf_dir, "documents")
+    return shard_plan(docs.select("doc_id"), _N_SHARDS)
+
+
 _DBSCAN_MIN_PTS = 3
 
 
@@ -5514,6 +5585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleiss": _q_fleiss,
         "t_closeness": _q_t_closeness,
         "src_line_dedup": _q_src_line_dedup,
+        "para_dedup": _q_para_dedup,
+        "blockwords": _q_blockwords,
+        "shard_manifest": _q_shard_manifest,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -10892,6 +10966,93 @@ FROM pos2
                CAST(len(ls) - len(kept) AS INT) AS n_stripped,
                array_to_string(kept, chr(10)) AS kept_text
         FROM k
+    """
+    # para_dedup: same deterministic multi-paragraph composition; the
+    # owner of each trimmed paragraph is min(struct(doc_id, pos)) —
+    # DuckDB compares named structs lexicographically exactly like
+    # Spark — and string_agg(... ORDER BY pos) skips the dropped
+    # (NULLed) paragraphs just like collect_list
+    _news = "Subscribe to the newsletter today"
+    o["para_dedup"] = f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || chr(10) || chr(10) || 'Shared footer for '
+                   || source || ' | courtesy note'
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN chr(10) || chr(10) || '{_news}'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 10 = 0
+                           THEN chr(10) || chr(10) || '{_news}'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN chr(10) || chr(10) || 'Unique remark '
+                                || CAST(doc_id AS VARCHAR) || '.'
+                           ELSE '' END AS text
+            FROM documents
+        ), l AS (
+            SELECT doc_id,
+                   string_split(text, chr(10) || chr(10)) AS ps
+            FROM aug
+        ), x AS (
+            SELECT doc_id, unnest(ps) AS para,
+                   generate_subscripts(ps, 1) AS pos
+            FROM l
+        ), own AS (
+            SELECT trim(para) AS t,
+                   min({{'d': doc_id, 'p': pos}}) AS o
+            FROM x WHERE trim(para) <> ''
+            GROUP BY trim(para)
+        ), k AS (
+            SELECT x.doc_id, x.pos, x.para,
+                   (own.t IS NULL
+                    OR (struct_extract(own.o, 'd') = x.doc_id
+                        AND struct_extract(own.o, 'p') = x.pos)) AS keep
+            FROM x LEFT JOIN own ON trim(x.para) = own.t
+        )
+        SELECT doc_id, CAST(count(*) AS INT) AS n_paras,
+               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS INT)
+                   AS n_dropped,
+               coalesce(string_agg(CASE WHEN keep THEN para END,
+                                   chr(10) || chr(10) ORDER BY pos),
+                        '') AS kept_text
+        FROM k GROUP BY doc_id
+    """
+    _bl = ", ".join(f"'{w}'" for w in sorted(set(_BLOCKLIST)))
+    o["blockwords"] = rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(
+                       lower(trim(coalesce(text, ''))), '\s+'),
+                       x -> x <> '') AS ts
+            FROM documents
+        ), b AS (
+            SELECT doc_id, ts,
+                   list_filter(ts, x -> x IN ({_bl})) AS bs
+            FROM t
+        )
+        SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
+               CAST(len(bs) AS INT) AS n_blocked,
+               CAST(len(list_distinct(bs)) AS INT) AS n_blocked_distinct,
+               len(bs) = 0 AS keep
+        FROM b
+    """
+    # shard_manifest: the oracle recomputes the global md5 shuffle order
+    # with a literal row_number window — the hash match proves the
+    # range-partition + broadcast-offset global_rank equivalent
+    o["shard_manifest"] = f"""
+        WITH r AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rk
+            FROM documents
+        )
+        SELECT CAST((rk - 1) % {_N_SHARDS} AS INT) AS shard,
+               count(*) AS n_rows,
+               CAST(CAST(sum(CAST(('0x' || substr(k, 1, 15)) AS BIGINT))
+                         AS DECIMAL(38,0)) AS VARCHAR) AS checksum,
+               min(doc_id) AS id_min, max(doc_id) AS id_max
+        FROM r GROUP BY 1
     """
     from frogocr_spark.operators.quality import t_closeness_oracle_sql
     o["t_closeness"] = t_closeness_oracle_sql(

@@ -445,3 +445,46 @@ def compaction_plan_oracle_sql(files_sql: str, group_col: str = "source",
         FROM walk
         GROUP BY grp, bin
     """
+
+
+def shard_plan(df: DataFrame, n_shards: int,
+               id_col: str = "doc_id") -> DataFrame:
+    """Deterministic training-shard export plan: rows are globally
+    shuffled by ``md5(id)`` (seedless — stable across runs, engines,
+    and repartitioning) and dealt round-robin into ``n_shards``
+    EXACTLY balanced shards (counts differ by at most 1 — the property
+    hash-mod bucketing cannot give), each with an order-independent
+    integrity manifest: row count, exact DECIMAL(38,0) sum of the
+    64-bit md5-derived row hashes (verifiable shard-local after
+    export, in any order), and the id range.  The "shuffle the corpus
+    and write N shards with manifests" step every epoch-level training
+    pipeline runs before handing data to loaders.
+
+    Scale shape: the global shuffle order comes from
+    :func:`~frogocr_spark.operators.ranking.global_rank` (range
+    partition + per-partition window + broadcast O(P) offsets — NO
+    single-partition exchange), then one shard-keyed map-side-combined
+    agg of ``n_shards`` output rows.  EAGER at plan-construction
+    (global_rank collects the O(P) partition counts).  Output:
+    ``(shard, n_rows, checksum, id_min, id_max)``."""
+    from frogocr_spark.operators.ranking import global_rank
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    keyed = df.select(F.col(id_col),
+                      F.md5(F.col(id_col).cast("string")).alias("_k"))
+    ranked = global_rank(keyed, ["_k", id_col])
+    h = (F.conv(F.substring("_k", 1, 15), 16, 10).cast("long")
+         .cast("decimal(38,0)"))
+    return (ranked
+            .select(((F.col("rank") - 1) % n_shards).cast("int")
+                    .alias("shard"),
+                    F.col(id_col), h.alias("_h"))
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 # exact DECIMAL(38,0) sum, emitted as its decimal string
+                 # (the exact value is unrepresentable in any float type)
+                 F.sum("_h").cast("decimal(38,0)").cast("string")
+                 .alias("checksum"),
+                 F.min(id_col).alias("id_min"),
+                 F.max(id_col).alias("id_max")))

@@ -713,6 +713,82 @@ def source_line_dedup(df: DataFrame, source_col: str = "source",
                  .alias("kept_text")))
 
 
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-wide exact paragraph dedup (the Dolma/RefinedWeb
+    paragraph-granularity pass): every occurrence of a (trimmed)
+    paragraph EXCEPT the globally first one — smallest ``(doc_id,
+    position)`` — is dropped; the first occurrence, and every
+    whitespace-only paragraph (a formatting artifact, not content), is
+    kept verbatim and in order.  Sits between :func:`source_line_dedup`
+    (line granularity, per-source, count-thresholded) and whole-doc
+    ``dedup_exact`` (document granularity): repeated boilerplate
+    paragraphs vanish corpus-wide while each survives exactly once.
+
+    Scale shape: posexplode paragraphs → ONE trimmed-paragraph-keyed
+    ``min(struct(doc, pos))`` owner agg (map-side combinable — a
+    paragraph duplicated a billion times partial-aggregates to one row
+    per task) → equi-join back on the trimmed key (the owner set stays
+    distributed, never a collected list) → one doc-keyed agg
+    re-assembling kept paragraphs via pos-sorted ``collect_list``
+    (collect_list skips the NULLed-out dropped ones).  Output:
+    ``(doc_id, n_paras, n_dropped, kept_text)``."""
+    sep = "\n\n"
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             sep)).alias("_pos", "_para")
+    ).withColumn("_t", F.trim("_para"))
+    owners = (paras.where(F.col("_t") != "")
+              .groupBy("_t")
+              .agg(F.min(F.struct(F.col(id_col).alias("_d"),
+                                  F.col("_pos").alias("_p")))
+                   .alias("_own")))
+    marked = paras.join(owners, "_t", "left")
+    keep = (F.col("_own").isNull()
+            | ((F.col("_own._d") == F.col(id_col))
+               & (F.col("_own._p") == F.col("_pos"))))
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_paras"),
+                 F.sum((~keep).cast("int")).cast("int")
+                 .alias("n_dropped"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(keep, F.struct(F.col("_pos"),
+                                                   F.col("_para"))))),
+                         lambda x: x["_para"]), sep)
+                 .alias("kept_text")))
+
+
+def blocklist_gate(df: DataFrame, blocklist: list[str],
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Doc-level banned-term gate (the C4 "bad words list" curation
+    step): a document is kept only if NONE of its (lowercased,
+    whitespace) tokens is on the blocklist; blocked occurrences and
+    distinct blocked terms are counted for drop attribution.  The
+    blocklist ships as literals inside one column expression — pure
+    map stage over the corpus, no explode, no join, no shuffle (the
+    probe-side twin of :func:`decontaminate`'s broadcast semi-join,
+    for lists small enough to inline).  Output: ``(doc_id, n_tokens,
+    n_blocked, n_blocked_distinct, keep)``."""
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    bl = sorted({w.lower() for w in blocklist})
+    # NULL text = empty doc (0 tokens, kept), not a NULL-poisoned row
+    toks = F.filter(F.split(F.trim(F.lower(F.coalesce(F.col(text_col),
+                                                      F.lit("")))), _WS),
+                    lambda x: x != "")
+    blocked = F.filter(toks, lambda x: x.isin(*bl))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(blocked).alias("n_blocked"),
+        F.size(F.array_distinct(blocked)).alias("n_blocked_distinct"),
+        (F.size(blocked) == 0).alias("keep"))
+
+
 BLOOM_K = 3  # probes per key; at m/n = 8 bits/key the FP rate ≈ 3.1%
 
 

@@ -1,0 +1,157 @@
+"""Session 36 operators: corpus-wide exact paragraph dedup
+(Dolma-style first-occurrence-keeps), the doc-level blocklist gate
+(C4 bad-words step), and the deterministic shard export plan
+(balanced round-robin over the global md5 order + integrity
+manifests)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from frogocr_spark.operators.layout import shard_plan
+from frogocr_spark.operators.textstats import blocklist_gate, \
+    paragraph_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- para_dedup
+
+def test_para_dedup_hand_case(spark):
+    # doc 1 owns "shared" (pos 1) and repeats it in-doc (pos 3 drops);
+    # doc 2's copy drops (later doc); trailing whitespace differences
+    # still match (trimmed key) but the KEPT text is byte-verbatim;
+    # the empty paragraph (doc 2) is never a dedup key and survives.
+    rows = [(1, "body one\n\nshared para\n\nmiddle\n\nshared para"),
+            (2, "body two\n\n shared para \n\n\n\ntail two")]
+    got = {r.doc_id: r for r in paragraph_dedup(_docs(spark, rows))
+           .collect()}
+    assert got[1].n_paras == 4 and got[1].n_dropped == 1
+    assert got[1].kept_text == "body one\n\nshared para\n\nmiddle"
+    # doc 2: "shared para" (trim-matched) dropped; empty para kept
+    assert got[2].n_paras == 4 and got[2].n_dropped == 1
+    assert got[2].kept_text == "body two\n\n\n\ntail two"
+
+
+def test_para_dedup_owner_is_global_min_doc_pos(spark):
+    # same paragraph at pos 0 of doc 5 and pos 2 of doc 3: the OWNER is
+    # (doc 3, pos 2)'s? No — min(struct(doc, pos)) orders doc first, so
+    # doc 3 owns it even though doc 5 has it earlier in-document.
+    rows = [(5, "dup para\n\nfive body"),
+            (3, "three body\n\nmid\n\ndup para")]
+    got = {r.doc_id: r for r in paragraph_dedup(_docs(spark, rows))
+           .collect()}
+    assert got[3].n_dropped == 0
+    assert got[5].n_dropped == 1
+    assert got[5].kept_text == "five body"
+
+
+def test_para_dedup_null_text_is_empty_doc(spark):
+    rows = [(1, None), (2, "real body")]
+    got = {r.doc_id: r for r in paragraph_dedup(_docs(spark, rows))
+           .collect()}
+    assert got[1].n_paras == 1 and got[1].n_dropped == 0
+    assert got[1].kept_text == ""
+
+
+def test_para_dedup_random_twin(spark):
+    # pure-Python twin: first global occurrence (doc asc, pos asc) of a
+    # trimmed non-empty paragraph keeps; whitespace-only always keeps
+    rng = random.Random(36)
+    pool = [f"para {i}" for i in range(6)] + ["", "  "]
+    rows = [(d, "\n\n".join(rng.choice(pool)
+                            for _ in range(rng.randint(1, 6))))
+            for d in range(20)]
+    owner: dict[str, tuple[int, int]] = {}
+    for d, t in sorted(rows):
+        for p, para in enumerate(t.split("\n\n")):
+            k = para.strip()
+            if k and k not in owner:
+                owner[k] = (d, p)
+    want = {}
+    for d, t in rows:
+        paras = t.split("\n\n")
+        kept = [x for p, x in enumerate(paras)
+                if not x.strip() or owner[x.strip()] == (d, p)]
+        want[d] = (len(paras), len(paras) - len(kept),
+                   "\n\n".join(kept))
+    got = {r.doc_id: (r.n_paras, r.n_dropped, r.kept_text)
+           for r in paragraph_dedup(_docs(spark, rows)).collect()}
+    assert got == want
+
+
+# --------------------------------------------------------------- blockwords
+
+def test_blocklist_gate_hand_case(spark):
+    rows = [(1, "Clean text only here"),
+            (2, "some SPAM and more spam inside"),
+            (3, "  "), (4, None)]
+    got = {r.doc_id: r for r in blocklist_gate(
+        _docs(spark, rows), ["spam", "banned"]).collect()}
+    assert got[1].keep and got[1].n_blocked == 0
+    assert got[1].n_tokens == 4
+    # case-insensitive: SPAM and spam both count; distinct = 1
+    assert not got[2].keep
+    assert got[2].n_blocked == 2 and got[2].n_blocked_distinct == 1
+    assert got[3].keep and got[3].n_tokens == 0
+    assert got[4].keep and got[4].n_tokens == 0
+
+
+def test_blocklist_gate_guard(spark):
+    with pytest.raises(ValueError):
+        blocklist_gate(_docs(spark, [(1, "x")]), [])
+
+
+# ----------------------------------------------------------- shard_manifest
+
+def test_shard_plan_balance_and_totals(spark):
+    n, s = 103, 8
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    got = shard_plan(df, s).collect()
+    assert len(got) == s
+    counts = sorted(r.n_rows for r in got)
+    # exactly balanced: counts differ by at most 1 and sum to n
+    assert counts[-1] - counts[0] <= 1 and sum(counts) == n
+    assert {r.shard for r in got} == set(range(s))
+
+
+def test_shard_plan_matches_python_twin(spark):
+    # twin recomputes the md5 order, the round-robin deal, and the
+    # exact checksum (python ints are the honest 38-digit arithmetic)
+    n, s = 50, 4
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    order = sorted(range(n),
+                   key=lambda i: (hashlib.md5(str(i).encode())
+                                  .hexdigest(), i))
+    want: dict[int, list[int]] = {j: [] for j in range(s)}
+    for rk, i in enumerate(order):
+        want[rk % s].append(i)
+    got = {r.shard: r for r in shard_plan(df, s).collect()}
+    for j in range(s):
+        ids = want[j]
+        assert got[j].n_rows == len(ids)
+        assert got[j].id_min == min(ids)
+        assert got[j].id_max == max(ids)
+        chk = sum(int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+                  for i in ids)
+        assert got[j].checksum == str(chk)
+
+
+def test_shard_plan_stable_under_repartition(spark):
+    df = spark.range(40).select(F.col("id").alias("doc_id"))
+    a = {(r.shard, r.n_rows, r.checksum)
+         for r in shard_plan(df, 5).collect()}
+    b = {(r.shard, r.n_rows, r.checksum)
+         for r in shard_plan(df.repartition(13), 5).collect()}
+    assert a == b
+
+
+def test_shard_plan_guard(spark):
+    with pytest.raises(ValueError):
+        shard_plan(spark.range(3).select(F.col("id").alias("doc_id")), 0)

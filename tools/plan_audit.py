@@ -981,6 +981,28 @@ def main() -> None:
                  and "BroadcastNestedLoopJoin" not in ppd),
                 "band_join=present, cartesian=0")
 
+    # 57. para_dedup: the owner set (trimmed paragraph → globally first
+    #     occurrence) must meet the exploded paragraphs through a keyed
+    #     equi-join — never a cartesian, never a collected owner list —
+    #     same scale argument as src_line_dedup's template set (check
+    #     55): a billion-fold duplicated paragraph partial-aggregates
+    #     map-side into one owner row per task.
+    ppa = executed(entry._q_para_dedup(spark, SF))
+    ok &= check("para_dedup keyed owner join, cartesian-free, "
+                "no single-partition exchange",
+                "CartesianProduct" not in ppa
+                and "BroadcastNestedLoopJoin" not in ppa
+                and "SinglePartition" not in ppa,
+                "cartesian=0, nested_loop=0, single_partition=0")
+
+    # 58. blockwords: the blocklist gate is ONE map stage — the literal
+    #     list rides inside the projection; any Exchange would mean the
+    #     100 TB corpus is being shuffled to answer a per-row predicate.
+    pbw = executed(entry._q_blockwords(spark, SF))
+    ok &= check("blocklist gate is map-only (zero exchanges)",
+                "Exchange" not in pbw and "Join" not in pbw,
+                "exchanges=0, joins=0")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
