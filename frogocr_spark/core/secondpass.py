@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import bisect
 import re
+from operator import itemgetter
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -209,8 +210,12 @@ def _merge_two_pass(raw: str, run_second: bool
             hi = bisect.bisect_left(starts, r[1])
             idx = [i for i in range(lo, hi)
                    if overlaps_either((starts[i], ends[i]), r)]
-            mean = (fp_conf[idx].sum(dtype=np.float32)
-                    / np.float32(len(idx))
+            # same values in the same order → same pairwise float32 sum;
+            # the contiguous slice (the common case: every window word
+            # overlaps) skips numpy's fancy-index copy
+            seg = (fp_conf[lo:hi] if len(idx) == hi - lo
+                   else fp_conf[idx])
+            mean = (seg.sum(dtype=np.float32) / np.float32(len(idx))
                     if idx else np.float32(1.0))
             if mean < QUAD_GATE:
                 kept_regions.append(r)
@@ -267,7 +272,7 @@ def _merge_two_pass(raw: str, run_second: bool
     # on text/conf, changing the stable fp-before-sp resolution.
     merged.extend((w.order_key, w.start, w.end, w.text, w.conf,
                    tuple(w.variants)) for w in sp_words)
-    merged.sort(key=lambda t: (t[0], t[1], t[2]))
+    merged.sort(key=itemgetter(0, 1, 2))
 
     if sp_words:
         sp_conf = np.fromiter((w.conf for w in sp_words), np.float32,
