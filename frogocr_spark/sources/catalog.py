@@ -108,13 +108,22 @@ class Table:
                     dead.update(fh.read().split())
         return [n for n in dirs if n not in dead]
 
-    def read(self) -> DataFrame:
+    def read(self, merge_schema: bool = False) -> DataFrame:
+        """Read the live table.  ``merge_schema=True`` reconciles
+        snapshots written under EVOLVED schemas (name-based, add-only —
+        the Hive/parquet evolution model: a column added in a later
+        snapshot reads as NULL from earlier ones; renames/drops are NOT
+        supported, they need Iceberg's field ids, see BucketedTable's
+        design note).  Off by default: schema merging reads every
+        file footer up front, a real cost on a 100 TB table — callers
+        that know the schema is homogeneous skip it."""
         # explicit live-dir paths keep the run_id partition column out of
         # the schema AND exclude compaction-superseded dirs
         paths = [os.path.join(self.data_dir, n) for n in self._run_dirs()]
-        return self.spark.read.option("recursiveFileLookup", "true").parquet(
-            *paths
-        )
+        return (self.spark.read
+                .option("recursiveFileLookup", "true")
+                .option("mergeSchema", "true" if merge_schema else "false")
+                .parquet(*paths))
 
     def snapshots(self) -> list[str]:
         """Committed run_ids (the Iceberg snapshot-log analog), sorted.
@@ -160,7 +169,9 @@ class Table:
         # leak a full-table copy per crashed attempt
         staging = os.path.join(self.path, ".staging-compact")
         shutil.rmtree(staging, ignore_errors=True)
-        df = self.read()
+        # merge_schema: a compaction that read one arbitrary footer's
+        # schema would silently DROP columns added by schema evolution
+        df = self.read(merge_schema=True)
         if num_files:
             df = df.coalesce(num_files)
         df.write.mode("overwrite").parquet(staging)
@@ -202,7 +213,7 @@ class Table:
         if not live:
             self.append(source, merge_id)
             return merge_id
-        merged = upsert(self.read(), source, key_cols)
+        merged = upsert(self.read(merge_schema=True), source, key_cols)
         self._publish_rewrite(merged, merge_id, live, ".staging-merge")
         return merge_id
 
@@ -227,7 +238,8 @@ class Table:
         out = os.path.join(self.data_dir, f"run_id={delete_id}")
         if os.path.isdir(out):
             raise ValueError(f"snapshot {delete_id!r} already exists")
-        remaining = self.read().where(f"NOT ({predicate})")
+        remaining = (self.read(merge_schema=True)
+                     .where(f"NOT ({predicate})"))
         self._publish_rewrite(remaining, delete_id, live,
                               ".staging-delete")
         return delete_id

@@ -107,3 +107,50 @@ def test_vacuum_reclaims_abandoned_compact_staging(spark, tmp_path):
     assert ".staging-compact" in removed
     assert not os.path.isdir(staging)
     assert t.read().count() == 1
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    # name-based add-only evolution (Hive/parquet model): a column added
+    # in a later snapshot reads as NULL from earlier ones under
+    # merge_schema; snapshot-scoped reads keep each run's own schema
+    t = Table(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"), "r1")
+    t.append(spark.createDataFrame([(2, "b", 7)],
+                                   "id long, v string, score long"), "r2")
+    got = {r.id: r for r in
+           t.read(merge_schema=True).orderBy("id").collect()}
+    assert set(t.read(merge_schema=True).columns) == {"id", "v", "score"}
+    assert got[1].score is None and got[2].score == 7
+    # time travel to the pre-evolution snapshot: old schema only
+    assert set(t.read_snapshot("r1").columns) == {"id", "v"}
+
+
+def test_compact_preserves_evolved_columns(spark, tmp_path):
+    # a compaction that inferred one arbitrary footer's schema would
+    # silently DROP the evolved column — compact must merge schemas
+    t = Table(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"), "r1")
+    t.append(spark.createDataFrame([(2, "b", 7)],
+                                   "id long, v string, score long"), "r2")
+    cid = t.compact()
+    assert cid is not None
+    out = t.read().orderBy("id").collect()  # one homogeneous snapshot now
+    assert set(t.read().columns) == {"id", "v", "score"}
+    assert [r.id for r in out] == [1, 2]
+    assert out[0].score is None and out[1].score == 7
+
+
+def test_delete_and_merge_on_evolved_table(spark, tmp_path):
+    t = Table(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"), "r1")
+    t.append(spark.createDataFrame([(2, "b", 7)],
+                                   "id long, v string, score long"), "r2")
+    t.delete("id = 1")
+    got = t.read(merge_schema=True).collect()
+    assert [(r.id, r.score) for r in got] == [(2, 7)]
+    # upsert against the evolved table keeps the unioned schema
+    t.merge(spark.createDataFrame([(2, "b2", 9)],
+                                  "id long, v string, score long"),
+            ["id"], merge_id="m1")
+    got = t.read(merge_schema=True).collect()
+    assert [(r.id, r.v, r.score) for r in got] == [(2, "b2", 9)]
