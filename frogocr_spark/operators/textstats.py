@@ -775,6 +775,12 @@ def blocklist_gate(df: DataFrame, blocklist: list[str],
     n_blocked, n_blocked_distinct, keep)``."""
     if not blocklist:
         raise ValueError("blocklist must be non-empty")
+    for w in blocklist:
+        # tokens are whitespace-split: a phrase or empty entry can never
+        # match and would silently weaken the gate
+        if not w or w.split() != [w]:
+            raise ValueError(f"blocklist entries must be single "
+                             f"whitespace-free words, got {w!r}")
     bl = sorted({w.lower() for w in blocklist})
     # NULL text = empty doc (0 tokens, kept), not a NULL-poisoned row
     toks = F.filter(F.split(F.trim(F.lower(F.coalesce(F.col(text_col),

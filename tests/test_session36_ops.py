@@ -106,6 +106,12 @@ def test_blocklist_gate_hand_case(spark):
 def test_blocklist_gate_guard(spark):
     with pytest.raises(ValueError):
         blocklist_gate(_docs(spark, [(1, "x")]), [])
+    # a phrase or empty entry can never match a whitespace token and
+    # would silently weaken the gate
+    with pytest.raises(ValueError):
+        blocklist_gate(_docs(spark, [(1, "x")]), ["two words"])
+    with pytest.raises(ValueError):
+        blocklist_gate(_docs(spark, [(1, "x")]), [""])
 
 
 # ----------------------------------------------------------- shard_manifest
