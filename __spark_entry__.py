@@ -5228,6 +5228,18 @@ def _q_blockwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_gate(docs, list(_BLOCKLIST))
 
 
+def _q_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel report with first-fail drop attribution over the
+    ordered gate chain language → quality → length → blocklist (the
+    same gate expressions as `curate`, so stage-4 survivors equal its
+    pre-dedup gated count).  One map-side-combined single-row agg +
+    literal-struct explode — no second scan
+    (operators/textstats.curation_funnel)."""
+    from frogocr_spark.operators.textstats import curation_funnel
+    docs = _read(spark, sf_dir, "documents")
+    return curation_funnel(docs, blocklist=list(_BLOCKLIST))
+
+
 _N_SHARDS = 16
 
 
@@ -5588,6 +5600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup": _q_para_dedup,
         "blockwords": _q_blockwords,
         "shard_manifest": _q_shard_manifest,
+        "gate_funnel": _q_gate_funnel,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -11035,6 +11048,67 @@ FROM pos2
                CAST(len(list_distinct(bs)) AS INT) AS n_blocked_distinct,
                len(bs) = 0 AS keep
         FROM b
+    """
+    # gate_funnel: same gate fragments as the curate oracle (lang/
+    # quality/length) + the blockwords token hit; first-fail CASE
+    # charges each doc to its first failing gate, running arithmetic
+    # builds the stage rows
+    _gf_blocked = (r"len(list_filter(string_split_regex("
+                   r"lower(trim(coalesce(text, ''))), '\s+'), "
+                   f"x -> x <> '' AND x IN ({_bl}))) > 0")
+    o["gate_funnel"] = f"""
+        WITH stats AS (
+            SELECT CASE WHEN {n_tokens} = 0 THEN 'xx'
+                        WHEN {en_hits} >= {no_hits}
+                             AND {en_hits} * 50 >= {n_tokens} THEN 'en'
+                        WHEN {no_hits} > {en_hits}
+                             AND {no_hits} * 50 >= {n_tokens} THEN 'no'
+                        ELSE 'xx' END AS lang_id,
+                   round((
+                       least(length(trim(text)) / 500.0, 1.0)
+                       + CASE WHEN length(trim(text)) > 0
+                              THEN CAST(length(regexp_replace(trim(text),
+                                   '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                                   / length(trim(text))
+                              ELSE 0.0 END
+                       + CASE WHEN {n_tokens} > 0
+                                   AND length(trim(text)) * 1.0
+                                       / {n_tokens} >= 3
+                                   AND length(trim(text)) * 1.0
+                                       / {n_tokens} <= 12
+                              THEN 1.0 ELSE 0.5 END
+                   ) / 3.0, 6) AS quality,
+                   CAST({n_tokens} AS INT) AS n_tokens,
+                   {_gf_blocked} AS blocked
+            FROM documents
+        ), f AS (
+            SELECT CASE WHEN lang_id <> 'en' THEN 'lang'
+                        WHEN quality < 0.5 THEN 'quality'
+                        WHEN n_tokens < 5 THEN 'length'
+                        WHEN blocked THEN 'blocklist'
+                        ELSE 'kept' END AS g
+            FROM stats
+        ), a AS (
+            -- BIGINT casts here so the UNION ALL's arithmetic stays
+            -- int64 (DuckDB sum() is HUGEINT -> float64 in pandas)
+            SELECT CAST(count(*) AS BIGINT) AS t,
+                   CAST(sum(CASE WHEN g = 'lang' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d0,
+                   CAST(sum(CASE WHEN g = 'quality' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d1,
+                   CAST(sum(CASE WHEN g = 'length' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d2,
+                   CAST(sum(CASE WHEN g = 'blocklist' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d3
+            FROM f
+        )
+        SELECT CAST(0 AS INT) AS stage_idx, 'lang' AS stage,
+               t AS n_in, d0 AS n_dropped, t - d0 AS n_out FROM a
+        UNION ALL SELECT 1, 'quality', t - d0, d1, t - d0 - d1 FROM a
+        UNION ALL SELECT 2, 'length', t - d0 - d1, d2,
+                         t - d0 - d1 - d2 FROM a
+        UNION ALL SELECT 3, 'blocklist', t - d0 - d1 - d2, d3,
+                         t - d0 - d1 - d2 - d3 FROM a
     """
     # shard_manifest: the oracle recomputes the global md5 shuffle order
     # with a literal row_number window — the hash match proves the

@@ -133,6 +133,58 @@ def curation_gates(df: DataFrame, text_col: str = "text",
                    & (F.col("n_tokens") >= min_tokens)))
 
 
+def curation_funnel(df: DataFrame, text_col: str = "text",
+                    lang: str = "en", min_quality: float = 0.5,
+                    min_tokens: int = 5,
+                    blocklist: list[str] | None = None) -> DataFrame:
+    """The curation funnel report — per ordered gate (language →
+    quality → length → blocklist), how many documents enter, drop, and
+    survive, with FIRST-FAIL attribution (a doc failing several gates
+    is charged to the first, so stage drops sum to total drops — the
+    drop-accounting report every curation pipeline prints next to
+    :func:`curation_gates`, whose gate expressions it reuses verbatim
+    so the two cannot drift).
+
+    Scale shape: ONE map-side-combined aggregation to a single row of
+    counters, then an explode of four literal structs builds the
+    per-stage rows — no second corpus scan, no join, no window.
+    Output: ``(stage_idx, stage, n_in, n_dropped, n_out)``."""
+    c = F.col(text_col)
+    if blocklist:
+        for w in blocklist:
+            if not w or w.split() != [w]:
+                raise ValueError(f"blocklist entries must be single "
+                                 f"whitespace-free words, got {w!r}")
+        bl = sorted({w.lower() for w in blocklist})
+        blocked = F.size(F.filter(
+            F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), _WS),
+            lambda x: (x != "") & x.isin(*bl))) > 0
+    else:
+        blocked = F.lit(False)
+    first = (F.when(language_id(c) != lang, "lang")
+             .when(quality_score(c) < min_quality, "quality")
+             .when(token_count(c) < min_tokens, "length")
+             .when(blocked, "blocklist")
+             .otherwise("kept"))
+    row = df.select(first.alias("_f")).agg(
+        F.count(F.lit(1)).alias("_t"),
+        *[F.sum((F.col("_f") == s).cast("long")).alias(f"_d{i}")
+          for i, s in enumerate(
+              ("lang", "quality", "length", "blocklist"))])
+    stages = []
+    in_expr = F.col("_t")
+    for i, s in enumerate(("lang", "quality", "length", "blocklist")):
+        d = F.col(f"_d{i}")
+        stages.append(F.struct(
+            F.lit(i).alias("stage_idx"), F.lit(s).alias("stage"),
+            in_expr.alias("n_in"), d.alias("n_dropped"),
+            (in_expr - d).alias("n_out")))
+        in_expr = in_expr - d
+    return (row.select(F.explode(F.array(*stages)).alias("_s"))
+            .select("_s.stage_idx", "_s.stage", "_s.n_in",
+                    "_s.n_dropped", "_s.n_out"))
+
+
 def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return (df

@@ -161,3 +161,46 @@ def test_shard_plan_stable_under_repartition(spark):
 def test_shard_plan_guard(spark):
     with pytest.raises(ValueError):
         shard_plan(spark.range(3).select(F.col("id").alias("doc_id")), 0)
+
+
+# ------------------------------------------------------------- gate_funnel
+
+def test_curation_funnel_hand_case(spark):
+    from frogocr_spark.operators.textstats import curation_funnel
+    # doc 1: fails lang (Norwegian stopwords); doc 2: good en text;
+    # doc 3: fails length (short but english enough);
+    # doc 4: fails blocklist only (otherwise clean).
+    good = ("the quick brown fox jumps over the lazy dog and it "
+            "is a very fine day for running in the park today")
+    rows = [(1, "og det er som på til av for med og det er som på"),
+            (2, good),
+            (3, "the dog runs"),
+            (4, good + " spamword")]
+    got = {r.stage: r for r in curation_funnel(
+        _docs(spark, rows), blocklist=["spamword"]).collect()}
+    assert [got[s].stage_idx for s in
+            ("lang", "quality", "length", "blocklist")] == [0, 1, 2, 3]
+    assert got["lang"].n_in == 4 and got["lang"].n_dropped == 1
+    assert got["length"].n_dropped == 1
+    assert got["blocklist"].n_dropped == 1
+    assert got["blocklist"].n_out == 1
+    # conservation: drops + survivors == total at every stage
+    for s in ("lang", "quality", "length", "blocklist"):
+        assert got[s].n_in - got[s].n_dropped == got[s].n_out
+
+
+def test_curation_funnel_survivors_equal_curation_gates(spark):
+    # first-fail attribution re-expresses the same conjunctive gate:
+    # final-stage survivors == curation_gates row count (no blocklist)
+    from frogocr_spark.operators.textstats import curation_funnel, \
+        curation_gates
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    funnel = {r.stage: r for r in curation_funnel(docs).collect()}
+    assert funnel["blocklist"].n_out == curation_gates(docs).count()
+    assert funnel["lang"].n_in == docs.count()
+
+
+def test_curation_funnel_blocklist_guard(spark):
+    from frogocr_spark.operators.textstats import curation_funnel
+    with pytest.raises(ValueError):
+        curation_funnel(_docs(spark, [(1, "x")]), blocklist=["a b"])
