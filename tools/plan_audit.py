@@ -1003,6 +1003,18 @@ def main() -> None:
                 "Exchange" not in pbw and "Join" not in pbw,
                 "exchanges=0, joins=0")
 
+    # 59. gate_funnel: the whole funnel is ONE corpus scan collapsing to
+    #     a single map-side-combined counter row (partial_count/sum
+    #     before the exchange), then literal-struct explode — a second
+    #     Scan, a Join, or a Window would mean the report re-reads or
+    #     re-shuffles the 100 TB corpus per stage.
+    pgf = executed(entry._q_gate_funnel(spark, SF))
+    ok &= check("gate_funnel single scan, no join/window, partial agg",
+                pgf.count("Scan parquet") == 1 and "Join" not in pgf
+                and "Window" not in pgf and "partial_count" in pgf,
+                f"scans={pgf.count('Scan parquet')}, joins=0, windows=0, "
+                "map_side_combine=present")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
