@@ -5240,6 +5240,27 @@ def _q_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel(docs, blocklist=list(_BLOCKLIST))
 
 
+_OVL_N, _OVL_K = 3, 128
+
+
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: estimated pairwise word
+    3-gram overlap (|A∩B|, |A∪B|, Jaccard) for every unordered source
+    pair, from per-source KMV sketches — the corpus collapses to ≤ k
+    hashes per source before any pairing; the pairwise stage runs over
+    the G sketch rows, never corpus rows.  3-grams (not 8) so the
+    synthetic corpus has REAL cross-source overlap and the
+    intersection estimator is exercised on non-zero values
+    (operators/sketches.kmv_overlap_matrix)."""
+    from frogocr_spark.operators.dedup import _shingle_expr
+    from frogocr_spark.operators.sketches import kmv_overlap_matrix
+    docs = _read_split(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source", F.explode(_shingle_expr("text", _OVL_N, None))
+        .alias("gram"))
+    return kmv_overlap_matrix(grams, "source", "gram", k=_OVL_K)
+
+
 _N_SHARDS = 16
 
 
@@ -5601,6 +5622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blockwords": _q_blockwords,
         "shard_manifest": _q_shard_manifest,
         "gate_funnel": _q_gate_funnel,
+        "source_overlap": _q_source_overlap,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -11109,6 +11131,75 @@ FROM pos2
                          t - d0 - d1 - d2 FROM a
         UNION ALL SELECT 3, 'blocklist', t - d0 - d1 - d2, d3,
                          t - d0 - d1 - d2 - d3 FROM a
+    """
+    # source_overlap: grouped KMV oracle — per-source distinct 3-gram
+    # hash list, k smallest + theta, pairwise cross join (s_a < s_b),
+    # then the identical theta-cut estimator as kmv_setops (HUGEINT
+    # truncating division)
+    _m60 = 1 << 60
+    o["source_overlap"] = rf"""
+        WITH words AS (
+            SELECT source,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), grams AS (
+            SELECT source,
+                   unnest(CASE WHEN len(ws) >= {_OVL_N}
+                               THEN [array_to_string(
+                                        ws[j:j+{_OVL_N - 1}], ' ')
+                                     for j in range(1,
+                                         len(ws) - {_OVL_N - 2})]
+                               ELSE CAST([] AS VARCHAR[]) END) AS gram
+            FROM words
+        ), h AS (
+            SELECT DISTINCT source,
+                   CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)
+                       AS h
+            FROM grams
+        ), r AS (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h)
+                       AS rn
+            FROM h
+        ), s AS (
+            SELECT source, list_sort(list(h)) AS mins
+            FROM r WHERE rn <= {_OVL_K} GROUP BY source
+        ), t AS (
+            SELECT source, mins,
+                   CASE WHEN len(mins) < {_OVL_K} THEN {_m60}
+                        ELSE mins[{_OVL_K}] END AS theta
+            FROM s
+        ), pairx AS (
+            SELECT a.source AS grp_a, b.source AS grp_b,
+                   a.mins AS ka, b.mins AS kb,
+                   least(a.theta, b.theta) AS theta
+            FROM t a JOIN t b ON a.source < b.source
+        ), cutx AS (
+            SELECT grp_a, grp_b, theta,
+                   list_filter(ka, x -> x < theta) AS ca,
+                   list_filter(kb, x -> x < theta) AS cb
+            FROM pairx
+        ), cnts AS (
+            SELECT grp_a, grp_b, theta,
+                   len(ca) AS na, len(cb) AS nb,
+                   len(list_distinct(list_concat(ca, cb))) AS nu,
+                   len(list_intersect(ca, cb)) AS ni
+            FROM cutx
+        )
+        SELECT grp_a, grp_b,
+               CAST((CAST(na AS HUGEINT) * {_m60}) // theta AS BIGINT)
+                   AS est_a,
+               CAST((CAST(nb AS HUGEINT) * {_m60}) // theta AS BIGINT)
+                   AS est_b,
+               CAST((CAST(nu AS HUGEINT) * {_m60}) // theta AS BIGINT)
+                   AS est_union,
+               CAST((CAST(ni AS HUGEINT) * {_m60}) // theta AS BIGINT)
+                   AS est_intersect,
+               CAST((CAST(ni AS HUGEINT) * 1000000) // nu AS BIGINT)
+                   AS jaccard_e6,
+               CAST(theta AS BIGINT) AS theta
+        FROM cnts
     """
     # shard_manifest: the oracle recomputes the global md5 shuffle order
     # with a literal row_number window — the hash match proves the

@@ -425,6 +425,53 @@ def kmv_union_intersect_oracle_sql(a_sql: str, b_sql: str,
     """
 
 
+def kmv_overlap_matrix(df: DataFrame, group_col: str, key_col: str,
+                       k: int = 256) -> DataFrame:
+    """Pairwise set-overlap matrix from per-group KMV sketches — the
+    cross-source contamination audit: estimated |A∩B|, |A∪B| and
+    Jaccard for EVERY unordered group pair, from one grouped sketch
+    build (the grouped generalization of the two-set
+    :func:`kmv_union_intersect`; identical theta-cut estimator per
+    pair, so the two cannot drift on the math).
+
+    Scale shape: the corpus collapses to ≤ k hashes per group (the
+    audited two-level partial top-k of :func:`kmv_sketch`); the
+    pairwise stage is a broadcast theta-join over the G SKETCH ROWS —
+    G(G−1)/2 pairs of ≤ k-element arrays, never corpus rows (G =
+    #groups; the matrix output is itself quadratic in G, so a caller
+    with unbounded G wants the LSH dedup tier instead — documented
+    contract, same as semdedup's cluster bound).  Integer-exact:
+    60-bit md5 hashes, one truncating wide division per estimate,
+    ``jaccard_e6 = ni·10^6 DIV nu``.  Output: ``(grp_a, grp_b, est_a,
+    est_b, est_union, est_intersect, jaccard_e6, theta)``."""
+    sk = kmv_sketch(df, [group_col], key_col, k)
+    a = sk.select(F.col(group_col).alias("grp_a"),
+                  F.col("kept").alias("ka"), F.col("theta").alias("ta"))
+    b = sk.select(F.col(group_col).alias("grp_b"),
+                  F.col("kept").alias("kb"), F.col("theta").alias("tb"))
+    both = (a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+            .withColumn("theta", F.least("ta", "tb")))
+    cut = lambda c: F.expr(f"filter({c}, x -> x < theta)")  # noqa: E731
+    est = (lambda cnt:
+           F.expr(f"CAST((CAST({cnt} AS DECIMAL(38,0)) * {KMV_M}) "
+                  f"DIV CAST(theta AS DECIMAL(38,0)) AS BIGINT)"))
+    return (both
+            .withColumn("ca", cut("ka")).withColumn("cb", cut("kb"))
+            .withColumn("_na", F.size("ca"))
+            .withColumn("_nb", F.size("cb"))
+            .withColumn("_nu", F.size(F.array_union("ca", "cb")))
+            .withColumn("_ni", F.size(F.array_intersect("ca", "cb")))
+            .select("grp_a", "grp_b",
+                    est("_na").alias("est_a"),
+                    est("_nb").alias("est_b"),
+                    est("_nu").alias("est_union"),
+                    est("_ni").alias("est_intersect"),
+                    F.expr("CAST((CAST(_ni AS DECIMAL(38,0)) * 1000000)"
+                           " DIV CAST(_nu AS DECIMAL(38,0)) AS BIGINT)")
+                    .alias("jaccard_e6"),
+                    F.col("theta").cast("long").alias("theta")))
+
+
 # ------------------------------------------------------------------ AMS
 # Third member of the sketch family: CMS estimates COUNTS, HLL/KMV
 # estimate DISTINCTS, the AMS/tug-of-war sketch (Alon, Matias & Szegedy
