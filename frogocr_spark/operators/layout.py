@@ -488,3 +488,36 @@ def shard_plan(df: DataFrame, n_shards: int,
                  .alias("checksum"),
                  F.min(id_col).alias("id_min"),
                  F.max(id_col).alias("id_max")))
+
+
+def shard_write(df: DataFrame, path: str, n_shards: int,
+                id_col: str = "doc_id") -> "DataFrame":
+    """Execute a :func:`shard_plan`: write each shard's rows under
+    ``path/shard=<j>/`` (partitioned parquet — one directory per
+    shard, loadable independently by a training data-loader) and the
+    plan's manifest table to ``path/_MANIFEST`` (count, exact hash
+    checksum, id range per shard).  The manifest is computed from the
+    SAME ranked relation that routes the rows, so a reader can verify
+    any shard in isolation — in any row order — by recounting and
+    re-summing the md5-derived row hashes against its manifest row
+    (the integrity check ``tests/test_session36_ops.py`` performs).
+
+    Scale shape: one ``repartition(n_shards, shard)`` keyed exchange
+    routes rows (each output task writes exactly one shard directory);
+    the manifest is the ``n_shards``-row :func:`shard_plan` output.
+    Returns the manifest DataFrame."""
+    from frogocr_spark.operators.ranking import global_rank
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    keyed = df.withColumn("_k", F.md5(F.col(id_col).cast("string")))
+    ranked = global_rank(keyed, ["_k", id_col])
+    routed = (ranked
+              .withColumn("shard",
+                          ((F.col("rank") - 1) % n_shards).cast("int"))
+              .drop("_k", "rank"))
+    (routed.repartition(n_shards, "shard")
+     .write.mode("overwrite").partitionBy("shard").parquet(path))
+    manifest = shard_plan(df, n_shards, id_col)
+    manifest.write.mode("overwrite").parquet(f"{path}/_MANIFEST")
+    return manifest
