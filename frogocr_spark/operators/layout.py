@@ -496,9 +496,11 @@ def shard_write(df: DataFrame, path: str, n_shards: int,
     ``path/shard=<j>/`` (partitioned parquet — one directory per
     shard, loadable independently by a training data-loader) and the
     plan's manifest table to ``path/_MANIFEST`` (count, exact hash
-    checksum, id range per shard).  The manifest is computed from the
-    SAME ranked relation that routes the rows, so a reader can verify
-    any shard in isolation — in any row order — by recounting and
+    checksum, id range per shard).  The manifest is recomputed by
+    :func:`shard_plan` — a separate pass, but a DETERMINISTIC function
+    of ``df`` (seedless md5 order), so it provably describes the rows
+    just routed; a reader can then verify any shard in isolation — in
+    any row order — by recounting and
     re-summing the md5-derived row hashes against its manifest row
     (the integrity check ``tests/test_session36_ops.py`` performs).
 
