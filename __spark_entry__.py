@@ -5213,6 +5213,31 @@ def _q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(_para_aug(docs))
 
 
+def _q_uniq_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate-line collapse (loop-degeneration cleanup):
+    the corpus is single-line, so the query deterministically composes
+    repetition — doc_id%3 gets the same line twice in a row (must
+    collapse to one), doc_id%5 gets the same line again later but
+    separated (must be KEPT: uniq is positional, not global) —
+    byte-compared cleaned_text
+    (operators/textstats.collapse_repeated_lines)."""
+    from frogocr_spark.operators.textstats import collapse_repeated_lines
+    docs = _read(spark, sf_dir, "documents")
+    nl = "\n"
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(nl + "loop line" + nl + "loop line"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(nl + "separator" + nl + "loop line"))
+            .otherwise(F.lit("")),
+        ).alias("text"))
+    return collapse_repeated_lines(aug)
+
+
 _BLOCKLIST = ("dup", "slow", "spam")  # common / rare / absent from corpus
 
 
@@ -5623,6 +5648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": _q_shard_manifest,
         "gate_funnel": _q_gate_funnel,
         "source_overlap": _q_source_overlap,
+        "uniq_lines": _q_uniq_lines,
         # ---- rows-only-by-design tail (see registry-order docstring) ----
         "pipeline_extract": _q_pipeline_extract,
         "dedup_minhash_xx": _q_dedup_minhash_xx,
@@ -11070,6 +11096,35 @@ FROM pos2
                CAST(len(list_distinct(bs)) AS INT) AS n_blocked_distinct,
                len(bs) = 0 AS keep
         FROM b
+    """
+    # uniq_lines: same composition; DuckDB's 1-based list_filter index
+    # with direct l[i-1] access is the formulation twin of Spark's
+    # 0-based filter + 1-based element_at
+    o["uniq_lines"] = """
+        WITH aug AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN chr(10) || 'loop line'
+                                || chr(10) || 'loop line'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN chr(10) || 'separator'
+                                || chr(10) || 'loop line'
+                           ELSE '' END AS text
+            FROM documents
+        ), l AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug
+        ), k AS (
+            SELECT doc_id, ls,
+                   list_filter(ls, (x, i) -> i = 1 OR x <> ls[i - 1])
+                       AS kept
+            FROM l
+        )
+        SELECT doc_id, CAST(len(ls) AS INT) AS n_lines,
+               CAST(len(ls) - len(kept) AS INT) AS n_collapsed,
+               array_to_string(kept, chr(10)) AS cleaned_text
+        FROM k
     """
     # gate_funnel: same gate fragments as the curate oracle (lang/
     # quality/length) + the blockwords token hit; first-fail CASE

@@ -813,6 +813,33 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                  .alias("kept_text")))
 
 
+def collapse_repeated_lines(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Collapse runs of CONSECUTIVE identical lines to one (``uniq``
+    semantics) — the loop-degeneration cleanup for agent/chat
+    transcripts, where a model repeating the same line N times is a
+    capture artifact, while the same line recurring elsewhere in the
+    document is content and must stay (contrast
+    :func:`source_line_dedup`, which strips by cross-document
+    recurrence regardless of position).  Kept lines are byte-verbatim
+    and in order; the first line of every run survives.
+
+    Pure map stage — one indexed array-filter expression (``i == 0 OR
+    line != lines[i-1]``), no explode, no shuffle; both engines run
+    the identical lambda (Spark ``filter(x, i)`` is 0-based with
+    1-based ``element_at``, DuckDB ``list_filter`` is 1-based with
+    direct indexing — the two formulations are tested equal).
+    Output: ``(doc_id, n_lines, n_collapsed, cleaned_text)``."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    kept = F.filter(lines,
+                    lambda x, i: (i == 0) | (x != F.element_at(lines, i)))
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        (F.size(lines) - F.size(kept)).alias("n_collapsed"),
+        F.array_join(kept, "\n").alias("cleaned_text"))
+
+
 def blocklist_gate(df: DataFrame, blocklist: list[str],
                    id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:

@@ -279,3 +279,37 @@ def test_shard_write_manifest_verifies_on_reread(spark, tmp_path):
     persisted = {r.shard: r.checksum for r in
                  spark.read.parquet(f"{path}/_MANIFEST").collect()}
     assert persisted == {j: manifest[j].checksum for j in range(s)}
+
+
+# -------------------------------------------------------------- uniq_lines
+
+def test_collapse_repeated_lines_hand_case(spark):
+    from frogocr_spark.operators.textstats import collapse_repeated_lines
+    rows = [(1, "a\na\na\nb\na"),      # run of 3 -> 1; later 'a' kept
+            (2, "x"),                   # nothing to do
+            (3, "\n\nq\n\n"),          # empty-line runs collapse too
+            (4, None)]                  # NULL text = one empty line
+    got = {r.doc_id: r for r in
+           collapse_repeated_lines(_docs(spark, rows)).collect()}
+    assert got[1].cleaned_text == "a\nb\na"
+    assert got[1].n_lines == 5 and got[1].n_collapsed == 2
+    assert got[2].cleaned_text == "x" and got[2].n_collapsed == 0
+    assert got[3].cleaned_text == "\nq\n"
+    assert got[3].n_lines == 5 and got[3].n_collapsed == 2
+    assert got[4].cleaned_text == "" and got[4].n_lines == 1
+
+
+def test_collapse_repeated_lines_random_twin(spark):
+    from frogocr_spark.operators.textstats import collapse_repeated_lines
+    rng = random.Random(99)
+    rows = [(d, "\n".join(rng.choice(["p", "q", "", "  "])
+                          for _ in range(rng.randint(1, 12))))
+            for d in range(30)]
+    want = {}
+    for d, t in rows:
+        ls = t.split("\n")
+        kept = [x for i, x in enumerate(ls) if i == 0 or x != ls[i - 1]]
+        want[d] = (len(ls), len(ls) - len(kept), "\n".join(kept))
+    got = {r.doc_id: (r.n_lines, r.n_collapsed, r.cleaned_text)
+           for r in collapse_repeated_lines(_docs(spark, rows)).collect()}
+    assert got == want
