@@ -49,7 +49,14 @@ RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 # penalty, so the ceiling-relative number (efficiency_vs_hardware) is
 # the transferable statistic for that pair.
 N_PAIRS = [(4, 16), (8, 32)]
-SCALING_ROUNDS = 3
+# 5 interleaved rounds (r4, was 3): the r3 driver artifact recorded a
+# 0.743 median from rounds [0.648, 0.897, 0.743] on a loaded hour while
+# the same code measured 0.93 on a clean box — with 3 rounds one loaded
+# round owns the median; with 5 the median needs THREE perturbed rounds
+# to move.  Combined with running the scaling pairs FIRST (before the
+# ~8-min cold query panel heats the box — see main()), this is the
+# VERDICT-r3 #2 robustness fix for the driver-slot record.
+SCALING_ROUNDS = 5
 # consecutive extraction actions timed as ONE window per measurement:
 # lengthens the measured region so per-job fixed costs (~0.3-0.5 s
 # scheduling/stage launch — noise at 100 TB where one job runs hours)
@@ -349,22 +356,15 @@ def main() -> None:
         tdf.repartition(n_files).write.mode("overwrite").parquet(input_dir)
         n_rows = spark.read.parquet(input_dir).count()
         result["n_turns"] = n_rows
-
-        queries = _time_queries(spark, BENCH_QUERIES)
         spark.stop()
 
-        # same discipline as the scaling pairs: best of SCALING_ROUNDS
-        # windows of SCALING_WINDOW consecutive actions — one loaded
-        # slot can't misrepresent the engine (round-2 driver artifact
-        # recorded 56.9k turns/s in this slot while its own scaling
-        # rounds hit 238k on the same box minutes later)
-        tput_main = _extraction_run(CPUS, input_dir, n_rows, "bench-extract",
-                                    reps=SCALING_ROUNDS,
-                                    window=SCALING_WINDOW)
-        queries["extraction_turns_per_sec"] = round(tput_main, 1)
-        result["queries"] = queries
-        result["value"] = round(n_rows / tput_main, 3)  # seconds, headline
-
+        # ORDER (VERDICT r3 #2): scaling pairs run FIRST, on the coldest
+        # box this process will ever see — the r3 driver slot measured
+        # them after the ~8-minute cold query panel had heated the host
+        # (thermals + any co-tenant load the panel invited) and recorded
+        # 0.743 where clean-box runs of the same code measured 0.93.
+        # The pair ratios are the north-rule evidence; the query panel
+        # is latency detail — the fragile measurement goes first.
         if RUN_SCALING:
             pairs = [_scaling_pair(lo, hi, input_dir, n_rows)
                      for lo, hi in N_PAIRS]
@@ -380,8 +380,25 @@ def main() -> None:
                          "ceiling for the same workload is its "
                          "hardware_ceiling_efficiency -- see "
                          "efficiency_vs_hardware there and "
-                         "BENCH/BASELINE.md"),
+                         "BENCH/BASELINE.md; pairs are measured BEFORE "
+                         "the query panel on purpose"),
             }
+
+        # same discipline as the scaling pairs: best of SCALING_ROUNDS
+        # windows of SCALING_WINDOW consecutive actions — one loaded
+        # slot can't misrepresent the engine (round-2 driver artifact
+        # recorded 56.9k turns/s in this slot while its own scaling
+        # rounds hit 238k on the same box minutes later)
+        tput_main = _extraction_run(CPUS, input_dir, n_rows, "bench-extract",
+                                    reps=SCALING_ROUNDS,
+                                    window=SCALING_WINDOW)
+
+        spark = get_spark(app_name="bench-queries", cores=CPUS)
+        queries = _time_queries(spark, BENCH_QUERIES)
+        spark.stop()
+        queries["extraction_turns_per_sec"] = round(tput_main, 1)
+        result["queries"] = queries
+        result["value"] = round(n_rows / tput_main, 3)  # seconds, headline
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -89,7 +89,8 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         threshold: float = 0.6, ngram: int = 1,
-                        char_shingles: int | None = None) -> DataFrame:
+                        char_shingles: int | None = None,
+                        lazy: bool = False) -> DataFrame:
     """EXACT word-set Jaccard ≥ threshold with PPJoin-style prefix
     filtering so candidate generation is bounded by rare-token document
     frequency, not quadratic in hot-token DF.
@@ -128,25 +129,34 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     the prefix self-join (keyed on the int token id), and two id-keyed
     joins attaching id arrays to the (small) candidate set.
 
-    NOTE: eager at plan-construction — the ``global_rank`` interning
-    step runs Spark jobs when THIS function is called (see its
-    docstring), not at the downstream action."""
-    from .ranking import global_rank
+    NOTE: eager at plan-construction by default — the ``global_rank``
+    interning step runs Spark jobs when THIS function is called (see
+    its docstring), not at the downstream action.  ``lazy=True``
+    (VERDICT r3 #6) swaps in :func:`~frogocr_spark.operators.ranking.
+    global_rank_lazy` for the interning and cache() for the per-doc
+    array relation: NO Spark job runs until the caller's action, so
+    the operator composes into larger lazy plans — at the price that
+    the shared subtrees are pinned only advisorily (under memory
+    pressure the tokenize+rank subtree can recompute; results are
+    identical on deterministic input)."""
+    from .ranking import global_rank, global_rank_lazy
 
     eps = 1e-9
     toks = _tokens(df, id_col, text_col, ngram=ngram,
                    char_shingles=char_shingles)
     dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("t_df"))
-    ranked = global_rank(dfreq, ["t_df", "token"], rank_col="tid")
+    rank_fn = global_rank_lazy if lazy else global_rank
+    ranked = rank_fn(dfreq, ["t_df", "token"], rank_col="tid")
     # localCheckpoint: per_doc feeds three consumers (prefix explode +
     # both verify-join sides); left lazy, the tokenize+rank-join+groupBy
     # subtree would run 3× (measured 2× end-to-end cost at sf0.1).
     # Checkpoint blocks self-release when the result frame is dropped.
+    # (lazy mode: cache() — same sharing, advisory, no job.)
     per_doc = (toks.join(ranked.select("token", "tid"), "token")
                .groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("sz"),
-                    F.sort_array(F.collect_list("tid")).alias("tok_arr"))
-               .localCheckpoint())
+                    F.sort_array(F.collect_list("tid")).alias("tok_arr")))
+    per_doc = per_doc.cache() if lazy else per_doc.localCheckpoint()
     plen = (F.col("sz")
             - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1).cast("int")
     prefix = (per_doc

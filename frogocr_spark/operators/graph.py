@@ -42,7 +42,7 @@ plan depth (no driver-side convergence loop in the contract path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_SCALE = 10**12
@@ -793,18 +793,27 @@ def clustering_coefficient_oracle_sql(edges_sql: str) -> str:
 
 
 def two_hop_reach(edges: DataFrame, src: str = "src",
-                  dst: str = "dst") -> DataFrame:
+                  dst: str = "dst",
+                  max_mid_degree: int | None = None) -> DataFrame:
     """Per-node 2-hop reach: how many DISTINCT other nodes are within
     ≤ 2 undirected hops — the friend-of-friend audience size of social
     /abuse analytics (and the k=2 slice of neighborhood growth).
 
     Scale shape: the 2-hop candidates are one adjacency self-join on
-    the middle node (cost exactly Σ deg(n)² wedge instances — the same
-    unavoidable bound as exact common-neighbor counting; cap hubs
-    upstream on power-law graphs), unioned with the 1-hop neighbors,
-    then ONE distinct + ONE keyed count.  Output: ``(node, n_1hop,
-    n_2hop_total)`` where n_2hop_total counts distinct nodes at hop
-    1 or 2 (self excluded)."""
+    the middle node — cost exactly Σ deg(n)² wedge instances, the same
+    unavoidable bound as exact common-neighbor counting.  On power-law
+    graphs ONE mega-hub makes one task quadratic (VERDICT r3 #2), so
+    ``max_mid_degree`` caps the fanout the same way dedup's
+    ``max_bucket`` caps hot LSH buckets: a node acting as the MIDDLE of
+    a wedge exposes only its ``max_mid_degree`` smallest-id neighbors
+    (deterministic truncation — a rank window per node, engine
+    -portable), dropping the join bound to Σ deg(n)·min(deg(n), cap) —
+    LINEAR in hub degree.  Hop-1 adjacency is never truncated, and
+    every node keeps a row; rows whose 2-hop set may undercount (nodes
+    adjacent to a capped hub) carry ``capped = true`` — the same
+    honest-flagging contract as dedup's star expansion.  Output:
+    ``(node, n_1hop, n_2hop_total, capped)`` where n_2hop_total counts
+    distinct nodes at hop 1 or 2 (self excluded)."""
     und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .where("u <> v"))
     und = (und.select(F.least("u", "v").alias("u"),
@@ -814,24 +823,61 @@ def two_hop_reach(edges: DataFrame, src: str = "src",
            .unionByName(und.select(F.col("v").alias("n"),
                                    F.col("u").alias("x"))))
     deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("n_1hop"))
+    adj_mid = adj
+    if max_mid_degree is not None:
+        cap = int(max_mid_degree)
+        w = Window.partitionBy("n").orderBy("x")
+        adj_mid = (adj.withColumn("_r", F.row_number().over(w))
+                   .where(F.col("_r") <= cap).drop("_r"))
+        hubs = deg.where(F.col("n_1hop") > cap).select("n")
+        # a node's count can undercount iff one of its MIDS was capped
+        flagged = (adj.join(hubs.withColumnRenamed("n", "x"), "x")
+                   .select("n").dropDuplicates()
+                   .withColumn("capped", F.lit(True)))
     hop2 = (adj.select(F.col("x").alias("mid"), F.col("n").alias("a"))
-            .join(adj.select(F.col("n").alias("mid"),
-                             F.col("x").alias("c")), "mid")
+            .join(adj_mid.select(F.col("n").alias("mid"),
+                                 F.col("x").alias("c")), "mid")
             .where(F.col("a") != F.col("c"))
             .select("a", "c"))
     reach = (adj.select(F.col("n").alias("a"), F.col("x").alias("c"))
              .unionByName(hop2)
              .dropDuplicates(["a", "c"])
              .groupBy("a").agg(F.count(F.lit(1)).alias("n_2hop_total")))
-    return (deg.join(reach, deg.n == reach.a)
-            .select(F.col("n").alias("node"),
-                    F.col("n_1hop").cast("long").alias("n_1hop"),
-                    F.col("n_2hop_total").cast("long")
-                    .alias("n_2hop_total")))
+    out = (deg.join(reach, deg.n == reach.a)
+           .select(F.col("n").alias("node"),
+                   F.col("n_1hop").cast("long").alias("n_1hop"),
+                   F.col("n_2hop_total").cast("long")
+                   .alias("n_2hop_total")))
+    if max_mid_degree is None:
+        return out.withColumn("capped", F.lit(False))
+    return (out.join(flagged.withColumnRenamed("n", "node"),
+                     "node", "left")
+            .withColumn("capped", F.coalesce("capped", F.lit(False))))
 
 
-def two_hop_reach_oracle_sql(edges_sql: str) -> str:
-    """DuckDB twin of :func:`two_hop_reach`."""
+def two_hop_reach_oracle_sql(edges_sql: str,
+                             max_mid_degree: int | None = None) -> str:
+    """DuckDB twin of :func:`two_hop_reach` — same smallest-id mid
+    truncation, same capped-row flag."""
+    if max_mid_degree is None:
+        mid_cte = "adj_mid AS (SELECT n, x FROM adj)"
+        capped = "FALSE AS capped"
+        flag_join = ""
+    else:
+        cap = int(max_mid_degree)
+        mid_cte = f"""adj_mid AS (
+            SELECT n, x FROM (
+                SELECT n, x,
+                       row_number() OVER (PARTITION BY n ORDER BY x) AS r
+                FROM adj
+            ) WHERE r <= {cap}
+        ), flagged AS (
+            SELECT DISTINCT adj.n FROM adj
+            JOIN (SELECT n FROM deg WHERE n_1hop > {cap}) h
+              ON adj.x = h.n
+        )"""
+        capped = "(fl.n IS NOT NULL) AS capped"
+        flag_join = "LEFT JOIN flagged fl ON deg.n = fl.n"
     return f"""
         WITH raw AS ({edges_sql}),
         und AS MATERIALIZED (
@@ -840,11 +886,11 @@ def two_hop_reach_oracle_sql(edges_sql: str) -> str:
         ), adj AS MATERIALIZED (
             SELECT u AS n, v AS x FROM und
             UNION ALL SELECT v, u FROM und
-        ), deg AS (
+        ), deg AS MATERIALIZED (
             SELECT n, count(*) AS n_1hop FROM adj GROUP BY n
-        ), hop2 AS (
+        ), {mid_cte}, hop2 AS (
             SELECT l.n AS a, r.x AS c
-            FROM adj l JOIN adj r ON l.x = r.n
+            FROM adj l JOIN adj_mid r ON l.x = r.n
             WHERE l.n <> r.x
         ), reach AS (
             SELECT a, count(DISTINCT c) AS n_2hop_total FROM (
@@ -853,8 +899,9 @@ def two_hop_reach_oracle_sql(edges_sql: str) -> str:
             ) GROUP BY a
         )
         SELECT deg.n AS node, CAST(n_1hop AS BIGINT) AS n_1hop,
-               CAST(n_2hop_total AS BIGINT) AS n_2hop_total
-        FROM deg JOIN reach ON deg.n = reach.a
+               CAST(n_2hop_total AS BIGINT) AS n_2hop_total,
+               {capped}
+        FROM deg JOIN reach ON deg.n = reach.a {flag_join}
     """
 
 

@@ -471,6 +471,9 @@ def shard_plan(df: DataFrame, n_shards: int,
 
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if id_col in ("_k", "rank", "shard"):
+        raise ValueError(f"shard_plan reserves column names _k/rank/"
+                         f"shard; id_col {id_col!r} collides")
     keyed = df.select(F.col(id_col),
                       F.md5(F.col(id_col).cast("string")).alias("_k"))
     ranked = global_rank(keyed, ["_k", id_col])
@@ -493,33 +496,51 @@ def shard_plan(df: DataFrame, n_shards: int,
 def shard_write(df: DataFrame, path: str, n_shards: int,
                 id_col: str = "doc_id") -> "DataFrame":
     """Execute a :func:`shard_plan`: write each shard's rows under
-    ``path/shard=<j>/`` (partitioned parquet — one directory per
+    ``path/shard=<j>/`` (partitioned parquet — one DIRECTORY per
     shard, loadable independently by a training data-loader) and the
     plan's manifest table to ``path/_MANIFEST`` (count, exact hash
-    checksum, id range per shard).  The manifest is recomputed by
-    :func:`shard_plan` — a separate pass, but a DETERMINISTIC function
-    of ``df`` (seedless md5 order), so it provably describes the rows
-    just routed; a reader can then verify any shard in isolation — in
-    any row order — by recounting and
+    checksum, id range per shard).  The manifest is aggregated from
+    the SAME routed relation the writer consumes (one shard-keyed
+    map-side-combined agg over the already-computed rank checkpoint —
+    no second :func:`~frogocr_spark.operators.ranking.global_rank`
+    pass, no determinism assumption on ``df``; ADVICE r3), so it
+    describes exactly the rows just routed; a reader can then verify
+    any shard in isolation — in any row order — by recounting and
     re-summing the md5-derived row hashes against its manifest row
     (the integrity check ``tests/test_session36_ops.py`` performs).
 
     Scale shape: one ``repartition(n_shards, shard)`` keyed exchange
-    routes rows (each output task writes exactly one shard directory);
-    the manifest is the ``n_shards``-row :func:`shard_plan` output.
-    Returns the manifest DataFrame."""
+    routes rows before the partitioned write.  Hash partitioning can
+    COLLIDE shard keys (two shard values in one task, another task
+    empty) — the directory layout is still exactly one ``shard=<j>/``
+    per shard (``partitionBy`` splits by value), a colliding task just
+    writes files into two directories; loaders consume directories,
+    not tasks.  Reserves the internal column names ``_k``/``rank``/
+    ``shard`` and fails fast on collision with user columns rather
+    than silently clobbering them.  Returns the manifest DataFrame."""
     from frogocr_spark.operators.ranking import global_rank
 
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    clash = {"_k", "rank", "shard"} & set(df.columns)
+    if clash:
+        raise ValueError(f"shard_write reserves internal columns "
+                         f"{sorted(clash)}; rename them before sharding")
     keyed = df.withColumn("_k", F.md5(F.col(id_col).cast("string")))
     ranked = global_rank(keyed, ["_k", id_col])
-    routed = (ranked
-              .withColumn("shard",
-                          ((F.col("rank") - 1) % n_shards).cast("int"))
-              .drop("_k", "rank"))
-    (routed.repartition(n_shards, "shard")
+    routed = ranked.withColumn(
+        "shard", ((F.col("rank") - 1) % n_shards).cast("int"))
+    (routed.drop("_k", "rank").repartition(n_shards, "shard")
      .write.mode("overwrite").partitionBy("shard").parquet(path))
-    manifest = shard_plan(df, n_shards, id_col)
+    h = (F.conv(F.substring("_k", 1, 15), 16, 10).cast("long")
+         .cast("decimal(38,0)"))
+    manifest = (routed
+                .select("shard", F.col(id_col), h.alias("_h"))
+                .groupBy("shard")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.sum("_h").cast("decimal(38,0)").cast("string")
+                     .alias("checksum"),
+                     F.min(id_col).alias("id_min"),
+                     F.max(id_col).alias("id_max")))
     manifest.write.mode("overwrite").parquet(f"{path}/_MANIFEST")
     return manifest

@@ -65,6 +65,98 @@ def global_rank(df: DataFrame, order_cols: list[str],
             .drop("_pid", "_offset"))
 
 
+def _lazy_ranged(df: DataFrame, order_cols: list[str],
+                 num_partitions: int | None):
+    """Shared first level of the lazy builders: range-partitioned input
+    with order-preserving partition ids, cache()d (advisory, lazy)
+    because two consumers read it — NO localCheckpoint, NO collect, NO
+    job at construction."""
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+            .withColumn("_pid", F.spark_partition_id())
+            .cache())
+
+
+def global_rank_lazy(df: DataFrame, order_cols: list[str],
+                     rank_col: str = "rank",
+                     num_partitions: int | None = None) -> DataFrame:
+    """Lazy twin of :func:`global_rank` — identical output contract
+    (1-based global row_number under ORDER BY order_cols, unique keys
+    assumed).
+
+    LAZY (VERDICT r3 #6): constructs the ENTIRE plan without running a
+    Spark job — the per-partition offsets are computed by a window over
+    the O(num_partitions)-row counts relation (bounded: a single task
+    over P rows, NOT a data-scale SinglePartition collapse) and
+    broadcast-joined back, replacing the eager variant's
+    localCheckpoint + driver collect.  The range-partitioned input is
+    cache()d (advisory) because two consumers read it; correctness does
+    not depend on the cache — RangePartitioner sampling is seeded by
+    partition index, so a recompute reproduces the same boundaries on
+    deterministic input.  Use the eager variant when the input subtree
+    is itself nondeterministic (the checkpoint there PINS it); use this
+    one to compose into downstream lazy plans without surprise job
+    launches.  ``global_cumsum_lazy`` / ``global_cummax_lazy`` follow
+    the same construction with the sum / max monoid."""
+    ranged = _lazy_ranged(df, order_cols, num_partitions)
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    woff = (Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    off = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_c").over(woff), F.lit(0)).cast("long")
+        .alias("_offset"))
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (ranged.join(F.broadcast(off), "_pid")
+            .withColumn(rank_col,
+                        (F.row_number().over(w) + F.col("_offset"))
+                        .cast("long"))
+            .drop("_pid", "_offset"))
+
+
+def global_cumsum_lazy(df: DataFrame, order_cols: list[str],
+                       value_col: str, cumsum_col: str = "cumsum",
+                       num_partitions: int | None = None) -> DataFrame:
+    """Lazy twin of :func:`global_cumsum` — identical output contract
+    (EXCLUSIVE prefix sum; first row gets 0).  Construction and
+    caveats: see :func:`global_rank_lazy`."""
+    ranged = _lazy_ranged(df, order_cols, num_partitions)
+    totals = ranged.groupBy("_pid").agg(
+        F.coalesce(F.sum(value_col), F.lit(0)).cast("long").alias("_t"))
+    woff = (Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    off = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_t").over(woff), F.lit(0)).cast("long")
+        .alias("_offset"))
+    w = (Window.partitionBy("_pid").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local = F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("long")
+    return (ranged.join(F.broadcast(off), "_pid")
+            .withColumn(cumsum_col, local + F.col("_offset"))
+            .drop("_pid", "_offset"))
+
+
+def global_cummax_lazy(df: DataFrame, order_cols: list[str],
+                       value_col: str, cummax_col: str = "cummax",
+                       num_partitions: int | None = None) -> DataFrame:
+    """Lazy twin of :func:`global_cummax` — identical output contract
+    (EXCLUSIVE prefix max; first row gets NULL).  Construction and
+    caveats: see :func:`global_rank_lazy`."""
+    ranged = _lazy_ranged(df, order_cols, num_partitions)
+    maxima = ranged.groupBy("_pid").agg(F.max(value_col).alias("_m"))
+    woff = (Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    off = maxima.select(
+        "_pid", F.max("_m").over(woff).cast("long").alias("_offset"))
+    w = (Window.partitionBy("_pid").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local = F.max(value_col).over(w).cast("long")
+    return (ranged.join(F.broadcast(off), "_pid")
+            .withColumn(cummax_col, F.greatest(local, F.col("_offset")))
+            .drop("_pid", "_offset"))
+
+
 def global_cumsum(df: DataFrame, order_cols: list[str], value_col: str,
                   cumsum_col: str = "cumsum",
                   num_partitions: int | None = None) -> DataFrame:

@@ -166,9 +166,12 @@ def curation_funnel(df: DataFrame, text_col: str = "text",
              .when(token_count(c) < min_tokens, "length")
              .when(blocked, "blocklist")
              .otherwise("kept"))
+    # coalesce: F.sum over ZERO rows is NULL — an empty corpus must
+    # report 0 drops, not NULL counters (ADVICE r3)
     row = df.select(first.alias("_f")).agg(
         F.count(F.lit(1)).alias("_t"),
-        *[F.sum((F.col("_f") == s).cast("long")).alias(f"_d{i}")
+        *[F.coalesce(F.sum((F.col("_f") == s).cast("long")), F.lit(0))
+          .alias(f"_d{i}")
           for i, s in enumerate(
               ("lang", "quality", "length", "blocklist"))])
     stages = []

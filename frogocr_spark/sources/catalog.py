@@ -229,7 +229,14 @@ class Table:
         Iceberg DELETE rewrites only files containing matches (or
         writes delete files); the full rewrite is the sandbox-scale
         analog.  Deleting EVERY row leaves a data-less snapshot —
-        ``read()`` then raises exactly as on a never-written table."""
+        ``read()`` then raises exactly as on a never-written table.
+
+        SQL DELETE semantics under three-valued logic: only rows where
+        the predicate is TRUE are removed — rows where it evaluates
+        NULL are KEPT (``(predicate) IS NOT TRUE``, not
+        ``NOT (predicate)``, which silently deletes NULL rows).  This
+        matters on schema-evolved tables, where every pre-evolution row
+        has NULL in an evolved column (ADVICE r3)."""
         live = self._run_dirs()
         if not live:
             return None
@@ -239,7 +246,7 @@ class Table:
         if os.path.isdir(out):
             raise ValueError(f"snapshot {delete_id!r} already exists")
         remaining = (self.read(merge_schema=True)
-                     .where(f"NOT ({predicate})"))
+                     .where(f"({predicate}) IS NOT TRUE"))
         self._publish_rewrite(remaining, delete_id, live,
                               ".staging-delete")
         return delete_id

@@ -140,6 +140,21 @@ def test_compact_preserves_evolved_columns(spark, tmp_path):
     assert out[0].score is None and out[1].score == 7
 
 
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    # SQL DELETE three-valued logic (ADVICE r3): rows where the
+    # predicate evaluates NULL must be KEPT, not deleted — on an
+    # evolved table every pre-evolution row has NULL in the new column,
+    # so `delete("score = 7")` must remove ONLY the score=7 row
+    t = Table(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"), "r1")
+    t.append(spark.createDataFrame([(2, "b", 7), (3, "c", 8)],
+                                   "id long, v string, score long"), "r2")
+    t.delete("score = 7")
+    got = sorted((r.id, r.score)
+                 for r in t.read(merge_schema=True).collect())
+    assert got == [(1, None), (3, 8)]
+
+
 def test_delete_and_merge_on_evolved_table(spark, tmp_path):
     t = Table(spark, str(tmp_path / "tbl"))
     t.append(spark.createDataFrame([(1, "a")], "id long, v string"), "r1")

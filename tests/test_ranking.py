@@ -110,3 +110,81 @@ def test_pack_sequences_randomized_invariants(spark, seed, capacity):
         prev_seq = got[i][0]
         acc += v
     assert got[0][0] == 0 and got[0][1] == 0
+
+
+# ----------------------------------------------------- lazy twins (r4)
+
+def test_lazy_builders_run_no_job_at_construction(spark):
+    """The lazy twins must not launch ANY Spark job until the caller's
+    action (VERDICT r3 #6) — construction under a dedicated job group
+    leaves that group empty."""
+    from frogocr_spark.operators.ranking import (
+        global_cummax_lazy, global_cumsum_lazy, global_rank_lazy)
+    sc = spark.sparkContext
+    rows = [(i % 11, i, i * 3 % 17) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, id long, v long")
+    sc.setJobGroup("lazy-construct", "lazy builders construction")
+    try:
+        plans = [
+            global_rank_lazy(df, ["k", "id"], num_partitions=5),
+            global_cumsum_lazy(df, ["k", "id"], "v", num_partitions=5),
+            global_cummax_lazy(df, ["k", "id"], "v", num_partitions=5),
+        ]
+        assert sc.statusTracker().getJobIdsForGroup("lazy-construct") == []
+        # the action DOES run jobs in the group — the tracker works
+        assert plans[0].count() == 200
+        assert sc.statusTracker().getJobIdsForGroup("lazy-construct") != []
+    finally:
+        sc.setJobGroup(None, None)
+
+
+def test_lazy_builders_match_eager(spark):
+    from frogocr_spark.operators.ranking import (
+        global_cummax, global_cummax_lazy, global_cumsum,
+        global_cumsum_lazy, global_rank_lazy)
+    rows = [((i * 13) % 29, i, (i * 7) % 23 - 5) for i in range(113)]
+    df = spark.createDataFrame(rows, "k long, id long, v long")
+    for np_ in (1, 4, 16):
+        a = {(r.id, r.rank) for r in
+             global_rank_lazy(df, ["k", "id"],
+                              num_partitions=np_).collect()}
+        b = {(r.id, r.rank) for r in
+             global_rank(df, ["k", "id"], num_partitions=np_).collect()}
+        assert a == b
+        a = {(r.id, r.cumsum) for r in
+             global_cumsum_lazy(df, ["k", "id"], "v",
+                                num_partitions=np_).collect()}
+        b = {(r.id, r.cumsum) for r in
+             global_cumsum(df, ["k", "id"], "v",
+                           num_partitions=np_).collect()}
+        assert a == b
+        a = {(r.id, r.cummax) for r in
+             global_cummax_lazy(df, ["k", "id"], "v",
+                                num_partitions=np_).collect()}
+        b = {(r.id, r.cummax) for r in
+             global_cummax(df, ["k", "id"], "v",
+                           num_partitions=np_).collect()}
+        assert a == b
+
+
+def test_ngram_jaccard_lazy_mode_parity_and_laziness(spark):
+    from frogocr_spark.operators.dedup import ngram_jaccard_pairs
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "a completely different document about spark plans"),
+            (4, "the quick brown fox jumps over the lazy dog")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sc = spark.sparkContext
+    sc.setJobGroup("jacc-lazy", "lazy jaccard construction")
+    try:
+        lazy = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5,
+                                   lazy=True)
+        assert sc.statusTracker().getJobIdsForGroup("jacc-lazy") == []
+        got = {(r.id_a, r.id_b, round(r.jaccard, 9))
+               for r in lazy.collect()}
+    finally:
+        sc.setJobGroup(None, None)
+    want = {(r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(df, "doc_id", "text",
+                                         threshold=0.5).collect()}
+    assert got == want and (1, 4, 1.0) in got

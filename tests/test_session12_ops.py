@@ -383,6 +383,28 @@ def test_two_hop_reach_hand_case(spark):
     assert got == {1: (1, 2), 2: (2, 3), 3: (2, 3), 4: (1, 2)}
 
 
+def test_two_hop_reach_mid_cap_hand_case(spark):
+    """max_mid_degree truncates a hub's MID fanout to its cap smallest-id
+    neighbors and flags every node adjacent to a capped hub (VERDICT r3
+    #2/#3 — the dedup-max_bucket pattern applied to wedges)."""
+    # star: hub 0 — {1..6} (deg 6), plus edge (1,2)
+    edges = [(0, i) for i in range(1, 7)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from frogocr_spark.operators.graph import two_hop_reach
+    got = {r.node: (r.n_1hop, r.n_2hop_total, r.capped)
+           for r in two_hop_reach(df, max_mid_degree=3).collect()}
+    # hub 0 exposes only {1,2,3} as a middle node; its own row is
+    # exact (its mids all have deg <= 3) and unflagged
+    assert got == {0: (6, 6, False),
+                   1: (2, 3, True), 2: (2, 3, True), 3: (1, 3, True),
+                   4: (1, 4, True), 5: (1, 4, True), 6: (1, 4, True)}
+    # uncapped run on the same graph: exact counts, nothing flagged
+    exact = {r.node: (r.n_2hop_total, r.capped)
+             for r in two_hop_reach(df).collect()}
+    assert exact[3] == (6, False) and exact[0] == (6, False)
+    assert not any(c for _, c in exact.values())
+
+
 def test_charclass_stats_hand_case(spark):
     df = spark.createDataFrame([(1, "Ab 9é"), (2, "")],
                                "doc_id long, text string")

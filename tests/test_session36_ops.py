@@ -163,6 +163,42 @@ def test_shard_plan_guard(spark):
         shard_plan(spark.range(3).select(F.col("id").alias("doc_id")), 0)
 
 
+def test_shard_write_reserved_column_guard(spark, tmp_path):
+    # a df already carrying shard/rank/_k would be silently mis-routed
+    # or lose data — must fail fast (ADVICE r3)
+    from frogocr_spark.operators.layout import shard_write
+    df = spark.range(4).select(F.col("id").alias("doc_id"),
+                               F.lit(1).alias("shard"))
+    with pytest.raises(ValueError, match="reserves"):
+        shard_write(df, str(tmp_path / "s"), 2)
+
+
+def test_shard_write_manifest_matches_plan(spark, tmp_path):
+    # manifest is now aggregated from the routed relation itself (no
+    # second global_rank pass) — it must still equal shard_plan's
+    # output row-for-row on the same input
+    from frogocr_spark.operators.layout import shard_write
+    df = spark.range(37).select(F.col("id").alias("doc_id"),
+                                F.md5(F.col("id").cast("string"))
+                                .alias("payload"))
+    got = {r.shard: (r.n_rows, r.checksum, r.id_min, r.id_max)
+           for r in shard_write(df, str(tmp_path / "s"), 5).collect()}
+    want = {r.shard: (r.n_rows, r.checksum, r.id_min, r.id_max)
+            for r in shard_plan(df, 5).collect()}
+    assert got == want
+
+
+def test_curation_funnel_empty_input_zero_counters(spark):
+    # F.sum over zero rows is NULL — an empty corpus must report 0s
+    # in every stage row, not NULL drop counters (ADVICE r3)
+    from frogocr_spark.operators.textstats import curation_funnel
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    rows = curation_funnel(empty).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert (r.n_in, r.n_dropped, r.n_out) == (0, 0, 0)
+
+
 # ------------------------------------------------------------- gate_funnel
 
 def test_curation_funnel_hand_case(spark):

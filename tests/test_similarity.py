@@ -53,6 +53,42 @@ def test_lsh_recall_vs_bruteforce(spark, emb_df):
                 exact_cos[(r.query_id, r.neighbor_id)], abs=1e-9)
 
 
+def test_lsh_score_e4_integer_contract(spark, emb_df):
+    """score_e4 contract mode (round-4 fix for the sim_cosine_lsh red
+    row): cosine_e4 must equal the pure-Python integer twin BIT-FOR-BIT
+    (floor(v*4096) quantization, exact integer sums, single-rounded
+    IEEE finish), stay within one quantum of the float cosine, and the
+    k-cut must order by (cosine_e4 desc, neighbor_id asc)."""
+    queries = emb_df.where("vec_id < 5")
+    out = similarity.cosine_topk_lsh(emb_df, queries, k=5, dim=DIM,
+                                     nbits=4, ntables=8,
+                                     score_e4=True).collect()
+    assert out, "no candidates"
+    vecs = _vectors()
+    vq = np.floor(vecs.astype(np.float64) * similarity.QUANT).astype(
+        np.int64)
+
+    def twin(qi, ni):
+        dot = int((vq[qi] * vq[ni]).sum())
+        na = int((vq[qi] * vq[qi]).sum())
+        nb = int((vq[ni] * vq[ni]).sum())
+        return int(np.floor((10000.0 * float(dot))
+                            / np.sqrt(float(na) * float(nb))))
+
+    for r in out:
+        assert r.cosine_e4 == twin(r.query_id, r.neighbor_id)
+        # quantized score tracks the float cosine within ~1 quantum
+        assert abs(r.cosine_e4 - r.cosine * 10000.0) <= 2.0
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        keys = [(-r.cosine_e4, r.neighbor_id) for r in rows]
+        assert keys == sorted(keys)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
 def test_lsh_deterministic(spark, emb_df):
     queries = emb_df.where("vec_id < 3")
     a = similarity.cosine_topk_lsh(emb_df, queries, 3, DIM).collect()

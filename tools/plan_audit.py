@@ -1015,6 +1015,26 @@ def main() -> None:
                 f"scans={pgf.count('Scan parquet')}, joins=0, windows=0, "
                 "map_side_combine=present")
 
+    # 60. two_hop_reach max_mid_degree: under a planted mega-hub the
+    #     wedge join must stay LINEAR in hub degree — a 1-hub star of
+    #     degree H yields H·(H-1) wedge instances uncapped (quadratic:
+    #     one task owns them all) but ≤ H·cap capped.  Counting the
+    #     hop2 relation directly (pre-dedup candidate volume — the same
+    #     measurement style as check 8b's max_bucket linearization).
+    from frogocr_spark.operators.graph import two_hop_reach
+    H, CAP = 2000, 32
+    star = spark.createDataFrame([(0, i) for i in range(1, H + 1)],
+                                 "src long, dst long")
+    reach = two_hop_reach(star, max_mid_degree=CAP)
+    tot = reach.agg(F.sum("n_2hop_total")).collect()[0][0]
+    n_flagged = reach.where("capped").count()
+    # capped candidate volume bound: hub emits H·CAP wedges; leaves emit
+    # 1 each; uncapped the hub alone emits H·(H-1) ≈ 4.0M
+    ok &= check("two_hop max_mid_degree linearizes planted-hub wedges",
+                tot <= H * (CAP + 2) and n_flagged == H,
+                f"sum_reach={tot} (uncapped would be {H * H}), "
+                f"{n_flagged}/{H} hub-adjacent rows flagged capped")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
