@@ -924,14 +924,22 @@ def hits_int(edges: DataFrame, iters: int = 2,
 
     Scale shape: per half-step ONE gather equi-join + one map-side-
     combined keyed agg, plus a 1-row total broadcast back (the
-    zorder_buckets cross-join pattern — O(1) driver traffic).  Exact
-    while n_nodes · scale² < 10^38 (DECIMAL headroom).  Output:
+    zorder_buckets cross-join pattern — O(1) driver traffic).  The
+    edge relation and node set are localCheckpointed ONCE up front,
+    and each half-step result once produced (same lineage-cut
+    discipline as ``pagerank_int`` / ``kcore``; eager, like them):
+    auth_i feeds both hub_i and the final join, so a lazy reference
+    DAG re-evaluates every earlier half-step's shuffle per consumer —
+    measured ~2× end-to-end on the co-event graph, whose construction
+    is itself a self-join.  Exact while
+    n_nodes · scale² < 10^38 (DECIMAL headroom).  Output:
     ``(node, hub, auth)`` for every node."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    edges = edges.select("src", "dst").localCheckpoint()
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
-             .distinct())
+             .distinct().localCheckpoint())
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
         tot = raw.agg(F.sum("_raw").cast("decimal(38,0)").alias("_t"))
@@ -944,15 +952,20 @@ def hits_int(edges: DataFrame, iters: int = 2,
 
     hub = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
     auth = None
+    # each half-step result is localCheckpointed: auth_i feeds BOTH
+    # hub_i and the final join, hub_i feeds auth_{i+1} — left lazy the
+    # reference DAG re-evaluates every earlier half-step's shuffle
+    # per consumer (2^iters stage blowup); the checkpoint is
+    # n_nodes-rows tiny
     for _ in range(iters):
         a_raw = (edges.join(hub, edges["src"] == hub["node"])
                  .groupBy(F.col("dst").alias("node"))
                  .agg(F.sum("hub").alias("_raw")))
-        auth = _normalize(a_raw, "auth")
+        auth = _normalize(a_raw, "auth").localCheckpoint()
         h_raw = (edges.join(auth, edges["dst"] == auth["node"])
                  .groupBy(F.col("src").alias("node"))
                  .agg(F.sum("auth").alias("_raw")))
-        hub = _normalize(h_raw, "hub")
+        hub = _normalize(h_raw, "hub").localCheckpoint()
     return hub.join(auth, "node").select("node", "hub", "auth")
 
 
