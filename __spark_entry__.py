@@ -3868,6 +3868,42 @@ def _q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_hop_reach(_coevent_edges(spark, sf_dir), max_mid_degree=32)
 
 
+def _q_graph_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood function / HyperANF (Boldi, Rosa & Vigna 2011)
+    over the SECOND-resolution co-event graph (sparse: max degree 10
+    at sf0.1, so the ball genuinely grows over k = 0..4 instead of
+    saturating) — per k, integer cross-node register aggregates of the
+    HLL ball sketches; the distance-distribution audit (avg distance,
+    effective diameter) computable at 10^12 nodes because per-node
+    state is ≤ m registers and each round is one edge equi-join
+    (operators/graph.neighborhood_function)."""
+    from frogocr_spark.operators.graph import neighborhood_function
+    b = (_read(spark, sf_dir, "events")
+         .select(F.expr("unix_micros(CAST(ts AS TIMESTAMP)) "
+                        "DIV 1000000").alias("win"), "user_id")
+         .dropDuplicates())
+    a1 = b.select("win", F.col("user_id").alias("src"))
+    a2 = b.select("win", F.col("user_id").alias("dst"))
+    edges = (a1.join(a2, "win").where(F.col("src") < F.col("dst"))
+             .select("src", "dst").dropDuplicates())
+    return neighborhood_function(edges, max_k=4, p=8)
+
+
+def _q_graph_2hop_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state 2-hop reach (round 4): per node a deterministic
+    -HLL estimate of the ≤2-hop audience — the 10^12-node scale path
+    where NO wedge is ever materialized: per-node state ≤ m register
+    rows, the 2-hop gather is ONE edge equi-join over register rows
+    (Σ deg·min(deg, m) — linear in hub degree), then the idempotent
+    (node, bucket) max merge (operators/graph.two_hop_reach_hll over
+    the sketches.hll_registers machinery).  Registers are a pure
+    function of the neighbor SET, so the composed sketch equals
+    sketching the exact 2-ball bit-for-bit (pytest); the DuckDB oracle
+    recomputes hash, registers, merge and finish exactly."""
+    from frogocr_spark.operators.graph import two_hop_reach_hll
+    return two_hop_reach_hll(_coevent_edges(spark, sf_dir), p=8)
+
+
 def _q_charclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-class profile (printable-ASCII / digit /
     upper / space counts + exact ascii_e6 ratio) — the encoding-noise
@@ -5590,6 +5626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log2_hist": _q_log2_hist,
         "weighted_median": _q_weighted_median,
         "graph_2hop": _q_graph_2hop,
+        "graph_2hop_hll": _q_graph_2hop_hll,
+        "graph_nf": _q_graph_nf,
         "charclass": _q_charclass,
         "json_keys_profile": _q_json_keys_profile,
         "twap": _q_twap,
@@ -9635,6 +9673,18 @@ FROM pos2
     from frogocr_spark.operators.graph import two_hop_reach_oracle_sql
     o["graph_2hop"] = two_hop_reach_oracle_sql(_COEVENT_EDGES_SQL,
                                                max_mid_degree=32)
+    from frogocr_spark.operators.graph import two_hop_reach_hll_oracle_sql
+    o["graph_2hop_hll"] = two_hop_reach_hll_oracle_sql(_COEVENT_EDGES_SQL,
+                                                       p=8)
+    from frogocr_spark.operators.graph import \
+        neighborhood_function_oracle_sql
+    o["graph_nf"] = neighborhood_function_oracle_sql(
+        "SELECT a.user_id AS src, b.user_id AS dst FROM "
+        "(SELECT DISTINCT epoch_us(ts) // 1000000 AS win, user_id "
+        " FROM events) a JOIN "
+        "(SELECT DISTINCT epoch_us(ts) // 1000000 AS win, user_id "
+        " FROM events) b "
+        "ON a.win = b.win AND a.user_id < b.user_id", max_k=4, p=8)
     from frogocr_spark.operators.textstats import (
         charclass_stats_oracle_sql)
     o["charclass"] = charclass_stats_oracle_sql(

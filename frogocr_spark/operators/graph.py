@@ -905,6 +905,315 @@ def two_hop_reach_oracle_sql(edges_sql: str,
     """
 
 
+def two_hop_reach_hll(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", p: int = 8) -> DataFrame:
+    """Bounded-state 2-hop reach: per node, a deterministic-HLL
+    estimate of the distinct nodes within ≤ 2 undirected hops — the
+    10^12-node scale path where even the hub-capped exact operator
+    (:func:`two_hop_reach`) pays Σ deg·min(deg,cap) wedge rows and
+    undercounts what it truncates.  Here NO wedge is ever
+    materialized: per-node state is ≤ m = 2^p register rows
+    (:func:`frogocr_spark.operators.sketches.hll_registers` — the
+    md5-deterministic sketch whose registers are a pure FUNCTION of
+    the neighbor set), and the 2-hop gather is ONE edge equi-join over
+    register rows — Σ_mid deg(mid)·min(deg(mid), m) rows, LINEAR in
+    hub degree — followed by the idempotent per-(node, bucket) max
+    merge.  Because registers are a function of the set, the composed
+    sketch is BIT-IDENTICAL to sketching the exactly-materialized
+    2-ball (pytest proves register-table equality), so the standard
+    1.04/sqrt(m) error bound applies verbatim.
+
+    Semantics note: the gathered set is the CLOSED 2-ball — a node
+    reaches itself through any round trip a→mid→a, and HLL cannot
+    subtract — so on nodes with ≥ 1 edge the estimated set includes
+    self, while the exact operator reports the open ball (compare
+    against exact+1 when auditing).  Output: ``(node, n_1hop,
+    n_zero_regs, reg_sum_scaled, hll_est)`` — the integer register
+    aggregates are the engine-portable hash-contract columns, the
+    float estimate is derived (same contract shape as hll_distinct)."""
+    from .sketches import hll_estimate_from_registers, hll_registers
+
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .where("u <> v"))
+    und = (und.select(F.least("u", "v").alias("u"),
+                      F.greatest("u", "v").alias("v"))
+           .dropDuplicates(["u", "v"]))
+    adj = (und.select(F.col("u").alias("n"), F.col("v").alias("x"))
+           .unionByName(und.select(F.col("v").alias("n"),
+                                   F.col("u").alias("x"))))
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("n_1hop"))
+    regs1 = hll_registers(adj, ["n"], "x", p)
+    gather = (adj.select(F.col("n").alias("a"), F.col("x").alias("mid"))
+              .join(regs1.withColumnRenamed("n", "mid"), "mid")
+              .select(F.col("a").alias("n"), "bucket", "reg"))
+    merged = (regs1.unionByName(gather)
+              .groupBy("n", "bucket").agg(F.max("reg").alias("reg")))
+    est = hll_estimate_from_registers(merged, ["n"], p)
+    return (deg.join(est, "n")
+            .select(F.col("n").alias("node"),
+                    F.col("n_1hop").cast("long").alias("n_1hop"),
+                    "n_zero_regs", "reg_sum_scaled", "hll_est"))
+
+
+def two_hop_reach_hll_oracle_sql(edges_sql: str, p: int = 8) -> str:
+    """DuckDB twin of :func:`two_hop_reach_hll`: identical md5 hash,
+    bucket split, rho, register union and one-division finish (the
+    hll_distinct oracle pattern over the graph gather)."""
+    from .sketches import hll_constants
+    c = hll_constants(p)
+    return f"""
+        WITH raw AS ({edges_sql}),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        ), adj AS MATERIALIZED (
+            SELECT u AS n, v AS x FROM und
+            UNION ALL SELECT v, u FROM und
+        ), deg AS (
+            SELECT n, count(*) AS n_1hop FROM adj GROUP BY n
+        ), hashed AS (
+            SELECT n, x,
+                   ('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+            FROM adj
+        ), regs1 AS MATERIALIZED (
+            SELECT n, h >> {c['w']} AS bucket,
+                   CAST(max(CASE WHEN (h & {c['rem_mask']}) = 0
+                            THEN {c['maxrho']}
+                            ELSE {c['w']} + 1
+                                 - length(bin(h & {c['rem_mask']}))
+                            END) AS BIGINT) AS reg
+            FROM hashed GROUP BY 1, 2
+        ), merged AS (
+            SELECT n, bucket, max(reg) AS reg FROM (
+                SELECT n, bucket, reg FROM regs1
+                UNION ALL
+                SELECT a.n AS n, r.bucket, r.reg
+                FROM (SELECT n, x AS mid FROM adj) a
+                JOIN regs1 r ON r.n = a.mid
+            ) GROUP BY 1, 2
+        ), agg AS (
+            SELECT n,
+                   CAST(sum(1::BIGINT << CAST({c['maxrho']} - reg AS INT))
+                        AS BIGINT) AS hit_sum,
+                   count(*) AS n_hit
+            FROM merged GROUP BY n
+        )
+        SELECT deg.n AS node, CAST(n_1hop AS BIGINT) AS n_1hop,
+               CAST({c['m']} - n_hit AS INT) AS n_zero_regs,
+               CAST(hit_sum + ({c['m']} - n_hit) * {c['empty_term']}
+                    AS BIGINT) AS reg_sum_scaled,
+               round({c['est_num']!r} /
+                     CAST(hit_sum + ({c['m']} - n_hit) * {c['empty_term']}
+                          AS DOUBLE), 3) AS hll_est
+        FROM deg JOIN agg ON deg.n = agg.n
+    """
+
+
+def _lc_floor_table(p: int) -> list[int]:
+    """Linear-counting floors as an INTEGER LITERAL table: entry V =
+    ``floor(m·ln(m/V))`` for V = 0..m (entry 0 unused).  The number of
+    zero registers V has only m+1 possible values, so the small-range
+    correction — whose ``ln`` would otherwise be a libm
+    last-ulp-portability hazard in the hash contract — is computed
+    ONCE here in Python and shipped verbatim to BOTH engines as
+    integers: no transcendental function runs in either engine."""
+    import math
+    m = 1 << p
+    return [0] + [int(math.floor(m * math.log(m / v)))
+                  for v in range(1, m + 1)]
+
+
+def neighborhood_function(edges: DataFrame, src: str = "src",
+                          dst: str = "dst", max_k: int = 4,
+                          p: int = 8) -> DataFrame:
+    """Neighborhood function / HyperANF (Boldi, Rosa & Vigna, WWW
+    2011 — the public HLL-on-graphs algorithm): for k = 0..max_k, the
+    per-k ball sketches ``B_k(v) = B_{k-1}(v) ∪ ⋃_{(v,w)∈E}
+    B_{k-1}(w)`` with ``B_0(v) = {v}``, iterated as register
+    max-merges.  NF(k) = Σ_v |B_k(v)| yields average distance and
+    effective diameter — the classic web-graph/social-graph distance
+    audit, computable at 10^12 nodes because per-node state is ≤ m
+    register rows regardless of degree and each round is ONE edge
+    equi-join over register rows + one keyed max (the
+    :func:`two_hop_reach_hll` gather generalized to k rounds; same
+    bit-determinism argument — registers are a pure function of the
+    ball set).
+
+    Output: one row per k ∈ [0, max_k] with INTEGER cross-node
+    aggregates only — ``(k, n_nodes, nf_floor, sum_reg_scaled,
+    sum_zero_regs)``:
+
+    - ``nf_floor`` = Σ_v floor(est(v)) — the neighborhood function
+      itself, made engine-portable: each node's estimate is the
+      small-range-corrected HLL value — linear counting ``m·ln(m/V)``
+      when the raw estimate ≤ 2.5m and V (zero registers) > 0, read
+      from the :func:`_lc_floor_table` INTEGER literal (so no libm
+      ``ln`` runs in either engine), else floor of the raw estimate
+      (ONE correctly-rounded IEEE division of the shared float
+      literal by the exact integer register sum).  The cross-node sum
+      of integers is order-independent (a float Σ_v est(v) would
+      hash-differ by summation order).  DECIMAL(38,0) emitted as its
+      decimal string (Σ ≤ n² — past int64 at 10^12 nodes).
+    - ``sum_reg_scaled`` = Σ_v reg_sum_scaled(v), same DECIMAL string
+      treatment (each node's scaled sum is ≤ m·2^maxrho ≈ 2^61).
+
+    Eager per round (localCheckpoint cuts the k-fold lineage,
+    ≤ nodes·m rows each — the pagerank/kcore discipline)."""
+    from .sketches import hll_constants, hll_registers
+
+    if max_k < 1:
+        raise ValueError(f"max_k must be >= 1, got {max_k}")
+    c = hll_constants(p)
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .where("u <> v"))
+    und = (und.select(F.least("u", "v").alias("u"),
+                      F.greatest("u", "v").alias("v"))
+           .dropDuplicates(["u", "v"]))
+    adj = (und.select(F.col("u").alias("n"), F.col("v").alias("x"))
+           .unionByName(und.select(F.col("v").alias("n"),
+                                   F.col("u").alias("x")))
+           .localCheckpoint())
+    nodes = adj.select("n").dropDuplicates()
+    regs = hll_registers(nodes.withColumn("x", F.col("n")),
+                         ["n"], "x", p).localCheckpoint()
+
+    lc = _lc_floor_table(p)
+    lc_arr = F.array(*[F.lit(x) for x in lc])
+
+    def _nf_row(r: DataFrame, k: int) -> DataFrame:
+        term = F.expr(f"shiftleft(cast(1 as bigint), "
+                      f"cast({c['maxrho']} - reg as int))")
+        per_node = (r.groupBy("n")
+                    .agg(F.sum(term).alias("_hit"),
+                         F.count(F.lit(1)).alias("_nh")))
+        full = (F.col("_hit") + (F.lit(c["m"]) - F.col("_nh"))
+                * F.lit(c["empty_term"]))
+        raw = F.lit(c["est_num"]) / full.cast("double")
+        v = (F.lit(c["m"]) - F.col("_nh")).cast("int")
+        est_floor = (F.when((raw <= 2.5 * c["m"]) & (v > 0),
+                            F.element_at(lc_arr, v + 1))
+                     .otherwise(F.floor(raw))).cast("long")
+        return (per_node.groupBy()
+                .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                     F.sum(est_floor.cast("decimal(38,0)"))
+                     .cast("decimal(38,0)").cast("string")
+                     .alias("nf_floor"),
+                     F.sum(full.cast("decimal(38,0)"))
+                     .cast("decimal(38,0)").cast("string")
+                     .alias("sum_reg_scaled"),
+                     F.sum(F.lit(c["m"]) - F.col("_nh"))
+                     .cast("long").alias("sum_zero_regs"))
+                .withColumn("k", F.lit(k).cast("int"))
+                .select("k", "n_nodes", "nf_floor", "sum_reg_scaled",
+                        "sum_zero_regs"))
+
+    out = _nf_row(regs, 0)
+    for k in range(1, max_k + 1):
+        gather = (adj.select(F.col("n").alias("a"),
+                             F.col("x").alias("mid"))
+                  .join(regs.withColumnRenamed("n", "mid"), "mid")
+                  .select(F.col("a").alias("n"), "bucket", "reg"))
+        regs = (regs.unionByName(gather)
+                .groupBy("n", "bucket").agg(F.max("reg").alias("reg"))
+                .localCheckpoint())
+        out = out.unionByName(_nf_row(regs, k))
+    return out
+
+
+def neighborhood_function_oracle_sql(edges_sql: str, max_k: int = 4,
+                                     p: int = 8) -> str:
+    """DuckDB twin of :func:`neighborhood_function` — the identical
+    register chain unrolled as K materialized CTEs."""
+    from .sketches import hll_constants
+    c = hll_constants(p)
+    parts = [f"""
+        WITH raw AS ({edges_sql}),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        ), adj AS MATERIALIZED (
+            SELECT u AS n, v AS x FROM und
+            UNION ALL SELECT v, u FROM und
+        ), nodes AS (SELECT DISTINCT n FROM adj),
+        r0 AS MATERIALIZED (
+            SELECT n, h >> {c['w']} AS bucket,
+                   CAST(CASE WHEN (h & {c['rem_mask']}) = 0
+                        THEN {c['maxrho']}
+                        ELSE {c['w']} + 1
+                             - length(bin(h & {c['rem_mask']}))
+                        END AS BIGINT) AS reg
+            FROM (SELECT n,
+                         ('0x' || substr(md5(CAST(n AS VARCHAR)), 1, 15))
+                         ::BIGINT AS h
+                  FROM nodes)
+        )"""]
+    for k in range(1, max_k + 1):
+        parts.append(f""", r{k} AS MATERIALIZED (
+            SELECT n, bucket, max(reg) AS reg FROM (
+                SELECT n, bucket, reg FROM r{k-1}
+                UNION ALL
+                SELECT a.n, r.bucket, r.reg
+                FROM (SELECT n, x AS mid FROM adj) a
+                JOIN r{k-1} r ON r.n = a.mid
+            ) GROUP BY 1, 2
+        )""")
+    finishes = []
+    for k in range(max_k + 1):
+        finishes.append(f"""
+            SELECT {k} AS k, CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(CAST(sum(CAST(
+                       CASE WHEN {c['est_num']!r} /
+                                 CAST(hit + ({c['m']} - nh)
+                                      * {c['empty_term']} AS DOUBLE)
+                                 <= {2.5 * c['m']!r}
+                             AND ({c['m']} - nh) > 0
+                            THEN ({_lc_floor_table(p)})[
+                                CAST({c['m']} - nh AS INT) + 1]
+                            ELSE CAST(floor({c['est_num']!r} /
+                                 CAST(hit + ({c['m']} - nh)
+                                      * {c['empty_term']} AS DOUBLE))
+                                 AS BIGINT) END
+                                 AS HUGEINT)) AS HUGEINT) AS VARCHAR)
+                       AS nf_floor,
+                   CAST(CAST(sum(CAST(hit AS HUGEINT)
+                                 + ({c['m']} - nh)
+                                 * {c['empty_term']}::HUGEINT)
+                             AS HUGEINT) AS VARCHAR) AS sum_reg_scaled,
+                   CAST(sum({c['m']} - nh) AS BIGINT) AS sum_zero_regs
+            FROM (SELECT n,
+                         CAST(sum(1::BIGINT <<
+                                  CAST({c['maxrho']} - reg AS INT))
+                              AS BIGINT) AS hit,
+                         count(*) AS nh
+                  FROM r{k} GROUP BY n)""")
+    return ("".join(parts) + "\n"
+            + "\nUNION ALL\n".join(finishes))
+
+
+def effective_diameter(nf_rows, q: float = 0.9) -> float:
+    """HyperANF finish: the q-effective diameter from collected
+    :func:`neighborhood_function` rows — the smallest k (with linear
+    interpolation between integer k, the standard ANF/HyperANF
+    convention) at which NF(k) ≥ q·NF(k_max).  Driver-side arithmetic
+    over max_k+1 tiny rows; NF(k) is read from the operator's
+    ``nf_floor`` column — Σ_v floor est(v), the engine-portable
+    neighborhood function itself."""
+    rows = sorted(nf_rows, key=lambda r: r["k"])
+    if not rows:
+        raise ValueError("empty neighborhood function")
+    nf = [float(r["nf_floor"]) for r in rows]
+    target = q * nf[-1]
+    for i, v in enumerate(nf):
+        if v >= target:
+            if i == 0:
+                return 0.0
+            lo, hi = nf[i - 1], v
+            return (i - 1) + (target - lo) / (hi - lo) if hi > lo \
+                else float(i)
+    return float(rows[-1]["k"])
+
+
 def hits_int(edges: DataFrame, iters: int = 2,
              scale: int = 1_000_000) -> DataFrame:
     """Integer-exact HITS (Kleinberg 1999 — hubs & authorities) over

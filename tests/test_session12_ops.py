@@ -405,6 +405,126 @@ def test_two_hop_reach_mid_cap_hand_case(spark):
     assert not any(c for _, c in exact.values())
 
 
+def test_two_hop_reach_hll_equals_sketch_of_exact_ball(spark):
+    """The HLL 2-hop composition (1-hop registers + one gather join +
+    max merge) must produce BIT-IDENTICAL registers to sketching the
+    exactly-materialized closed 2-ball — registers are a pure function
+    of the set, so composition correctness is exact, not approximate."""
+    import itertools
+    edges = [(0, i) for i in range(1, 7)] + [(1, 2), (6, 7), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from frogocr_spark.operators.graph import two_hop_reach_hll
+    from frogocr_spark.operators.sketches import (
+        hll_estimate_from_registers, hll_registers)
+    got = {r.node: (r.n_1hop, r.n_zero_regs, r.reg_sum_scaled, r.hll_est)
+           for r in two_hop_reach_hll(df, p=8).collect()}
+    # exact closed 2-ball per node (python twin)
+    und = {tuple(sorted(e)) for e in edges}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    ball = {n: set(adj[n]) | set(
+        itertools.chain.from_iterable(adj[m] for m in adj[n]))
+        for n in adj}
+    pairs = [(n, c) for n, cs in ball.items() for c in cs]
+    direct = hll_estimate_from_registers(
+        hll_registers(
+            spark.createDataFrame(pairs, "n long, c long"), ["n"], "c",
+            p=8),
+        ["n"], p=8)
+    want = {r.n: (r.n_zero_regs, r.reg_sum_scaled, r.hll_est)
+            for r in direct.collect()}
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n][1:] == want[n], f"node {n}"
+        assert got[n][0] == len(adj[n])
+    # sanity: closed ball includes self (round trip through any mid)
+    assert all(n in ball[n] for n in ball)
+
+
+def test_neighborhood_function_matches_exact_ball_sketches(spark):
+    """HyperANF rounds must aggregate to EXACTLY the sketch of the
+    exact k-balls at every k (registers are a function of the set), and
+    NF must saturate at the component size."""
+    from frogocr_spark.operators.graph import neighborhood_function
+    from frogocr_spark.operators.sketches import hll_registers
+    # path 0-1-2-3-4 plus isolated pair 10-11
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.k: (r.n_nodes, r.nf_floor, r.sum_reg_scaled,
+                 r.sum_zero_regs)
+           for r in neighborhood_function(df, max_k=4, p=8).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    balls = {n: {n} for n in adj}
+    from pyspark.sql import functions as SF
+
+    def agg_of(balls_k):
+        pairs = [(n, c) for n, cs in balls_k.items() for c in cs]
+        regs = hll_registers(
+            spark.createDataFrame(pairs, "n long, c long"), ["n"], "c",
+            p=8)
+        term = SF.expr("shiftleft(cast(1 as bigint), "
+                       "cast(53 - reg as int))")
+        per = regs.groupBy("n").agg(SF.sum(term).alias("h"),
+                                    SF.count(SF.lit(1)).alias("nh"))
+        from frogocr_spark.operators.graph import _lc_floor_table
+        from frogocr_spark.operators.sketches import hll_constants
+        est_num = hll_constants(8)["est_num"]
+        lc = _lc_floor_table(8)
+        full = SF.col("h") + (256 - SF.col("nh")) * SF.lit(1 << 53)
+        raw = SF.lit(est_num) / full.cast("double")
+        v = (256 - SF.col("nh")).cast("int")
+        ef = (SF.when((raw <= 2.5 * 256) & (v > 0),
+                      SF.element_at(SF.array(*[SF.lit(x) for x in lc]),
+                                    v + 1))
+              .otherwise(SF.floor(raw))).cast("long")
+        row = per.groupBy().agg(
+            SF.count(SF.lit(1)).alias("n_nodes"),
+            SF.sum(ef.cast("decimal(38,0)"))
+            .cast("decimal(38,0)").cast("string").alias("f"),
+            SF.sum(full.cast("decimal(38,0)"))
+            .cast("decimal(38,0)").cast("string").alias("s"),
+            SF.sum(256 - SF.col("nh")).cast("long").alias("z")
+        ).collect()[0]
+        return (row.n_nodes, row.f, row.s, row.z)
+
+    for k in range(5):
+        assert got[k] == agg_of(balls), f"k={k}"
+        balls = {n: b | set().union(*(balls[m] for m in adj[n]))
+                 for n, b in balls.items()}
+    # saturation: by k=4 the path component is complete (5 per node)
+    # and the pair component holds 2 per node — spot-check via exact
+    # ball sizes the twin just built
+    assert {n: len(b) for n, b in balls.items()} == {
+        0: 5, 1: 5, 2: 5, 3: 5, 4: 5, 10: 2, 11: 2}
+
+
+def test_effective_diameter_from_nf(spark):
+    from frogocr_spark.operators.graph import (effective_diameter,
+                                               neighborhood_function)
+    # 5-path: diameter 4 — 90%-effective diameter lands in (2, 4];
+    # 4-clique: everything reachable at k=1 → effective diameter <= 1
+    path = spark.createDataFrame([(i, i + 1) for i in range(4)],
+                                 "src long, dst long")
+    rows = [r.asDict() for r in
+            neighborhood_function(path, max_k=4, p=8).collect()]
+    d_path = effective_diameter(rows, q=0.9)
+    assert 1.5 < d_path <= 4.0
+    import itertools
+    clique = spark.createDataFrame(
+        list(itertools.combinations(range(4), 2)), "src long, dst long")
+    rows_c = [r.asDict() for r in
+              neighborhood_function(clique, max_k=3, p=8).collect()]
+    assert effective_diameter(rows_c, q=0.9) <= 1.0
+    with pytest.raises(ValueError):
+        effective_diameter([], q=0.9)
+
+
 def test_charclass_stats_hand_case(spark):
     df = spark.createDataFrame([(1, "Ab 9é"), (2, "")],
                                "doc_id long, text string")

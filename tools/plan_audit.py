@@ -1035,6 +1035,28 @@ def main() -> None:
                 f"sum_reach={tot} (uncapped would be {H * H}), "
                 f"{n_flagged}/{H} hub-adjacent rows flagged capped")
 
+    # 61. two_hop_reach_hll bounded state: per-node sketch state is
+    #     <= m register rows REGARDLESS of degree (the hub's 2000
+    #     neighbors collapse into <= 64 registers at p=6), the gather
+    #     join is equi-only (no cartesian), and the output stays one
+    #     row per node — the no-wedge-materialized scale path the
+    #     capped exact operator (check 60) approximates by truncation.
+    from frogocr_spark.operators.graph import two_hop_reach_hll
+    from frogocr_spark.operators.sketches import hll_registers
+    adj_star = (star.selectExpr("src as n", "dst as x")
+                .union(star.selectExpr("dst as n", "src as x")))
+    n_regs_hub = (hll_registers(adj_star, ["n"], "x", p=6)
+                  .where("n = 0").count())
+    hll_out = two_hop_reach_hll(star, p=6)
+    phll = executed(hll_out)
+    n_out = hll_out.count()
+    ok &= check("two_hop_hll hub state bounded by m registers",
+                n_regs_hub <= 64 and n_out == H + 1
+                and "CartesianProduct" not in phll
+                and "BroadcastNestedLoopJoin" not in phll,
+                f"hub registers={n_regs_hub} (<= m=64 for a degree-"
+                f"{H} hub), rows={n_out}, cartesian=0")
+
     spark.stop()
     print("\nALL PASS" if ok else "\nFAILURES PRESENT")
     sys.exit(0 if ok else 1)
