@@ -826,6 +826,8 @@ def two_hop_reach(edges: DataFrame, src: str = "src",
     adj_mid = adj
     if max_mid_degree is not None:
         cap = int(max_mid_degree)
+        if cap < 1:
+            raise ValueError(f"max_mid_degree must be >= 1, got {cap}")
         w = Window.partitionBy("n").orderBy("x")
         adj_mid = (adj.withColumn("_r", F.row_number().over(w))
                    .where(F.col("_r") <= cap).drop("_r"))
@@ -1199,6 +1201,8 @@ def effective_diameter(nf_rows, q: float = 0.9) -> float:
     over max_k+1 tiny rows; NF(k) is read from the operator's
     ``nf_floor`` column — Σ_v floor est(v), the engine-portable
     neighborhood function itself."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
     rows = sorted(nf_rows, key=lambda r: r["k"])
     if not rows:
         raise ValueError("empty neighborhood function")

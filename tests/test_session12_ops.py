@@ -1044,3 +1044,13 @@ def test_theil_sen_outlier_robust(spark):
     [r] = theil_sen_slope(df).collect()
     assert r.n_pairs == 45
     assert r.slope_e6 == 2_000_000  # the median ignores the spike
+
+
+def test_graph_r4_guards(spark):
+    from frogocr_spark.operators.graph import (effective_diameter,
+                                               two_hop_reach)
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="max_mid_degree"):
+        two_hop_reach(df, max_mid_degree=0)
+    with pytest.raises(ValueError, match="q must be"):
+        effective_diameter([{"k": 0, "nf_floor": "1"}], q=0.0)
