@@ -3868,6 +3868,24 @@ def _q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_hop_reach(_coevent_edges(spark, sf_dir), max_mid_degree=32)
 
 
+def _q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET (weighted) Jaccard near-dup pairs (round 4):
+    WJ = Σmin(cnt)/Σmax(cnt) ≥ 0.8 over whitespace tokens — the
+    multiplicity-aware companion the set-based dedup_jaccard cannot
+    express (identical token SETS with different repetition profiles
+    score 1.0 there).  df-cap 256: tokens in more than 256 documents
+    are dropped BEFORE the candidate join (the set-similarity-join
+    boilerplate cap — this corpus's 31-token core vocabulary appears
+    in ~78% of documents and would fan out quadratically; the measure
+    is DEFINED over the capped token space, masses taken after the
+    cap).  Integer-exact cut and ratio
+    (operators/dedup.weighted_jaccard_pairs)."""
+    from frogocr_spark.operators.dedup import weighted_jaccard_pairs
+    docs = _read_split(spark, sf_dir, "documents")
+    return weighted_jaccard_pairs(docs, "doc_id", "text",
+                                  threshold_millis=800, max_df=256)
+
+
 def _q_graph_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood function / HyperANF (Boldi, Rosa & Vigna 2011)
     over the SECOND-resolution co-event graph (sparse: max degree 10
@@ -5628,6 +5646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_2hop": _q_graph_2hop,
         "graph_2hop_hll": _q_graph_2hop_hll,
         "graph_nf": _q_graph_nf,
+        "dedup_weighted": _q_dedup_weighted,
         "charclass": _q_charclass,
         "json_keys_profile": _q_json_keys_profile,
         "twap": _q_twap,
@@ -9676,6 +9695,40 @@ FROM pos2
     from frogocr_spark.operators.graph import two_hop_reach_hll_oracle_sql
     o["graph_2hop_hll"] = two_hop_reach_hll_oracle_sql(_COEVENT_EDGES_SQL,
                                                        p=8)
+    o["dedup_weighted"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS token
+            FROM documents
+        ), counts AS (
+            SELECT doc_id, token, count(*) AS cnt
+            FROM toks GROUP BY 1, 2
+        ), fdf AS (
+            SELECT token FROM (
+                SELECT token, count(*) AS c FROM counts GROUP BY 1
+            ) WHERE c <= 256
+        ), kept AS (
+            SELECT c.* FROM counts c JOIN fdf USING (token)
+        ), mass AS (
+            SELECT doc_id, sum(cnt) AS mass FROM kept GROUP BY 1
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   SUM(least(a.cnt, b.cnt)) AS inter
+            FROM kept a JOIN kept b
+              ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+               CAST(ma.mass + mb.mass - inter AS BIGINT) AS n_union,
+               CAST((inter * 1000000) // (ma.mass + mb.mass - inter)
+                    AS BIGINT) AS wjaccard_e6
+        FROM inter
+        JOIN mass ma ON inter.id_a = ma.doc_id
+        JOIN mass mb ON inter.id_b = mb.doc_id
+        WHERE inter * 1000 >= 800 * (ma.mass + mb.mass - inter)
+    """
     from frogocr_spark.operators.graph import \
         neighborhood_function_oracle_sql
     o["graph_nf"] = neighborhood_function_oracle_sql(

@@ -197,6 +197,74 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", "jaccard"))
 
 
+def weighted_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                           threshold_millis: int = 800, ngram: int = 1,
+                           max_df: int = 64) -> DataFrame:
+    """MULTISET (weighted) Jaccard near-dup pairs:
+    ``WJ(A,B) = Σ_t min(cnt_A(t), cnt_B(t)) / Σ_t max(cnt_A(t),
+    cnt_B(t))`` — the multiplicity-aware companion of the set-based
+    :func:`ngram_jaccard_pairs`, which by construction cannot see that
+    "spam spam spam spam ham" and "spam ham" differ (identical token
+    SETS).  Boilerplate-heavy and template-expanded training text is
+    exactly where multiplicity matters, so every serious dedup stack
+    carries both measures.
+
+    Exactness and the cut: per-token counts are exact int64; the
+    identity ``Σ max = S_A + S_B − Σ min`` (max+min = a+b per token,
+    including zero sides) turns the denominator into masses already
+    aggregated per doc, and the threshold test is one integer
+    cross-multiplication — ``inter·1000 ≥ threshold_millis·(S_A + S_B
+    − inter)`` — no float touches the cut; the reported
+    ``wjaccard_e6`` is the exact integer ``inter·10^6 DIV union``.
+
+    Scale shape (the containment_pairs df-cap pattern): tokens seen in
+    more than ``max_df`` documents are dropped BEFORE the candidate
+    join (non-discriminative boilerplate fans out quadratically — the
+    set-similarity-join df-cap; the measure is then DEFINED over the
+    capped token space, with per-doc masses taken AFTER the cap so
+    numerator and denominator shrink consistently).  Stages: one
+    (doc, token)-keyed count (map-side combined) → token-DF filter →
+    token-keyed self-join emitting ``min(cnt_a, cnt_b)`` per common
+    token → ONE pair-keyed sum → two mass joins.  Nothing is
+    all-pairs; per-token fanout ≤ max_df².  Output: ordered pairs
+    (id_a < id_b) with ``(id_a, id_b, inter, n_union, wjaccard_e6)``."""
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2, got {max_df}")
+    if not 0 < threshold_millis <= 1000:
+        raise ValueError(f"threshold_millis must be in (0, 1000], "
+                         f"got {threshold_millis}")
+    counts = (_tokens(df, id_col, text_col, dedup_tokens=False,
+                      ngram=ngram)
+              .groupBy(id_col, "token")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    fdf = counts.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    kept = counts.join(fdf.where(F.col("_df") <= max_df), "token")
+    mass = kept.groupBy(id_col).agg(F.sum("cnt").alias("mass"))
+    a = kept.select(F.col(id_col).alias("id_a"), "token",
+                    F.col("cnt").alias("cnt_a"))
+    b = kept.select(F.col(id_col).alias("id_b"), "token",
+                    F.col("cnt").alias("cnt_b"))
+    inter = (a.join(b, "token")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.sum(F.least("cnt_a", "cnt_b")).alias("inter")))
+    ma = mass.select(F.col(id_col).alias("id_a"),
+                     F.col("mass").alias("mass_a"))
+    mb = mass.select(F.col(id_col).alias("id_b"),
+                     F.col("mass").alias("mass_b"))
+    return (inter.join(ma, "id_a").join(mb, "id_b")
+            .withColumn("n_union",
+                        (F.col("mass_a") + F.col("mass_b")
+                         - F.col("inter")).cast("long"))
+            .where(F.col("inter") * 1000
+                   >= F.lit(int(threshold_millis)) * F.col("n_union"))
+            .select("id_a", "id_b",
+                    F.col("inter").cast("long").alias("inter"),
+                    "n_union",
+                    F.expr("(inter * 1000000) DIV n_union")
+                    .cast("long").alias("wjaccard_e6")))
+
+
 MERSENNE31 = 2147483647  # modulus for the universal-hash minhash family
 
 

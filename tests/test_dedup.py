@@ -388,3 +388,69 @@ def test_lsh_bands_must_divide_num_hashes(spark):
     with pytest.raises(ValueError):
         minhash_lsh_pairs_incremental(df, df, "doc_id", "text",
                                       num_hashes=32, bands=5)
+
+
+# ------------------------------------------------- weighted jaccard (r4)
+
+def test_weighted_jaccard_sees_multiplicity_sets_cannot(spark):
+    """'spam spam spam spam ham' vs 'spam ham': identical token SETS
+    (set-Jaccard 1.0) but WJ = (1+1)/(4+1) = 2/5 — the divergence the
+    multiset measure exists for."""
+    from frogocr_spark.operators.dedup import (ngram_jaccard_pairs,
+                                               weighted_jaccard_pairs)
+    rows = [(1, "spam spam spam spam ham"), (2, "spam ham")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    setp = ngram_jaccard_pairs(df, "doc_id", "text",
+                               threshold=0.99).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in setp] == [(1, 2, 1.0)]
+    wj = weighted_jaccard_pairs(df, "doc_id", "text",
+                                threshold_millis=300).collect()
+    assert [(r.id_a, r.id_b, r.inter, r.n_union, r.wjaccard_e6)
+            for r in wj] == [(1, 2, 2, 5, 400000)]
+    # at 0.8 the pair is correctly rejected
+    assert weighted_jaccard_pairs(df, "doc_id", "text",
+                                  threshold_millis=800).count() == 0
+
+
+def test_weighted_jaccard_python_twin_and_df_cap(spark):
+    from collections import Counter
+
+    from frogocr_spark.operators.dedup import weighted_jaccard_pairs
+    rows = [(1, "a a b b c shared shared"),
+            (2, "a b b c c shared shared"),
+            (3, "x y z shared"),
+            (4, "x y z shared")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): (r.inter, r.n_union, r.wjaccard_e6)
+           for r in weighted_jaccard_pairs(
+               df, "doc_id", "text", threshold_millis=500).collect()}
+    # python twin (no cap fires: every token df <= 4 <= 64)
+    cs = {i: Counter(t.split()) for i, t in rows}
+    want = {}
+    for a in (1, 2, 3):
+        for b in range(a + 1, 5):
+            inter = sum((cs[a] & cs[b]).values())
+            union = sum((cs[a] | cs[b]).values())
+            if inter * 1000 >= 500 * union:
+                want[(a, b)] = (inter, union,
+                                inter * 1000000 // union)
+    assert got == want and (3, 4) in got
+    # df-cap: cap 3 drops 'shared' (df 4) — pair (3,4) loses it from
+    # BOTH numerator and denominator: x,y,z remain -> WJ still 1.0;
+    # pair (1,2) loses its 2+2 shared mass
+    capped = {(r.id_a, r.id_b): (r.inter, r.n_union)
+              for r in weighted_jaccard_pairs(
+                  df, "doc_id", "text", threshold_millis=500,
+                  max_df=3).collect()}
+    assert capped[(3, 4)] == (3, 3)
+    assert capped[(1, 2)][0] == got[(1, 2)][0] - 2
+
+
+def test_weighted_jaccard_guards(spark):
+    from frogocr_spark.operators.dedup import weighted_jaccard_pairs
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        weighted_jaccard_pairs(df, "doc_id", "text", max_df=1)
+    with pytest.raises(ValueError):
+        weighted_jaccard_pairs(df, "doc_id", "text",
+                               threshold_millis=0)
