@@ -42,6 +42,8 @@ plan depth (no driver-side convergence loop in the contract path).
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1200,21 +1202,30 @@ def effective_diameter(nf_rows, q: float = 0.9) -> float:
     convention) at which NF(k) ≥ q·NF(k_max).  Driver-side arithmetic
     over max_k+1 tiny rows; NF(k) is read from the operator's
     ``nf_floor`` column — Σ_v floor est(v), the engine-portable
-    neighborhood function itself."""
+    neighborhood function itself.
+
+    ``nf_floor`` is DECIMAL(38,0)/VARCHAR precisely because cross-node
+    sums exceed int64 at the advertised 10^12-node scale, so the
+    target comparison and the interpolation numerator/denominator run
+    in EXACT arithmetic (Python int + ``fractions.Fraction`` of the
+    exact binary value of ``q``); floats appear only in the final
+    interpolated value.  Above 2^53 a float() parse would silently
+    collapse adjacent NF values and misplace the crossing k (ADVICE
+    r4)."""
     if not 0.0 < q <= 1.0:
         raise ValueError(f"q must be in (0, 1], got {q}")
     rows = sorted(nf_rows, key=lambda r: r["k"])
     if not rows:
         raise ValueError("empty neighborhood function")
-    nf = [float(r["nf_floor"]) for r in rows]
-    target = q * nf[-1]
+    nf = [int(r["nf_floor"]) for r in rows]
+    target = Fraction(q) * nf[-1]
     for i, v in enumerate(nf):
         if v >= target:
             if i == 0:
                 return 0.0
             lo, hi = nf[i - 1], v
-            return (i - 1) + (target - lo) / (hi - lo) if hi > lo \
-                else float(i)
+            return (i - 1) + float((target - lo) / (hi - lo)) \
+                if hi > lo else float(i)
     return float(rows[-1]["k"])
 
 

@@ -525,6 +525,23 @@ def test_effective_diameter_from_nf(spark):
         effective_diameter([], q=0.9)
 
 
+def test_effective_diameter_exact_above_2pow53():
+    """ADVICE r4: nf_floor is DECIMAL(38,0) because sums exceed int64
+    at 10^12-node scale — the finish must not lose the crossing point
+    to float53 rounding.  Adjacent NF values differing by 1 at 2^60
+    are indistinguishable after float(): a float parse sees a constant
+    series and returns k=0; the exact-integer finish finds k_max."""
+    from frogocr_spark.operators.graph import effective_diameter
+    base = 1 << 60
+    rows = [{"k": k, "nf_floor": str(base + k)} for k in range(3)]
+    # q=1.0 → target is exactly NF(k_max)=base+2, first reached at k=2
+    assert effective_diameter(rows, q=1.0) == 2.0
+    # interpolation stays exact: target q·(base+2) falls between
+    # integer ks and the returned value must be finite and in range
+    d = effective_diameter(rows, q=0.999999999999999)
+    assert 0.0 <= d <= 2.0
+
+
 def test_charclass_stats_hand_case(spark):
     df = spark.createDataFrame([(1, "Ab 9é"), (2, "")],
                                "doc_id long, text string")
