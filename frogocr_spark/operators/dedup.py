@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..core.cachectl import register_cache
+
 TOKEN_SPLIT = r"\s+"
 
 
@@ -138,7 +140,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     the operator composes into larger lazy plans — at the price that
     the shared subtrees are pinned only advisorily (under memory
     pressure the tokenize+rank subtree can recompute; results are
-    identical on deterministic input)."""
+    identical on deterministic input).  Lifecycle (VERDICT r4 #2):
+    wrap construction + the consuming action in
+    :func:`frogocr_spark.core.cachectl.cache_scope` and the pinned
+    subtrees (the rank relation and ``per_doc``) are unpersisted at
+    scope exit; without a scope they stay pinned until session end."""
     from .ranking import global_rank, global_rank_lazy
 
     eps = 1e-9
@@ -156,7 +162,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                .groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("sz"),
                     F.sort_array(F.collect_list("tid")).alias("tok_arr")))
-    per_doc = per_doc.cache() if lazy else per_doc.localCheckpoint()
+    per_doc = (register_cache(per_doc) if lazy
+               else per_doc.localCheckpoint())
     plen = (F.col("sz")
             - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1).cast("int")
     prefix = (per_doc

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..core.cachectl import register_cache
+
 
 def global_rank(df: DataFrame, order_cols: list[str],
                 rank_col: str = "rank",
@@ -70,11 +72,18 @@ def _lazy_ranged(df: DataFrame, order_cols: list[str],
     """Shared first level of the lazy builders: range-partitioned input
     with order-preserving partition ids, cache()d (advisory, lazy)
     because two consumers read it — NO localCheckpoint, NO collect, NO
-    job at construction."""
+    job at construction.
+
+    Lifecycle (VERDICT r4 #2): the cache registers with the innermost
+    active :func:`frogocr_spark.core.cachectl.cache_scope`, whose exit
+    unpersists it — wrap lazy-plan construction + the consuming action
+    in one scope and a long-lived session pins nothing.  Without a
+    scope the cache stays pinned until session end (the pre-r5
+    behavior)."""
     p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    return (df.repartitionByRange(p, *[F.col(c) for c in order_cols])
-            .withColumn("_pid", F.spark_partition_id())
-            .cache())
+    return register_cache(
+        df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id()))
 
 
 def global_rank_lazy(df: DataFrame, order_cols: list[str],

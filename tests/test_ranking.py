@@ -188,3 +188,69 @@ def test_ngram_jaccard_lazy_mode_parity_and_laziness(spark):
             for r in ngram_jaccard_pairs(df, "doc_id", "text",
                                          threshold=0.5).collect()}
     assert got == want and (1, 4, 1.0) in got
+
+
+# ------------------------------------------- cache lifecycle (r5, V#2)
+
+def test_lazy_builder_cache_released_by_scope(spark):
+    """VERDICT r4 #2: the lazy builders' advisory cache() must have an
+    owner — inside a cache_scope the pinned relation is released at
+    scope exit (blocking unpersist, so the assertion is not racy), and
+    repeated invocation cannot grow pinned storage."""
+    from frogocr_spark.core.cachectl import cache_scope
+    from frogocr_spark.operators.ranking import global_rank_lazy
+    df = spark.createDataFrame([(i % 7, i, i * 3) for i in range(200)],
+                               "k int, id int, v long")
+    for _ in range(3):  # repeated invocation: nothing accumulates
+        with cache_scope() as cs:
+            out = global_rank_lazy(df, ["k", "id"], num_partitions=4)
+            assert len(cs.relations) == 1
+            out.count()  # consuming action materializes the cache
+            cached = cs.relations[0]
+            assert cached.storageLevel.useMemory
+        assert not cached.storageLevel.useMemory  # freed at exit
+        assert cs.relations == ()
+
+
+def test_ngram_jaccard_lazy_caches_released_by_scope(spark):
+    """Both pinned subtrees of ngram_jaccard_pairs(lazy=True) — the
+    interning rank relation and the per-doc token arrays — register
+    with the active scope and are released after the consuming
+    action."""
+    from frogocr_spark.core.cachectl import cache_scope
+    from frogocr_spark.operators.dedup import ngram_jaccard_pairs
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "a completely different document about spark plans"),
+            (4, "the quick brown fox jumps over the lazy dog")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with cache_scope() as cs:
+        pairs = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5,
+                                    lazy=True)
+        assert len(cs.relations) == 2
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        cached = list(cs.relations)
+    assert (1, 4) in got
+    assert all(not c.storageLevel.useMemory for c in cached)
+
+
+def test_cache_scope_nesting_and_no_scope_fallback(spark):
+    """Caches register with the INNERMOST scope; without any scope the
+    builders keep the pre-r5 behavior (pinned, caller-managed)."""
+    from frogocr_spark.core.cachectl import cache_scope
+    from frogocr_spark.operators.ranking import global_rank_lazy
+    df = spark.createDataFrame([(i, i) for i in range(50)],
+                               "k int, id int")
+    with cache_scope() as outer:
+        with cache_scope() as inner:
+            global_rank_lazy(df, ["k", "id"], num_partitions=2)
+            assert len(inner.relations) == 1 and outer.relations == ()
+        # inner exit released its cache; outer untouched
+        assert outer.relations == ()
+    # no active scope: cache() still applied, nothing registered
+    out = global_rank_lazy(df, ["k", "id"], num_partitions=2)
+    out.count()
+    # reach the cached subtree via the plan: the builder cached its
+    # input relation — verify SOMETHING is pinned, then clean up
+    assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    spark.catalog.clearCache()
