@@ -3863,9 +3863,30 @@ def _q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     (join bound drops to Σ deg·min(deg,32) — linear in hub degree) and
     flags every possibly-undercounting row ``capped`` — the oracle
     applies the identical truncation, so the capped plan is still
-    hash-verified end to end."""
+    hash-verified end to end.  The flag is the cheap linear-cost
+    over-approximation (every hub-adjacent node); the exact flag is
+    the separate ``graph_2hop_precise`` row."""
     from frogocr_spark.operators.graph import two_hop_reach
     return two_hop_reach(_coevent_edges(spark, sf_dir), max_mid_degree=32)
+
+
+def _q_graph_2hop_precise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-mode twin of ``graph_2hop`` (VERDICT r4 #6):
+    ``precise_capped=True`` flags EXACTLY the nodes whose reported
+    2-hop count undercounts — the truncated wedge candidates are
+    anti-joined against the kept reach pairs, so a hub-adjacent node
+    that reaches every truncated candidate through kept paths is
+    UNflagged (the cheap flag over-approximates and marks it).
+
+    Deliberately re-pays the wedge bound the cap avoids
+    (Σ_hub deg·(deg−cap) lost-candidate rows — there is no cheaper
+    exact-membership plan): run it to AUDIT the cheap flag's
+    over-approximation rate at affordable SFs, not as the 10^12-node
+    default.  Counts are identical to ``graph_2hop``; only ``capped``
+    narrows."""
+    from frogocr_spark.operators.graph import two_hop_reach
+    return two_hop_reach(_coevent_edges(spark, sf_dir), max_mid_degree=32,
+                         precise_capped=True)
 
 
 def _q_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5644,6 +5665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log2_hist": _q_log2_hist,
         "weighted_median": _q_weighted_median,
         "graph_2hop": _q_graph_2hop,
+        "graph_2hop_precise": _q_graph_2hop_precise,
         "graph_2hop_hll": _q_graph_2hop_hll,
         "graph_nf": _q_graph_nf,
         "dedup_weighted": _q_dedup_weighted,
@@ -9692,6 +9714,8 @@ FROM pos2
     from frogocr_spark.operators.graph import two_hop_reach_oracle_sql
     o["graph_2hop"] = two_hop_reach_oracle_sql(_COEVENT_EDGES_SQL,
                                                max_mid_degree=32)
+    o["graph_2hop_precise"] = two_hop_reach_oracle_sql(
+        _COEVENT_EDGES_SQL, max_mid_degree=32, precise_capped=True)
     from frogocr_spark.operators.graph import two_hop_reach_hll_oracle_sql
     o["graph_2hop_hll"] = two_hop_reach_hll_oracle_sql(_COEVENT_EDGES_SQL,
                                                        p=8)

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "recursive_cte", "hilbert_layout", "rake_keywords", "drift_chi2",
     "seasonality",
     "activity_bitmap", "log2_hist", "weighted_median", "graph_2hop",
+    "graph_2hop_precise",
     "charclass", "json_keys_profile",
     "twap", "lrm_alloc", "wow_change", "sentence_stats",
     "rank_test", "spearman", "ams_f2",

@@ -796,7 +796,8 @@ def clustering_coefficient_oracle_sql(edges_sql: str) -> str:
 
 def two_hop_reach(edges: DataFrame, src: str = "src",
                   dst: str = "dst",
-                  max_mid_degree: int | None = None) -> DataFrame:
+                  max_mid_degree: int | None = None,
+                  precise_capped: bool = False) -> DataFrame:
     """Per-node 2-hop reach: how many DISTINCT other nodes are within
     ≤ 2 undirected hops — the friend-of-friend audience size of social
     /abuse analytics (and the k=2 slice of neighborhood growth).
@@ -813,7 +814,21 @@ def two_hop_reach(edges: DataFrame, src: str = "src",
     LINEAR in hub degree.  Hop-1 adjacency is never truncated, and
     every node keeps a row; rows whose 2-hop set may undercount (nodes
     adjacent to a capped hub) carry ``capped = true`` — the same
-    honest-flagging contract as dedup's star expansion.  Output:
+    honest-flagging contract as dedup's star expansion.
+
+    Flag precision (VERDICT r4 #6): the default flag OVER-approximates
+    — every hub-adjacent node is flagged, even one whose truncated
+    wedge candidates were all reachable through kept paths anyway.
+    ``precise_capped=True`` flags EXACTLY the nodes whose reported
+    count undercounts: the truncated wedge candidates
+    (adj ⨝ truncated-mid-edges) are anti-joined against the kept reach
+    pair set, so a node is flagged iff it actually lost a distinct
+    2-hop candidate.  Cost: the lost-candidate join regenerates the
+    pairs the cap skipped — Σ_hub deg·(deg−cap) rows, the wedge bound
+    the cap exists to avoid — so precise mode is for audits and
+    moderate-hub graphs, not the 10^12-node default (where the cheap
+    flag stays the honest linear-cost answer and its over-approximation
+    is exactly "hub-adjacent").  Output:
     ``(node, n_1hop, n_2hop_total, capped)`` where n_2hop_total counts
     distinct nodes at hop 1 or 2 (self excluded)."""
     und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -826,27 +841,44 @@ def two_hop_reach(edges: DataFrame, src: str = "src",
                                    F.col("u").alias("x"))))
     deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("n_1hop"))
     adj_mid = adj
+    truncated = None
     if max_mid_degree is not None:
         cap = int(max_mid_degree)
         if cap < 1:
             raise ValueError(f"max_mid_degree must be >= 1, got {cap}")
         w = Window.partitionBy("n").orderBy("x")
-        adj_mid = (adj.withColumn("_r", F.row_number().over(w))
-                   .where(F.col("_r") <= cap).drop("_r"))
-        hubs = deg.where(F.col("n_1hop") > cap).select("n")
-        # a node's count can undercount iff one of its MIDS was capped
-        flagged = (adj.join(hubs.withColumnRenamed("n", "x"), "x")
-                   .select("n").dropDuplicates()
-                   .withColumn("capped", F.lit(True)))
+        ranked = adj.withColumn("_r", F.row_number().over(w))
+        adj_mid = ranked.where(F.col("_r") <= cap).drop("_r")
+        if precise_capped:
+            truncated = ranked.where(F.col("_r") > cap).drop("_r")
+        else:
+            hubs = deg.where(F.col("n_1hop") > cap).select("n")
+            # cheap over-approximation: a node's count CAN undercount
+            # only if one of its mids was capped
+            flagged = (adj.join(hubs.withColumnRenamed("n", "x"), "x")
+                       .select("n").dropDuplicates()
+                       .withColumn("capped", F.lit(True)))
     hop2 = (adj.select(F.col("x").alias("mid"), F.col("n").alias("a"))
             .join(adj_mid.select(F.col("n").alias("mid"),
                                  F.col("x").alias("c")), "mid")
             .where(F.col("a") != F.col("c"))
             .select("a", "c"))
-    reach = (adj.select(F.col("n").alias("a"), F.col("x").alias("c"))
+    pairs = (adj.select(F.col("n").alias("a"), F.col("x").alias("c"))
              .unionByName(hop2)
-             .dropDuplicates(["a", "c"])
-             .groupBy("a").agg(F.count(F.lit(1)).alias("n_2hop_total")))
+             .dropDuplicates(["a", "c"]))
+    if truncated is not None:
+        # kept reach pairs feed two consumers (the count and the
+        # anti-join) — checkpoint so the wedge join runs once
+        pairs = pairs.localCheckpoint()
+        lost = (adj.select(F.col("n").alias("a"), F.col("x").alias("mid"))
+                .join(truncated.select(F.col("n").alias("mid"),
+                                       F.col("x").alias("c")), "mid")
+                .where(F.col("a") != F.col("c"))
+                .select("a", "c").dropDuplicates(["a", "c"]))
+        flagged = (lost.join(pairs, ["a", "c"], "left_anti")
+                   .select(F.col("a").alias("n")).dropDuplicates()
+                   .withColumn("capped", F.lit(True)))
+    reach = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("n_2hop_total"))
     out = (deg.join(reach, deg.n == reach.a)
            .select(F.col("n").alias("node"),
                    F.col("n_1hop").cast("long").alias("n_1hop"),
@@ -860,26 +892,59 @@ def two_hop_reach(edges: DataFrame, src: str = "src",
 
 
 def two_hop_reach_oracle_sql(edges_sql: str,
-                             max_mid_degree: int | None = None) -> str:
+                             max_mid_degree: int | None = None,
+                             precise_capped: bool = False) -> str:
     """DuckDB twin of :func:`two_hop_reach` — same smallest-id mid
-    truncation, same capped-row flag."""
+    truncation, same capped-row flag (cheap hub-adjacent over-
+    approximation by default; ``precise_capped`` mirrors the exact
+    lost-candidate anti-join)."""
     if max_mid_degree is None:
         mid_cte = "adj_mid AS (SELECT n, x FROM adj)"
         capped = "FALSE AS capped"
         flag_join = ""
     else:
         cap = int(max_mid_degree)
-        mid_cte = f"""adj_mid AS (
-            SELECT n, x FROM (
+        if precise_capped:
+            mid_cte = f"""ranked AS MATERIALIZED (
                 SELECT n, x,
                        row_number() OVER (PARTITION BY n ORDER BY x) AS r
                 FROM adj
-            ) WHERE r <= {cap}
-        ), flagged AS (
-            SELECT DISTINCT adj.n FROM adj
-            JOIN (SELECT n FROM deg WHERE n_1hop > {cap}) h
-              ON adj.x = h.n
-        )"""
+            ), adj_mid AS (
+                SELECT n, x FROM ranked WHERE r <= {cap}
+            ), truncated AS (
+                SELECT n, x FROM ranked WHERE r > {cap}
+            ), kept_pairs AS MATERIALIZED (
+                SELECT DISTINCT a, c FROM (
+                    SELECT n AS a, x AS c FROM adj
+                    UNION ALL
+                    SELECT l.n AS a, r.x AS c
+                    FROM adj l JOIN adj_mid r ON l.x = r.n
+                    WHERE l.n <> r.x
+                )
+            ), flagged AS (
+                SELECT DISTINCT lost.a AS n FROM (
+                    SELECT DISTINCT l.n AS a, r.x AS c
+                    FROM adj l JOIN truncated r ON l.x = r.n
+                    WHERE l.n <> r.x
+                ) lost
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM kept_pairs kp
+                    WHERE kp.a = lost.a AND kp.c = lost.c
+                )
+            )"""
+        else:
+            mid_cte = f"""adj_mid AS (
+                SELECT n, x FROM (
+                    SELECT n, x,
+                           row_number() OVER (PARTITION BY n ORDER BY x)
+                               AS r
+                    FROM adj
+                ) WHERE r <= {cap}
+            ), flagged AS (
+                SELECT DISTINCT adj.n FROM adj
+                JOIN (SELECT n FROM deg WHERE n_1hop > {cap}) h
+                  ON adj.x = h.n
+            )"""
         capped = "(fl.n IS NOT NULL) AS capped"
         flag_join = "LEFT JOIN flagged fl ON deg.n = fl.n"
     return f"""

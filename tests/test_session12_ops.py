@@ -405,6 +405,36 @@ def test_two_hop_reach_mid_cap_hand_case(spark):
     assert not any(c for _, c in exact.values())
 
 
+def test_two_hop_reach_precise_capped_flag(spark):
+    """VERDICT r4 #6: precise_capped flags EXACTLY the nodes whose
+    reported count undercounts — a hub-adjacent node that reaches every
+    truncated wedge candidate through kept paths is UNflagged (the
+    cheap default over-approximates and flags it)."""
+    from frogocr_spark.operators.graph import two_hop_reach
+    # hub 0 — {1..5}, cap 3 keeps mids {1,2,3}, truncates {4,5};
+    # node 1 ALSO has direct edges to 4 and 5, so its truncated wedge
+    # candidates were reachable anyway — it loses nothing
+    edges = [(0, i) for i in range(1, 6)] + [(1, 4), (1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    cheap = {r.node: r.capped
+             for r in two_hop_reach(df, max_mid_degree=3).collect()}
+    precise = {r.node: (r.n_2hop_total, r.capped)
+               for r in two_hop_reach(df, max_mid_degree=3,
+                                      precise_capped=True).collect()}
+    exact = {r.node: r.n_2hop_total
+             for r in two_hop_reach(df).collect()}
+    # cheap mode flags every hub-adjacent node, including non-lossy 1
+    assert cheap[1] is True and cheap[2] is True
+    # precise mode: 1 unflagged with the exact count; 2 flagged (it
+    # really lost {4,5})
+    assert precise[1] == (exact[1], False)
+    assert precise[2][1] is True and precise[2][0] < exact[2]
+    # soundness: every unflagged precise row carries the exact count
+    for n, (cnt, flag) in precise.items():
+        if not flag:
+            assert cnt == exact[n], n
+
+
 def test_two_hop_reach_hll_equals_sketch_of_exact_ball(spark):
     """The HLL 2-hop composition (1-hop registers + one gather join +
     max merge) must produce BIT-IDENTICAL registers to sketching the
