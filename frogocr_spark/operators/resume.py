@@ -15,6 +15,16 @@ The anti-join is the engine's only cross-table join (SURVEY §2.3 note); at
 scale the committed-key side is typically much smaller than the input in a
 resume scenario and Spark's AQE picks broadcast vs shuffle automatically —
 we pass a hint only when the caller knows the key set is tiny.
+
+NULL keys (VERDICT r4 #4 three-valued-logic audit): anti-join equality is
+null-unsafe — a NULL-keyed INPUT row matches nothing and would be
+re-selected on every resume (duplicate appends: the exactly-once story
+leans on the keys), while a NULL-keyed committed row is merely inert.
+The transcripts schema declares both keys non-nullable
+(sources/transcripts.TRANSCRIPT_SCHEMA) and the catalog's appends write
+them through unchanged, so the invariant is enforced at the source; any
+future nullable-key source must pre-filter or surrogate NULL keys before
+entering the resume loop.
 """
 
 from __future__ import annotations

@@ -169,3 +169,71 @@ def test_delete_and_merge_on_evolved_table(spark, tmp_path):
             ["id"], merge_id="m1")
     got = t.read(merge_schema=True).collect()
     assert [(r.id, r.v, r.score) for r in got] == [(2, "b2", 9)]
+
+
+def test_merge_null_key_three_valued_logic(spark, tmp_path):
+    """VERDICT r4 #4: MERGE's match condition is null-UNSAFE equality
+    (SQL MERGE ... ON t.k = s.k — NULL = NULL is NULL, never TRUE).
+    On a schema-evolved key column, pre-evolution rows hold NULL and
+    must never be 'matched': a NULL-keyed source row INSERTS alongside
+    them instead of replacing."""
+    t = Table(spark, str(tmp_path / "tbl"))
+    # r1 predates the `k` column → its row has k = NULL after evolution
+    t.append(spark.createDataFrame([(1, "old")], "id long, v string"),
+             "r1")
+    t.append(spark.createDataFrame([(2, "b", 10)],
+                                   "id long, v string, k long"), "r2")
+    # merge on the EVOLVED key: source has one k=10 row (true match)
+    # and one NULL-keyed row (matches nothing, inserts)
+    src = spark.createDataFrame([(20, "b2", 10), (99, "nullk", None)],
+                                "id long, v string, k long")
+    t.merge(src, ["k"], merge_id="m1")
+    got = sorted(((r.id, r.v, r.k) for r in
+                  t.read(merge_schema=True).collect()),
+                 key=lambda x: (x[0] or 0))
+    # NULL-keyed target row KEPT unchanged, k=10 row REPLACED,
+    # NULL-keyed source row INSERTED (both NULL rows coexist)
+    assert got == [(1, "old", None), (20, "b2", 10), (99, "nullk", None)]
+
+
+def test_where_select_vs_delete_null_asymmetry(spark, tmp_path):
+    """The documented asymmetry on evolved tables: SELECT ... WHERE p
+    drops NULL-predicate rows (standard WHERE), DELETE WHERE p keeps
+    them — so read().where(p) and delete(p)'s survivors do NOT
+    partition the table; the NULL rows appear in neither/both
+    respectively."""
+    t = Table(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"),
+             "r1")
+    t.append(spark.createDataFrame([(2, "b", 7), (3, "c", 8)],
+                                   "id long, v string, score long"),
+             "r2")
+    full = t.read(merge_schema=True)
+    # WHERE: the NULL-score row is in NEITHER side of p / NOT p
+    sel = {r.id for r in full.where("score > 7").collect()}
+    inv = {r.id for r in full.where("NOT (score > 7)").collect()}
+    assert sel == {3} and inv == {2} and 1 not in (sel | inv)
+    # DELETE: the NULL-score row SURVIVES the same predicate
+    t.delete("score > 7")
+    assert sorted(r.id for r in
+                  t.read(merge_schema=True).collect()) == [1, 2]
+
+
+def test_merge_null_safe_surrogate_pattern(spark, tmp_path):
+    """The documented escape hatch when NULL is a real key value:
+    merge on a coalesce surrogate column updates the NULL-keyed row
+    instead of duplicating it."""
+    from pyspark.sql import functions as F
+    t = Table(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "x", None), (2, "y", 5)],
+                                   "id long, v string, k long"), "r1")
+    src = spark.createDataFrame([(10, "x2", None)],
+                                "id long, v string, k long")
+    surro = lambda df: df.withColumn("_k", F.coalesce("k", F.lit(-1)))
+    merged = None
+    from frogocr_spark.operators.tables import upsert
+    merged = (upsert(surro(t.read(merge_schema=True)), surro(src),
+                     ["_k"]).drop("_k"))
+    got = sorted((r.id, r.v, r.k) for r in merged.collect())
+    # the NULL-keyed row was REPLACED (id 1 gone, id 10 in), k=5 kept
+    assert got == [(2, "y", 5), (10, "x2", None)]
