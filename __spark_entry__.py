@@ -4924,13 +4924,29 @@ def _q_minhash_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate as the dedup threshold at 100 TB (stddev ≈ √(J(1−J)/k)).
     Both constituent pipelines are independently oracle-verified
     (dedup_minhash, dedup_jaccard); this audits their RELATION.  Scale
-    shape: true Jaccard is computed ONLY for the output-bounded
-    candidate set via two bare-id joins against the word-set relation —
-    never a second pair enumeration; the report is one global agg."""
+    shape: true Jaccard is computed ONLY for a deterministic 1/16
+    SAMPLE of the candidate set (first md5 hex digit of "id_a:id_b" =
+    '0' — engine-portable, so the oracle samples identically) via two
+    bare-id joins against the word-set relation — never a second pair
+    enumeration; the report is one global agg.
+
+    Why sampled (r5 sf10 certification finding): the per-pair gather
+    carries BOTH word arrays — ~1 KB × every candidate pair.  Linear
+    in data, but the constant is brutal: at 100× sf0.1 the ~30M-pair
+    census gather shuffled >75 GB and exhausted a single box's disk
+    (SPILL_OUT_OF_MEMORY/ENOSPC, BENCH/bench_r5_sf10.json).  A
+    calibration statistic needs a sample, not a census — the sampled
+    estimator's own stderr at these pair counts is far below the
+    effect sizes the audit exists to detect — and sampling is the
+    formulation you'd run at 10^12 pairs too."""
     from frogocr_spark.operators.dedup import TOKEN_SPLIT, minhash_lsh_pairs
     docs = _read(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32,
                               bands=4, threshold=0.5, hash_fn="md5")
+    pairs = pairs.where(
+        F.substring(F.md5(F.concat_ws(
+            ":", F.col("id_a").cast("string"),
+            F.col("id_b").cast("string"))), 1, 1) == "0")
     words = docs.select(
         "doc_id",
         F.array_distinct(F.filter(F.split(F.trim(F.col("text")),
@@ -11026,7 +11042,12 @@ FROM pos2
         FROM agg
     """
     o["minhash_err"] = f"""
-        WITH mh AS ({o["dedup_minhash"]}),
+        WITH mh_all AS ({o["dedup_minhash"]}),
+        mh AS (
+            SELECT * FROM mh_all
+            WHERE substr(md5(CAST(id_a AS VARCHAR) || ':'
+                             || CAST(id_b AS VARCHAR)), 1, 1) = '0'
+        ),
         {_JACCARD_WORDSET_CTE},
         sz AS (
             SELECT doc_id, count(*) AS n FROM toks_ne GROUP BY 1
