@@ -1752,10 +1752,22 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cluster exact cosine with the threshold applied to the
     ROUNDED value (ulp-robust, the sim_cosine_lsh lesson).  The oracle
     recomputes seeds, assignments and pairs from scratch in SQL
-    (operators/similarity.semdedup_pairs)."""
+    (operators/similarity.semdedup_pairs).
+
+    n_seeds SCALES with the corpus — ``max(10, n // 200)``, mirrored
+    by a scalar-subquery LIMIT in the oracle (r5 sf10 finding): a
+    fixed seed count makes the within-cluster self-join quadratic in
+    the scale-up factor (×100 corpus → ×10⁴ pair work — observed
+    hanging the certification run), while constant ~200-vector
+    clusters keep Σ cluster_size² linear in n.  Scaling cluster count
+    with corpus size is SemDeDup's own design point (the operator
+    docstring has said so since r3; now the contract practices it).
+    The O(1) count() action prices the corpus before planning — the
+    same count a production job does to size its seed set."""
     from frogocr_spark.operators.similarity import semdedup_pairs
     emb = _read(spark, sf_dir, "embeddings")
-    return semdedup_pairs(emb, n_seeds=10, threshold=0.4)
+    n_seeds = max(10, emb.count() // 200)
+    return semdedup_pairs(emb, n_seeds=n_seeds, threshold=0.4)
 
 
 def _q_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7927,7 +7939,9 @@ FROM pos2
         WITH seeds AS (
             SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
             FROM embeddings
-            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 10
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT (SELECT greatest(10, count(*) // 200)
+                   FROM embeddings)
         ), assign AS (
             SELECT vec_id, seed_id, emb FROM (
                 SELECT e.vec_id, s.seed_id,

@@ -438,7 +438,8 @@ def quantize_minmax_int8(df: DataFrame, vec_col: str = "embedding",
 
 def seed_assignments(corpus: DataFrame, n_seeds: int, *,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     rank_round: int = 4) -> DataFrame:
+                     rank_round: int = 4,
+                     method: str = "auto") -> DataFrame:
     """Deterministic one-shot clustering for SemDeDup-style semantic
     dedup: the ``n_seeds`` vectors with the smallest ``md5(id)`` are the
     cluster seeds (a seedless, engine-portable pick — no RNG, no
@@ -451,12 +452,30 @@ def seed_assignments(corpus: DataFrame, n_seeds: int, *,
 
     Scale shape: the seed pick is a bounded TakeOrdered (``n_seeds``
     rows to the driver — documented eager step, same class as the IVF
-    sample fit); seeds then ship as LITERALS inside one
-    ``greatest(struct(cos, -seed_id))`` column expression, so the
-    assignment is a pure map stage — the 100 TB corpus is never
-    shuffled, joined, or exploded to get its cluster ids."""
+    sample fit); the assignment is then a PURE MAP STAGE either way —
+    the 100 TB corpus is never shuffled, joined, or exploded to get
+    its cluster ids.  Two physical forms (``method``):
+
+    - ``"literal"``: seeds ship as literals inside one
+      ``greatest(struct(cos, -seed_id))`` column expression — ideal
+      for small seed sets (whole-stage codegen, zero Python), but the
+      expression tree grows as n_seeds·dim and past a few dozen seeds
+      codegen degrades (64 KB method limit → interpreted fallback)
+      and plan build time balloons;
+    - ``"batch"`` (r5): seeds ride the UDF closure as ONE numpy
+      matrix; each Arrow batch does a single (batch × seeds) matmul +
+      rounded argmax (seed rows sorted by id so numpy's
+      first-max-wins argmax reproduces the (cos, −sid) tie-break).
+      Same rounded-argmax contract, vectorized per batch.
+
+    ``"auto"`` picks literal for ≤ 64 seeds, batch above — the
+    crossover where a measured 1000-seed literal plan stopped being a
+    plan at all (sf10 certification).  Both paths are parity-tested
+    against each other."""
     if n_seeds < 2:
         raise ValueError("n_seeds must be >= 2")
+    if method not in ("auto", "literal", "batch"):
+        raise ValueError(f"unknown method {method!r}")
     seeds = (corpus.select(id_col, vec_col)
              .orderBy(F.md5(F.col(id_col).cast("string")),
                       F.col(id_col))
@@ -468,17 +487,52 @@ def seed_assignments(corpus: DataFrame, n_seeds: int, *,
         # needs >= 2 operands)
         return corpus.withColumn(
             "cluster_id", F.lit(int(seeds[0][id_col])).cast("long"))
-    cands = []
-    for row in seeds:
-        sid = int(row[id_col])
-        svec = F.array(*[F.lit(float(v)) for v in row[vec_col]])
-        cos = _cosine(F.col(vec_col), svec)
-        cands.append(F.struct(
-            F.round(cos, rank_round).alias("c"),
-            F.lit(-sid).cast("long").alias("neg"),
-            F.lit(sid).cast("long").alias("sid")))
-    best = F.greatest(*cands)
-    return corpus.withColumn("cluster_id", best.getField("sid"))
+    if method == "auto":
+        method = "literal" if len(seeds) <= 64 else "batch"
+    if method == "literal":
+        cands = []
+        for row in seeds:
+            sid = int(row[id_col])
+            svec = F.array(*[F.lit(float(v)) for v in row[vec_col]])
+            cos = _cosine(F.col(vec_col), svec)
+            cands.append(F.struct(
+                F.round(cos, rank_round).alias("c"),
+                F.lit(-sid).cast("long").alias("neg"),
+                F.lit(sid).cast("long").alias("sid")))
+        best = F.greatest(*cands)
+        return corpus.withColumn("cluster_id", best.getField("sid"))
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    order = sorted(range(len(seeds)),
+                   key=lambda i: int(seeds[i][id_col]))
+    sid_arr = np.array([int(seeds[i][id_col]) for i in order],
+                       dtype=np.int64)
+    S = np.array([[float(v) for v in seeds[i][vec_col]]
+                  for i in order], dtype=np.float64)
+    # mirror the literal path's association: dot(v,s) / (|v|·|s|) —
+    # not dot(v, s/|s|)/|v| — so the two forms differ only by
+    # summation-order ulps, which rank_round absorbs
+    s_norm = np.linalg.norm(S, axis=1)[None, :]
+    out_schema = T.StructType(
+        list(corpus.schema.fields)
+        + [T.StructField("cluster_id", T.LongType(), False)])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = np.linalg.norm(V, axis=1, keepdims=True)
+            cos = np.round((V @ S.T) / (vn * s_norm), rank_round)
+            # seeds sorted by sid asc + first-max-wins argmax ==
+            # greatest(struct(c, -sid)) tie-break
+            pdf = pdf.copy()
+            pdf["cluster_id"] = sid_arr[np.argmax(cos, axis=1)]
+            yield pdf
+
+    return corpus.mapInPandas(assign, schema=out_schema)
 
 
 def semdedup_pairs(corpus: DataFrame, n_seeds: int, threshold: float, *,
