@@ -50,10 +50,13 @@ def test_minhash_err_identical_pair_zero_error(spark, tmp_path):
     # two identical docs: every minhash component matches (est = 1.0)
     # and the true word-set Jaccard is 1.0 — calibration error exactly
     # 0; the third doc's vocabulary is disjoint so it never becomes a
-    # candidate (no band bucket can collide through shared min tokens)
-    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
-            (2, "alpha beta gamma delta epsilon zeta eta theta"),
-            (3, "one two three four five six seven eight")]
+    # candidate (no band bucket can collide through shared min tokens).
+    # ids (2, 3): md5("2:3") starts with '0', so the pair is INSIDE the
+    # r5 deterministic 1/16 calibration sample; ids (1, 2) — md5 'd…'
+    # — pin the complement: the pair exists but is sampled out.
+    rows = [(2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta"),
+            (4, "one two three four five six seven eight")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     sf = str(tmp_path)
     df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
@@ -62,6 +65,13 @@ def test_minhash_err_identical_pair_zero_error(spark, tmp_path):
     assert r.mean_abs_err_e6 == 0
     assert r.max_abs_err_e6 == 0
     assert (r.n_over, r.n_under) == (0, 0)
+    rows_out = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "alpha beta gamma delta epsilon zeta eta theta")]
+    df2 = spark.createDataFrame(rows_out, "doc_id long, text string")
+    sf2 = str(tmp_path / "out")
+    df2.write.mode("overwrite").parquet(f"{sf2}/documents.parquet")
+    r2 = entry._q_minhash_err(spark, sf2).collect()[0]
+    assert r2.n_pairs == 0 and r2.mean_abs_err_e6 is None
 
 
 def test_gram_matrix_python_twin(spark):
