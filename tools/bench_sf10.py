@@ -19,7 +19,11 @@ Measures and records (BENCH/bench_r5_sf10.json):
   sf0.1 single-run times on the same box for a growth ratio.
 
 Usage: python tools/bench_sf10.py [sf_equiv=10] [out_json]
-Env: SF10_QUERIES=comma-list overrides the query subset.
+Env: SF10_QUERIES=comma-list overrides the query subset;
+     SF10_PHASES=extract,scaling,queries selects phases (default all);
+     results are merged INTO an existing out_json, and written
+     incrementally after each phase, so a crashed phase loses nothing
+     and a rerun can target just the failed phase.
 """
 
 from __future__ import annotations
@@ -78,12 +82,22 @@ def main() -> None:
     queries = os.environ.get("SF10_QUERIES", "").split(",") \
         if os.environ.get("SF10_QUERIES") else SLOWEST
 
+    phases = set(os.environ.get("SF10_PHASES",
+                                "extract,scaling,queries").split(","))
+
     from frogocr_spark.operators.extraction import extract_turns
     from frogocr_spark.session import get_spark
     from frogocr_spark.sources import transcripts
 
     result: dict = {"metric": "sf10_scale_certification",
                     "sf_equiv": sf_equiv, "cpus": 32}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            result.update(json.load(fh))
+
+    def _flush():
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=1)
 
     # ---- 1. materialize ~sf_equiv*6M transcript turns (distributed gen)
     if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
@@ -101,32 +115,36 @@ def main() -> None:
     print(json.dumps({"phase": "generated", "n_turns": n_rows}),
           flush=True)
 
+    _flush()
+
     # ---- 2. extraction headline @32 with memory/spill evidence
-    spark = get_spark(app_name="sf10-extract", cores=32,
-                      extra_conf={"spark.ui.enabled": "true",
-                                  "spark.ui.port": str(UI_PORT)})
-    try:
-        df = spark.read.parquet(input_dir)
-        best = float("inf")
-        for rep in range(3):
-            t0 = time.time()
-            extract_turns(df).write.format("noop") \
-                .mode("overwrite").save()
-            dt = time.time() - t0
-            best = min(best, dt)
-            print(json.dumps({"phase": "extract", "rep": rep,
-                              "sec": round(dt, 1)}), flush=True)
-        result["extraction_turns_per_sec"] = round(n_rows / best, 1)
-        result["extraction_best_sec"] = round(best, 1)
-        result["extraction_metrics"] = _spill_and_peak(_app_id())
-    finally:
-        spark.stop()
-    print(json.dumps({"phase": "extract_done",
-                      "tput": result["extraction_turns_per_sec"]}),
-          flush=True)
+    if "extract" in phases:
+        spark = get_spark(app_name="sf10-extract", cores=32,
+                          extra_conf={"spark.ui.enabled": "true",
+                                      "spark.ui.port": str(UI_PORT)})
+        try:
+            df = spark.read.parquet(input_dir)
+            best = float("inf")
+            for rep in range(3):
+                t0 = time.time()
+                extract_turns(df).write.format("noop") \
+                    .mode("overwrite").save()
+                dt = time.time() - t0
+                best = min(best, dt)
+                print(json.dumps({"phase": "extract", "rep": rep,
+                                  "sec": round(dt, 1)}), flush=True)
+            result["extraction_turns_per_sec"] = round(n_rows / best, 1)
+            result["extraction_best_sec"] = round(best, 1)
+            result["extraction_metrics"] = _spill_and_peak(_app_id())
+        finally:
+            spark.stop()
+        print(json.dumps({"phase": "extract_done",
+                          "tput": result["extraction_turns_per_sec"]}),
+              flush=True)
+        _flush()
 
     # ---- 3. scaling pair 4->16 at this scale (3 interleaved rounds)
-    if os.environ.get("SF10_SCALING", "1") != "0":
+    if "scaling" in phases:
         lows, highs, effs = [], [], []
         for r in range(3):
             tl = bench._extraction_run(4, input_dir, n_rows,
@@ -145,44 +163,53 @@ def main() -> None:
             "efficiency_per_round": [round(e, 3) for e in effs],
             "efficiency": round(statistics.median(effs), 3),
         }
+        _flush()
 
     # ---- 4. slowest panel queries over x100 scaled tables
-    replicas = int(round(sf_equiv / 0.1))
-    if not os.path.exists(os.path.join(scaled_dir,
-                                       "events.parquet", "_SUCCESS")):
-        os.system(f"{sys.executable} "
-                  f"/root/repo/tools/gen_sfbig.py {scaled_dir} "
-                  f"{replicas} /root/testdata/sf0.1")
-    import __spark_entry__ as entrymod
-    qs = entrymod.queries()
-    spark = get_spark(app_name="sf10-queries", cores=32,
-                      extra_conf={"spark.ui.enabled": "true",
-                                  "spark.ui.port": str(UI_PORT)})
-    try:
-        qres: dict = {}
-        for name in queries:
-            # sf0.1 single cold run on the same box, then the x100 run
-            t0 = time.time()
-            qs[name](spark, "/root/testdata/sf0.1") \
-                .write.format("noop").mode("overwrite").save()
-            base = time.time() - t0
-            t0 = time.time()
-            qs[name](spark, scaled_dir) \
-                .write.format("noop").mode("overwrite").save()
-            big = time.time() - t0
-            qres[name] = {"sf0.1_sec": round(base, 2),
-                          "sf10_sec": round(big, 2),
-                          "growth_x": round(big / base, 1),
-                          "data_x": replicas}
-            print(json.dumps({"phase": "query", "q": name,
-                              **qres[name]}), flush=True)
-        result["queries"] = qres
-        result["query_metrics"] = _spill_and_peak(_app_id())
-    finally:
-        spark.stop()
+    if "queries" in phases:
+        replicas = int(round(sf_equiv / 0.1))
+        if not os.path.exists(os.path.join(scaled_dir, "events.parquet",
+                                           "_SUCCESS")):
+            os.system(f"{sys.executable} "
+                      f"/root/repo/tools/gen_sfbig.py {scaled_dir} "
+                      f"{replicas} /root/testdata/sf0.1")
+        import traceback
 
-    with open(out_path, "w") as fh:
-        json.dump(result, fh, indent=1)
+        import __spark_entry__ as entrymod
+        qs = entrymod.queries()
+        spark = get_spark(app_name="sf10-queries", cores=32,
+                          extra_conf={"spark.ui.enabled": "true",
+                                      "spark.ui.port": str(UI_PORT)})
+        try:
+            qres: dict = result.setdefault("queries", {})
+            for name in queries:
+                if name in qres and "error" not in qres[name]:
+                    continue  # already certified in a prior run
+                try:
+                    # sf0.1 single cold run, then the x100 run
+                    t0 = time.time()
+                    qs[name](spark, "/root/testdata/sf0.1") \
+                        .write.format("noop").mode("overwrite").save()
+                    base = time.time() - t0
+                    t0 = time.time()
+                    qs[name](spark, scaled_dir) \
+                        .write.format("noop").mode("overwrite").save()
+                    big = time.time() - t0
+                    qres[name] = {"sf0.1_sec": round(base, 2),
+                                  "sf10_sec": round(big, 2),
+                                  "growth_x": round(big / base, 1),
+                                  "data_x": replicas}
+                except Exception as e:  # record and keep going
+                    qres[name] = {"error": repr(e)[:400]}
+                    traceback.print_exc()
+                print(json.dumps({"phase": "query", "q": name,
+                                  **qres[name]}), flush=True)
+                _flush()
+            result["query_metrics"] = _spill_and_peak(_app_id())
+        finally:
+            spark.stop()
+
+    _flush()
     print(json.dumps(result))
 
 
